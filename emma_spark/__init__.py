@@ -1,0 +1,36 @@
+"""emma_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of emmalanguage/emma (reference at
+/root/reference, read-only), re-expressed Spark-first.
+
+Core abstraction: :class:`DataBag` — the reference's unordered,
+duplicate-preserving multiset (``api/DataBag.scala:26``) as a lazy
+DataFrame wrapper. Catalyst replaces the reference's compile-time
+optimizer (SURVEY.md §4); this package adds what Spark doesn't do:
+bag-faithful semantics, fold algebras, keyed mutable state, loop
+auto-caching, and large-scale training-data ops (dedup, similarity,
+text analysis, multimodal plumbing).
+"""
+
+from .core import DataBag, GroupedBag
+from .functions import alg
+from .functions.expr import Elem, eq, ne, struct
+from .plans.iterate import fixpoint
+from .session import get_spark
+from .sources import io
+from .state import MutableBag
+
+__all__ = [
+    "DataBag",
+    "GroupedBag",
+    "MutableBag",
+    "Elem",
+    "alg",
+    "eq",
+    "ne",
+    "struct",
+    "fixpoint",
+    "get_spark",
+    "io",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,440 @@
+"""DataBag — the engine's one core abstraction, as a lazy DataFrame wrapper.
+
+Reference contract: ``DataBag[A]`` is a homogeneous, unordered,
+duplicate-preserving multiset
+(``emma-language/src/main/scala/org/emmalanguage/api/DataBag.scala:26-63``)
+whose ops split into lazy transformations (monad ops, grouping, set
+ops) and eager actions (folds, ``collect``, ``sample``, writes —
+``SparkRDD.scala:45-46``). We reproduce exactly that contract over a
+``pyspark.sql.DataFrame``; Catalyst replaces emma's compile-time
+rewrites (SURVEY §4: rules 1-8, 13, 14 are Catalyst built-ins).
+
+Design rules (100 TB target):
+- every transformation is a DataFrame plan; nothing materializes except
+  the documented eager actions;
+- lambdas are expression lambdas over :class:`Elem` proxies -> Columns,
+  so plans stay inside whole-stage codegen (no Python in the hot path);
+- joins/grouping lower to the shuffle-aware built-ins; broadcast is an
+  explicit hint (``hint()``) plus Spark's auto threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import alg as A
+from .functions.expr import Elem, ExprFn, compile_predicate, compile_projection, normalize_projection
+
+ColumnLike = Any
+
+
+def _cols(df: DataFrame, f: ExprFn | Column | str | Sequence, alias: str | None = None) -> list[Column]:
+    """Normalize a key/projection spec to Columns.
+
+    ``alias`` resolves columns through a join-side namespace
+    (``F.col("l.key")``) — required when both join sides share lineage
+    (self-joins and joins between bags derived from one source;
+    reference analog: column refresh in ``SparkNtv.scala:79-82``).
+    """
+    if callable(f) and not isinstance(f, Column):
+        out = f(Elem(df, alias))
+        return normalize_projection(out, "key")
+    if isinstance(f, str):
+        return [F.col(f"{alias}.{f}")] if alias else [df[f]]
+    if isinstance(f, Column):
+        return [f]
+    if isinstance(f, Sequence):
+        return [
+            (F.col(f"{alias}.{c}") if alias else df[c]) if isinstance(c, str) else c
+            for c in f
+        ]
+    raise TypeError(f"bad column spec: {f!r}")
+
+
+class DataBag:
+    """Unordered, duplicate-preserving multiset over a DataFrame plan."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+        self._collected: list | None = None
+
+    # ------------------------------------------------------------------
+    # sources (DataBag companions, api/DataBag.scala:381-448)
+    # ------------------------------------------------------------------
+    @classmethod
+    def apply(cls, spark: SparkSession, values: Iterable, schema=None) -> "DataBag":
+        """Parallelize a local collection (``api/DataBag.scala:399``;
+        Spark impl ``SparkDataset.scala:164-166``).
+
+        Scalar values become single-column ``value`` bags (Dataset[Int]
+        analog)."""
+        values = list(values)
+        if values and not isinstance(values[0], (dict, tuple, list)) and schema is None:
+            rows = [(v,) for v in values]
+            df = spark.createDataFrame(rows, schema="value " + _infer_sql_type(values[0]))
+        else:
+            df = spark.createDataFrame(values, schema=schema)
+        return cls(df)
+
+    @classmethod
+    def empty(cls, spark: SparkSession, schema: str) -> "DataBag":
+        """(``api/DataBag.scala:390``; ``SparkDataset.scala:160-162``)."""
+        return cls(spark.createDataFrame([], schema=schema))
+
+    @classmethod
+    def from_df(cls, df: DataFrame) -> "DataBag":
+        """Wrap a native distributed collection (``api/DataBag.scala:381-382``)."""
+        return cls(df)
+
+    # ------------------------------------------------------------------
+    # monad ops (api/DataBag.scala:76-93)
+    # ------------------------------------------------------------------
+    def map(self, f: ExprFn) -> "DataBag":
+        """Per-element transform (``api/DataBag.scala:76``). The lambda is
+        compiled to a projection — emma's native-op specialization
+        (``SparkSpecializeOps.scala:36-130``) by construction."""
+        return DataBag(self._df.select(*compile_projection(self._df, f)))
+
+    def flat_map(self, f: ExprFn, flatten_struct: bool = False) -> "DataBag":
+        """Transform to an array column + flatten (``api/DataBag.scala:85``).
+
+        ``f`` must produce an array Column; each element becomes one row
+        (column ``value``). ``flatten_struct=True`` expands an
+        array-of-struct into top-level columns."""
+        arr = f(Elem(self._df))
+        if isinstance(arr, Mapping):
+            if len(arr) != 1:
+                raise TypeError("flat_map expects exactly one array expression")
+            ((name, arr),) = arr.items()
+        else:
+            name = "value"
+        out = self._df.select(F.explode(arr).alias(name))
+        if flatten_struct:
+            out = out.select(f"{name}.*")
+        return DataBag(out)
+
+    def filter(self, p: ExprFn) -> "DataBag":
+        """``withFilter`` (``api/DataBag.scala:93``)."""
+        return DataBag(self._df.filter(compile_predicate(self._df, p)))
+
+    with_filter = filter
+
+    def select(self, *cols: ColumnLike, **named: Column) -> "DataBag":
+        """Column-level projection escape hatch (idiomatic-Spark surface)."""
+        all_cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+        all_cols += [c.alias(n) for n, c in named.items()]
+        return DataBag(self._df.select(*all_cols))
+
+    # ------------------------------------------------------------------
+    # grouping (api/DataBag.scala:106; foldGroup ComprehensionCombinators.scala:35-38)
+    # ------------------------------------------------------------------
+    def group_by(self, key: ExprFn | str | Sequence, *key_names: str) -> "GroupedBag":
+        """Nesting groupBy. Returns a :class:`GroupedBag` whose ``agg`` is
+        the fold-group fusion path (``FoldGroupFusion.scala:46-120`` —
+        here simply the direct lowering) and whose ``nest`` is true group
+        materialization (``SparkRDD.scala:65-66``)."""
+        keys = _cols(self._df, key)
+        if key_names:
+            keys = [k.alias(n) for k, n in zip(keys, key_names)]
+        return GroupedBag(self._df, keys)
+
+    def fold_group(self, key, *algs: A.Alg, **named: Column) -> "DataBag":
+        """Fused groupBy+aggregate (``foldGroup``,
+        ``api/backend/LocalOps.scala:61-69``; Spark
+        ``map(init).reduceByKey(plus)`` ``SparkOps.scala:61-68``).
+        Lowered to hash aggregation with map-side partial agg."""
+        return self.group_by(key).agg(*algs, **named)
+
+    # ------------------------------------------------------------------
+    # folds — eager actions (api/DataBag.scala:59-63, 216-346)
+    # ------------------------------------------------------------------
+    def fold(self, *algs: A.Alg) -> Any:
+        """Structural recursion; N algs fused into ONE pass (fold-forest
+        fusion, ``FoldForestFusion.scala:49-105``, native via multi-agg)."""
+        row = self._df.agg(*A.all_exprs(algs)).collect()[0]
+        vals = [alg.finish(row[alg.name]) for alg in algs]
+        return vals[0] if len(vals) == 1 else tuple(vals)
+
+    def size(self) -> int:
+        return self.fold(A.Size())
+
+    def count(self, p: ExprFn) -> int:
+        return self.fold(A.Count(compile_predicate(self._df, p)))
+
+    def sum(self, e: ExprFn | str = "value"):
+        return self.fold(A.Sum(_cols(self._df, e)[0]))
+
+    def product(self, e: ExprFn | str = "value"):
+        return self.fold(A.Product(_cols(self._df, e)[0]))
+
+    def min(self, e: ExprFn | str = "value"):
+        return self.fold(A.Min(_cols(self._df, e)[0]))
+
+    def max(self, e: ExprFn | str = "value"):
+        return self.fold(A.Max(_cols(self._df, e)[0]))
+
+    def exists(self, p: ExprFn) -> bool:
+        return self.fold(A.Exists(compile_predicate(self._df, p)))
+
+    def forall(self, p: ExprFn) -> bool:
+        return self.fold(A.Forall(compile_predicate(self._df, p)))
+
+    def is_empty(self) -> bool:
+        """(``api/DataBag.scala:216-219``) — via limit(1), no full count."""
+        return self._df.limit(1).count() == 0
+
+    def non_empty(self) -> bool:
+        return not self.is_empty()
+
+    def find(self, p: ExprFn):
+        """Arbitrary satisfying element or None (``api/DataBag.scala:323-324``)."""
+        rows = self._df.filter(compile_predicate(self._df, p)).take(1)
+        return rows[0] if rows else None
+
+    def reduce(self, zero, plus: Callable[[Column, Column], Column], e: ExprFn | str = "value"):
+        """Monoid fold (``api/DataBag.scala:235-236``, ``Alg.scala:64-68``)."""
+        return self.fold(A.Fold(zero=zero, plus=plus, e=_cols(self._df, e)[0]))
+
+    def top(self, n: int, e: ExprFn | str | Sequence = "value") -> list:
+        """k-largest as sorted list (``api/DataBag.scala:334-340``,
+        merge-based alg ``Alg.scala:153-164``). Distributed TakeOrdered —
+        only k rows reach the driver."""
+        keys = _cols(self._df, e)
+        return self._df.orderBy(*[k.desc() for k in keys]).take(n)
+
+    def bottom(self, n: int, e: ExprFn | str | Sequence = "value") -> list:
+        """(``api/DataBag.scala:342-346``)."""
+        keys = _cols(self._df, e)
+        return self._df.orderBy(*[k.asc() for k in keys]).take(n)
+
+    # ------------------------------------------------------------------
+    # joins (derived combinators, ComprehensionCombinators.scala:27-38)
+    # ------------------------------------------------------------------
+    def cross(self, other: "DataBag") -> "DataBag":
+        """Cartesian product (``MatchCross`` ``Combination.scala:340-367``;
+        Spark ``SparkNtv.scala:72-77``). Output columns are the union of
+        both sides (flat — not emma's ``(_1,_2)`` struct; pair-shape via
+        ``pair_with``)."""
+        left, right = _disambiguate(self._df, other._df)
+        return DataBag(left.crossJoin(right))
+
+    def equi_join(
+        self,
+        other: "DataBag",
+        kx: ExprFn | str | Sequence,
+        ky: ExprFn | str | Sequence | None = None,
+        how: str = "inner",
+    ) -> "DataBag":
+        """Equi-join on key extractors (``MatchEquiJoin``
+        ``Combination.scala:723-777``; Dataset impl ``SparkNtv.scala:60-70``).
+
+        Composite keys = multiple key columns (conjunction fusion,
+        ``Combination.scala:598-658``). Self-joins auto-alias
+        (``SparkNtv.scala:79-82`` column refresh). ``how`` extends the
+        reference (inner-only there, SURVEY §2.3 'free gains') with
+        left/right/full/semi/anti."""
+        left, right = _disambiguate(self._df, other._df)
+        lk = _cols(left, kx, alias="l")
+        rk = _cols(right, ky if ky is not None else kx, alias="r")
+        cond = None
+        for a, b in zip(lk, rk):
+            c = a.eqNullSafe(b) if how not in ("left_semi", "left_anti") else (a == b)
+            cond = c if cond is None else (cond & c)
+        return DataBag(left.join(right, cond, how))
+
+    def join(self, other: "DataBag", on=None, how: str = "inner") -> "DataBag":
+        """Idiomatic passthrough join (column-name ``on`` dedups keys)."""
+        return DataBag(self._df.join(other._df, on, how))
+
+    def theta_join(self, other: "DataBag", theta: Callable[[Elem, Elem], Column]) -> "DataBag":
+        """Non-equi predicate join = cross + filter
+        (``MatchFilter`` before/after join extraction,
+        ``Combination.scala:125-145``); Catalyst picks BNLJ / broadcast."""
+        left, right = _disambiguate(self._df, other._df)
+        cond = theta(Elem(left, "l"), Elem(right, "r"))
+        return DataBag(left.join(right, cond, "inner"))
+
+    def broadcast(self) -> "DataBag":
+        """Broadcast hint (``SparkNtv.broadcast`` ``SparkNtv.scala:88-97``;
+        insertion rule ``SparkBackend.scala:60-100``)."""
+        return DataBag(F.broadcast(self._df))
+
+    # ------------------------------------------------------------------
+    # set ops (api/DataBag.scala:112-133)
+    # ------------------------------------------------------------------
+    def union(self, other: "DataBag") -> "DataBag":
+        """BAG union — keeps duplicates (``api/DataBag.scala:112-122``:
+        {1,1,2} ∪ {1,2} = {1,1,2,1,2}). Maps to unionAll, never SQL UNION."""
+        return DataBag(self._df.unionByName(other._df))
+
+    def distinct(self) -> "DataBag":
+        """(``api/DataBag.scala:133``)."""
+        return DataBag(self._df.distinct())
+
+    def intersect(self, other: "DataBag") -> "DataBag":
+        """Multiset intersect — absent in the reference (SURVEY §2.5 free
+        gain)."""
+        return DataBag(self._df.intersectAll(other._df))
+
+    def subtract(self, other: "DataBag") -> "DataBag":
+        return DataBag(self._df.exceptAll(other._df))
+
+    # ------------------------------------------------------------------
+    # partition ops
+    # ------------------------------------------------------------------
+    def sample(self, k: int, seed: int = 53948268) -> list:
+        """Deterministic k-sample to the driver
+        (``api/DataBag.scala:139-150``; distributed reservoir
+        ``SparkRDD.scala:86-107`` with ``RanHash``).
+
+        Spark-first scheme with a *stronger* determinism contract:
+        bottom-k by seeded xxhash64 of the full row — deterministic for a
+        given multiset CONTENT regardless of partitioning (the reference
+        is only deterministic per materialized partitioning). Distributed
+        TakeOrdered: only k rows cross to the driver."""
+        h = F.xxhash64(F.struct(*[self._df[c] for c in self._df.columns]), F.lit(seed))
+        ordered = self._df.withColumn("__h", h).orderBy("__h").drop("__h")
+        return ordered.take(k)
+
+    def zip_with_index(self, index_name: str = "index") -> "DataBag":
+        """Dense unique 0-based index (``api/DataBag.scala:152-160``;
+        ``SparkRDD.scala:109-110``).
+
+        DataFrame-native two-pass scheme (no RDD round-trip): count rows
+        per physical partition, then offset a per-partition row_number —
+        same plan shape as RDD.zipWithIndex but stays in Tungsten."""
+        df = self._df.withColumn("__pid", F.spark_partition_id())
+        w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+        counts = df.groupBy("__pid").count().orderBy("__pid").collect()
+        offsets = {}
+        acc = 0
+        for r in counts:
+            offsets[r["__pid"]] = acc
+            acc += r["count"]
+        omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]) if offsets else F.create_map()
+        out = (
+            df.withColumn("__rn", F.row_number().over(w) - 1)
+            .withColumn(index_name, (F.col("__rn") + omap[F.col("__pid")]).cast("long"))
+            .drop("__pid", "__rn")
+        )
+        return DataBag(out)
+
+    def order_by(self, *keys: ColumnLike) -> "DataBag":
+        """Total order — absent on reference bags (unordered, SURVEY
+        §2.5); free Spark capability."""
+        ks = [F.col(k) if isinstance(k, str) else k for k in keys]
+        return DataBag(self._df.orderBy(*ks))
+
+    def limit(self, n: int) -> "DataBag":
+        return DataBag(self._df.limit(n))
+
+    def repartition(self, n: int | None = None, *cols: ColumnLike) -> "DataBag":
+        cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+        if n is None:
+            return DataBag(self._df.repartition(*cs))
+        return DataBag(self._df.repartition(n, *cs))
+
+    # ------------------------------------------------------------------
+    # caching (runtime combinator `cache`, SparkOps.scala:54-59)
+    # ------------------------------------------------------------------
+    def cache(self) -> "DataBag":
+        return DataBag(self._df.cache())
+
+    def local_checkpoint(self) -> "DataBag":
+        """Truncate lineage inside driver loops (SURVEY §2.8)."""
+        return DataBag(self._df.localCheckpoint(eager=True))
+
+    def unpersist(self) -> "DataBag":
+        self._df.unpersist()
+        return self
+
+    # ------------------------------------------------------------------
+    # sinks / actions (api/DataBag.scala:173-205)
+    # ------------------------------------------------------------------
+    def collect(self) -> list:
+        """Materialize to the driver, memoized (``api/DataBag.scala:199``;
+        ``SparkDataset.scala:114-118``)."""
+        if self._collected is None:
+            self._collected = self._df.collect()
+        return self._collected
+
+    def write_csv(self, path: str, **options) -> None:
+        """Overwrite-mode CSV sink (``api/DataBag.scala:173``,
+        ``SparkDataset.scala:91-100``)."""
+        self._df.write.mode("overwrite").options(header=True, **options).csv(path)
+
+    def write_text(self, path: str) -> None:
+        self._df.write.mode("overwrite").text(path)
+
+    def write_parquet(self, path: str, partition_by: Sequence[str] | None = None, **options) -> None:
+        w = self._df.write.mode("overwrite").options(**options)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    @property
+    def df(self) -> DataFrame:
+        """``as[DColl]`` escape hatch (``api/DataBag.scala:204-205``)."""
+        return self._df
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+
+class GroupedBag:
+    """Result of ``group_by`` — fold (aggregate) or nest (materialize).
+
+    Emma's ``Group[K, V]`` (``api/Group.scala:19``): ``agg`` produces the
+    foldGroup shape (V = aggregate), ``nest`` the groupBy shape
+    (V = nested bag as array column).
+    """
+
+    def __init__(self, df: DataFrame, keys: list[Column]):
+        self._df = df
+        self._keys = keys
+
+    def agg(self, *algs: A.Alg, **named: Column) -> DataBag:
+        """foldGroup: hash aggregation with partial (map-side) agg —
+        Catalyst-native (`SparkOps.scala:61-68` analogue). Multiple algs
+        = one pass (multi-aggregate fusion)."""
+        cols = A.all_exprs(algs) + [c.alias(n) for n, c in named.items()]
+        return DataBag(self._df.groupBy(*self._keys).agg(*cols))
+
+    def nest(self, name: str = "values", sort: bool = False) -> DataBag:
+        """True group materialization: ``Group(key, DataBag[A])`` as
+        key + array<struct> (``collect_list(struct(*))``, SURVEY §1.1).
+
+        At 100 TB a skewed key OOMs an executor — only use when group
+        values are genuinely consumed as a bag; fold paths never
+        materialize."""
+        struct_col = F.struct(*[self._df[c] for c in self._df.columns])
+        col = F.collect_list(struct_col)
+        if sort:
+            col = F.sort_array(col)
+        return DataBag(self._df.groupBy(*self._keys).agg(col.alias(name)))
+
+    def having(self, p: Callable[[Elem], Column], *algs: A.Alg, **named: Column) -> DataBag:
+        """Grouped agg + post-aggregation filter."""
+        bag = self.agg(*algs, **named)
+        return bag.filter(p)
+
+
+def _disambiguate(left: DataFrame, right: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Self-join column refresh (``SparkNtv.scala:79-82``): alias both
+    sides so ambiguous column lineage resolves."""
+    return left.alias("l"), right.alias("r")
+
+
+def _infer_sql_type(v) -> str:
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "bigint"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "string"
+    raise TypeError(f"cannot infer schema for {type(v)}")

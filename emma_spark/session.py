@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine delegates physical execution to Spark 2.2
+(``/root/reference/pom.xml:136``); we target Spark 4.x and turn on the
+modern machinery the reference never had: AQE (runtime re-planning,
+skew-join splitting, partition coalescing), Arrow for any Python
+boundary crossing, and a broadcast threshold suited to dimension
+tables.
+
+Tunables are environment-overridable so the same code runs on
+``local[32]`` for tests and on a real cluster unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "emma-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Scale notes (100 TB target):
+    - AQE on: coalesces post-shuffle partitions, converts sort-merge to
+      broadcast joins at runtime, splits skewed partitions.
+    - ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound;
+      on a cluster set it ~2-3x total cores.
+    - Arrow on: every pandas UDF / ``mapInPandas`` crossing is batched.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # read timestamp[ns] parquet columns as long; the IO layer converts
+        # them back to (truncated) timestamps — Spark has no native NANOS.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+    return builder.getOrCreate()

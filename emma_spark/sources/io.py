@@ -1,0 +1,147 @@
+"""Sources & sinks (SURVEY §2.1).
+
+Reference: typed CSV/Parquet/text readers with per-type codec derivation
+(``api/DataBag.scala:407-448``; CSV format config ``io/csv/CSV.scala:23-55``
+— header, delimiter, quote, escape, comment, nullValue, charset;
+Parquet ``io/parquet/Parquet.scala:24-60``). The Spark backend maps these
+straight onto DataFrameReader options (``SparkDataset.scala:168-193``) —
+so do we, plus schema derivation from Python dataclasses standing in for
+emma's ``Meta``/``ExpressionEncoder`` derivation
+(``emma-spark/.../api/spark/package.scala:63``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as _dt
+import typing
+from typing import Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import DataBag
+
+_PRIMITIVES = {
+    int: T.LongType(),
+    float: T.DoubleType(),
+    str: T.StringType(),
+    bool: T.BooleanType(),
+    bytes: T.BinaryType(),
+    _dt.datetime: T.TimestampType(),
+    _dt.date: T.DateType(),
+}
+
+
+def schema_of(cls) -> T.StructType:
+    """Derive a StructType from a dataclass — the ``Meta[A]``/encoder
+    analog (SURVEY §1.2): primitives, Optional -> nullable, list ->
+    ArrayType, dict -> MapType, nested dataclass -> nested struct."""
+    fields = []
+    hints = typing.get_type_hints(cls)
+    for f in dataclasses.fields(cls):
+        tp = hints[f.name]
+        dt, nullable = _to_spark_type(tp)
+        fields.append(T.StructField(f.name, dt, nullable))
+    return T.StructType(fields)
+
+
+def _to_spark_type(tp) -> tuple[T.DataType, bool]:
+    origin = typing.get_origin(tp)
+    if origin is typing.Union:
+        args = [a for a in typing.get_args(tp) if a is not type(None)]
+        if len(args) == 1:
+            dt, _ = _to_spark_type(args[0])
+            return dt, True
+        raise TypeError(f"unsupported union {tp}")
+    if origin in (list, tuple):
+        (elem,) = typing.get_args(tp)[:1]
+        dt, n = _to_spark_type(elem)
+        return T.ArrayType(dt, n), False
+    if origin is dict:
+        k, v = typing.get_args(tp)
+        kt, _ = _to_spark_type(k)
+        vt, vn = _to_spark_type(v)
+        return T.MapType(kt, vt, vn), False
+    if dataclasses.is_dataclass(tp):
+        return schema_of(tp), False
+    if tp in _PRIMITIVES:
+        return _PRIMITIVES[tp], False
+    raise TypeError(f"unsupported type {tp}")
+
+
+def read_text(spark: SparkSession, path: str) -> DataBag:
+    """(``api/DataBag.scala:407``; ``SparkDataset.scala:168-170``)."""
+    return DataBag(spark.read.text(path))
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | type | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+    quote: str = '"',
+    escape: str = "\\",
+    comment: str | None = None,
+    null_value: str = "",
+    charset: str = "UTF-8",
+) -> DataBag:
+    """Typed CSV read; options mirror ``io/csv/CSV.scala:23-55`` mapped as
+    in ``SparkDataset.scala:172-183``."""
+    if isinstance(schema, type) and dataclasses.is_dataclass(schema):
+        schema = schema_of(schema)
+    reader = spark.read.options(
+        header=header,
+        delimiter=delimiter,
+        quote=quote,
+        escape=escape,
+        nullValue=null_value,
+        charset=charset,
+        inferSchema=schema is None,
+    )
+    if comment:
+        reader = reader.option("comment", comment)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return DataBag(reader.csv(path))
+
+
+def read_parquet(spark: SparkSession, path: str, schema=None) -> DataBag:
+    """(``api/DataBag.scala:427``; ``SparkDataset.scala:185-193``).
+    Column pruning + predicate pushdown reach the scan via Catalyst —
+    check ``.explain`` shows PushedFilters/ReadSchema.
+
+    timestamp[ns] parquet columns (Spark reads them as long under
+    ``spark.sql.legacy.parquet.nanosAsLong``) are converted to
+    microsecond timestamps, matching DuckDB's truncation."""
+    reader = spark.read
+    if isinstance(schema, type) and dataclasses.is_dataclass(schema):
+        reader = reader.schema(schema_of(schema))
+    elif schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    for col in _ns_timestamp_columns(path):
+        df = df.withColumn(col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
+    return DataBag(df)
+
+
+def _ns_timestamp_columns(path: str) -> list[str]:
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataBag]:
+    """Load the driver's TPC-H-ish parquet tables (TESTDATA.md)."""
+    if not names:
+        names = (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        )
+    return {n: read_parquet(spark, f"{sf_dir}/{n}.parquet") for n in names}

@@ -1,0 +1,234 @@
+"""DataBag operator semantics vs DuckDB oracle — the `DataBagSpec`
+analog (reference: emma-language/src/test/scala/org/emmalanguage/api/
+DataBagSpec.scala; SURVEY §5 layer 1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from emma_spark import DataBag, alg
+from tests.conftest import as_bag, assert_bag_equal
+
+
+# ---------------------------------------------------------------- monad ops
+def test_map_projection(tables, duck):
+    b = tables["lineitem"].map(
+        lambda x: {
+            "l_orderkey": x.l_orderkey,
+            "net": F.round(x.l_extendedprice * (1 - x.l_discount), 4),
+        }
+    )
+    assert_bag_equal(
+        b.df,
+        duck,
+        "SELECT l_orderkey, round(l_extendedprice * (1 - l_discount), 4) AS net FROM lineitem",
+    )
+
+
+def test_filter(tables, duck):
+    b = tables["orders"].filter(lambda x: (x.o_orderstatus == "F") & (x.o_totalprice > 100000))
+    assert_bag_equal(
+        b.df,
+        duck,
+        "SELECT * FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000",
+    )
+
+
+def test_flat_map_split(tables, duck):
+    b = (
+        tables["documents"]
+        .flat_map(lambda x: F.split(F.lower(x.text), r"\s+"))
+        .filter(lambda x: x.value != "")
+    )
+    assert_bag_equal(
+        b.df,
+        duck,
+        """SELECT value FROM (
+             SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS value FROM documents
+           ) WHERE value != ''""",
+    )
+
+
+# ---------------------------------------------------------------- folds
+def test_fold_forest_single_pass(tables):
+    li = tables["lineitem"]
+    n, sq, mx, ex, fa = li.fold(
+        alg.Size(),
+        alg.Sum("l_quantity", name="sq"),
+        alg.Max("l_extendedprice", name="mx"),
+        alg.Exists(F.col("l_discount") > 0.05, name="ex"),
+        alg.Forall(F.col("l_quantity") > 0, name="fa"),
+    )
+    assert n == li.df.count()
+    assert sq == pytest.approx(
+        li.df.agg(F.sum("l_quantity")).collect()[0][0]
+    )
+    assert ex is True and fa is True and mx > 0
+
+
+def test_empty_bag_fold_contracts(spark):
+    """sum=0, product=1, min/max raise, isEmpty — DataBagSpec.scala:142-151."""
+    e = DataBag.empty(spark, "value double")
+    assert e.sum() == 0
+    assert e.product() == 1.0
+    assert e.is_empty() and not e.non_empty()
+    with pytest.raises(ValueError):
+        e.min()
+    with pytest.raises(ValueError):
+        e.max()
+    assert e.exists(lambda x: x.value > 0) is False
+    assert e.forall(lambda x: x.value > 0) is True
+
+
+def test_count_find_top_bottom(spark):
+    b = DataBag.apply(spark, [5, 3, 1, 4, 1, 5, 9, 2, 6])
+    assert b.count(lambda x: x.value > 4) == 4
+    assert b.find(lambda x: x.value == 9)["value"] == 9
+    assert b.find(lambda x: x.value == 42) is None
+    assert [r["value"] for r in b.top(3)] == [9, 6, 5]
+    assert [r["value"] for r in b.bottom(3)] == [1, 1, 2]
+
+
+def test_reduce_monoid(spark):
+    b = DataBag.apply(spark, [1, 2, 3, 4])
+    # product monoid via arbitrary (zero, plus) — Alg.scala:64-68
+    assert b.reduce(1, lambda acc, x: acc * x) == 24
+
+
+# ---------------------------------------------------------------- set ops
+def test_union_keeps_duplicates(spark):
+    """{1,1,2} ∪ {1,2} = {1,1,2,1,2} — api/DataBag.scala:112-122."""
+    a = DataBag.apply(spark, [1, 1, 2])
+    b = DataBag.apply(spark, [1, 2])
+    assert sorted(r["value"] for r in a.union(b).collect()) == [1, 1, 1, 2, 2]
+
+
+def test_distinct_intersect_except(spark):
+    a = DataBag.apply(spark, [1, 1, 2, 2, 3])
+    b = DataBag.apply(spark, [1, 2, 2])
+    assert sorted(r["value"] for r in a.distinct().collect()) == [1, 2, 3]
+    assert sorted(r["value"] for r in a.intersect(b).collect()) == [1, 2, 2]
+    assert sorted(r["value"] for r in a.subtract(b).collect()) == [1, 3]
+
+
+# ---------------------------------------------------------------- grouping
+def test_fold_group_vs_oracle(tables, duck):
+    b = tables["lineitem"].group_by(["l_returnflag", "l_linestatus"]).agg(
+        alg.Size(name="cnt"),
+        alg.Sum("l_quantity", name="sum_qty"),
+        alg.Avg("l_discount", name="avg_disc"),
+    )
+    b = DataBag(b.df.withColumn("avg_disc", F.round("avg_disc", 6)))
+    assert_bag_equal(
+        b.df,
+        duck,
+        """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                  sum(l_quantity) AS sum_qty, round(avg(l_discount), 6) AS avg_disc
+           FROM lineitem GROUP BY 1, 2""",
+    )
+
+
+def test_group_nest(spark):
+    """Group materialization: Group(key, DataBag[A]) — api/DataBag.scala:106."""
+    b = DataBag.apply(spark, [("a", 1), ("a", 2), ("b", 3)], schema="k string, v int")
+    nested = b.group_by(["k"]).nest(sort=True)
+    rows = {r["k"]: [e["v"] for e in r["values"]] for r in nested.collect()}
+    assert rows == {"a": [1, 2], "b": [3]}
+
+
+def test_grouped_having(tables, duck):
+    g = tables["orders"].group_by(["o_custkey"]).having(
+        lambda x: x.n >= 10, alg.Size(name="n")
+    )
+    assert_bag_equal(
+        g.df,
+        duck,
+        "SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) >= 10",
+    )
+
+
+# ---------------------------------------------------------------- joins
+def test_equi_join(tables, duck):
+    j = (
+        tables["orders"]
+        .equi_join(tables["customer"], "o_custkey", "c_custkey")
+        .select("o_orderkey", "c_name")
+    )
+    assert_bag_equal(
+        j.df,
+        duck,
+        """SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey""",
+    )
+
+
+def test_self_join_aliasing(tables, duck):
+    """Self-join column refresh — SparkNtv.scala:79-82."""
+    n = tables["nation"]
+    j = n.equi_join(n, "n_regionkey").df.select(
+        F.col("l.n_nationkey").alias("a"), F.col("r.n_nationkey").alias("b")
+    )
+    assert_bag_equal(
+        j,
+        duck,
+        """SELECT x.n_nationkey AS a, y.n_nationkey AS b
+           FROM nation x JOIN nation y ON x.n_regionkey = y.n_regionkey""",
+    )
+
+
+def test_cross(tables, duck):
+    c = tables["region"].cross(tables["nation"]).select("r_name", "n_name")
+    assert_bag_equal(c.df, duck, "SELECT r_name, n_name FROM region CROSS JOIN nation")
+
+
+def test_theta_join(tables, duck):
+    j = tables["supplier"].theta_join(
+        tables["nation"],
+        lambda s, n: (s.s_nationkey == n.n_nationkey) & (s.s_acctbal > 5000),
+    ).select("s_name", "n_name")
+    assert_bag_equal(
+        j.df,
+        duck,
+        """SELECT s_name, n_name FROM supplier JOIN nation
+           ON s_nationkey = n_nationkey AND s_acctbal > 5000""",
+    )
+
+
+def test_outer_semi_anti(tables, duck):
+    c, o = tables["customer"], tables["orders"]
+    left = c.equi_join(o, "c_custkey", "o_custkey", how="left").select("c_custkey", "o_orderkey")
+    assert_bag_equal(
+        left.df,
+        duck,
+        "SELECT c_custkey, o_orderkey FROM customer LEFT JOIN orders ON c_custkey = o_custkey",
+    )
+    semi = c.equi_join(o, "c_custkey", "o_custkey", how="left_semi").select("c_custkey")
+    assert_bag_equal(
+        semi.df,
+        duck,
+        "SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    )
+    anti = c.equi_join(o, "c_custkey", "o_custkey", how="left_anti").select("c_custkey")
+    assert_bag_equal(
+        anti.df,
+        duck,
+        "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    )
+
+
+# ---------------------------------------------------------------- partition ops
+def test_sample_deterministic(tables):
+    li = tables["lineitem"]
+    s1 = li.sample(10, seed=42)
+    s2 = li.sample(10, seed=42)
+    s3 = li.repartition(7).sample(10, seed=42)
+    assert as_bag(s1) == as_bag(s2)
+    # stronger than the reference: stable under repartitioning too
+    assert as_bag(s1) == as_bag(s3)
+    assert as_bag(s1) != as_bag(li.sample(10, seed=43))
+
+
+def test_zip_with_index_dense_unique(tables):
+    z = tables["customer"].zip_with_index()
+    idx = sorted(r["index"] for r in z.df.select("index").collect())
+    assert idx == list(range(len(idx)))
