@@ -1,0 +1,192 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-aware and driver-free:
+
+- **exact**: content-hash groupBy (one shuffle on a 56-bit hash).
+- **MinHash + LSH**: char-shingle minhash signatures; band-bucket join
+  yields candidate pairs WITHOUT the O(n²) comparison — the scale path
+  for 100 TB corpora (pairs are found by equi-join on band keys, so
+  cost is Σ bucket², not n²).
+- **SimHash**: 16-bit sign-sum fingerprint over token hashes; near-dups
+  share fingerprints (or differ in few bits).
+- **n-gram Jaccard**: exact set-similarity for candidate pairs (use
+  after LSH blocking; provided here with hash-block blocking so it's
+  runnable standalone).
+
+Everything is Column-expression based (md5-derived portable hashes) so
+the DuckDB oracles in workloads/dedup.py can mirror the math exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import _rd, char_ngrams, md5_long, tokens
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-hash dedup groups: (content_hash, keeper=min id, n_dups).
+    One hash-shuffle; at 100 TB partition count scales with input, no
+    skew (hash keys uniform)."""
+    h = md5_long(F.col(text_col))
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each content group (min_by —
+    single pass, no join back)."""
+    h = md5_long(F.col(text_col))
+    struct_all = F.struct(*[df[c] for c in df.columns])
+    return (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(F.min_by(struct_all, F.col(id_col)).alias("__row"))
+        .select("__row.*")
+    )
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+# ----------------------------------------------------------------------
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    shingle: int = 5,
+) -> DataFrame:
+    """MinHash signature columns mh0..mh{k-1} per document.
+
+    Shingles = lowercase char n-grams; hash_i = md5(i|shingle) -> 56-bit
+    int; mh_i = min over shingles. All array expressions — one narrow
+    pass, no shuffle, no UDF. Docs shorter than the shingle width get
+    NULL signatures (kept, flagged)."""
+    sh = char_ngrams(F.col(text_col), n=shingle)
+
+    def hash_fn(i: int):
+        # NB: single-arg lambda — a two-arg lambda would make F.transform
+        # pass the array index as the second argument
+        return lambda s: md5_long(s, salt=str(i))
+
+    cols = [F.col(id_col)]
+    for i in range(num_hashes):
+        cols.append(F.array_min(F.transform(sh, hash_fn(i))).alias(f"mh{i}"))
+    return df.select(*cols)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    bands: int = 2,
+) -> DataFrame:
+    """LSH banding: split the signature into `bands` bands of
+    ``num_hashes // bands`` rows; docs sharing ANY band are candidates.
+
+    Implemented as `bands` self-equi-joins on the band tuple, unioned +
+    distinct — each join is a plain shuffle join on a composite key, so
+    the plan scales with bucket sizes (Σ|bucket|²), never n². Returns
+    (a, b) with a < b."""
+    rows = num_hashes // bands
+    out = None
+    for b in range(bands):
+        band_cols = [f"mh{b * rows + r}" for r in range(rows)]
+        left = sigs.select(F.col(id_col).alias("a"), *band_cols).alias("l")
+        right = sigs.select(F.col(id_col).alias("b"), *band_cols).alias("r")
+        cond = F.col("l.a") < F.col("r.b")
+        for c in band_cols:
+            cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+        pairs = left.join(right, cond, "inner").select("a", "b")
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash fingerprint: per token, hash to `bits` bits; per bit,
+    sum +1/-1 across tokens; fingerprint packs the sign bits.
+
+    Explode -> groupBy(id) with `bits` conditional sums — ONE shuffle on
+    the doc id with map-side partial aggregation; the packed int is
+    computed post-agg. Docs with no tokens are dropped (same as the
+    DuckDB unnest oracle)."""
+    tok = tokens(F.col(text_col))
+    e = df.select(F.col(id_col), F.explode(tok).alias("tok"))
+    h = md5_long(F.col("tok"))
+    sums = [
+        F.sum(F.when(((h.bitwiseAND(F.lit(1 << b))) != 0), 1).otherwise(-1)).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = e.groupBy(id_col).agg(*sums)
+    packed = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = bit if packed is None else packed + bit
+    return agg.select(F.col(id_col), packed.cast("bigint").alias("simhash"))
+
+
+def simhash_near_pairs(fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, blocked on the
+    fingerprint's high byte to avoid n² (docs differing only in low bits
+    still collide; widen blocks for higher recall)."""
+    l = fps.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha")).alias("l")
+    r = fps.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb")).alias("r")
+    block = (F.col("ha").bitwiseXOR(F.col("hb"))) < (1 << 8)  # same high bits
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        l.join(r, (F.col("a") < F.col("b")) & block, "inner")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ----------------------------------------------------------------------
+# n-gram Jaccard
+# ----------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    blocks: int = 25,
+    min_sim: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct char n-gram sets for blocked pairs.
+
+    Blocking on ``id % blocks`` bounds pair count (at scale, replace the
+    block key with LSH bucket ids from `lsh_candidate_pairs` — same
+    join shape). Jaccard via array_intersect on the distinct-shingle
+    arrays; ratio of ints -> deterministic, rounded to 6dp."""
+    sh = F.array_distinct(char_ngrams(F.col(text_col), n=n))
+    base = df.select(
+        F.col(id_col), (F.col(id_col) % blocks).alias("__blk"), sh.alias("__sh")
+    )
+    l = base.select(
+        F.col(id_col).alias("a"), F.col("__blk"), F.col("__sh").alias("sh_a")
+    ).alias("l")
+    r = base.select(
+        F.col(id_col).alias("b"), F.col("__blk").alias("__blk_r"), F.col("__sh").alias("sh_b")
+    ).alias("r")
+    pairs = l.join(r, (F.col("__blk") == F.col("__blk_r")) & (F.col("a") < F.col("b")), "inner")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn("jaccard", _rd(inter.cast("double") / uni, 6))
+        .filter(F.col("jaccard") >= min_sim)
+        .select("a", "b", "jaccard")
+    )

@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (array<float/double>).
+
+Two paths, matching the engine's scale doctrine:
+
+- **brute-force cosine top-k**: exact; cross join queries × corpus.
+  Correct baseline; cost Q×N — fine when Q is small or N fits a
+  broadcast. All math in Column expressions (zip_with + aggregate),
+  double precision, sequential summation (deterministic, DuckDB-
+  mirrorable).
+- **LSH-bucketed top-k (random hyperplanes)**: sign-bit bucket per
+  vector from fixed seeded hyperplanes; candidates = same bucket (or
+  neighboring buckets via multi-probe); exact cosine re-rank inside the
+  bucket. Join cost Σ|bucket|² — the 100 TB path. (IVF would swap the
+  bucketing for trained centroids; same plan shape: assign -> equi-join
+  -> re-rank.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import md5_long
+
+
+def _rd(col: Column, dp: int) -> Column:
+    """Cross-engine-stable rounding (floor(x*10^dp + 0.5)/10^dp)."""
+    s = 10 ** dp
+    return F.floor(col * s + F.lit(0.5)) / F.lit(s)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double-array Columns (sequential fold —
+    bit-deterministic; cast float embeddings to double first)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda v: v.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, sim, rank). Plan: broadcast the
+    query side (small by construction), per-row cosine in codegen, then
+    a window top-k partitioned by query — one shuffle on query_id.
+    Ties broken by neighbor id; sim rounded so cross-engine float
+    noise can't flip ranks."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _rd(cosine(F.col("qv"), F.col("cv")), round_dp).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec: Column, dim: int, planes: int = 8, seed: int = 7) -> Column:
+    """LSH bucket id: sign bits against `planes` pseudo-random
+    hyperplanes. Hyperplane p's j-th coefficient = md5-derived value in
+    [-1, 1] — deterministic, no fitted state, identical on any engine."""
+    bucket = F.lit(0)
+    for p in range(planes):
+        coef = [
+            (int_hash_unit(p * 10007 + j * 31 + seed)) for j in range(dim)
+        ]
+        dot = None
+        for j, cf in enumerate(coef):
+            term = vec.getItem(j).cast("double") * F.lit(cf)
+            dot = term if dot is None else dot + term
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def int_hash_unit(i: int) -> float:
+    """Deterministic pseudo-random coefficient in [-1, 1] from an int —
+    python-side constant folding (hyperplanes are literals in the plan)."""
+    import hashlib
+
+    h = int(hashlib.md5(str(i).encode()).hexdigest()[:14], 16)
+    return (h / float(1 << 56)) * 2.0 - 1.0
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: bucket both sides on hyperplane sign bits,
+    equi-join on bucket, exact cosine re-rank within candidates.
+
+    The equi-join on bucket is the whole trick: candidate generation is
+    a shuffle join on an int key — Σ|bucket|² work instead of Q×N.
+    Recall is tunable via `planes` (fewer planes -> bigger buckets) or
+    multi-probe (union joins on bucket XOR single-bit masks)."""
+    from pyspark.sql import Window
+
+    def with_bucket(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            as_double(F.col(vec_col)).alias(vec_alias),
+            hyperplane_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+        )
+
+    q = with_bucket(queries, "query_id", "qv")
+    c = with_bucket(corpus, "neighbor_id", "cv").withColumnRenamed("bucket", "bucket_c")
+    cand = q.join(c, (F.col("bucket") == F.col("bucket_c")) & (F.col("query_id") != F.col("neighbor_id")))
+    sims = cand.select(
+        "query_id", "neighbor_id", _rd(cosine(F.col("qv"), F.col("cv")), 4).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_sim: float = 0.95,
+    blocks: int = 20,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, sim >= min_sim),
+    blocked on id % blocks for the standalone/oracle-checkable form; the
+    scale path swaps the block key for `hyperplane_bucket`."""
+    base = df.select(
+        F.col(id_col), (F.col(id_col) % blocks).alias("__blk"), as_double(F.col(vec_col)).alias("v")
+    )
+    l = base.select(F.col(id_col).alias("a"), "__blk", F.col("v").alias("va"))
+    r = base.select(F.col(id_col).alias("b"), F.col("__blk").alias("__blk_r"), F.col("v").alias("vb"))
+    pairs = l.join(r, (F.col("__blk") == F.col("__blk_r")) & (F.col("a") < F.col("b")))
+    return (
+        pairs.select("a", "b", _rd(cosine(F.col("va"), F.col("vb")), 4).alias("sim"))
+        .filter(F.col("sim") >= min_sim)
+    )

@@ -1,0 +1,134 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All operators are pure Column expressions (JVM-side, whole-stage
+codegen): tokenization, quality scoring, language ID, token counting,
+fingerprinting. No reference analog (emma has only WordCount-style
+token ops, ``emma-examples/.../text/WordCount.scala:26-30`` and
+``emma-lib/.../ml/feature/{tokenize,nGrams}.scala``) — this module is
+the engine's training-data surface, built to the same rule as the rest
+of the engine: no Python in the hot path.
+
+Every function returns Columns (composable) or a DataFrame transform;
+deterministic, so the DuckDB oracles in workloads/ can mirror them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# languages scored by stopword hits; fixed preference order breaks ties
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "du", "pour"),
+    "es": ("el", "los", "las", "y", "es", "un", "una", "que", "por", "para"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")
+
+
+def _rd(col: Column, dp: int) -> Column:
+    """Cross-engine-stable rounding (floor(x*10^dp + 0.5)/10^dp)."""
+    s = 10 ** dp
+    return F.floor(col * s + F.lit(0.5)) / F.lit(s)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, lowercased, empty tokens dropped."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Sub-word-ish tokenization: splits on whitespace AND on
+    letter/digit/punctuation boundaries (a cheap BPE stand-in for token
+    counting; real BPE needs a vocab file — see multimodal.decode for
+    the stub pattern)."""
+    pieces = F.split(
+        F.regexp_replace(F.lower(text), r"([0-9]+|[^\sa-z0-9]+)", r" $1 "), r"\s+"
+    )
+    return F.filter(pieces, lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_ngrams(text: Column, n: int = 3, lowercase: bool = True) -> Column:
+    """Character n-gram array (sliding window over the raw string,
+    1-based substring — identical semantics in DuckDB for the oracle)."""
+    t = F.lower(text) if lowercase else text
+    # guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty
+    return F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
+            lambda i: F.substring(t, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram/stopword-heuristic language ID: argmax of stopword hits
+    with fixed-order tie-break; 'und' when nothing matches."""
+    toks = tokens(text)
+    scores = {lang: stopword_hits(toks, lang) for lang in LANG_ORDER}
+    # cascade: first language (in LANG_ORDER) attaining the max wins
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        others = [scores[o] for o in LANG_ORDER if o != lang]
+        expr = F.when(
+            (scores[lang] > 0) & (scores[lang] >= F.greatest(*others)), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Quality-scoring feature block: length, token stats, punctuation
+    and stopword ratios, alpha ratio. Round ratios at the call site if
+    hashing for comparison."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    stop_all = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tok.cast("bigint"),
+        "avg_token_len": F.when(n_tok > 0, _rd(n_chars.cast("double") / n_tok, 4)).otherwise(F.lit(0.0)),
+        "punct_ratio": _rd(punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        "alpha_ratio": _rd(alpha.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.when(n_tok > 0, _rd(stop_all.cast("double") / n_tok, 6)).otherwise(F.lit(0.0)),
+    }
+
+
+def md5_long(col: Column, salt: str | None = None) -> Column:
+    """First 56 bits of md5 as a non-negative bigint — the portable hash
+    used across dedup/fingerprint ops (DuckDB mirror:
+    ``CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)``)."""
+    src = F.concat(F.lit(salt), F.lit("|"), col) if salt is not None else col
+    return F.conv(F.substring(F.md5(F.encode(src, "utf-8")), 1, 14), 16, 10).cast("bigint")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (stable under reflow), as a bigint."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return md5_long(norm)
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full feature block + lang guess + fingerprint."""
+    t = F.col(text_col)
+    out = df
+    for name, col in quality_metrics(t).items():
+        out = out.withColumn(name, col)
+    return (
+        out.withColumn("lang_guess", lang_id(t))
+        .withColumn("fp", fingerprint(t))
+    )

@@ -1,0 +1,116 @@
+"""Deduplication workloads over `documents`, with DuckDB oracles that
+reproduce the hash math bit-for-bit (md5 -> 56-bit bigint)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..llm import dedup as D
+from ..sources import io
+from . import query
+from .text import SQL_TOKS, sql_md5_long
+
+N_HASHES = 4
+SHINGLE = 5
+
+# SQL fragment: char 5-gram shingles of lower(text)
+SQL_SHINGLES = f"list_transform(range(1, greatest(len(lower(text)) - {SHINGLE - 2}, 1)), i -> substr(lower(text), i, {SHINGLE}))"
+
+
+def _sig_sql() -> str:
+    mh = ", ".join(
+        f"list_min(list_transform({SQL_SHINGLES}, s -> "
+        + sql_md5_long(f"concat('{i}', '|', s)")
+        + f")) AS mh{i}"
+        for i in range(N_HASHES)
+    )
+    return f"SELECT doc_id, {mh} FROM documents"
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT {sql_md5_long('text')} AS content_hash,
+           min(doc_id) AS keeper, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    headline=True,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup groups: one hash-shuffle, uniform keys (no skew)."""
+    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    return D.exact_groups(docs)
+
+
+@query("dedup_minhash_signature", oracle=_sig_sql())
+def dedup_minhash_signature(spark, sf_dir):
+    """MinHash signatures (4 salted md5 hash funcs over char 5-grams) —
+    narrow pass, array exprs only, no UDF, no shuffle."""
+    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    return D.minhash_signature(docs, num_hashes=N_HASHES, shingle=SHINGLE)
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH sig AS ({_sig_sql()})
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+     AND ((l.mh0 = r.mh0 AND l.mh1 = r.mh1) OR (l.mh2 = r.mh2 AND l.mh3 = r.mh3))
+    """,
+    headline=True,
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    """LSH banding (2 bands × 2 rows): candidate pairs via equi-joins on
+    band tuples — Σ|bucket|² cost, never n². The 100 TB dedup path."""
+    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    sigs = D.minhash_signature(docs, num_hashes=N_HASHES, shingle=SHINGLE)
+    return D.lsh_candidate_pairs(sigs, num_hashes=N_HASHES, bands=2)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    h = sql_md5_long("tok")
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits)
+    )
+    packed = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, {h} AS h FROM tok),
+    s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM s
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash: explode tokens -> one groupBy(doc) with 16
+    conditional sums (map-side partials) -> pack sign bits."""
+    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    return D.simhash(docs, bits=16)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, doc_id % 25 AS blk,
+             list_distinct(list_transform(range(1, greatest(len(lower(text)) - 1, 1)),
+                                          i -> substr(lower(text), i, 3))) AS s
+      FROM documents
+    ), pairs AS (
+      SELECT l.doc_id AS a, r.doc_id AS b,
+             len(list_intersect(l.s, r.s)) AS inter,
+             len(l.s) + len(r.s) - len(list_intersect(l.s, r.s)) AS uni
+      FROM sh l JOIN sh r ON l.blk = r.blk AND l.doc_id < r.doc_id
+    )
+    SELECT a, b, floor(inter::DOUBLE / uni * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM pairs WHERE floor(inter::DOUBLE / uni * 1000000 + 0.5) / 1000000 >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard for blocked pairs (block = id % 25; at scale
+    the block key is the LSH bucket — same join shape). Integer ratio ->
+    deterministic across engines."""
+    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    return D.ngram_jaccard_pairs(docs, n=3, blocks=25, min_sim=0.5)

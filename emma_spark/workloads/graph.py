@@ -1,0 +1,149 @@
+"""Graph workloads (SURVEY §2.9): transitive closure, connected
+components, triangle enumeration — the reference's iterative/self-join
+showcases, with recursive-CTE DuckDB oracles.
+
+Graphs are derived deterministically from the harness tables so both
+engines see identical edge sets:
+
+- `nation` chains: edges (k, k+1) where k % 5 != 4 → five 5-node chain
+  components (exercises multi-iteration fixpoints, sf-independent).
+- `events` hash-graph: dense pseudo-random 30-node graph (triangles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core import DataBag
+from ..plans.iterate import fixpoint
+from ..sources import io
+from . import query
+
+SQL_CHAIN_EDGES = """
+  SELECT n_nationkey::BIGINT AS src, (n_nationkey + 1)::BIGINT AS dst
+  FROM nation WHERE n_nationkey % 5 != 4
+"""
+
+
+def _chain_edges(spark, sf_dir) -> DataBag:
+    n = io.read_parquet(spark, f"{sf_dir}/nation.parquet").df
+    return DataBag(
+        n.filter(F.col("n_nationkey") % 5 != 4).select(
+            F.col("n_nationkey").cast("bigint").alias("src"),
+            (F.col("n_nationkey") + 1).cast("bigint").alias("dst"),
+        )
+    )
+
+
+@query(
+    "graph_transitive_closure",
+    oracle=f"""
+    WITH RECURSIVE e AS ({SQL_CHAIN_EDGES}),
+    tc(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src
+    )
+    SELECT src, dst FROM tc
+    """,
+)
+def graph_transitive_closure(spark, sf_dir):
+    """Transitive closure (emma-lib/.../graphs/transitiveClosure.scala:
+    22-44: self-join + union + distinct + size fixpoint). Uses path
+    DOUBLING (paths⋈paths) — O(log diameter) rounds instead of the
+    reference's linear O(diameter); each round localCheckpoints via
+    fixpoint() (the auto-cache service, Caching.scala:57-130 analog)."""
+    paths = _chain_edges(spark, sf_dir)
+
+    def step(p: DataBag) -> DataBag:
+        ext = p.equi_join(p, "dst", "src").select(
+            F.col("l.src").alias("src"), F.col("r.dst").alias("dst")
+        )
+        return p.union(ext).distinct()
+
+    return fixpoint(paths, step, max_iter=10).df
+
+
+@query(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE e AS ({SQL_CHAIN_EDGES}),
+    ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    nodes AS (SELECT DISTINCT src AS id FROM ue),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT ue.dst, reach.comp FROM reach JOIN ue ON reach.id = ue.src
+    )
+    SELECT id, min(comp) AS comp FROM reach GROUP BY id
+    """,
+)
+def graph_connected_components(spark, sf_dir):
+    """Connected components via min-label propagation (reference:
+    ConnectedComponents.scala:25-53 — MutableBag + foldGroup(max) loop;
+    same fixpoint semantics, min instead of max). Convergence probe =
+    label-sum, one count-style action per round."""
+    e = _chain_edges(spark, sf_dir).df
+    ue = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ue = DataBag(ue).cache().df
+    labels = DataBag(
+        ue.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+
+    def step(lb: DataBag) -> DataBag:
+        nbr = (
+            lb.df.alias("l")
+            .join(ue.alias("e"), F.col("l.id") == F.col("e.src"))
+            .select(F.col("e.dst").alias("id"), F.col("l.comp").alias("comp"))
+        )
+        return DataBag(
+            lb.df.unionByName(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
+        )
+
+    def converged(old: DataBag, new: DataBag) -> bool:
+        return (
+            new.df.agg(F.sum("comp")).collect()[0][0]
+            == old.df.agg(F.sum("comp")).collect()[0][0]
+        )
+
+    return fixpoint(labels, step, converged=converged, max_iter=30).df
+
+
+SQL_HASH_EDGES = """
+  SELECT DISTINCT least(user_id % 30, (user_id * 7 + event_id) % 30) AS u,
+                  greatest(user_id % 30, (user_id * 7 + event_id) % 30) AS v
+  FROM events
+  WHERE user_id % 30 != (user_id * 7 + event_id) % 30
+"""
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+    WITH e AS ({SQL_HASH_EDGES})
+    SELECT a.u AS x, a.v AS y, b.v AS z
+    FROM e a JOIN e b ON a.v = b.u JOIN e c ON a.u = c.u AND b.v = c.v
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Triangle enumeration (EnumerateTriangles.scala:25-42): canonical
+    edges u<v, 3-way self equi-join with ordering guards. At scale the
+    canonical orientation halves the join input and kills duplicate
+    triangles for free."""
+    ev = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    a = F.col("user_id") % 30
+    b = (F.col("user_id") * 7 + F.col("event_id")) % 30
+    e = (
+        ev.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .cache()
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y2"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x3"), F.col("v").alias("z3"))
+    return (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )

@@ -1,0 +1,665 @@
+"""Relational operator corpus (SURVEY §2.2-§2.6, §2.8 'free gains').
+
+Every query: DataBag/DataFrame plan on the left, ANSI-SQL oracle on the
+right, identical output column names (the driver hashes values with
+columns sorted by name). Double-typed aggregates are rounded on BOTH
+sides so IEEE summation-order differences between engines can't flip
+the hash.
+
+Scale notes are attached per query: the plans are written for the
+1000-executor / 100 TB case (broadcast hints on dims, partial aggs,
+no driver materialization), even though the harness runs them at
+sf0.01/sf0.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core import DataBag
+from ..functions import alg
+from ..sources import io
+from . import qsum, qsum_sql, query, rd, rd_sql
+
+
+def T(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataBag]:
+    return io.load_tables(spark, sf_dir, *names)
+
+
+# ----------------------------------------------------------------------
+# §2.2 monad ops
+# ----------------------------------------------------------------------
+@query(
+    "map_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5) / 10000 AS net
+    FROM lineitem
+    """,
+)
+def map_project(spark, sf_dir):
+    """map -> Column projection (api/DataBag.scala:76; native-op path
+    SparkSpecializeOps.scala:36-130). Narrow, no shuffle."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return li.map(
+        lambda x: {
+            "l_orderkey": x.l_orderkey,
+            "l_linenumber": x.l_linenumber,
+            "net": rd(x.l_extendedprice * (1 - x.l_discount) * (1 + x.l_tax), 4),
+        }
+    ).df
+
+
+@query(
+    "filter_pushdown",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+    """,
+)
+def filter_pushdown(spark, sf_dir):
+    """withFilter (api/DataBag.scala:93); both predicates reach the
+    parquet scan as PushedFilters."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    return (
+        o.filter(lambda x: (x.o_orderstatus == "O") & (x.o_totalprice > 150000))
+        .select("o_orderkey", "o_totalprice")
+        .df
+    )
+
+
+@query(
+    "flatmap_wordcount",
+    oracle="""
+    SELECT word, count(*) AS n FROM (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+      FROM documents
+    ) WHERE word != '' GROUP BY word
+    """,
+    headline=True,
+)
+def flatmap_wordcount(spark, sf_dir):
+    """WordCount — the reference's canonical program
+    (emma-examples/.../text/WordCount.scala:25-36): flatMap(split) ->
+    filter -> foldGroup(Size). Map-side partial agg keeps the shuffle
+    tiny regardless of corpus size."""
+    docs = T(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.flat_map(lambda x: F.split(F.lower(x.text), r"\s+"))
+        .filter(lambda x: x.value != "")
+        .group_by(lambda x: {"word": x.value})
+        .agg(alg.Size(name="n"))
+        .df
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.5 set ops
+# ----------------------------------------------------------------------
+@query(
+    "union_all_bag",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_discount > 0.05
+    UNION ALL
+    SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 30
+    """,
+)
+def union_all_bag(spark, sf_dir):
+    """Bag union keeps duplicates (api/DataBag.scala:112-122) — rows in
+    both branches appear twice."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    a = li.filter(lambda x: x.l_discount > 0.05).select("l_orderkey", "l_linenumber")
+    b = li.filter(lambda x: x.l_quantity > 30).select("l_orderkey", "l_linenumber")
+    return a.union(b).df
+
+
+@query(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_pairs(spark, sf_dir):
+    """distinct (api/DataBag.scala:133) — partial-agg dedup before shuffle."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return li.select("l_returnflag", "l_linestatus").distinct().df
+
+
+@query(
+    "intersect_all",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 1000
+    INTERSECT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def intersect_all(spark, sf_dir):
+    """Multiset intersect — SURVEY §2.5 free gain."""
+    c = T(spark, sf_dir, "customer")["customer"]
+    a = c.filter(lambda x: x.c_acctbal > 1000).select("c_nationkey")
+    b = c.filter(lambda x: x.c_mktsegment == "BUILDING").select("c_nationkey")
+    return a.intersect(b).df
+
+
+@query(
+    "except_all",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 1000
+    EXCEPT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def except_all(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")["customer"]
+    a = c.filter(lambda x: x.c_acctbal > 1000).select("c_nationkey")
+    b = c.filter(lambda x: x.c_mktsegment == "BUILDING").select("c_nationkey")
+    return a.subtract(b).df
+
+
+# ----------------------------------------------------------------------
+# §2.3 joins
+# ----------------------------------------------------------------------
+@query(
+    "cross_product",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def cross_product(spark, sf_dir):
+    """cross (MatchCross, Combination.scala:340-367). Only sane with a
+    broadcast-size side — Catalyst plans BroadcastNestedLoopJoin."""
+    t = T(spark, sf_dir, "region", "nation")
+    return t["region"].cross(t["nation"]).select("r_name", "n_name").df
+
+
+@query(
+    "join_equi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_equi(spark, sf_dir):
+    """equiJoin (MatchEquiJoin, Combination.scala:723-777). Shuffle-hash
+    on key; at scale both sides hash-partition on custkey."""
+    t = T(spark, sf_dir, "orders", "customer")
+    return (
+        t["orders"]
+        .equi_join(t["customer"], "o_custkey", "c_custkey")
+        .select("o_orderkey", "o_totalprice", "c_name")
+        .df
+    )
+
+
+@query(
+    "join_multiway_revenue",
+    oracle="""
+    SELECT n_name, sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)) / 10000 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+    headline=True,
+)
+def join_multiway_revenue(spark, sf_dir):
+    """5-way join cascade (reference: 5-way comprehension joins,
+    GraphPreprocessing.scala:34-46) — TPC-H Q5 shape. nation/region are
+    broadcast (dim tables); the fact-fact join shuffles on orderkey.
+    Catalyst reorders freely since we declare, not schedule."""
+    t = T(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    return (
+        t["lineitem"]
+        .equi_join(t["orders"], "l_orderkey", "o_orderkey")
+        .equi_join(t["customer"], "o_custkey", "c_custkey")
+        .equi_join(t["nation"].broadcast(), "c_nationkey", "n_nationkey")
+        .equi_join(t["region"].broadcast(), "n_regionkey", "r_regionkey")
+        .group_by(["n_name"])
+        .agg(alg.Expr(qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), name="revenue"))
+        .df
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT s_name, c_name FROM supplier JOIN customer
+    ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal + 4000
+    """,
+)
+def join_theta_range(spark, sf_dir):
+    """Theta join = equi part + non-equi residual (MatchFilter,
+    Combination.scala:125-145). The equi conjunct keeps it a hash join
+    with the range predicate as post-join filter — NOT a cartesian."""
+    t = T(spark, sf_dir, "supplier", "customer")
+    return (
+        t["supplier"]
+        .theta_join(
+            t["customer"],
+            lambda s, c: (s.s_nationkey == c.c_nationkey) & (c.c_acctbal > s.s_acctbal + 4000),
+        )
+        .select("s_name", "c_name")
+        .df
+    )
+
+
+@query(
+    "join_composite_key",
+    oracle="""
+    SELECT a.l_orderkey, a.l_linenumber, b.l_quantity AS qty2
+    FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+    """,
+)
+def join_composite_key(spark, sf_dir):
+    """Composite-key self-join (conjunction fusion into one tuple key,
+    MatchCollectEqualityGuards Combination.scala:598-658; self-join
+    aliasing SparkNtv.scala:79-82)."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.equi_join(li, ["l_orderkey", "l_linenumber"])
+        .select(
+            F.col("l.l_orderkey").alias("l_orderkey"),
+            F.col("l.l_linenumber").alias("l_linenumber"),
+            F.col("r.l_quantity").alias("qty2"),
+        )
+        .df
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, o_orderkey FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    """Outer join — absent in the reference (SURVEY §2.3), noted there
+    as a missing capability (ClickCountDiffs.scala:40-47 comment)."""
+    t = T(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .equi_join(t["orders"], "c_custkey", "o_custkey", how="left")
+        .select("c_custkey", "o_orderkey")
+        .df
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+)
+def join_semi(spark, sf_dir):
+    """Semi join — reference expresses it as exists+cross
+    (BaseCodegenIntegrationSpec.scala:127-139); first-class here."""
+    t = T(spark, sf_dir, "customer", "orders")
+    big = t["orders"].filter(lambda x: x.o_totalprice > 200000)
+    return (
+        t["customer"]
+        .equi_join(big, "c_custkey", "o_custkey", how="left_semi")
+        .select("c_custkey", "c_name")
+        .df
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    t = T(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .equi_join(t["orders"], "c_custkey", "o_custkey", how="left_anti")
+        .select("c_custkey", "c_name")
+        .df
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT n_name, sum(floor(s_acctbal * 10000 + 0.5)) / 10000 AS total_bal FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    """Explicit broadcast hint (SparkNtv.broadcast, SparkNtv.scala:88-97)
+    — dim side ships to every executor, no shuffle of the fact side."""
+    t = T(spark, sf_dir, "supplier", "nation")
+    return (
+        t["supplier"]
+        .equi_join(t["nation"].broadcast(), "s_nationkey", "n_nationkey")
+        .group_by(["n_name"])
+        .agg(alg.Expr(qsum(F.col("s_acctbal"), 4), name="total_bal"))
+        .df
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.4 grouping & folds
+# ----------------------------------------------------------------------
+@query(
+    "groupby_agg_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(floor(l_quantity * 10000 + 0.5)) / 10000                 AS sum_qty,
+           sum(floor(l_extendedprice * 10000 + 0.5)) / 10000            AS sum_base,
+           sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)) / 10000 AS sum_disc,
+           sum(floor(l_quantity * 10000 + 0.5)) / 10000 / count(*)      AS avg_qty,
+           sum(floor(l_discount * 1000000 + 0.5)) / 1000000 / count(*)  AS avg_disc,
+           count(*)                                                     AS cnt
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def groupby_agg_pricing(spark, sf_dir):
+    """TPC-H Q1 shape: foldGroup with multi-aggregate fusion — six
+    aggregates, ONE pass (Alg2..Alg22 product algebras + FoldForestFusion,
+    native in Spark's hash agg with map-side partials)."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(lambda x: x.l_shipdate <= F.lit("1998-09-02").cast("timestamp"))
+        .group_by(["l_returnflag", "l_linestatus"])
+        .agg(
+            alg.Expr(qsum(F.col("l_quantity"), 4), name="sum_qty"),
+            alg.Expr(qsum(F.col("l_extendedprice"), 4), name="sum_base"),
+            alg.Expr(qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), name="sum_disc"),
+            alg.Expr(qsum(F.col("l_quantity"), 4) / F.count(F.lit(1)), name="avg_qty"),
+            alg.Expr(qsum(F.col("l_discount"), 6) / F.count(F.lit(1)), name="avg_disc"),
+            alg.Size(name="cnt"),
+        )
+        .df
+    )
+
+
+@query(
+    "groupby_nest",
+    oracle="""
+    SELECT n_nationkey, list(s_name ORDER BY s_name) AS values
+    FROM nation JOIN supplier ON n_nationkey = s_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def groupby_nest(spark, sf_dir):
+    """Group materialization Group(key, DataBag[A]) (api/DataBag.scala:106)
+    — array column, sorted for comparability. The ONLY operator that
+    materializes a group; fold paths never do."""
+    t = T(spark, sf_dir, "nation", "supplier")
+    j = t["nation"].equi_join(t["supplier"], "n_nationkey", "s_nationkey")
+    return (
+        j.df.groupBy("n_nationkey")
+        .agg(F.sort_array(F.collect_list("s_name")).alias("values"))
+    )
+
+
+@query(
+    "groupby_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, sum(floor(o_totalprice * 10000 + 0.5)) / 10000 AS spend
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+)
+def groupby_having(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")["orders"]
+    return (
+        o.group_by(["o_custkey"])
+        .having(
+            lambda x: x.n_orders >= 12,
+            alg.Size(name="n_orders"),
+            alg.Expr(qsum(F.col("o_totalprice"), 4), name="spend"),
+        )
+        .df
+    )
+
+
+@query(
+    "fold_global",
+    oracle="""
+    SELECT count(*) AS cnt,
+           sum(floor(l_quantity * 10000 + 0.5)) / 10000 AS sum_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_disc,
+           max(l_quantity > 49) AS any_big,
+           min(l_quantity > 0)  AS all_pos
+    FROM lineitem
+    """,
+)
+def fold_global(spark, sf_dir):
+    """Global fold forest: size/sum/min/max/count(p)/exists/forall in one
+    pass (api/DataBag.scala:216-315) — single-row result."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return li.df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        qsum(F.col("l_quantity"), 4).alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_disc"),
+        F.max(F.col("l_quantity") > 49).alias("any_big"),
+        F.min(F.col("l_quantity") > 0).alias("all_pos"),
+    )
+
+
+@query(
+    "rollup_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           sum(floor(o_totalprice * 10000 + 0.5)) / 10000 AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark, sf_dir):
+    """Grouping sets — absent in the reference (SURVEY §2.4 free gain)."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    return (
+        o.df.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), qsum(F.col("o_totalprice"), 4).alias("total"))
+    )
+
+
+@query(
+    "cube_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return li.df.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ----------------------------------------------------------------------
+# §2.7 window functions (new capability vs reference)
+# ----------------------------------------------------------------------
+@query(
+    "window_topn_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+    headline=True,
+)
+def window_topn_per_group(spark, sf_dir):
+    """Top-N per group — the reference's 'max per group then join back'
+    pattern (DirectorsMuses.scala:44-60) via one window pass instead of
+    agg+self-join. Deterministic tie-break on the key."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(floor(o_totalprice * 10000 + 0.5)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000 AS running
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.df.select(
+        "o_custkey", "o_orderkey", (F.sum(F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))).over(w) / 10000).alias("running")
+    )
+
+
+@query(
+    "orderby_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def orderby_limit(spark, sf_dir):
+    """Global top-k (reference: top(n), api/DataBag.scala:334-340) as a
+    bag — TakeOrderedAndProject, no full sort at scale."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    return (
+        o.order_by(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+        .df
+    )
+
+
+@query(
+    "zip_with_index_ordered",
+    oracle="""
+    SELECT n_name, row_number() OVER (ORDER BY n_nationkey) - 1 AS index
+    FROM nation
+    """,
+)
+def zip_with_index_ordered(spark, sf_dir):
+    """zipWithIndex (api/DataBag.scala:152-160) — oracle-checkable
+    deterministic variant (indexing an explicit order). The unordered
+    contract (dense unique) is covered by tests/test_core.py."""
+    n = T(spark, sf_dir, "nation")["nation"]
+    w = Window.orderBy("n_nationkey")
+    return n.df.select("n_name", (F.row_number().over(w) - 1).cast("long").alias("index"))
+
+
+# ----------------------------------------------------------------------
+# §2.6 scalar expression surface
+# ----------------------------------------------------------------------
+@query(
+    "scalar_expr_surface",
+    oracle="""
+    SELECT p_partkey,
+           starts_with(p_name, 'part_1')                 AS sw,
+           contains(p_type, 'BRASS')                     AS ct,
+           (p_size IS NOT DISTINCT FROM 10)              AS nse,
+           floor((p_retailprice * 0.9 + p_size % 7) * 10000 + 0.5) / 10000 AS arith,
+           (NOT (p_size > 20) OR p_brand = 'Brand#13')   AS boole,
+           CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS bucket,
+           lower(p_brand)                                AS lb,
+           abs(p_size - 25)                              AS ab
+    FROM part
+    """,
+)
+def scalar_expr_surface(spark, sf_dir):
+    """The SparkExp node surface (SparkExp.scala:29-120): projection,
+    literals, null-safe eq, ordering, boolean algebra, arithmetic,
+    startsWith/contains — plus the lambda-fallback funcs the examples
+    use (lower/abs/case, SURVEY §2.6)."""
+    p = T(spark, sf_dir, "part")["part"]
+    return p.map(
+        lambda x: {
+            "p_partkey": x.p_partkey,
+            "sw": x.p_name.startswith("part_1"),
+            "ct": x.p_type.contains("BRASS"),
+            "nse": x.p_size.eqNullSafe(10),
+            "arith": rd(x.p_retailprice * 0.9 + x.p_size % 7, 4),
+            "boole": ~(x.p_size > 20) | (x.p_brand == "Brand#13"),
+            "bucket": F.when(x.p_size < 10, "S").when(x.p_size < 30, "M").otherwise("L"),
+            "lb": F.lower(x.p_brand),
+            "ab": F.abs(x.p_size - 25),
+        }
+    ).df
+
+
+# ----------------------------------------------------------------------
+# events: sessionization + time windows (batch analogs of streaming ops)
+# ----------------------------------------------------------------------
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via lag + running sum —
+    the batch shape of a session window; single shuffle on user_id
+    serves both windows AND the final aggregation."""
+    e = T(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        e.df.withColumn("new_session", new_sess)
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, sum(floor(value * 1000000 + 0.5)) / 1000000 AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (batch analog of the streaming
+    tumbling window in emma_spark.streaming)."""
+    e = T(spark, sf_dir, "events")["events"]
+    return (
+        e.df.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), qsum(F.col("value"), 6).alias("total"))
+    )

@@ -1,0 +1,77 @@
+"""Similarity-search workloads over `embeddings` (array<float> × 64).
+
+The oracles recompute cosine with explicit dot/norm folds so both
+engines do the same double-precision sequential arithmetic; sims are
+rounded to 4dp before ranking/thresholding with id tie-breaks, so IEEE
+noise cannot flip results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..llm import similarity as S
+from ..sources import io
+from . import query
+
+SQL_COS = (
+    "list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * cv[i]))"
+    " / (sqrt(list_sum(list_transform(qv, x -> x*x)))"
+    " * sqrt(list_sum(list_transform(cv, x -> x*x))))"
+)
+
+
+@query(
+    "ann_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    sims AS (
+      SELECT query_id, neighbor_id, floor(({SQL_COS}) * 10000 + 0.5) / 10000 AS sim
+      FROM q CROSS JOIN c WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 3
+    """,
+    headline=True,
+)
+def ann_topk_cosine(spark, sf_dir):
+    """Brute-force exact top-3 cosine neighbors for 10 query vectors:
+    broadcast queries × corpus scan + window top-k. The exact baseline
+    the LSH path is measured against."""
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, queries, k=3)
+
+
+@query(
+    "embedding_neardup",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, vec_id % 20 AS blk, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+    pairs AS (
+      SELECT l.vec_id AS a, r.vec_id AS b, l.v AS qv, r.v AS cv
+      FROM base l JOIN base r ON l.blk = r.blk AND l.vec_id < r.vec_id
+    )
+    SELECT a, b, floor(({SQL_COS}) * 10000 + 0.5) / 10000 AS sim FROM pairs
+    WHERE floor(({SQL_COS}) * 10000 + 0.5) / 10000 >= 0.8
+    """,
+)
+def embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within id-blocks (scale path
+    swaps block key for hyperplane LSH buckets — same join shape)."""
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    return S.embedding_neardup_pairs(emb, min_sim=0.8, blocks=20)
+
+
+@query("ann_lsh_topk", oracle=None)  # approximate: rows-only check
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (random hyperplane sign buckets +
+    exact re-rank inside buckets). No SQL oracle (approximate by
+    design); recall vs brute force is asserted in tests."""
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_topk(emb, queries, k=3, planes=6, dim=64)

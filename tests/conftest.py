@@ -76,7 +76,7 @@ def as_bag(rows, columns=None):
         else:
             d = dict(zip(columns, r))
         out.append(tuple(sorted((k, _norm(v)) for k, v in d.items())))
-    return sorted(out)
+    return sorted(out, key=repr)  # repr-key: None/mixed types sort safely
 
 
 def assert_bag_equal(spark_df, duck_con, sql):

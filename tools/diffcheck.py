@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet dir, then
+compares row count, column names, and an order-insensitive value hash
+(columns sorted by name, rows sorted, values normalized). Usage:
+
+    python tools/diffcheck.py [sf_dir] [query ...]
+
+Defaults to /root/testdata/sf0.01 and all queries.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm(v):
+    if v is None:
+        return "\x00"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def bag(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("\x01".join(_norm(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    import duckdb
+    from emma_spark.session import get_spark
+    import __spark_entry__ as e
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("diffcheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex!r}"[:500])
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (rows-only) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {ex!r}"[:500])
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            sb, db = bag(srows, scols), bag(drows, dcols)
+            if sb != db:
+                diffs = [i for i, (a, b) in enumerate(zip(sb, db)) if a != b][:3]
+                detail = "; ".join(
+                    f"row{i} spark={sb[i][:120]!r} duck={db[i][:120]!r}" for i in diffs
+                )
+                problems.append(f"values differ ({detail})")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}"[:600])
+            n_fail += 1
+        else:
+            print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
