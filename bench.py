@@ -40,6 +40,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in headline.items():
+        # queries are independent jobs: drop any persisted intermediates
+        # a previous query left behind (auto-cache is per-query state)
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         n = df.count()

@@ -22,7 +22,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+import hashlib
+
 from .text import _rd, char_ngrams, md5_long, tokens
+
+# MinHash universal-hash family: h_i(x) = (a_i * h32(x) + b_i) mod P,
+# P prime > 2^32 so products stay < 2^62 (no int64 overflow in either
+# engine). Coefficients derived deterministically so DuckDB oracles can
+# embed the same literals.
+MINHASH_P = 4294967311
+
+
+def minhash_coef(i: int) -> tuple[int, int]:
+    a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16) % ((1 << 30) - 2) + 1
+    b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16) % MINHASH_P
+    return a, b
+
+
+def md5_int32(col: Column) -> Column:
+    """First 32 bits of md5 as bigint — the base hash the permutation
+    family is applied to (DuckDB mirror:
+    ``CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 8), 16, 10).cast("bigint")
 
 # ----------------------------------------------------------------------
 # exact dedup
@@ -64,21 +85,27 @@ def minhash_signature(
 ) -> DataFrame:
     """MinHash signature columns mh0..mh{k-1} per document.
 
-    Shingles = lowercase char n-grams; hash_i = md5(i|shingle) -> 56-bit
-    int; mh_i = min over shingles. All array expressions — one narrow
-    pass, no shuffle, no UDF. Docs shorter than the shingle width get
-    NULL signatures (kept, flagged)."""
+    Shingles = lowercase char n-grams, hashed ONCE with md5 (32-bit);
+    the k signature rows come from a universal-hash permutation family
+    ``(a_i*h + b_i) mod P`` over that base hash — k-1 fewer md5 passes
+    per shingle than salted re-hashing. All array expressions — one
+    narrow pass, no shuffle, no UDF. The base-hash array is built in
+    its own projection so it is shared by the k mins (CollapseProject
+    keeps non-cheap multi-referenced aliases un-inlined). Docs shorter
+    than the shingle width get NULL signatures (kept, flagged)."""
     sh = char_ngrams(F.col(text_col), n=shingle)
+    base = df.select(F.col(id_col), F.transform(sh, md5_int32).alias("__hs"))
 
-    def hash_fn(i: int):
+    def perm(i: int):
+        a, b = minhash_coef(i)
         # NB: single-arg lambda — a two-arg lambda would make F.transform
         # pass the array index as the second argument
-        return lambda s: md5_long(s, salt=str(i))
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
 
     cols = [F.col(id_col)]
     for i in range(num_hashes):
-        cols.append(F.array_min(F.transform(sh, hash_fn(i))).alias(f"mh{i}"))
-    return df.select(*cols)
+        cols.append(F.array_min(F.transform(F.col("__hs"), perm(i))).alias(f"mh{i}"))
+    return base.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -93,8 +120,17 @@ def lsh_candidate_pairs(
     Implemented as `bands` self-equi-joins on the band tuple, unioned +
     distinct — each join is a plain shuffle join on a composite key, so
     the plan scales with bucket sizes (Σ|bucket|²), never n². Returns
-    (a, b) with a < b."""
+    (a, b) with a < b.
+
+    The signature bag is consumed 2×`bands` times (both sides of every
+    band join), and Catalyst additionally pushes the join-key
+    ``isnotnull`` below the projection — without materialization the
+    full minhash expression tree would be evaluated up to 4×`bands`
+    times per row. Persisting is exactly the reference's auto-cache
+    policy (bag referenced more than once → cache; Caching.scala:57-94,
+    SURVEY §4 #9)."""
     rows = num_hashes // bands
+    sigs = sigs.persist()
     out = None
     for b in range(bands):
         band_cols = [f"mh{b * rows + r}" for r in range(rows)]

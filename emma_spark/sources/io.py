@@ -137,6 +137,24 @@ def _ns_timestamp_columns(path: str) -> list[str]:
     return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
 
 
+def fan_out(df, min_parts: int | None = None):
+    """Widen a narrow plan before a compute-heavy projection.
+
+    A small single-row-group parquet file scans as ONE task no matter
+    how many cores the cluster has (parquet splits only at row-group
+    boundaries), so an expensive narrow pass (e.g. hashing every
+    shingle of every document) runs on one core. A round-robin
+    repartition spreads it. No-op when the plan is already at least
+    ``min_parts`` wide — the 100 TB case, where inputs arrive thousands
+    of partitions wide and an extra shuffle would be pure loss.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataBag]:
     """Load the driver's TPC-H-ish parquet tables (TESTDATA.md)."""
     if not names:

@@ -18,13 +18,19 @@ SQL_SHINGLES = f"list_transform(range(1, greatest(len(lower(text)) - {SHINGLE - 
 
 
 def _sig_sql() -> str:
-    mh = ", ".join(
-        f"list_min(list_transform({SQL_SHINGLES}, s -> "
-        + sql_md5_long(f"concat('{i}', '|', s)")
-        + f")) AS mh{i}"
-        for i in range(N_HASHES)
+    from ..llm.dedup import MINHASH_P, minhash_coef
+
+    h32 = "CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)"
+    mins = []
+    for i in range(N_HASHES):
+        a, b = minhash_coef(i)
+        mins.append(
+            f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P})) AS mh{i}"
+        )
+    return (
+        f"SELECT doc_id, {', '.join(mins)} FROM "
+        f"(SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {h32}) AS hs FROM documents)"
     )
-    return f"SELECT doc_id, {mh} FROM documents"
 
 
 @query(
@@ -38,7 +44,7 @@ def _sig_sql() -> str:
 )
 def dedup_exact(spark, sf_dir):
     """Exact dedup groups: one hash-shuffle, uniform keys (no skew)."""
-    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     return D.exact_groups(docs)
 
 
@@ -46,7 +52,7 @@ def dedup_exact(spark, sf_dir):
 def dedup_minhash_signature(spark, sf_dir):
     """MinHash signatures (4 salted md5 hash funcs over char 5-grams) —
     narrow pass, array exprs only, no UDF, no shuffle."""
-    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     return D.minhash_signature(docs, num_hashes=N_HASHES, shingle=SHINGLE)
 
 
@@ -63,7 +69,7 @@ def dedup_minhash_signature(spark, sf_dir):
 def dedup_minhash_pairs(spark, sf_dir):
     """LSH banding (2 bands × 2 rows): candidate pairs via equi-joins on
     band tuples — Σ|bucket|² cost, never n². The 100 TB dedup path."""
-    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     sigs = D.minhash_signature(docs, num_hashes=N_HASHES, shingle=SHINGLE)
     return D.lsh_candidate_pairs(sigs, num_hashes=N_HASHES, bands=2)
 
@@ -86,7 +92,7 @@ def _simhash_sql(bits: int = 16) -> str:
 def dedup_simhash(spark, sf_dir):
     """16-bit SimHash: explode tokens -> one groupBy(doc) with 16
     conditional sums (map-side partials) -> pack sign bits."""
-    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     return D.simhash(docs, bits=16)
 
 
@@ -112,5 +118,5 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard for blocked pairs (block = id % 25; at scale
     the block key is the LSH bucket — same join shape). Integer ratio ->
     deterministic across engines."""
-    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     return D.ngram_jaccard_pairs(docs, n=3, blocks=25, min_sim=0.5)

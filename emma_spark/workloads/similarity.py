@@ -42,7 +42,7 @@ def ann_topk_cosine(spark, sf_dir):
     """Brute-force exact top-3 cosine neighbors for 10 query vectors:
     broadcast queries × corpus scan + window top-k. The exact baseline
     the LSH path is measured against."""
-    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
     queries = emb.filter(F.col("vec_id") < 10)
     return S.brute_force_topk(emb, queries, k=3)
 
@@ -63,7 +63,7 @@ def ann_topk_cosine(spark, sf_dir):
 def embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within id-blocks (scale path
     swaps block key for hyperplane LSH buckets — same join shape)."""
-    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
     return S.embedding_neardup_pairs(emb, min_sim=0.8, blocks=20)
 
 
@@ -72,6 +72,6 @@ def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (random hyperplane sign buckets +
     exact re-rank inside buckets). No SQL oracle (approximate by
     design); recall vs brute force is asserted in tests."""
-    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
     queries = emb.filter(F.col("vec_id") < 10)
     return S.lsh_topk(emb, queries, k=3, planes=6, dim=64)

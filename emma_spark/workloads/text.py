@@ -25,7 +25,7 @@ def sql_md5_long(expr: str) -> str:
 )
 def text_token_count(spark, sf_dir):
     """Whitespace token counting — pure Column expr, no shuffle."""
-    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     return docs.select("doc_id", X.token_count(F.col("text")).cast("bigint").alias("n_tokens"))
 
 
@@ -51,7 +51,7 @@ def text_token_count(spark, sf_dir):
 )
 def text_quality(spark, sf_dir):
     """Quality-scoring feature block (length/punct/stopword ratios)."""
-    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     metrics = X.quality_metrics(F.col("text"))
     return docs.select("doc_id", *[c.alias(n) for n, c in metrics.items()])
 
@@ -75,7 +75,7 @@ def _lang_sql() -> str:
 @query("text_lang_id", oracle=_lang_sql())
 def text_lang_id(spark, sf_dir):
     """Stopword-heuristic language ID (argmax cascade, fixed tie-break)."""
-    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     return docs.select("doc_id", X.lang_id(F.col("text")).alias("lang_guess"))
 
 
@@ -90,5 +90,5 @@ _FP_NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 )
 def text_fingerprint(spark, sf_dir):
     """Document fingerprint: md5 of whitespace-normalized text as bigint."""
-    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))

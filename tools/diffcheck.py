@@ -68,6 +68,7 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        spark.catalog.clearCache()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
