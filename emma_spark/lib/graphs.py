@@ -1,0 +1,81 @@
+"""Graph algorithms over edge DataFrames (src, dst).
+
+Reference: ``emma-lib/.../lib/graphs/transitiveClosure.scala:22-44``,
+``emma-examples/.../graphs/ConnectedComponents.scala:25-53``,
+``EnumerateTriangles.scala:25-42``. The workload registry
+(workloads/graph.py) runs these same shapes against recursive-CTE
+DuckDB oracles; this module is the reusable API surface.
+
+Scale notes: every iteration localCheckpoints through
+``plans.iterate.fixpoint`` (lineage truncation — emma's auto-cache,
+``Caching.scala:57-130``); closure uses path doubling (O(log d)
+rounds); components propagate min labels with one shuffle per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core import DataBag
+from ..plans.iterate import fixpoint
+
+
+def transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """All reachable (src, dst) pairs — path doubling."""
+    paths = DataBag(edges.select("src", "dst"))
+
+    def step(p: DataBag) -> DataBag:
+        ext = p.equi_join(p, "dst", "src").select(
+            F.col("l.src").alias("src"), F.col("r.dst").alias("dst")
+        )
+        return p.union(ext).distinct()
+
+    return fixpoint(paths, step, max_iter=max_iter).df
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(id, comp=min reachable id) via min-label propagation."""
+    e = edges.select("src", "dst")
+    ue = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    nodes = ue.select(F.col("src").alias("id")).distinct()
+    labels = DataBag(nodes.withColumn("comp", F.col("id")))
+
+    def step(lb: DataBag) -> DataBag:
+        nbr = (
+            lb.df.alias("l")
+            .join(ue.alias("e"), F.col("l.id") == F.col("e.src"))
+            .select(F.col("e.dst").alias("id"), F.col("l.comp").alias("comp"))
+        )
+        return DataBag(lb.df.unionByName(nbr).groupBy("id").agg(F.min("comp").alias("comp")))
+
+    def converged(old: DataBag, new: DataBag) -> bool:
+        return (
+            new.df.agg(F.sum("comp")).collect()[0][0]
+            == old.df.agg(F.sum("comp")).collect()[0][0]
+        )
+
+    out = fixpoint(labels, step, converged=converged, max_iter=max_iter).df
+    ue.unpersist()
+    return out
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Canonical triangles (x<y<z) by 3-way self-join on oriented edges."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y2"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x3"), F.col("v").alias("z3"))
+    out = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    return out

@@ -1,0 +1,31 @@
+"""Classification evaluation (``emma-lib/.../ml/classification/eval.scala``):
+confusion counts + accuracy/precision/recall/f1, in one aggregate pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def confusion(df: DataFrame, label_col: str = "label", pred_col: str = "prediction",
+              positive: float = 1.0) -> dict[str, int]:
+    p = F.lit(positive)
+    row = df.agg(
+        F.count_if((F.col(label_col) == p) & (F.col(pred_col) == p)).alias("tp"),
+        F.count_if((F.col(label_col) != p) & (F.col(pred_col) == p)).alias("fp"),
+        F.count_if((F.col(label_col) == p) & (F.col(pred_col) != p)).alias("fn"),
+        F.count_if((F.col(label_col) != p) & (F.col(pred_col) != p)).alias("tn"),
+    ).collect()[0]
+    return {k: row[k] for k in ("tp", "fp", "fn", "tn")}
+
+
+def scores(df: DataFrame, label_col: str = "label", pred_col: str = "prediction",
+           positive: float = 1.0) -> dict[str, float]:
+    c = confusion(df, label_col, pred_col, positive)
+    n = sum(c.values())
+    acc = (c["tp"] + c["tn"]) / n if n else 0.0
+    prec = c["tp"] / (c["tp"] + c["fp"]) if c["tp"] + c["fp"] else 0.0
+    rec = c["tp"] / (c["tp"] + c["fn"]) if c["tp"] + c["fn"] else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"accuracy": acc, "precision": prec, "recall": rec, "f1": f1, **c}

@@ -1,0 +1,82 @@
+"""Feature extraction: tokenize, n-grams, dictionary & hashing encode.
+
+Reference: ``emma-lib/.../ml/feature/{tokenize,nGrams,encode}.scala`` —
+tokenize splits on a pattern; nGrams emits word n-grams; encode builds
+(a) a dictionary (distinct + index) and (b) frequency / binary vectors
+of width N via hashing or the dictionary.
+
+Spark-first: all per-row ops are array expressions; the dictionary is
+distinct + window-free zipWithIndex (row_number over a deterministic
+order — dictionaries are vocabulary-sized, the sort is the scale
+bound and matches the reference's driver-side Map anyway). Encoded
+vectors are ``map<int,double>`` columns (the SVector analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokenize(text: Column, pattern: str = r"\W+", lowercase: bool = True) -> Column:
+    """(``tokenize.scala``) split + drop empties."""
+    t = F.lower(text) if lowercase else text
+    return F.filter(F.split(t, pattern), lambda x: x != "")
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (``nGrams.scala``)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.when(F.size(toks) >= n, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def build_dict(df: DataFrame, toks_col: str = "toks") -> DataFrame:
+    """Vocabulary -> dense index (``encode.dict``: distinct + index).
+    Deterministic: indexed in lexicographic term order."""
+    terms = df.select(F.explode(F.col(toks_col)).alias("term")).distinct()
+    w = Window.orderBy("term")
+    return terms.withColumn("index", F.row_number().over(w) - 1)
+
+
+def encode_freq_hash(toks: Column, n: int = 1 << 10) -> Column:
+    """Hashing-trick frequency vector as map<int,double>
+    (``encode.freq`` with the native hash; here portable xxhash64)."""
+    idx = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(n)).cast("int"))
+    return F.map_from_entries(
+        F.transform(
+            F.array_distinct(idx),
+            lambda k: F.struct(
+                k.alias("k"),
+                F.size(F.filter(idx, lambda j: j == k)).cast("double").alias("v"),
+            ),
+        )
+    )
+
+
+def encode_bin_hash(toks: Column, n: int = 1 << 10) -> Column:
+    """Binary presence vector (``encode.bin``)."""
+    idx = F.array_distinct(
+        F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(n)).cast("int"))
+    )
+    return F.map_from_entries(
+        F.transform(idx, lambda k: F.struct(k.alias("k"), F.lit(1.0).alias("v")))
+    )
+
+
+def encode_freq_dict(df: DataFrame, vocab: DataFrame, toks_col: str = "toks",
+                     id_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Dictionary frequency encode: explode + join vocab + re-group to
+    map<int,double>. The join broadcasts when the vocab is small; at
+    100 TB both sides shuffle on the term — no driver-side dict."""
+    e = df.select(*id_cols, F.explode(F.col(toks_col)).alias("term"))
+    joined = e.join(F.broadcast(vocab), "term")
+    return (
+        joined.groupBy(*id_cols, "index")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .groupBy(*id_cols)
+        .agg(F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col("index").alias("k"), F.col("v"))))
+        ).alias("vec"))
+    )

@@ -1,0 +1,54 @@
+"""Linear & logistic regression over the SGD solver.
+
+Reference: ``emma-lib/.../ml/regression/linreg.scala`` and
+``classification/logreg.scala`` — both are `prependBias` + a solver;
+prediction applies an error function to the bias-extended instances.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..linalg import dot, vlit
+from .optimization import LinearModel, LogisticError, SquaredError, prepend_bias, sgd
+
+
+def linreg_train(instances: DataFrame, **solver_kw) -> LinearModel:
+    """(``linreg.scala`` train = solve ∘ prependBias)."""
+    data = prepend_bias(instances)
+    d = len(data.select("vec").first()["vec"])
+    kw = dict(initial_weights=[0.0] * d, err=SquaredError())
+    kw.update(solver_kw)
+    return sgd(data, **kw)
+
+
+def logreg_train(instances: DataFrame, **solver_kw) -> LinearModel:
+    """(``logreg.scala`` train)."""
+    data = prepend_bias(instances)
+    d = len(data.select("vec").first()["vec"])
+    kw = dict(initial_weights=[0.0] * d, err=LogisticError())
+    kw.update(solver_kw)
+    return sgd(data, **kw)
+
+
+def linreg_predict(model: LinearModel, instances: DataFrame) -> DataFrame:
+    data = prepend_bias(instances)
+    return data.withColumn("prediction", dot(F.col("vec"), vlit(model.weights)))
+
+
+def logreg_predict(model: LinearModel, instances: DataFrame, threshold: float = 0.5) -> DataFrame:
+    data = prepend_bias(instances)
+    z = dot(F.col("vec"), vlit(model.weights))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return data.withColumn("probability", p).withColumn(
+        "prediction", (p >= threshold).cast("double")
+    )
+
+
+def rmse(predicted: DataFrame, label_col: str = "label") -> float:
+    """(``optimization/error/rmse.scala`` analog)."""
+    row = predicted.agg(
+        F.sqrt(F.avg(F.pow(F.col("prediction") - F.col(label_col), 2))).alias("rmse")
+    ).collect()[0]
+    return row["rmse"]

@@ -1,0 +1,187 @@
+"""ML-library workloads (SURVEY §2.9) with DuckDB oracles.
+
+Oracle-able pieces: elementwise vector stats, a kMeans assignment pass
+with fixed centroids, naive-Bayes model training on integer-valued
+features (sums exact → deterministic), dictionary feature encoding.
+The iterative fits (kMeans training loop) are rows-only (non-SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..lib import stats
+from ..lib.ml import features as feat
+from ..lib.ml.kmeans import kmeans
+from ..lib.ml.naive_bayes import naive_bayes
+from ..sources import io
+from . import query
+
+# 4 fixed centroids in the embeddings' 8-dim space (first 8 dims used)
+CENTROIDS = [
+    (0, [0.5] * 8),
+    (1, [-0.5] * 8),
+    (2, [0.5, -0.5] * 4),
+    (3, [-0.5, 0.5] * 4),
+]
+
+
+@query(
+    "ml_stats_summarize",
+    oracle="""
+    SELECT pos - 1 AS pos, count(*)::BIGINT AS n,
+           sum(floor(v * 10000 + 0.5)) / 10000 AS sum_q,
+           min(v) AS mn, max(v) AS mx
+    FROM (SELECT unnest(embedding::DOUBLE[]) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY pos
+    """,
+)
+def ml_stats_summarize(spark, sf_dir):
+    """Elementwise vector stats (stat.scala:23-62): posexplode →
+    groupBy(pos) — D keys, map-side partials, no driver funnel."""
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    e = emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"))
+    return e.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.floor(F.col("v") * 10000 + F.lit(0.5))) / 10000).alias("sum_q"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+
+
+def _sqdist_sql(c: list[float]) -> str:
+    lits = "[" + ", ".join(str(x) for x in c) + "]"
+    return (
+        f"list_sum(list_transform(range(1, 9), "
+        f"i -> (v[i] - ({lits})[i]) * (v[i] - ({lits})[i])))"
+    )
+
+
+@query(
+    "ml_kmeans_assign",
+    oracle=f"""
+    WITH pts AS (SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings),
+    d AS (SELECT vec_id,
+          {', '.join(f"floor(({_sqdist_sql(c)}) * 10000 + 0.5) AS d{cid}" for cid, c in CENTROIDS)}
+          FROM pts)
+    SELECT vec_id, CASE
+      WHEN d0 <= least(d1, d2, d3) THEN 0
+      WHEN d1 <= least(d2, d3) THEN 1
+      WHEN d2 <= d3 THEN 2 ELSE 3 END AS cid
+    FROM d
+    """,
+)
+def ml_kmeans_assign(spark, sf_dir):
+    """One kMeans assignment pass with fixed centroids
+    (kMeans.scala:61-65): nearest-centroid argmin as a pure projection
+    over a literal centroid array — no join, no shuffle, broadcast by
+    construction. Distances quantized before argmin so the oracle's
+    tie-break is identical."""
+    from ..lib.linalg import sqdist, vlit
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    v = F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+    cands = F.array(
+        *[
+            F.struct(
+                F.floor(sqdist(v, vlit(c)) * 10000 + F.lit(0.5)).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in CENTROIDS
+        ]
+    )
+    return emb.select("vec_id", F.array_min(cands)["cid"].alias("cid"))
+
+
+@query(
+    "ml_naive_bayes_train",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag AS label, count(*)::BIGINT AS l_cnt,
+             sum(l_quantity) AS s0, sum(l_linenumber) AS s1,
+             sum(floor(l_discount * 100 + 0.5)) AS s2
+      FROM lineitem GROUP BY l_returnflag
+    ), tot AS (SELECT sum(l_cnt) AS n_points, count(*) AS n_labels FROM agg)
+    SELECT label,
+      floor((ln(l_cnt + 1.0) - ln(n_points + n_labels * 1.0)) * 1000000 + 0.5) / 1000000 AS pi,
+      floor((ln(s0 + 1.0) - ln(s0 + s1 + s2 + 3.0)) * 1000000 + 0.5) / 1000000 AS t0,
+      floor((ln(s1 + 1.0) - ln(s0 + s1 + s2 + 3.0)) * 1000000 + 0.5) / 1000000 AS t1,
+      floor((ln(s2 + 1.0) - ln(s0 + s1 + s2 + 3.0)) * 1000000 + 0.5) / 1000000 AS t2
+    FROM agg, tot
+    """,
+)
+def ml_naive_bayes_train(spark, sf_dir):
+    """Multinomial NB training (naiveBayes.scala:40-67) on
+    integer-valued lineitem features (exact sums → cross-engine
+    deterministic); theta flattened + rounded for the hash compare."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    data = li.select(
+        F.col("l_returnflag").alias("label"),
+        F.array(
+            F.col("l_quantity"),
+            F.col("l_linenumber").cast("double"),
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("double"),
+        ).alias("vec"),
+    )
+    model = naive_bayes(data, lam=1.0)
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    return model.select(
+        "label",
+        r6(F.col("pi")).alias("pi"),
+        r6(F.col("theta")[0]).alias("t0"),
+        r6(F.col("theta")[1]).alias("t1"),
+        r6(F.col("theta")[2]).alias("t2"),
+    )
+
+
+@query(
+    "ml_encode_dict_freq",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                        t -> t != '')) AS term
+      FROM documents
+    ), vocab AS (
+      SELECT term, row_number() OVER (ORDER BY term) - 1 AS index
+      FROM (SELECT DISTINCT term FROM toks)
+    )
+    SELECT t.doc_id, v.index, count(*)::DOUBLE AS freq
+    FROM toks t JOIN vocab v USING (term)
+    GROUP BY t.doc_id, v.index
+    """,
+)
+def ml_encode_dict_freq(spark, sf_dir):
+    """Dictionary frequency encoding (encode.scala: dict + freq),
+    flattened to (doc_id, index, freq). The vocab join broadcasts;
+    at 100 TB the dictionary itself stays distributed."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    toks = docs.select("doc_id", feat.tokenize(F.col("text")).alias("toks"))
+    vocab = feat.build_dict(toks)
+    e = toks.select("doc_id", F.explode("toks").alias("term"))
+    return (
+        e.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "index")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+    )
+
+
+@query("ml_kmeans_fit", oracle=None)  # iterative driver loop: rows-only
+def ml_kmeans_fit(spark, sf_dir):
+    """Full kMeans fit (kMeans.scala:40-92) on the embeddings table —
+    returns (cid, pos, value) of the final centroids. Deterministic
+    for the fixed seed, but the iterative loop is not SQL-expressible
+    (driver records rows-only)."""
+    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    res = kmeans(pts, k=4, runs=1, iterations=3, seed=42)
+    rows = [
+        (cid, pos, float(val))
+        for cid, vec in res.centroids
+        for pos, val in enumerate(vec)
+    ]
+    return spark.createDataFrame(rows, "cid int, pos int, value double")
