@@ -1,0 +1,109 @@
+"""Structured Streaming surface (new capability — SURVEY §2.7: the
+reference is batch-only; its closest stateful precedent is
+``MutableBag.update`` (``api/MutableBag.scala:28-44``), which
+``keyed_state`` generalizes to streams).
+
+Design: streams are ordinary DataFrames (lazy plans) — the same
+engine surface as DataBag, with event-time windowing + watermarks for
+late data, and ``applyInPandasWithState`` for arbitrary keyed state.
+Everything is executor-side; state lives in the state store (RocksDB
+on a real cluster), never the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_stream_parquet(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    """File-source stream (schema mandatory for streaming reads)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def read_stream_rate(spark: SparkSession, rows_per_sec: int = 100) -> DataFrame:
+    return spark.readStream.format("rate").option("rowsPerSecond", rows_per_sec).load()
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Late-data bound; state for windows older than max(event time) −
+    delay is evicted — REQUIRED for unbounded-stream aggregations."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling(df: DataFrame, ts_col: str, duration: str, *keys: str) -> "GroupedStream":
+    """Non-overlapping event-time windows."""
+    return GroupedStream(df, [F.window(ts_col, duration).alias("window"), *map(F.col, keys)])
+
+
+def sliding(df: DataFrame, ts_col: str, duration: str, slide: str, *keys: str) -> "GroupedStream":
+    return GroupedStream(
+        df, [F.window(ts_col, duration, slide).alias("window"), *map(F.col, keys)]
+    )
+
+
+def session(df: DataFrame, ts_col: str, gap: str, *keys: str) -> "GroupedStream":
+    """Session windows: rows within ``gap`` of each other merge."""
+    return GroupedStream(
+        df, [F.session_window(ts_col, gap).alias("window"), *map(F.col, keys)]
+    )
+
+
+class GroupedStream:
+    def __init__(self, df: DataFrame, group_cols):
+        self._df = df
+        self._group_cols = group_cols
+
+    def agg(self, *aggs, **named) -> DataFrame:
+        cols = list(aggs) + [c.alias(n) for n, c in named.items()]
+        return self._df.groupBy(*self._group_cols).agg(*cols)
+
+
+def keyed_state(
+    df: DataFrame,
+    keys: list[str],
+    func: Callable,
+    state_schema: StructType | str,
+    output_schema: StructType | str,
+    output_mode: str = "update",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Arbitrary keyed state over a stream — the ``MutableBag.update``
+    analog (``api/MutableBag.scala:28-44``: upsert by key, emit delta).
+
+    ``func(key, pdf_iter, state)`` is a pandas-batched update function
+    (Arrow transfer); state is partitioned by key across executors —
+    scales with key cardinality, nothing on the driver."""
+    return df.groupBy(*keys).applyInPandasWithState(
+        func, output_schema, state_schema, output_mode, timeout
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Drain all available input into an in-memory table (availableNow
+    trigger) and block until done — turns a stream into a queryable
+    batch result (tests / the driver's batch-only harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def foreach_batch_parquet(stream_df: DataFrame, path: str, checkpoint: str,
+                          output_mode: str = "append"):
+    """Continuous parquet sink with checkpointing (exactly-once file
+    sink) — the production write path."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )

@@ -1,0 +1,103 @@
+"""Structured Streaming tests: stream results == batch results on the
+same data (differential, like everything else), plus keyed state
+(the MutableBag.update streaming analog) and watermark plumbing."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from emma_spark.streaming import api as S
+
+from tests.conftest import SF_DIR, as_bag
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark):
+    from emma_spark.sources import io
+
+    d = os.path.join(tempfile.gettempdir(), f"ev_stream_test_{uuid.uuid4().hex[:8]}")
+    io.read_parquet(spark, f"{SF_DIR}/events.parquet").df.write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_tumbling_equals_batch(spark, staged_events):
+    batch = spark.read.parquet(staged_events)
+    stream = S.read_stream_parquet(spark, staged_events, batch.schema)
+
+    agg = S.tumbling(stream, "ts", "30 minutes", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, output_mode="complete")
+    got = spark.table(name).select(F.col("window.start").alias("s"), "event_type", "n")
+
+    want = (
+        batch.groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("s"), "event_type", "n")
+    )
+    assert as_bag(got.collect()) == as_bag(want.collect())
+
+
+def test_stream_session_window_equals_batch(spark, staged_events):
+    batch = spark.read.parquet(staged_events)
+    stream = S.read_stream_parquet(spark, staged_events, batch.schema)
+    stream = S.with_watermark(stream, "ts", "1 hour")
+
+    agg = S.session(stream, "ts", "10 minutes", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, output_mode="complete")
+    got = spark.table(name).select("user_id", F.col("window.start").alias("s"), "n")
+
+    want = (
+        batch.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), "n")
+    )
+    assert as_bag(got.collect()) == as_bag(want.collect())
+
+
+def test_keyed_state_running_counts(spark, staged_events):
+    """applyInPandasWithState: per-user running event count — final
+    per-key state must equal the batch groupBy count
+    (MutableBag.update upsert semantics, api/MutableBag.scala:28-44)."""
+    batch = spark.read.parquet(staged_events)
+    stream = S.read_stream_parquet(spark, staged_events, batch.schema)
+
+    def update(key, pdf_iter, state):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [cnt]})
+
+    out = S.keyed_state(
+        stream,
+        keys=["user_id"],
+        func=update,
+        state_schema="n bigint",
+        output_schema="user_id bigint, n bigint",
+        output_mode="update",
+    )
+    name = f"k_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(out, name, output_mode="update")
+    got = spark.table(name).groupBy("user_id").agg(F.max("n").alias("n"))
+    want = batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert as_bag(got.collect()) == as_bag(want.collect())
+
+
+def test_watermark_is_attached(spark, staged_events):
+    batch = spark.read.parquet(staged_events)
+    stream = S.with_watermark(
+        S.read_stream_parquet(spark, staged_events, batch.schema), "ts", "2 hours"
+    )
+    # watermark node present in the logical plan
+    assert "EventTimeWatermark" in stream._jdf.queryExecution().logical().toString()
