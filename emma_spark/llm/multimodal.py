@@ -1,0 +1,181 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with Arrow-batched processing plumbing.
+
+No reference analog (emma is tabular-only); this is the engine's
+training-data surface for non-text modalities. The DESIGN is the
+deliverable here: schema contract, partition-safe batching, and
+pandas-UDF signatures are real and tested; the actual codecs
+(PIL/librosa/ffmpeg) are not in this container, so decode is either a
+clearly-marked stub (raises) or a deterministic fake (for tests), per
+the constructor flag.
+
+Scale notes (100 TB of media):
+- blobs never pass through Python row-at-a-time — ``mapInPandas``
+  moves them as Arrow binary arrays, batch-sized by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+- metadata-only transforms (filter by width, bucket by duration) are
+  pure Column ops on the struct column — the blob column is pruned
+  out of the scan entirely (check ReadSchema);
+- feature extraction emits fixed-width vectors; the blob is dropped
+  as early as possible so shuffles move features, not media.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------- schema
+IMAGE_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+AUDIO_META = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+VIDEO_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def image_table_schema(id_type: T.DataType = T.LongType()) -> T.StructType:
+    """The canonical multimodal table shape: (id, blob, meta)."""
+    return T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("meta", IMAGE_META),
+        ]
+    )
+
+
+# ---------------------------------------------------------------- metadata ops
+def filter_by_meta(df: DataFrame, predicate: Column) -> DataFrame:
+    """Metadata-only filter — never touches the blob; with parquet the
+    blob column isn't even read when later projections drop it."""
+    return df.filter(predicate)
+
+
+def size_bucket(meta: Column, edges: list[int] = [64, 256, 1024]) -> Column:
+    """Bucket images by max dimension (partitioning/batching key so
+    same-shaped media co-locate — decode batches stay uniform)."""
+    m = F.greatest(meta["width"], meta["height"])
+    expr = F.lit(len(edges))
+    for i in reversed(range(len(edges))):
+        expr = F.when(m <= edges[i], F.lit(i)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------- decode plumbing
+def _fake_decode(blob: bytes, w: int, h: int, c: int) -> list[float]:
+    """Deterministic stand-in for a pixel decoder: hashes the blob into
+    a small feature vector (same length as the real featurizer would
+    emit). Lets the full pipeline run end-to-end in this container."""
+    acc = 2166136261
+    for b in blob[:256]:
+        acc = (acc ^ b) * 16777619 % (1 << 32)
+    return [((acc >> (i * 3)) & 0xFF) / 255.0 for i in range(8)] + [float(w), float(h), float(c)]
+
+
+def image_features(
+    df: DataFrame,
+    decode: Callable[[bytes, int, int, int], list[float]] | None = None,
+    stub: bool = False,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """blob → fixed-width feature vector via ``mapInPandas`` (Arrow
+    batches; blobs never row-at-a-time).
+
+    ``decode=None, stub=True`` raises NotImplementedError at runtime —
+    the clearly-marked seam where PIL/torchvision plugs in.
+    ``decode=None, stub=False`` uses the deterministic fake."""
+    if decode is None:
+        if stub:
+            def decode(blob, w, h, c):  # pragma: no cover - the real-codec seam
+                raise NotImplementedError(
+                    "image decode requires a codec (PIL/torchvision); "
+                    "pass decode= or use the deterministic fake (stub=False)"
+                )
+        else:
+            decode = _fake_decode
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode(blob, m["width"], m["height"], m["channels"])
+                for blob, m in zip(pdf[blob_col], pdf[meta_col])
+            ]
+            yield pd.DataFrame({"id": pdf[id_col], "features": feats})
+
+    # project FIRST so Arrow moves only (id, blob, meta)
+    return df.select(id_col, blob_col, meta_col).mapInPandas(run, out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_n: int,
+    meta_col: str = "meta",
+    id_col: str = "id",
+) -> DataFrame:
+    """Video frame-sampling PLAN: expand (video_id, frame_no) rows for
+    every_n-th frame from metadata ONLY (sequence+explode — no codec,
+    no blob). The decode of selected frames is a second, batched pass
+    over the blob — at scale this two-phase shape avoids decoding
+    frames that get dropped."""
+    n = df[meta_col]["n_frames"]
+    frames = F.sequence(F.lit(0), (n - 1).cast("long"), F.lit(every_n))
+    return df.select(
+        F.col(id_col).alias("video_id"),
+        F.explode(frames).alias("frame_no"),
+    )
+
+
+def synth_image_table(spark, n: int = 64, seed: int = 7) -> DataFrame:
+    """Deterministic synthetic multimodal table (binary blobs + meta)
+    for tests/demos — generated distributed (spark.range), not driver
+    lists."""
+    fmt = F.when(F.col("id") % 3 == 0, "png").otherwise("jpeg")
+    w = (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(512)) + 16).cast("int")
+    h = (F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(512)) + 16).cast("int")
+    blob = F.encode(
+        F.concat(F.lit("IMGBLOB:"), F.col("id").cast("string"),
+                 F.lit(":"), F.repeat(F.lit("x"), (F.col("id") % 64 + 1).cast("int"))),
+        "utf-8",
+    ).cast("binary")
+    return spark.range(n).select(
+        F.col("id"),
+        blob.alias("blob"),
+        F.struct(
+            w.alias("width"), h.alias("height"),
+            F.lit(3).alias("channels"), fmt.alias("format"),
+        ).alias("meta"),
+    )

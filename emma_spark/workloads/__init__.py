@@ -71,6 +71,8 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 
 def load_all() -> dict[str, Query]:
     """Import all workload modules (side effect: registration)."""
-    from . import dedup, graph, ml, relational, similarity, streaming, text  # noqa: F401
+    from . import (  # noqa: F401
+        dedup, graph, ml, multimodal, relational, similarity, streaming, text,
+    )
 
     return REGISTRY
