@@ -72,6 +72,7 @@ def _sqdist_sql(c: list[float]) -> str:
       WHEN d2 <= d3 THEN 2 ELSE 3 END AS cid
     FROM d
     """,
+    headline=True,
 )
 def ml_kmeans_assign(spark, sf_dir):
     """One kMeans assignment pass with fixed centroids

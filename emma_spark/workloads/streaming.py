@@ -40,6 +40,7 @@ def _stage_events(spark, sf_dir: str) -> str:
     FROM events
     GROUP BY 1, 2
     """,
+    headline=True,
 )
 def stream_tumbling_counts(spark, sf_dir):
     """Tumbling-window streaming aggregation, drained with an
