@@ -90,18 +90,25 @@ def brute_force_topk(
 def hyperplane_bucket(vec: Column, dim: int, planes: int = 8, seed: int = 7) -> Column:
     """LSH bucket id: sign bits against `planes` pseudo-random
     hyperplanes. Hyperplane p's j-th coefficient = md5-derived value in
-    [-1, 1] — deterministic, no fitted state, identical on any engine."""
-    bucket = F.lit(0)
-    for p in range(planes):
-        coef = [
-            (int_hash_unit(p * 10007 + j * 31 + seed)) for j in range(dim)
+    [-1, 1] — deterministic, no fitted state, identical on any engine.
+
+    The planes are ONE literal array-of-arrays and the sign bits fold
+    via nested higher-order functions — a constant-size expression tree
+    (an unrolled planes×dim sum blows up analysis + codegen time)."""
+    plane_lits = F.array(
+        *[
+            F.array(*[F.lit(int_hash_unit(p * 10007 + j * 31 + seed)) for j in range(dim)])
+            for p in range(planes)
         ]
-        dot = None
-        for j, cf in enumerate(coef):
-            term = vec.getItem(j).cast("double") * F.lit(cf)
-            dot = term if dot is None else dot + term
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    )
+    vd = F.transform(vec, lambda v: v.cast("double"))
+    bits = F.transform(
+        plane_lits,
+        lambda plane, i: F.when(
+            _dot(plane, vd) > 0, F.pow(F.lit(2.0), i).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
 
 
 def int_hash_unit(i: int) -> float:
