@@ -14,6 +14,7 @@ text analysis, multimodal plumbing).
 from .core import DataBag, GroupedBag
 from .functions import alg
 from .functions.expr import Elem, eq, ne, struct
+from .plans.comprehension import comprehension
 from .plans.iterate import fixpoint
 from .session import get_spark
 from .sources import io
@@ -28,6 +29,7 @@ __all__ = [
     "eq",
     "ne",
     "struct",
+    "comprehension",
     "fixpoint",
     "get_spark",
     "io",

@@ -663,3 +663,34 @@ def events_tumbling_hourly(spark, sf_dir):
         e.df.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), qsum(F.col("value"), 6).alias("total"))
     )
+
+
+# ----------------------------------------------------------------------
+# §2.3 comprehension-derived joins (the reference's core mechanism)
+@query(
+    "comprehension_join_derivation",
+    oracle="""
+    SELECT n_name AS nation, count(*) AS big_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_totalprice > 150000
+    GROUP BY n_name
+    """,
+)
+def comprehension_join_derivation(spark, sf_dir):
+    """Joins DERIVED from multi-generator comprehension guards — the
+    reference's core query mechanism (no join in the user API; equality
+    guards -> equi-joins via the Combination.scala:723-777 cascade,
+    rebuilt in plans/comprehension.py). The range guard stays a filter;
+    Catalyst broadcasts the dims."""
+    from ..plans.comprehension import comprehension
+
+    t = T(spark, sf_dir, "orders", "customer", "nation")
+    joined = (
+        comprehension(o=t["orders"], c=t["customer"], n=t["nation"])
+        .where(lambda x: x.o.o_custkey == x.c.c_custkey)
+        .where(lambda x: x.c.c_nationkey == x.n.n_nationkey)
+        .where(lambda x: x.o.o_totalprice > 150000)
+        .select(lambda x: {"nation": x.n.n_name})
+    )
+    return joined.group_by(["nation"]).agg(alg.Size(name="big_orders")).df
