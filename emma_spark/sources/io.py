@@ -155,6 +155,23 @@ def fan_out(df, min_parts: int | None = None):
     return df.repartition(target)
 
 
+def write_bucketed(
+    df, table: str, buckets: int, *keys: str, sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Bucketed managed table — the co-located-join path (SURVEY brief:
+    'bucketing for co-located joins').
+
+    Two tables bucketed by the same keys into the same bucket count
+    join WITHOUT an exchange: each bucket pairs 1:1, so at 100 TB the
+    recurring shuffle of a fact-fact join is paid ONCE at write time
+    and amortized over every subsequent join/aggregation on those keys
+    (`spark.sql.sources.bucketing.enabled`, on by default)."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataBag]:
     """Load the driver's TPC-H-ish parquet tables (TESTDATA.md)."""
     if not names:
