@@ -1,0 +1,86 @@
+"""As-of join (point-in-time join) — a time-series operator Spark and
+the reference both lack, built from union + window (no UDF, no range
+explosion).
+
+Semantics: for every left row, attach the most recent right row with
+``right.ts <= left.ts`` (optionally within ``tolerance``), per key.
+
+Plan shape: tag both sides, union, ONE shuffle on (key) with a sort on
+(ts, side-order); a running ``last(right-payload, ignorenulls)`` window
+carries the latest right values forward onto each left row. Cost =
+one shuffle + one sort over |L|+|R| — the same as a single sort-merge
+join, with no per-row range probe. This beats the naive
+``L join R on key and r.ts <= l.ts`` + argmax (which materializes all
+matching pairs: quadratic in events-per-key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join. Right payload columns arrive suffixed; rows with
+    no prior right row get NULLs (and are filtered by tolerance if set).
+
+    Ties (equal ts): the right row sorts BEFORE the left row at the
+    same timestamp, so an exactly-simultaneous right row matches.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, ts)]
+
+    lt = left.withColumn("__side", F.lit(1))
+    for c in right_cols:
+        lt = lt.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
+    lt = lt.withColumn(f"__ts{suffix}", F.lit(None).cast(right.schema[ts].dataType))
+
+    rt = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(ts).alias(f"__ts{suffix}"),
+    )
+    for c in left.columns:
+        if c not in (on, ts):
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    rt = rt.select(*lt.columns)
+
+    u = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in right_cols]
+    carried_ts = F.last(f"__ts{suffix}", ignorenulls=True).over(w).alias(f"__ts{suffix}")
+
+    out = (
+        u.select(
+            *[c for c in left.columns], "__side",
+            *carried, carried_ts,
+        )
+        .filter(F.col("__side") == 1)
+        .drop("__side")
+    )
+    if tolerance_seconds is not None:
+        within = (
+            F.col(ts).cast("double") - F.col(f"__ts{suffix}").cast("double")
+        ) <= tolerance_seconds
+        out = out.select(
+            *[c for c in left.columns],
+            *[
+                F.when(within, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in right_cols
+            ],
+            F.when(within, F.col(f"__ts{suffix}")).alias(f"__ts{suffix}"),
+        )
+    return out.withColumnRenamed(f"__ts{suffix}", f"{ts}{suffix}")

@@ -123,7 +123,9 @@ def read_parquet(spark: SparkSession, path: str, schema=None) -> DataBag:
         reader = reader.schema(schema)
     df = reader.parquet(path)
     for col in _ns_timestamp_columns(path):
-        df = df.withColumn(col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
+        # integer `div`, NOT `/`: float division of int64 nanos loses
+        # precision past 2^53 and lands ±1µs off after floor
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return DataBag(df)
 
 

@@ -694,3 +694,30 @@ def comprehension_join_derivation(spark, sf_dir):
         .select(lambda x: {"nation": x.n.n_name})
     )
     return joined.group_by(["nation"]).agg(alg.Size(name="big_orders")).df
+
+
+@query(
+    "asof_join_purchases",
+    oracle="""
+    SELECT p.user_id, p.event_id AS pid,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND c.ts <= p.ts) AS click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_join_purchases(spark, sf_dir):
+    """As-of join (operators/asof.py): each purchase gets the user's
+    most recent prior click. union + ONE (key)-shuffle + running
+    last(ignorenulls) window — never materializes the quadratic
+    pair space a naive range join would."""
+    from ..operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events")["events"].df
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(purchases, clicks, on="user_id", ts="ts").select(
+        "user_id", "pid", F.col("ts_right").alias("click_ts")
+    )

@@ -22,7 +22,11 @@ from . import query
 def _stage_events(spark, sf_dir: str) -> str:
     """Write events to a session-scoped temp dir (streaming file
     sources read directories)."""
-    staged = os.path.join(tempfile.gettempdir(), f"emma_stream_{abs(hash(sf_dir))}")
+    src = f"{sf_dir}/events.parquet"
+    stamp = f"{os.path.getmtime(src):.0f}_{os.path.getsize(src)}_v2"
+    staged = os.path.join(
+        tempfile.gettempdir(), f"emma_stream_{abs(hash((sf_dir, stamp)))}"
+    )
     marker = os.path.join(staged, "_SUCCESS")
     if not os.path.exists(marker):
         io.read_parquet(spark, f"{sf_dir}/events.parquet").df.write.mode(
