@@ -14,6 +14,8 @@ text analysis, multimodal plumbing).
 from .core import DataBag, GroupedBag
 from .functions import alg
 from .functions.expr import Elem, eq, ne, struct
+from .operators.asof import asof_join
+from .operators.skew import salted_join
 from .plans.comprehension import comprehension
 from .plans.iterate import fixpoint
 from .session import get_spark
@@ -31,6 +33,8 @@ __all__ = [
     "struct",
     "comprehension",
     "fixpoint",
+    "asof_join",
+    "salted_join",
     "get_spark",
     "io",
 ]
