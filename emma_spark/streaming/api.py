@@ -82,18 +82,39 @@ def keyed_state(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+) -> None:
     """Drain all available input into an in-memory table (availableNow
     trigger) and block until done — turns a stream into a queryable
-    batch result (tests / the driver's batch-only harness)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    batch result (tests / the driver's batch-only harness).
+
+    ``state_partitions`` sizes the state store: a streaming query pins
+    its shuffle-partition count (= number of state store instances) at
+    first start, so it must be sized to STATE-KEY cardinality, not the
+    session default meant for large batch shuffles. For a bounded drain
+    with thousands of keys a handful of partitions avoids paying
+    per-partition store setup; an unbounded production run with many
+    millions of keys should pass a number sized to the cluster."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def foreach_batch_parquet(stream_df: DataFrame, path: str, checkpoint: str,

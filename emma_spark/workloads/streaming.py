@@ -59,7 +59,9 @@ def stream_tumbling_counts(spark, sf_dir):
         (F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5))) / 10000).alias("total"),
     )
     name = f"stream_tc_{uuid.uuid4().hex[:8]}"
-    S.run_to_memory(agg, name, output_mode="complete")
+    # state keys = hourly windows x event types (~10^3 at sf0.1): a few
+    # state-store partitions, not the batch-shuffle default of 32
+    S.run_to_memory(agg, name, output_mode="complete", state_partitions=4)
     return spark.table(name).select(
         F.col("window.start").alias("win_start"), "event_type", "n", "total"
     )
