@@ -721,3 +721,52 @@ def asof_join_purchases(spark, sf_dir):
     return asof_join(purchases, clicks, on="user_id", ts="ts").select(
         "user_id", "pid", F.col("ts_right").alias("click_ts")
     )
+
+
+@query(
+    "mutable_bag_update",
+    oracle="""
+    WITH old AS (
+      SELECT o_custkey AS key, sum(floor(o_totalprice * 100 + 0.5)) / 100 AS val
+      FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+    ), msgs AS (
+      SELECT o_custkey AS key, sum(floor(o_totalprice * 100 + 0.5)) / 100 AS val
+      FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1
+    )
+    SELECT coalesce(o.key, m.key) AS key,
+           CASE WHEN m.val IS NULL THEN o.val
+                ELSE coalesce(o.val, 0) + m.val END AS val
+    FROM old o FULL OUTER JOIN msgs m ON o.key = m.key
+    """,
+)
+def mutable_bag_update(spark, sf_dir):
+    """MutableBag.update (state.py; api/MutableBag.scala:28-44): keyed
+    state seeded with pre-1996 customer spend, one upsert round of 1996+
+    spend, final snapshot. Full-outer-join merge — one key shuffle per
+    update, state never on the driver."""
+    from ..state import MutableBag
+
+    o = T(spark, sf_dir, "orders")["orders"].df
+    spend = lambda pred: (
+        o.filter(pred)
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(qsum(F.col("o_totalprice"), 2).alias("val"))
+    )
+    cut = F.col("o_orderdate") < "1996-01-01"
+    mb = MutableBag(spend(cut))
+    mb.update(spend(~cut), lambda k, old, msg: F.coalesce(old, F.lit(0.0)) + msg)
+    return mb.bag().df
+
+
+@query("sample_reservoir", oracle=None)
+def sample_reservoir(spark, sf_dir):
+    """Deterministic k-sample (core.py DataBag.sample;
+    api/DataBag.scala:139-150): bottom-k by seeded xxhash64 of row
+    content — same result for a given multiset under ANY partitioning,
+    a stronger contract than the reference's per-materialization
+    reservoir (SparkRDD.scala:86-107). Only k rows reach the driver.
+    No SQL oracle (hash scheme is engine-specific) -> rows-only check;
+    determinism is asserted in tests/test_core.py."""
+    c = T(spark, sf_dir, "customer")["customer"]
+    rows = c.sample(25, seed=7)
+    return spark.createDataFrame(rows, c.df.schema).select("c_custkey", "c_name")
