@@ -65,3 +65,40 @@ def stream_tumbling_counts(spark, sf_dir):
     return spark.table(name).select(
         F.col("window.start").alias("win_start"), "event_type", "n", "total"
     )
+
+
+@query(
+    "stream_keyed_state_counts",
+    oracle="SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+)
+def stream_keyed_state_counts(spark, sf_dir):
+    """Arbitrary keyed state over a stream (applyInPandasWithState —
+    the MutableBag.update analog, api/MutableBag.scala:28-44): per-user
+    running event counts. State is partitioned by key across executors;
+    max(n) per key after the drain picks the final running value, so
+    the result is exact regardless of how availableNow batches the
+    input. Full SQL oracle: final state == batch groupBy count."""
+    import pandas as pd
+
+    staged = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = S.read_stream_parquet(spark, staged, schema)
+
+    def update(key, pdf_iter, state):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [cnt]})
+
+    out = S.keyed_state(
+        stream,
+        keys=["user_id"],
+        func=update,
+        state_schema="n bigint",
+        output_schema="user_id bigint, n bigint",
+        output_mode="update",
+    )
+    name = f"stream_ks_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(out, name, output_mode="update", state_partitions=4)
+    return spark.table(name).groupBy("user_id").agg(F.max("n").alias("n"))
