@@ -57,14 +57,17 @@ def ann_topk_cosine(spark, sf_dir):
       FROM base l JOIN base r ON l.blk = r.blk AND l.vec_id < r.vec_id
     )
     SELECT a, b, floor(({SQL_COS}) * 10000 + 0.5) / 10000 AS sim FROM pairs
-    WHERE floor(({SQL_COS}) * 10000 + 0.5) / 10000 >= 0.8
+    WHERE floor(({SQL_COS}) * 10000 + 0.5) / 10000 >= 0.35
     """,
 )
 def embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within id-blocks (scale path
-    swaps block key for hyperplane LSH buckets — same join shape)."""
+    swaps block key for hyperplane LSH buckets — same join shape).
+    Threshold 0.35 sits at ~p99.9 of the synthetic data's in-block
+    cosine distribution (max 0.44), so the check matches a small
+    NONZERO pair set — a 0.8 cutoff would trivially pass on 0 rows."""
     emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
-    return S.embedding_neardup_pairs(emb, min_sim=0.8, blocks=20)
+    return S.embedding_neardup_pairs(emb, min_sim=0.35, blocks=20)
 
 
 @query("ann_lsh_topk", oracle=None)  # approximate: rows-only check
