@@ -770,3 +770,63 @@ def sample_reservoir(spark, sf_dir):
     c = T(spark, sf_dir, "customer")["customer"]
     rows = c.sample(25, seed=7)
     return spark.createDataFrame(rows, c.df.schema).select("c_custkey", "c_name")
+
+
+@query(
+    "click_count_diffs",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, ts::DATE AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT c.user_id, c.day, abs(c.n - p.n) AS diff
+    FROM daily c JOIN daily p
+      ON c.user_id = p.user_id AND c.day = p.day + INTERVAL 1 DAY
+    """,
+)
+def click_count_diffs(spark, sf_dir):
+    """ClickCountDiffs (emma-examples/.../ClickCountDiffs.scala:21-52):
+    per-key daily counts diffed against the previous day. The reference
+    loops over per-day files re-joining each iteration; Spark-first this
+    is ONE aggregation + ONE self-equi-join on (user, day-1) — the same
+    two-shuffle plan at any number of days, vs N joins in the loop."""
+    e = T(spark, sf_dir, "events")["events"]
+    daily = (
+        e.df.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c, p = daily.alias("c"), daily.alias("p")
+    return c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.day") == F.date_add(F.col("p.day"), 1)),
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.day").alias("day"),
+        F.abs(F.col("c.n") - F.col("p.n")).alias("diff"),
+    )
+
+
+@query(
+    "csv_roundtrip_agg",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def csv_roundtrip_agg(spark, sf_dir):
+    """CSV sink + typed source round-trip (io.write_csv/read_csv;
+    api/DataBag.scala:173,417; io/csv/CSV.scala:23-55): nation is
+    written to CSV with headers and read back with an explicit schema,
+    then aggregated — hash-matching the oracle on the ORIGINAL parquet
+    proves the codec loses nothing."""
+    import tempfile
+
+    n = T(spark, sf_dir, "nation")["nation"]
+    path = tempfile.mkdtemp(prefix="emma_csv_rt_") + "/nation"
+    n.write_csv(path)
+    back = io.read_csv(spark, path, schema=n.df.schema, header=True)
+    return (
+        back.df.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_nationkey").alias("key_sum"))
+    )
