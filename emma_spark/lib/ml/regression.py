@@ -52,3 +52,20 @@ def rmse(predicted: DataFrame, label_col: str = "label") -> float:
         F.sqrt(F.avg(F.pow(F.col("prediction") - F.col(label_col), 2))).alias("rmse")
     ).collect()[0]
     return row["rmse"]
+
+
+def linreg_normal(
+    instances: DataFrame, x_col: str = "x", label_col: str = "label"
+) -> DataFrame:
+    """Closed-form simple linear regression (normal equations) as ONE
+    aggregation: slope = cov(x, y)/var(x), intercept = ȳ − slope·x̄.
+
+    The Spark-first alternative to the SGD loop for the 1-feature case
+    (linreg.scala's semantics, zero iterations): a single map-side
+    partial + final aggregate over any data size; nothing iterative,
+    nothing on the driver. Returns a 1-row DataFrame (slope, intercept)
+    so it composes with grouped variants via the same aggregate exprs."""
+    return instances.agg(
+        F.regr_slope(F.col(label_col), F.col(x_col)).alias("slope"),
+        F.regr_intercept(F.col(label_col), F.col(x_col)).alias("intercept"),
+    )

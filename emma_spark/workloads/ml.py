@@ -15,7 +15,7 @@ from ..lib.ml import features as feat
 from ..lib.ml.kmeans import kmeans
 from ..lib.ml.naive_bayes import naive_bayes
 from ..sources import io
-from . import query
+from . import query, rd
 
 # 4 fixed centroids in the embeddings' 8-dim space (first 8 dims used)
 CENTROIDS = [
@@ -186,3 +186,24 @@ def ml_kmeans_fit(spark, sf_dir):
         for pos, val in enumerate(vec)
     ]
     return spark.createDataFrame(rows, "cid int, pos int, value double")
+
+
+@query(
+    "ml_linreg_closed_form",
+    oracle="""
+    SELECT l_returnflag,
+           floor(regr_slope(l_extendedprice, l_quantity) * 10000 + 0.5) / 10000 AS slope,
+           floor(regr_intercept(l_extendedprice, l_quantity) * 10000 + 0.5) / 10000 AS intercept
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def ml_linreg_closed_form(spark, sf_dir):
+    """Per-group closed-form linear regression (lib/ml/regression.py
+    linreg_normal; linreg.scala semantics for the 1-feature case):
+    price ~ quantity per return flag. One hash aggregate with map-side
+    partials — the exact-solution path that needs no SGD loop."""
+    li = io.load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.df.groupBy("l_returnflag").agg(
+        rd(F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias("slope"),
+        rd(F.regr_intercept(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias("intercept"),
+    )
