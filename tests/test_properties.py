@@ -1,0 +1,84 @@
+"""Property-based bag-semantics tests (hypothesis).
+
+The reference mixes PropertyChecks into its differential codegen spec
+(``BaseCodegenIntegrationSpec.scala:38``; SURVEY §5). Here the oracle
+is pure Python over the same drawn multiset: for random small bags we
+assert the algebraic contracts of ``DataBag`` — duplicate-preserving
+union, distinct, the fold family, and grouped counts — under
+order-insensitive bag equality.
+
+One Spark round-trip per drawn example is expensive, so each example
+checks MANY properties on one materialized bag (amortized), examples
+are capped, and the deadline is disabled (JVM warm-up skews timing).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from emma_spark import DataBag
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+rows = st.lists(
+    st.tuples(st.integers(-3, 3), st.integers(-1000, 1000)),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _bag(spark, data):
+    return DataBag.apply(spark, [{"k": k, "v": v} for k, v in data], "k int, v int")
+
+
+@given(data=rows, other=rows)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bag_algebra_matches_python_oracle(spark, data, other):
+    xs = _bag(spark, data)
+    ys = _bag(spark, other)
+
+    # union keeps duplicates (api/DataBag.scala:112-122)
+    got = Counter((r["k"], r["v"]) for r in xs.union(ys).collect())
+    assert got == Counter(data) + Counter(other)
+
+    # distinct = set semantics
+    got = {(r["k"], r["v"]) for r in xs.distinct().collect()}
+    assert got == set(data)
+
+    # fold family on one pass (api/DataBag.scala:216-315)
+    vals = [v for _, v in data]
+    assert xs.size() == len(data)
+    assert xs.count(lambda x: x.v > 0) == sum(1 for v in vals if v > 0)
+    assert xs.is_empty() == (not data)
+    assert xs.exists(lambda x: x.v > 0) == any(v > 0 for v in vals)
+    assert xs.forall(lambda x: x.v > 0) == all(v > 0 for v in vals)
+    if data:
+        assert xs.min(lambda x: x.v) == min(vals)
+        assert xs.max(lambda x: x.v) == max(vals)
+        assert xs.sum(lambda x: x.v) == sum(vals)
+
+    # grouped counts = Python Counter on keys
+    got = {
+        (r["k"], r["n"])
+        for r in xs.group_by(["k"]).agg(n=F.count(F.lit(1))).collect()
+    }
+    assert got == set(Counter(k for k, _ in data).items())
+
+
+@given(data=rows)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sample_deterministic_under_partitioning(spark, data):
+    """sample(k, seed) depends only on bag CONTENT, not partitioning
+    (stronger than api/DataBag.scala:139-150's per-materialization
+    contract)."""
+    xs = _bag(spark, data)
+    s1 = xs.sample(5, seed=99)
+    s2 = xs.repartition(3).sample(5, seed=99)
+    key = lambda rs: sorted((r["k"], r["v"]) for r in rs)
+    assert key(s1) == key(s2)
+    assert len(s1) == min(5, len(data))
