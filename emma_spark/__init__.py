@@ -15,6 +15,7 @@ from .core import DataBag, GroupedBag
 from .functions import alg
 from .functions.expr import Elem, eq, ne, struct
 from .operators.asof import asof_join
+from .operators.range import range_join
 from .operators.skew import salted_join
 from .plans.comprehension import comprehension
 from .plans.iterate import fixpoint
@@ -34,6 +35,7 @@ __all__ = [
     "comprehension",
     "fixpoint",
     "asof_join",
+    "range_join",
     "salted_join",
     "get_spark",
     "io",

@@ -830,3 +830,35 @@ def csv_roundtrip_agg(spark, sf_dir):
         back.df.groupBy("n_regionkey")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_nationkey").alias("key_sum"))
     )
+
+
+@query(
+    "range_join_price_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('b0', 0, 100000), ('b1', 50000, 150000),
+      ('b2', 100000, 200000), ('b3', 150000, 600000))
+    SELECT band, count(*) AS n,
+           sum(floor(o_totalprice * 100 + 0.5)) / 100 AS total
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice <= hi
+    GROUP BY band
+    """,
+)
+def range_join_price_bands(spark, sf_dir):
+    """Range join (operators/range.py): orders against OVERLAPPING
+    price bands — bucketized to an equi-join on bucket id (one hash
+    join, no BroadcastNestedLoopJoin), exact predicate re-checked after.
+    Overlap means some orders match two bands: the bucket scheme still
+    emits each (order, band) pair exactly once."""
+    from ..operators.range import range_join
+
+    o = T(spark, sf_dir, "orders")["orders"].df.select("o_orderkey", "o_totalprice")
+    bands = spark.createDataFrame(
+        [("b0", 0, 100000), ("b1", 50000, 150000),
+         ("b2", 100000, 200000), ("b3", 150000, 600000)],
+        "band string, lo int, hi int",
+    )
+    joined = range_join(o, bands, "o_totalprice", "lo", "hi", bucket_width=50000)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), qsum(F.col("o_totalprice"), 2).alias("total")
+    )

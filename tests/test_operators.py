@@ -108,3 +108,24 @@ def test_asof_join_against_sql_oracle(spark, tables, duck):
         if g != cid and (g is None or cid is None or cid_ts[g] != cid_ts[cid]):
             mismatches.append((user_id, pid, g, cid))
     assert not mismatches, mismatches[:5]
+
+
+def test_range_join_matches_nested_loop(spark, tables):
+    """Bucketized range join == the naive non-equi join, including
+    points matching multiple overlapping intervals."""
+    from emma_spark.operators.range import range_join
+
+    o = tables["orders"].df.select("o_orderkey", "o_totalprice")
+    iv = spark.createDataFrame(
+        [("a", 0.0, 150000.0), ("b", 100000.0, 300000.0), ("c", 120000.0, 120500.0)],
+        "band string, lo double, hi double",
+    )
+    got = range_join(o, iv, "o_totalprice", "lo", "hi", bucket_width=75000).select(
+        "o_orderkey", "band"
+    )
+    want = o.join(
+        iv, (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") <= F.col("hi"))
+    ).select("o_orderkey", "band")
+    assert as_bag(got.collect()) == as_bag(want.collect())
+    # overlapping intervals: some point matched more than one band
+    assert got.groupBy("o_orderkey").count().agg(F.max("count")).collect()[0][0] >= 2
