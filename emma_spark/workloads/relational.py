@@ -862,3 +862,26 @@ def range_join_price_bands(spark, sf_dir):
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n"), qsum(F.col("o_totalprice"), 2).alias("total")
     )
+
+
+@query(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS parts,
+           count(DISTINCT l_suppkey) AS supps,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_counts(spark, sf_dir):
+    """Distinct aggregates (SURVEY §2.4 free gain — absent in the
+    reference, which only has bag-level distinct). Spark plans multiple
+    count(DISTINCT) via expand + two-phase aggregate — partial dedup
+    before the shuffle, no row explosion reaching the driver."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return li.df.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("parts"),
+        F.countDistinct("l_suppkey").alias("supps"),
+        F.count(F.lit(1)).alias("n"),
+    )
