@@ -49,13 +49,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in headline.items():
-        # queries are independent jobs: drop any persisted intermediates
-        # a previous query left behind (auto-cache is per-query state)
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        # best-of-2: single runs vary ±50% under JIT/GC noise on a
+        # shared box; the minimum is the steady-state number
+        for _ in range(2):
+            # queries are independent jobs: drop any persisted
+            # intermediates (auto-cache is per-query state)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     # sf from dir name, e.g. .../sf0.1 -> 0.1
