@@ -17,6 +17,7 @@ from .functions.expr import Elem, eq, ne, struct
 from .operators.asof import asof_join
 from .operators.range import range_join
 from .operators.skew import salted_join
+from .plans.cache import auto_cache
 from .plans.comprehension import comprehension
 from .plans.iterate import fixpoint
 from .session import get_spark
@@ -32,6 +33,7 @@ __all__ = [
     "eq",
     "ne",
     "struct",
+    "auto_cache",
     "comprehension",
     "fixpoint",
     "asof_join",

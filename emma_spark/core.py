@@ -422,6 +422,38 @@ class GroupedBag:
         return bag.filter(p)
 
 
+def _consumes(fn):
+    """Auto-cache hook (plans/cache.py; Caching.scala:57-94 'used more
+    than once' policy): every plan-building/action method counts one
+    consumption of each DataBag argument's DataFrame; the second
+    consumption inside an ``auto_cache()`` scope persists it."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        from .plans.cache import note_use
+
+        note_use(self._df)
+        for a in args:
+            if isinstance(a, DataBag):
+                note_use(a._df)
+        return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
+for _name in (
+    "map", "flat_map", "filter", "select", "group_by", "fold_group",
+    "fold", "size", "count", "sum", "product", "min", "max", "exists",
+    "forall", "is_empty", "non_empty", "find", "reduce", "top", "bottom",
+    "cross", "equi_join", "join", "theta_join", "union", "distinct",
+    "intersect", "subtract", "sample", "zip_with_index", "order_by",
+    "limit", "collect",
+):
+    setattr(DataBag, _name, _consumes(getattr(DataBag, _name)))
+del _name
+
+
 def _disambiguate(left: DataFrame, right: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Self-join column refresh (``SparkNtv.scala:79-82``): alias both
     sides so ambiguous column lineage resolves."""

@@ -232,3 +232,39 @@ def test_zip_with_index_dense_unique(tables):
     z = tables["customer"].zip_with_index()
     idx = sorted(r["index"] for r in z.df.select("index").collect())
     assert idx == list(range(len(idx)))
+
+
+def test_auto_cache_used_twice(spark, tables):
+    """auto_cache (plans/cache.py; Caching.scala:57-94): a bag consumed
+    twice inside the scope is persisted, results are unchanged, and the
+    scope exit unpersists."""
+    from emma_spark.plans.cache import auto_cache, cached_count
+
+    li = tables["lineitem"]
+    base = li.filter(lambda x: x.l_quantity > 10).select("l_orderkey", "l_quantity")
+    with auto_cache():
+        a = base.filter(lambda x: x.l_quantity > 40)   # use 1
+        b = base.filter(lambda x: x.l_quantity <= 40)  # use 2 -> persist
+        assert cached_count() == 1
+        lvl = base.df.storageLevel
+        assert lvl.useMemory or lvl.useDisk
+        assert a.size() + b.size() == base.size()
+    lvl = base.df.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)  # unpersisted on exit
+
+
+def test_auto_cache_counts_join_sides(spark, tables):
+    """Both sides of a binary op are counted; no persist for single use;
+    outside a scope nothing is ever persisted."""
+    from emma_spark.plans.cache import auto_cache, cached_count
+
+    n = tables["nation"]
+    r = tables["region"]
+    with auto_cache():
+        n.equi_join(r, "n_regionkey", "r_regionkey")  # first use of each
+        assert cached_count() == 0
+        n.equi_join(r, "n_regionkey", "r_regionkey")  # second use of both
+        assert cached_count() == 2
+    out = n.equi_join(r, "n_regionkey", "r_regionkey")
+    assert cached_count() == 0
+    assert out.size() == 25
