@@ -885,3 +885,81 @@ def agg_distinct_counts(spark, sf_dir):
         F.countDistinct("l_suppkey").alias("supps"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "skew_salted_join_agg",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           sum(floor(l_extendedprice * 100 + 0.5)) / 100 AS price_sum
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def skew_salted_join_agg(spark, sf_dir):
+    """Salted skew join (operators/skew.py): left keys get a random
+    salt in [0, factor), the build side is exploded factor times, and
+    the join runs on (key, salt) — a hot key's rows spread over factor
+    reducers instead of one. The oracle is the PLAIN join: salting must
+    be result-invariant."""
+    from ..operators.skew import salted_join
+
+    t = T(spark, sf_dir, "lineitem", "orders")
+    li = t["lineitem"].df.select("l_orderkey", "l_extendedprice")
+    o = t["orders"].df.select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, "l_orderkey", factor=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        qsum(F.col("l_extendedprice"), 2).alias("price_sum"),
+    )
+
+
+@query(
+    "directors_muses_shape",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_nationkey, o_custkey, count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey, o_custkey
+    ), eligible AS (
+      SELECT c_nationkey FROM per_cust
+      GROUP BY c_nationkey HAVING count(*) >= 20
+    )
+    SELECT p.c_nationkey, p.o_custkey, p.n_orders
+    FROM per_cust p JOIN eligible e ON p.c_nationkey = e.c_nationkey
+    QUALIFY row_number() OVER (
+      PARTITION BY p.c_nationkey
+      ORDER BY p.n_orders DESC, p.o_custkey ASC) = 1
+    """,
+)
+def directors_muses_shape(spark, sf_dir):
+    """DirectorsMuses shape (emma-examples/.../imdb/DirectorsMuses.scala:
+    24-75): join -> two-level grouped agg -> having-style filter ->
+    argmax per group. The reference computes per-group max then joins
+    back; Spark-first it's ONE ranking window over the aggregated rows
+    (deterministic tiebreak on custkey) — the c_nationkey shuffle is
+    reused by the aggregate, the having filter, and the window."""
+    t = T(spark, sf_dir, "orders", "customer")
+    per_cust = (
+        t["orders"].df
+        .join(t["customer"].df, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    eligible = (
+        per_cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .filter(F.col("n_cust") >= 20)
+        .select("c_nationkey")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("n_orders").desc(), F.col("o_custkey").asc()
+    )
+    return (
+        per_cust.join(eligible, "c_nationkey")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
