@@ -102,3 +102,34 @@ def stream_keyed_state_counts(spark, sf_dir):
     name = f"stream_ks_{uuid.uuid4().hex[:8]}"
     S.run_to_memory(out, name, output_mode="update", state_partitions=4)
     return spark.table(name).groupBy("user_id").agg(F.max("n").alias("n"))
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH w AS (
+      SELECT unnest([time_bucket(INTERVAL 1 HOUR, ts),
+                     time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR]) AS win_start,
+             event_type
+      FROM events
+    )
+    SELECT win_start, event_type, count(*) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark, sf_dir):
+    """Sliding-window streaming aggregation (2 h windows sliding 1 h):
+    every event lands in duration/slide = 2 windows. The oracle unrolls
+    the window membership explicitly — the two window starts covering
+    each event — and must produce the identical (window, type, count)
+    multiset."""
+    staged = _stage_events(spark, sf_dir)
+    stream = S.read_stream_parquet(spark, staged, spark.read.parquet(staged).schema)
+    agg = S.sliding(stream, "ts", "2 hours", "1 hour", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = f"stream_sl_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, output_mode="complete", state_partitions=4)
+    return spark.table(name).select(
+        F.col("window.start").alias("win_start"), "event_type", "n"
+    )
