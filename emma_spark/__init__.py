@@ -16,6 +16,7 @@ from .functions import alg
 from .functions.expr import Elem, eq, ne, struct
 from .operators.asof import asof_join
 from .operators.range import range_join
+from .operators.rollup import hyper_rollup
 from .operators.skew import salted_join
 from .plans.cache import auto_cache
 from .plans.comprehension import comprehension
@@ -38,6 +39,7 @@ __all__ = [
     "fixpoint",
     "asof_join",
     "range_join",
+    "hyper_rollup",
     "salted_join",
     "get_spark",
     "io",

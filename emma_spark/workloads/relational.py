@@ -963,3 +963,33 @@ def directors_muses_shape(spark, sf_dir):
         .filter(F.col("__rk") == 1)
         .drop("__rk")
     )
+
+
+@query(
+    "hyper_rollup_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS bucket_ts, event_type,
+           count(*) AS n,
+           sum(floor(value * 1000000 + 0.5)) / 1000000 AS v_sum,
+           min(value) AS v_min, max(value) AS v_max
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hyper_rollup_daily(spark, sf_dir):
+    """Hypertable rollup (operators/rollup.py): the DAILY level is
+    re-aggregated from the HOURLY level's partials (sum-of-sums,
+    min-of-mins, ...), never rescanning raw rows — at 100 TB the daily
+    pass reads |hours x keys| rows instead of the event stream. The
+    oracle aggregates raw directly: partial merging must be exact."""
+    from ..operators.rollup import hyper_rollup
+
+    e = T(spark, sf_dir, "events")["events"].df.select(
+        "ts", "event_type", (F.floor(F.col("value") * 1000000 + F.lit(0.5)) / 1000000).alias("value")
+    )
+    levels = hyper_rollup(e, "ts", ["event_type"], "value", buckets=["hour", "day"])
+    d = levels["day"]
+    return d.select(
+        F.col("bucket_ts").cast("date").alias("bucket_ts"), "event_type", "n",
+        (F.floor(F.col("v_sum") * 1000000 + F.lit(0.5)) / 1000000).alias("v_sum"),
+        "v_min", "v_max",
+    )

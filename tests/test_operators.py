@@ -129,3 +129,26 @@ def test_range_join_matches_nested_loop(spark, tables):
     assert as_bag(got.collect()) == as_bag(want.collect())
     # overlapping intervals: some point matched more than one band
     assert got.groupBy("o_orderkey").count().agg(F.max("count")).collect()[0][0] >= 2
+
+
+def test_hyper_rollup_partials_equal_direct(spark, tables):
+    """Each rollup level re-aggregated from the finer level's partials
+    equals direct aggregation from raw rows."""
+    from emma_spark.operators.rollup import hyper_rollup, rollup_level
+
+    ev = tables["events"].df.select("user_id", "ts", "value")
+    levels = hyper_rollup(ev, "ts", ["user_id"], "value", buckets=["hour", "day"])
+    direct_day = rollup_level(ev, "ts", "day", ["user_id"], "value")
+    got = as_bag(
+        levels["day"].select(
+            "bucket_ts", "user_id", "n",
+            F.round("v_sum", 6).alias("v_sum"), "v_min", "v_max",
+        ).collect()
+    )
+    want = as_bag(
+        direct_day.select(
+            "bucket_ts", "user_id", "n",
+            F.round("v_sum", 6).alias("v_sum"), "v_min", "v_max",
+        ).collect()
+    )
+    assert got == want
