@@ -422,6 +422,46 @@ def groupby_having(spark, sf_dir):
 
 
 @query(
+    "fold_product_user_alg",
+    oracle="""
+    SELECT l_orderkey,
+           product(l_quantity) AS prod_qty,
+           count(*) AS n,
+           sum(CAST(l_quantity * l_quantity AS BIGINT)) AS sum_sq
+    FROM lineitem WHERE l_linenumber <= 5
+    GROUP BY l_orderkey
+    """,
+)
+def fold_product_user_alg(spark, sf_dir):
+    """Product fold (api/DataBag.scala:274-284, Alg.scala:127-131) plus a
+    user monoid Alg (zero=0, init=x*x, plus=+ — the reference's universal
+    ``fold(zero)(init, plus)`` consumer, api/DataBag.scala:59-63), fused
+    with Size into ONE hash-agg pass. Quantities are integral and the
+    group is bounded (<=5 rows of <=50), so the double product stays
+    exact (< 2^53) and partition-order-independent; sum_sq accumulates
+    in exact bigint. The Fold path materializes a per-group array via
+    collect_list — bounded here by the l_linenumber filter, which is the
+    contract that keeps it safe at 100 TB."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(lambda x: x.l_linenumber <= 5)
+        .group_by(lambda x: {"l_orderkey": x.l_orderkey})
+        .agg(
+            alg.Product(e="l_quantity", name="prod_qty"),
+            alg.Size(name="n"),
+            alg.Fold(
+                zero=0,
+                init=lambda x: (x * x).cast("bigint"),
+                plus=lambda a, b: a + b,
+                e="l_quantity",
+                name="sum_sq",
+            ),
+        )
+        .df
+    )
+
+
+@query(
     "fold_global",
     oracle="""
     SELECT count(*) AS cnt,
