@@ -286,6 +286,44 @@ def join_left_outer(spark, sf_dir):
 
 
 @query(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_acctbal, o.n_orders
+    FROM (SELECT * FROM customer WHERE c_acctbal > 0) c
+    FULL OUTER JOIN (
+      SELECT o_custkey, count(*) AS n_orders FROM orders
+      WHERE o_totalprice > 150000 GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """Full outer join — absent in the reference (SURVEY §2.3 free gain);
+    its only outer-join-like construct is MutableBag's internal
+    right-outer merge (SparkMutableBag.scala:41-44). Each side is
+    restricted so BOTH null branches occur: positive-balance customers
+    without big orders (null n_orders) and negative-balance customers
+    with big orders (null c_acctbal). Aggregating the fact side BEFORE
+    the join (partial agg + one shuffle on o_custkey) keeps the outer
+    join key-unique on both sides — at 100 TB this is agg-then-join,
+    never join-then-agg."""
+    t = T(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["orders"]
+        .filter(lambda x: x.o_totalprice > 150000)
+        .group_by(lambda x: {"o_custkey": x.o_custkey})
+        .agg(alg.Size(name="n_orders"))
+    )
+    pos = t["customer"].filter(lambda x: x.c_acctbal > 0)
+    joined = pos.equi_join(per_cust, "c_custkey", "o_custkey", how="full")
+    return joined.df.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        F.col("c_acctbal"),
+        F.col("n_orders"),
+    )
+
+
+@query(
     "join_semi",
     oracle="""
     SELECT c_custkey, c_name FROM customer
