@@ -179,14 +179,19 @@ def simhash(
 
 def simhash_near_pairs(fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 2) -> DataFrame:
     """Near-dup pairs by simhash hamming distance, blocked on the
-    fingerprint's high byte to avoid n² (docs differing only in low bits
-    still collide; widen blocks for higher recall)."""
-    l = fps.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha")).alias("l")
-    r = fps.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb")).alias("r")
-    block = (F.col("ha").bitwiseXOR(F.col("hb"))) < (1 << 8)  # same high bits
+    fingerprint's high bits (above the low byte) so candidate generation
+    is an EQUI-join: derive ``block = simhash >> 8`` on both sides and
+    hash-join on block equality — Σ|bucket|² compares, never n².
+    (``ha >> 8 == hb >> 8`` is exactly ``(ha XOR hb) < 256``, but as a
+    key equality Catalyst plans SortMergeJoin/ShuffledHashJoin instead
+    of a BroadcastNestedLoopJoin.) Docs differing only in low bits
+    still collide; widen blocks (smaller shift) for higher recall."""
+    blk = F.shiftright(F.col("simhash"), 8)
+    l = fps.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), blk.alias("__blk"))
+    r = fps.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), blk.alias("__blk_r"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        l.join(r, (F.col("a") < F.col("b")) & block, "inner")
+        l.join(r, (F.col("__blk") == F.col("__blk_r")) & (F.col("a") < F.col("b")), "inner")
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")

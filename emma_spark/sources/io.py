@@ -116,13 +116,19 @@ def read_parquet(spark: SparkSession, path: str, schema=None) -> DataBag:
     timestamp[ns] parquet columns (Spark reads them as long under
     ``spark.sql.legacy.parquet.nanosAsLong``) are converted to
     microsecond timestamps, matching DuckDB's truncation."""
+    ns_cols = _ns_timestamp_columns(path)
+    if ns_cols:
+        # Session-independent: the driver harness provides its own vanilla
+        # SparkSession, so the conf must be set here (runtime-settable SQL
+        # conf), not only in emma_spark.session.get_spark.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
     if isinstance(schema, type) and dataclasses.is_dataclass(schema):
         reader = reader.schema(schema_of(schema))
     elif schema is not None:
         reader = reader.schema(schema)
     df = reader.parquet(path)
-    for col in _ns_timestamp_columns(path):
+    for col in ns_cols:
         # integer `div`, NOT `/`: float division of int64 nanos loses
         # precision past 2^53 and lands ±1µs off after floor
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))

@@ -97,6 +97,26 @@ def dedup_simhash(spark, sf_dir):
 
 
 @query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH s AS ({_simhash_sql()})
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           bit_count(xor(l.simhash, r.simhash)) AS hamming
+    FROM s l JOIN s r
+      ON (l.simhash >> 8) = (r.simhash >> 8) AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidates, block = simhash >> 8 as an EQUI-join
+    key (hash join, Σ|bucket|² — the 100 TB path; a hamming theta
+    predicate alone would plan BroadcastNestedLoopJoin = n²)."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    fps = D.simhash(docs, bits=16)
+    return D.simhash_near_pairs(fps, max_hamming=3)
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS (

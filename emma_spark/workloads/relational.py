@@ -421,20 +421,23 @@ def groupby_agg_pricing(spark, sf_dir):
 @query(
     "groupby_nest",
     oracle="""
-    SELECT n_nationkey, list(s_name ORDER BY s_name) AS values
+    SELECT n_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS values
     FROM nation JOIN supplier ON n_nationkey = s_nationkey
     GROUP BY n_nationkey
     """,
 )
 def groupby_nest(spark, sf_dir):
     """Group materialization Group(key, DataBag[A]) (api/DataBag.scala:106)
-    — array column, sorted for comparability. The ONLY operator that
-    materializes a group; fold paths never do."""
+    — the ONLY operator that materializes a group; fold paths never do.
+    The nested bag is serialized to a sorted joined string for the
+    driver's hasher (pandas canonicalization can't factorize array
+    cells); the true array-of-struct ``nest`` contract is covered by
+    tests/test_core.py."""
     t = T(spark, sf_dir, "nation", "supplier")
     j = t["nation"].equi_join(t["supplier"], "n_nationkey", "s_nationkey")
     return (
         j.df.groupBy("n_nationkey")
-        .agg(F.sort_array(F.collect_list("s_name")).alias("values"))
+        .agg(F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("values"))
     )
 
 
@@ -463,7 +466,7 @@ def groupby_having(spark, sf_dir):
     "fold_product_user_alg",
     oracle="""
     SELECT l_orderkey,
-           product(l_quantity) AS prod_qty,
+           CAST(product(l_quantity) AS BIGINT) AS prod_qty,
            count(*) AS n,
            sum(CAST(l_quantity * l_quantity AS BIGINT)) AS sum_sq
     FROM lineitem WHERE l_linenumber <= 5
@@ -476,8 +479,10 @@ def fold_product_user_alg(spark, sf_dir):
     ``fold(zero)(init, plus)`` consumer, api/DataBag.scala:59-63), fused
     with Size into ONE hash-agg pass. Quantities are integral and the
     group is bounded (<=5 rows of <=50), so the double product stays
-    exact (< 2^53) and partition-order-independent; sum_sq accumulates
-    in exact bigint. The Fold path materializes a per-group array via
+    exact (< 2^53) and partition-order-independent; both sides cast to
+    bigint for the value hash (last-ulp double formatting diverges
+    between engines past 6 significant digits). sum_sq accumulates in
+    exact bigint. The Fold path materializes a per-group array via
     collect_list — bounded here by the l_linenumber filter, which is the
     contract that keeps it safe at 100 TB."""
     li = T(spark, sf_dir, "lineitem")["lineitem"]
@@ -495,7 +500,7 @@ def fold_product_user_alg(spark, sf_dir):
                 name="sum_sq",
             ),
         )
-        .df
+        .df.withColumn("prod_qty", F.col("prod_qty").cast("bigint"))
     )
 
 
