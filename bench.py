@@ -4,11 +4,12 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
 JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
-Per query we time plan + execution to completion via a count-ish
-action (``df.write.format("noop")`` is not in OSS pyspark's default
-path for python, so we use ``foreach``-free ``count()`` after a
-``cache``-free run — the result sets here are small aggregates, so
-driver transfer is negligible; scans dominate).
+Per query we time plan + FULL execution via the ``noop`` sink
+(``df.write.format("noop")``): every operator in the plan runs and
+every output row is produced, but nothing is persisted or collected.
+``count()`` is NOT a valid probe here — Catalyst prunes unevaluated
+projections under count, so projection-shaped queries would be
+measured as bare scans.
 """
 
 from __future__ import annotations
@@ -38,11 +39,15 @@ def main() -> None:
     # warm-up: run every headline query once at the smallest SF so the
     # JVM JITs / codegen-compiles the exact plan shapes being measured
     # (steady-state throughput is the quantity of interest)
+    def force(df) -> None:
+        """Fully evaluate the plan without collecting: noop sink."""
+        df.write.mode("overwrite").format("noop").save()
+
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for name, q in headline.items():
             try:
-                q.fn(spark, warm_dir).count()
+                force(q.fn(spark, warm_dir))
             except Exception as ex:  # pragma: no cover
                 print(f"# warmup {name} failed: {ex}", file=sys.stderr)
         spark.catalog.clearCache()
@@ -57,12 +62,11 @@ def main() -> None:
             # intermediates (auto-cache is per-query state)
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            n = df.count()
+            force(q.fn(spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     # sf from dir name, e.g. .../sf0.1 -> 0.1
     base = os.path.basename(sf_dir.rstrip("/"))

@@ -120,7 +120,8 @@ class DataBag:
         """``withFilter`` (``api/DataBag.scala:93``)."""
         return DataBag(self._df.filter(compile_predicate(self._df, p)))
 
-    with_filter = filter
+    # with_filter is bound AFTER the _consumes wrapping below so it
+    # shares filter's auto-cache use-counting.
 
     def select(self, *cols: ColumnLike, **named: Column) -> "DataBag":
         """Column-level projection escape hatch (idiomatic-Spark surface)."""
@@ -197,6 +198,52 @@ class DataBag:
     def reduce(self, zero, plus: Callable[[Column, Column], Column], e: ExprFn | str = "value"):
         """Monoid fold (``api/DataBag.scala:235-236``, ``Alg.scala:64-68``)."""
         return self.fold(A.Fold(zero=zero, plus=plus, e=_cols(self._df, e)[0]))
+
+    def reduce_option(self, plus: Callable[[Column, Column], Column], e: ExprFn | str = "value"):
+        """Zero-less monoid combine; ``None`` on the empty bag
+        (``api/DataBag.scala:245-246``, ``Alg.scala:71-75``)."""
+        return self.fold(A.ReduceOpt(plus=plus, e=_cols(self._df, e)[0]))
+
+    def fold_py(self, zero, init: Callable, plus: Callable, e: ExprFn | str | None = None):
+        """Arbitrary PYTHON-monoid fold — the reference's universal
+        ``fold(zero)(init, plus)`` (``api/DataBag.scala:59-63``) for
+        algebras ``F.aggregate`` cannot express (ragged vectors,
+        dict accumulators, ...).
+
+        Two-level distributed fold: each partition folds its rows in an
+        Arrow-batched ``mapInPandas`` pass and emits ONE pickled
+        accumulator; the bounded set of partials (one per partition)
+        merges on the driver with ``plus``. ``plus`` must be
+        associative and commutative and ``zero`` its identity — the
+        same lawfulness the reference's Alg demands (Alg.scala:38-42).
+        The documented slow path: prefer Column algs whenever the
+        algebra is expressible."""
+        import pickle
+
+        import pandas as pd
+        from pyspark.sql import types as Ty
+
+        if e is not None:
+            df = self._df.select(_cols(self._df, e)[0].alias("value"))
+            extract = lambda pdf: list(pdf["value"])
+        else:
+            df = self._df
+            extract = lambda pdf: pdf.to_dict("records")
+
+        def part(batches):
+            acc, seen = zero, False
+            for pdf in batches:
+                for v in extract(pdf):
+                    acc = plus(acc, init(v))
+                    seen = True
+            if seen:
+                yield pd.DataFrame({"acc": [pickle.dumps(acc)]})
+
+        schema = Ty.StructType([Ty.StructField("acc", Ty.BinaryType())])
+        out = zero
+        for r in df.mapInPandas(part, schema).collect():
+            out = plus(out, pickle.loads(bytes(r["acc"])))
+        return out
 
     def top(self, n: int, e: ExprFn | str | Sequence = "value") -> list:
         """k-largest as sorted list (``api/DataBag.scala:334-340``,
@@ -291,11 +338,18 @@ class DataBag:
         ``SparkRDD.scala:86-107`` with ``RanHash``).
 
         Spark-first scheme with a *stronger* determinism contract:
-        bottom-k by seeded xxhash64 of the full row — deterministic for a
-        given multiset CONTENT regardless of partitioning (the reference
-        is only deterministic per materialized partitioning). Distributed
+        bottom-k by a seeded PORTABLE content hash — first 56 bits of
+        md5 over the '|'-joined stringified row plus the seed. It is
+        deterministic for a given multiset CONTENT regardless of
+        partitioning (the reference is only deterministic per
+        materialized partitioning) AND reproducible by any engine
+        (DuckDB mirror: ``CAST(concat('0x', substr(md5(concat_ws('|',
+        cols..., seed)), 1, 14)) AS BIGINT)``). Distributed
         TakeOrdered: only k rows cross to the driver."""
-        h = F.xxhash64(F.struct(*[self._df[c] for c in self._df.columns]), F.lit(seed))
+        joined = F.concat_ws(
+            "|", *[self._df[c].cast("string") for c in self._df.columns], F.lit(str(seed))
+        )
+        h = F.conv(F.substring(F.md5(F.encode(joined, "utf-8")), 1, 14), 16, 10).cast("bigint")
         ordered = self._df.withColumn("__h", h).orderBy("__h").drop("__h")
         return ordered.take(k)
 
@@ -305,8 +359,12 @@ class DataBag:
 
         DataFrame-native two-pass scheme (no RDD round-trip): count rows
         per physical partition, then offset a per-partition row_number —
-        same plan shape as RDD.zipWithIndex but stays in Tungsten."""
-        df = self._df.withColumn("__pid", F.spark_partition_id())
+        same plan shape as RDD.zipWithIndex but stays in Tungsten.
+        The __pid-stamped frame is PERSISTED before the count pass: both
+        passes (and any downstream recompute under AQE/task retry) must
+        see the same partition ids, which a recomputation of the
+        un-persisted plan would not guarantee."""
+        df = self._df.withColumn("__pid", F.spark_partition_id()).persist()
         w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
         counts = df.groupBy("__pid").count().orderBy("__pid").collect()
         offsets = {}
@@ -421,6 +479,53 @@ class GroupedBag:
         bag = self.agg(*algs, **named)
         return bag.filter(p)
 
+    def py_fold(
+        self,
+        zero,
+        init: Callable,
+        plus: Callable,
+        e,
+        result_schema: str,
+        finish: Callable | None = None,
+    ) -> DataBag:
+        """Per-group arbitrary PYTHON-monoid fold — the pandas-UDAF
+        fallback completing ``foldGroup`` parity for algebras Columns
+        can't express (user Alg in ``api/DataBag.scala:59-63`` with a
+        non-encodable accumulator).
+
+        Lowered to ``applyInPandas`` (Arrow batches): ONE shuffle on
+        the group keys; inside each group the fold runs
+        ``plus(acc, init(v))`` over the value column. No map-side
+        partials (Spark can't merge opaque Python accumulators), so at
+        100 TB a skewed key lands whole on one task — prefer Column
+        algs when expressible; this path exists for the rest.
+
+        ``result_schema`` is a DDL string for the OUTPUT value columns
+        (e.g. ``"b0 bigint, b1 bigint"``); ``finish`` maps the final
+        accumulator to a tuple matching it (default: 1-tuple of acc).
+        """
+        import pandas as pd
+        from pyspark.sql import types as Ty
+
+        kdf = self._df.select(*self._keys, _cols(self._df, e)[0].alias("__v"))
+        knames = kdf.columns[:-1]
+        val_struct = Ty.StructType.fromDDL(result_schema)
+        out_fields = list(kdf.schema.fields[:-1]) + list(val_struct.fields)
+        schema = Ty.StructType(out_fields)
+        names = [f.name for f in out_fields]
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = zero
+            for v in pdf["__v"]:
+                acc = plus(acc, init(v))
+            res = finish(acc) if finish else (acc,)
+            if not isinstance(res, tuple):
+                res = (res,)
+            keyvals = [pdf[n].iloc[0] for n in knames]
+            return pd.DataFrame([keyvals + list(res)], columns=names)
+
+        return DataBag(kdf.groupBy(*knames).applyInPandas(fn, schema))
+
 
 def _consumes(fn):
     """Auto-cache hook (plans/cache.py; Caching.scala:57-94 'used more
@@ -448,10 +553,15 @@ for _name in (
     "forall", "is_empty", "non_empty", "find", "reduce", "top", "bottom",
     "cross", "equi_join", "join", "theta_join", "union", "distinct",
     "intersect", "subtract", "sample", "zip_with_index", "order_by",
-    "limit", "collect",
+    "limit", "collect", "reduce_option", "fold_py",
 ):
     setattr(DataBag, _name, _consumes(getattr(DataBag, _name)))
 del _name
+
+# with_filter must alias the WRAPPED filter — binding it before the loop
+# would bypass auto-cache use-counting (a bag consumed twice via
+# with_filter inside auto_cache() would never persist).
+DataBag.with_filter = DataBag.filter
 
 
 def _disambiguate(left: DataFrame, right: DataFrame) -> tuple[DataFrame, DataFrame]:

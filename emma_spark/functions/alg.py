@@ -274,6 +274,29 @@ class Fold(Alg):
         return [F.aggregate(mapped, zero, self.plus).alias(self.name)]
 
 
+@dataclass
+class ReduceOpt(Alg):
+    """``reduceOption``: monoid combine WITHOUT a zero element —
+    ``None`` on the empty bag (``api/DataBag.scala:245-246``,
+    ``Alg.scala:71-75``: fold into ``Option`` with ``Some`` as init and
+    an option-lifting plus).
+
+    Compiled as ``F.aggregate`` seeded with the first collected element
+    over the rest — same collect_list slow path as :class:`Fold`; the
+    ``when(size > 0)`` guard supplies the ``None``-on-empty contract.
+    """
+
+    plus: Callable[[Column, Column], Column] = None
+    e: ColumnLike = None
+    name: str = "reduce_opt"
+
+    def exprs(self) -> list[Column]:
+        arr = F.collect_list(_c(self.e))
+        rest = F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0)))
+        red = F.aggregate(rest, F.element_at(arr, 1), self.plus)
+        return [F.when(F.size(arr) > 0, red).alias(self.name)]
+
+
 def all_exprs(algs: Sequence[Alg]) -> list[Column]:
     """Product algebra: N algs -> one agg() pass (``Alg2..Alg22``,
     ``FoldForestFusion.scala:49-105`` — native in Spark)."""

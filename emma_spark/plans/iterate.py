@@ -21,6 +21,19 @@ from typing import Callable
 from ..core import DataBag  # noqa: F401  (re-export for callers)
 
 
+def _content_sig(df) -> tuple:
+    """(count, Σ xxhash64(row)) — a one-pass multiset-content signature.
+    Row order and partitioning can't change it; any content change does
+    (modulo a vanishing 64-bit collision chance)."""
+    from pyspark.sql import functions as F
+
+    # sum in decimal(38,0): full-range 64-bit hashes overflow a bigint
+    # sum under ANSI mode
+    row = F.xxhash64(F.struct(*[df[c] for c in df.columns])).cast("decimal(38,0)")
+    r = df.agg(F.count(F.lit(1)).alias("n"), F.sum(row).alias("h")).collect()[0]
+    return (r["n"], r["h"])
+
+
 def fixpoint(
     init: "DataBag",
     step: Callable[["DataBag"], "DataBag"],
@@ -30,14 +43,17 @@ def fixpoint(
 ) -> "DataBag":
     """Iterate ``state = step(state)`` until ``converged(old, new)``.
 
-    Default convergence = count equality with the previous state (the
-    reference's usual fixpoint probe: size deltas / nonEmpty on a delta
-    bag, ``transitiveClosure.scala:27-41``, ``ConnectedComponents.scala:33``).
-    """
+    Default convergence is a CONTENT probe — (count, row-hash-sum)
+    equality with the previous state — valid for any step, including
+    value-propagation steps whose row count never changes (a bare count
+    probe, the reference's usual fixpoint test,
+    ``transitiveClosure.scala:27-41``, would falsely converge there).
+    Pass ``converged`` for a cheaper problem-specific probe (e.g. the
+    monotone label-sum in connected components)."""
     from ..core import DataBag as DB
 
     state = DB(init.df.localCheckpoint(eager=True))
-    prev_count = state.df.count() if converged is None else None
+    prev_sig = _content_sig(state.df) if converged is None else None
     for i in range(max_iter):
         nxt = step(state)
         if (i + 1) % checkpoint_every == 0:
@@ -47,11 +63,11 @@ def fixpoint(
                 state.df.unpersist()
                 return nxt
         else:
-            n = nxt.df.count()
-            if n == prev_count:
+            sig = _content_sig(nxt.df)
+            if sig == prev_sig:
                 state.df.unpersist()
                 return nxt
-            prev_count = n
+            prev_sig = sig
         state.df.unpersist()
         state = nxt
     return state

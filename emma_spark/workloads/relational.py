@@ -505,6 +505,76 @@ def fold_product_user_alg(spark, sf_dir):
 
 
 @query(
+    "fold_histogram_pandas_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           count(CASE WHEN l_quantity <= 10 THEN 1 END) AS b0,
+           count(CASE WHEN l_quantity > 10 AND l_quantity <= 20 THEN 1 END) AS b1,
+           count(CASE WHEN l_quantity > 20 AND l_quantity <= 30 THEN 1 END) AS b2,
+           count(CASE WHEN l_quantity > 30 AND l_quantity <= 40 THEN 1 END) AS b3,
+           count(CASE WHEN l_quantity > 40 THEN 1 END) AS b4
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def fold_histogram_pandas_udaf(spark, sf_dir):
+    """foldGroup with a genuinely NON-columnar user algebra — the
+    pandas-UDAF fallback (GroupedBag.py_fold): accumulator is a Python
+    5-bin histogram vector, init one-hots the bin, plus adds
+    elementwise (the reference's arbitrary ``fold(zero)(init, plus)``,
+    api/DataBag.scala:59-63, which Column ``F.aggregate`` can't express
+    for ragged/vector accumulators). Arrow-batched applyInPandas,
+    one key shuffle."""
+
+    def init(q):
+        b = [0] * 5
+        b[min(int((q - 1) // 10), 4)] += 1
+        return b
+
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return li.group_by(["l_returnflag"]).py_fold(
+        zero=[0] * 5,
+        init=init,
+        plus=lambda a, b: [x + y for x, y in zip(a, b)],
+        e="l_quantity",
+        result_schema="b0 bigint, b1 bigint, b2 bigint, b3 bigint, b4 bigint",
+        finish=tuple,
+    ).df
+
+
+@query(
+    "fold_reduce_option",
+    oracle="""
+    SELECT max(l_quantity) AS ro_max,
+           CAST(NULL AS DOUBLE) AS ro_empty,
+           count(*) AS n,
+           sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+    FROM lineitem
+    """,
+)
+def fold_reduce_option(spark, sf_dir):
+    """reduceOption parity (api/DataBag.scala:245-246, Alg.scala:71-75):
+    zero-less combine -> value on a non-empty bag, None on an empty
+    one; plus the two-level Python-monoid global fold (DataBag.fold_py:
+    per-partition Arrow partials, driver merge over <=#partitions
+    accumulators) computing (count, integer-sum) in one pass."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    ro_max = li.reduce_option(lambda a, b: F.greatest(a, b), e="l_quantity")
+    ro_empty = li.filter(lambda x: x.l_quantity < 0).reduce_option(
+        lambda a, b: F.greatest(a, b), e="l_quantity"
+    )
+    n, sq = li.fold_py(
+        zero=(0, 0),
+        init=lambda q: (1, int(q)),
+        plus=lambda a, b: (a[0] + b[0], a[1] + b[1]),
+        e="l_quantity",
+    )
+    return spark.createDataFrame(
+        [(ro_max, ro_empty, n, sq)],
+        schema="ro_max double, ro_empty double, n bigint, sum_qty bigint",
+    )
+
+
+@query(
     "fold_global",
     oracle="""
     SELECT count(*) AS cnt,
@@ -841,18 +911,31 @@ def mutable_bag_update(spark, sf_dir):
     return mb.bag().df
 
 
-@query("sample_reservoir", oracle=None)
+@query(
+    "sample_reservoir",
+    oracle="""
+    SELECT c_custkey, c_name FROM (
+      SELECT c_custkey, c_name,
+             CAST(concat('0x', substr(md5(concat_ws('|',
+                  CAST(c_custkey AS VARCHAR), c_name, '7')), 1, 14)) AS BIGINT) AS __h
+      FROM customer ORDER BY __h LIMIT 25
+    )
+    """,
+)
 def sample_reservoir(spark, sf_dir):
     """Deterministic k-sample (core.py DataBag.sample;
-    api/DataBag.scala:139-150): bottom-k by seeded xxhash64 of row
-    content — same result for a given multiset under ANY partitioning,
-    a stronger contract than the reference's per-materialization
-    reservoir (SparkRDD.scala:86-107). Only k rows reach the driver.
-    No SQL oracle (hash scheme is engine-specific) -> rows-only check;
-    determinism is asserted in tests/test_core.py."""
-    c = T(spark, sf_dir, "customer")["customer"]
+    api/DataBag.scala:139-150): bottom-k by a seeded PORTABLE md5
+    content hash — same result for a given multiset under ANY
+    partitioning (stronger than the reference's per-materialization
+    reservoir, SparkRDD.scala:86-107) and reproducible by the DuckDB
+    oracle bit-for-bit. Only k rows reach the driver. The bag is
+    projected to string/int columns first so the stringified row is
+    engine-stable (double formatting is not)."""
+    c = T(spark, sf_dir, "customer")["customer"].map(
+        lambda x: {"c_custkey": x.c_custkey, "c_name": x.c_name}
+    )
     rows = c.sample(25, seed=7)
-    return spark.createDataFrame(rows, c.df.schema).select("c_custkey", "c_name")
+    return spark.createDataFrame(rows, c.df.schema)
 
 
 @query(

@@ -268,3 +268,129 @@ def test_auto_cache_counts_join_sides(spark, tables):
     out = n.equi_join(r, "n_regionkey", "r_regionkey")
     assert cached_count() == 0
     assert out.size() == 25
+
+
+# ---------------------------------------------------------------- reduceOption
+def test_reduce_option_nonempty_and_empty(tables):
+    """reduceOption (api/DataBag.scala:245-246): combine without a zero;
+    None on the empty bag where reduce would return the zero."""
+    li = tables["lineitem"]
+    assert li.reduce_option(lambda a, b: F.greatest(a, b), e="l_quantity") == li.max("l_quantity")
+    empty = li.filter(lambda x: x.l_quantity < 0)
+    assert empty.reduce_option(lambda a, b: F.greatest(a, b), e="l_quantity") is None
+    # reduce (with zero) on the same empty bag returns the zero instead
+    assert empty.reduce(0.0, lambda a, b: a + b, e="l_quantity") == 0.0
+
+
+# ------------------------------------------------------------ python-monoid folds
+def test_fold_py_global_matches_column_fold(tables, duck):
+    li = tables["lineitem"]
+    n, sq = li.fold_py(
+        zero=(0, 0),
+        init=lambda q: (1, int(q)),
+        plus=lambda a, b: (a[0] + b[0], a[1] + b[1]),
+        e="l_quantity",
+    )
+    exp_n, exp_s = duck.execute(
+        "SELECT count(*), sum(CAST(l_quantity AS BIGINT)) FROM lineitem"
+    ).fetchone()
+    assert (n, sq) == (exp_n, exp_s)
+
+
+def test_fold_py_empty_returns_zero(tables):
+    li = tables["lineitem"].filter(lambda x: x.l_quantity < 0)
+    assert li.fold_py(zero=(0, 0), init=lambda q: (1, 1), plus=lambda a, b: (a[0] + b[0], a[1] + b[1]), e="l_quantity") == (0, 0)
+
+
+def test_fold_py_row_mode(tables, duck):
+    """e=None: init sees whole rows as dicts."""
+    li = tables["lineitem"]
+    total = li.map(lambda x: {"q": x.l_quantity, "n": x.l_linenumber}).fold_py(
+        zero=0,
+        init=lambda row: int(row["q"]) * int(row["n"]),
+        plus=lambda a, b: a + b,
+    )
+    (exp,) = duck.execute(
+        "SELECT sum(CAST(l_quantity AS BIGINT) * l_linenumber) FROM lineitem"
+    ).fetchone()
+    assert total == exp
+
+
+def test_py_fold_grouped_histogram(tables, duck):
+    """GroupedBag.py_fold: non-columnar vector accumulator via
+    applyInPandas matches a CASE-WHEN oracle."""
+
+    def init(q):
+        b = [0, 0, 0]
+        b[min(int(q) // 20, 2)] += 1
+        return b
+
+    out = tables["lineitem"].group_by(["l_returnflag"]).py_fold(
+        zero=[0, 0, 0],
+        init=init,
+        plus=lambda a, b: [x + y for x, y in zip(a, b)],
+        e="l_quantity",
+        result_schema="b0 bigint, b1 bigint, b2 bigint",
+        finish=tuple,
+    )
+    assert_bag_equal(
+        out.df,
+        duck,
+        """
+        SELECT l_returnflag,
+               count(CASE WHEN CAST(l_quantity AS BIGINT) // 20 = 0 THEN 1 END) AS b0,
+               count(CASE WHEN CAST(l_quantity AS BIGINT) // 20 = 1 THEN 1 END) AS b1,
+               count(CASE WHEN CAST(l_quantity AS BIGINT) // 20 >= 2 THEN 1 END) AS b2
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )
+
+
+def test_zip_with_index_stable_across_recollect(tables):
+    """The __pid-stamped frame is persisted: the mapping row->index is
+    identical on a second materialization of the same plan."""
+    z = tables["supplier"].zip_with_index()
+    m1 = {r["s_suppkey"]: r["index"] for r in z.df.select("s_suppkey", "index").collect()}
+    m2 = {r["s_suppkey"]: r["index"] for r in z.df.select("s_suppkey", "index").collect()}
+    assert m1 == m2
+    # dense unique also after an upstream repartition
+    z2 = tables["supplier"].repartition(5).zip_with_index()
+    idx = sorted(r["index"] for r in z2.df.select("index").collect())
+    assert idx == list(range(len(idx)))
+
+
+def test_with_filter_counts_toward_auto_cache(tables):
+    """ADVICE fix: with_filter shares filter's auto-cache use-counting."""
+    from emma_spark.plans.cache import auto_cache, cached_count
+
+    li = tables["lineitem"]
+    base = li.select("l_orderkey", "l_quantity")
+    with auto_cache():
+        base.with_filter(lambda x: x.l_quantity > 40)
+        base.with_filter(lambda x: x.l_quantity <= 40)
+        assert cached_count() == 1
+        base.df.unpersist()
+
+
+def test_fixpoint_content_probe_value_propagation(spark):
+    """ADVICE fix: the default probe is content-based — a
+    value-propagation step with FIXED row count converges at the right
+    iteration, not immediately (a count probe would stop at iter 1)."""
+    from emma_spark.plans.iterate import fixpoint
+
+    # chain 0->1->2->3; propagate min label along edges; 3 iterations
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint")
+    labels = DataBag(spark.createDataFrame([(i, i) for i in range(4)], "id bigint, lab bigint"))
+
+    def step(lb):
+        nbr = (
+            lb.df.alias("l")
+            .join(edges.alias("e"), F.col("l.id") == F.col("e.src"))
+            .select(F.col("e.dst").alias("id"), F.col("l.lab").alias("lab"))
+        )
+        return DataBag(
+            lb.df.unionByName(nbr).groupBy("id").agg(F.min("lab").alias("lab"))
+        )
+
+    out = fixpoint(labels, step, max_iter=10)
+    assert {r["id"]: r["lab"] for r in out.df.collect()} == {0: 0, 1: 0, 2: 0, 3: 0}
