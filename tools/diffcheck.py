@@ -51,10 +51,24 @@ def main() -> int:
     from emma_spark.session import get_spark
     import __spark_entry__ as e
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
-    spark = get_spark("diffcheck")
+    if vanilla:
+        # simulate the driver harness: a plain session with none of the
+        # repo factory's confs, so portability regressions surface here
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .appName("diffcheck-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("diffcheck")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
