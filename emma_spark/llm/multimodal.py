@@ -87,14 +87,23 @@ def size_bucket(meta: Column, edges: list[int] = [64, 256, 1024]) -> Column:
 
 
 # ---------------------------------------------------------------- decode plumbing
-def _fake_decode(blob: bytes, w: int, h: int, c: int) -> list[float]:
-    """Deterministic stand-in for a pixel decoder: hashes the blob into
-    a small feature vector (same length as the real featurizer would
-    emit). Lets the full pipeline run end-to-end in this container."""
-    acc = 2166136261
-    for b in blob[:256]:
-        acc = (acc ^ b) * 16777619 % (1 << 32)
-    return [((acc >> (i * 3)) & 0xFF) / 255.0 for i in range(8)] + [float(w), float(h), float(c)]
+def _make_fake_decode():
+    """Deterministic stand-in for a pixel decoder: FNV-1a over the blob
+    into a small feature vector (same length as the real featurizer
+    would emit). Lets the full pipeline run end-to-end in this
+    container. Returned as a self-contained closure so cloudpickle
+    ships it BY VALUE — executors need no importable emma_spark."""
+
+    def fake_decode(blob: bytes, w: int, h: int, c: int) -> list[float]:
+        acc = 2166136261
+        for b in blob[:256]:
+            acc = (acc ^ b) * 16777619 % (1 << 32)
+        return [((acc >> (i * 3)) & 0xFF) / 255.0 for i in range(8)] + [float(w), float(h), float(c)]
+
+    return fake_decode
+
+
+_fake_decode = _make_fake_decode()
 
 
 def image_features(
@@ -119,7 +128,7 @@ def image_features(
                     "pass decode= or use the deterministic fake (stub=False)"
                 )
         else:
-            decode = _fake_decode
+            decode = _make_fake_decode()
 
     out_schema = T.StructType(
         [
@@ -162,10 +171,12 @@ def frame_sample_plan(
 def synth_image_table(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic synthetic multimodal table (binary blobs + meta)
     for tests/demos — generated distributed (spark.range), not driver
-    lists."""
+    lists. Widths/heights come from a PORTABLE multiplicative hash
+    (Knuth 2654435761) rather than Spark's xxhash64 so an external
+    engine (the DuckDB oracle) can reproduce the table bit-for-bit."""
     fmt = F.when(F.col("id") % 3 == 0, "png").otherwise("jpeg")
-    w = (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(512)) + 16).cast("int")
-    h = (F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(512)) + 16).cast("int")
+    w = (((F.col("id") + seed) * F.lit(2654435761)) % 512 + 16).cast("int")
+    h = (((F.col("id") + seed) * F.lit(2654435789)) % 512 + 16).cast("int")
     blob = F.encode(
         F.concat(F.lit("IMGBLOB:"), F.col("id").cast("string"),
                  F.lit(":"), F.repeat(F.lit("x"), (F.col("id") % 64 + 1).cast("int"))),

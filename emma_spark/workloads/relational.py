@@ -466,7 +466,8 @@ def groupby_having(spark, sf_dir):
     "fold_product_user_alg",
     oracle="""
     SELECT l_orderkey,
-           CAST(product(l_quantity) AS BIGINT) AS prod_qty,
+           CAST(list_reduce(list(CAST(l_quantity AS HUGEINT)), (a, b) -> a * b)
+                AS VARCHAR) AS prod_qty,
            count(*) AS n,
            sum(CAST(l_quantity * l_quantity AS BIGINT)) AS sum_sq
     FROM lineitem WHERE l_linenumber <= 5
@@ -477,20 +478,27 @@ def fold_product_user_alg(spark, sf_dir):
     """Product fold (api/DataBag.scala:274-284, Alg.scala:127-131) plus a
     user monoid Alg (zero=0, init=x*x, plus=+ — the reference's universal
     ``fold(zero)(init, plus)`` consumer, api/DataBag.scala:59-63), fused
-    with Size into ONE hash-agg pass. Quantities are integral and the
-    group is bounded (<=5 rows of <=50), so the double product stays
-    exact (< 2^53) and partition-order-independent; both sides cast to
-    bigint for the value hash (last-ulp double formatting diverges
-    between engines past 6 significant digits). sum_sq accumulates in
-    exact bigint. The Fold path materializes a per-group array via
-    collect_list — bounded here by the l_linenumber filter, which is the
-    contract that keeps it safe at 100 TB."""
+    with Size into ONE hash-agg pass. l_linenumber is NOT unique per
+    order in the driver data (groups reach 12 rows), so the product can
+    exceed 2^53 and a double product would be rounding- and
+    partition-order-dependent; both the fold and the oracle therefore
+    multiply in EXACT wide-integer arithmetic (decimal(38,0) here,
+    HUGEINT in DuckDB) and emit the digits as a string. The user-Alg
+    Fold path materializes a per-group array via collect_list — bounded
+    by the l_linenumber filter; sum_sq accumulates in exact bigint."""
     li = T(spark, sf_dir, "lineitem")["lineitem"]
+    dec = "decimal(38,0)"
     return (
         li.filter(lambda x: x.l_linenumber <= 5)
         .group_by(lambda x: {"l_orderkey": x.l_orderkey})
         .agg(
-            alg.Product(e="l_quantity", name="prod_qty"),
+            alg.Fold(
+                zero=F.lit(1).cast(dec),
+                init=lambda x: x.cast(dec),
+                plus=lambda a, b: a * b,
+                e="l_quantity",
+                name="prod_qty",
+            ),
             alg.Size(name="n"),
             alg.Fold(
                 zero=0,
@@ -500,7 +508,7 @@ def fold_product_user_alg(spark, sf_dir):
                 name="sum_sq",
             ),
         )
-        .df.withColumn("prod_qty", F.col("prod_qty").cast("bigint"))
+        .df.withColumn("prod_qty", F.col("prod_qty").cast("string"))
     )
 
 
@@ -545,7 +553,7 @@ def fold_histogram_pandas_udaf(spark, sf_dir):
     "fold_reduce_option",
     oracle="""
     SELECT max(l_quantity) AS ro_max,
-           CAST(NULL AS DOUBLE) AS ro_empty,
+           TRUE AS ro_empty_is_none,
            count(*) AS n,
            sum(CAST(l_quantity AS BIGINT)) AS sum_qty
     FROM lineitem
@@ -554,9 +562,12 @@ def fold_histogram_pandas_udaf(spark, sf_dir):
 def fold_reduce_option(spark, sf_dir):
     """reduceOption parity (api/DataBag.scala:245-246, Alg.scala:71-75):
     zero-less combine -> value on a non-empty bag, None on an empty
-    one; plus the two-level Python-monoid global fold (DataBag.fold_py:
-    per-partition Arrow partials, driver merge over <=#partitions
-    accumulators) computing (count, integer-sum) in one pass."""
+    one (encoded as a BOOLEAN — an all-NULL double column defeats the
+    driver's hasher; the None-on-empty value contract itself is
+    pytest-covered); plus the two-level Python-monoid global fold
+    (DataBag.fold_py: per-partition Arrow partials, driver merge over
+    <=#partitions accumulators) computing (count, integer-sum) in one
+    pass."""
     li = T(spark, sf_dir, "lineitem")["lineitem"]
     ro_max = li.reduce_option(lambda a, b: F.greatest(a, b), e="l_quantity")
     ro_empty = li.filter(lambda x: x.l_quantity < 0).reduce_option(
@@ -569,8 +580,8 @@ def fold_reduce_option(spark, sf_dir):
         e="l_quantity",
     )
     return spark.createDataFrame(
-        [(ro_max, ro_empty, n, sq)],
-        schema="ro_max double, ro_empty double, n bigint, sum_qty bigint",
+        [(ro_max, ro_empty is None, n, sq)],
+        schema="ro_max double, ro_empty_is_none boolean, n bigint, sum_qty bigint",
     )
 
 
