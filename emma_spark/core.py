@@ -196,13 +196,45 @@ class DataBag:
         return rows[0] if rows else None
 
     def reduce(self, zero, plus: Callable[[Column, Column], Column], e: ExprFn | str = "value"):
-        """Monoid fold (``api/DataBag.scala:235-236``, ``Alg.scala:64-68``)."""
-        return self.fold(A.Fold(zero=zero, plus=plus, e=_cols(self._df, e)[0]))
+        """Monoid fold (``api/DataBag.scala:235-236``, ``Alg.scala:64-68``).
+
+        Scale path: two-level partial aggregation. Stage 1 folds each
+        physical partition's values (grouped on ``spark_partition_id``,
+        so no array ever exceeds one partition's rows); stage 2 folds
+        the ≤#partitions partials. A single global
+        ``F.aggregate(collect_list(...))`` would materialize the WHOLE
+        bag as one array in one task — a scale-killer the reference
+        avoids the same way (``SparkRDD.fold`` = per-partition fold +
+        driver merge, ``SparkRDD.scala:45-46``). Lawfulness (assoc +
+        comm ``plus``) makes the partition grouping semantically
+        invisible."""
+        col = _cols(self._df, e)[0]
+        zero = A.zero_col(zero)
+        parts = (
+            self._df.select(col.alias("__v"), F.spark_partition_id().alias("__pid"))
+            .groupBy("__pid")
+            .agg(F.aggregate(F.collect_list("__v"), zero, plus).alias("__p"))
+        )
+        row = parts.agg(F.aggregate(F.collect_list("__p"), zero, plus).alias("r")).collect()[0]
+        return row["r"]
 
     def reduce_option(self, plus: Callable[[Column, Column], Column], e: ExprFn | str = "value"):
         """Zero-less monoid combine; ``None`` on the empty bag
-        (``api/DataBag.scala:245-246``, ``Alg.scala:71-75``)."""
-        return self.fold(A.ReduceOpt(plus=plus, e=_cols(self._df, e)[0]))
+        (``api/DataBag.scala:245-246``, ``Alg.scala:71-75``).
+
+        Same two-level partial-aggregation shape as :meth:`reduce`:
+        each partition's values reduce seeded by their first element
+        (every partition group is non-empty by construction), then the
+        bounded partials reduce once more; zero partitions → zero
+        partials → ``None``."""
+        col = _cols(self._df, e)[0]
+        parts = (
+            self._df.select(col.alias("__v"), F.spark_partition_id().alias("__pid"))
+            .groupBy("__pid")
+            .agg(*A.ReduceOpt(plus=plus, e=F.col("__v"), name="__p").exprs())
+        )
+        row = parts.agg(*A.ReduceOpt(plus=plus, e=F.col("__p"), name="r").exprs()).collect()[0]
+        return row["r"]
 
     def fold_py(self, zero, init: Callable, plus: Callable, e: ExprFn | str | None = None):
         """Arbitrary PYTHON-monoid fold — the reference's universal
@@ -339,15 +371,20 @@ class DataBag:
 
         Spark-first scheme with a *stronger* determinism contract:
         bottom-k by a seeded PORTABLE content hash — first 56 bits of
-        md5 over the '|'-joined stringified row plus the seed. It is
-        deterministic for a given multiset CONTENT regardless of
-        partitioning (the reference is only deterministic per
+        md5 over the row stringified with the non-printable unit
+        separator \\x1f and NULLs encoded as \\x01 (concat_ws would
+        silently SKIP nulls, making ('a',NULL,'b') and ('a','b',NULL)
+        collide). Deterministic for a given multiset CONTENT regardless
+        of partitioning (the reference is only deterministic per
         materialized partitioning) AND reproducible by any engine
-        (DuckDB mirror: ``CAST(concat('0x', substr(md5(concat_ws('|',
-        cols..., seed)), 1, 14)) AS BIGINT)``). Distributed
-        TakeOrdered: only k rows cross to the driver."""
+        (DuckDB mirror: ``CAST(concat('0x', substr(md5(concat_ws(
+        chr(31), coalesce(CAST(c AS VARCHAR), chr(1))..., seed)), 1,
+        14)) AS BIGINT)``). Distributed TakeOrdered: only k rows cross
+        to the driver."""
         joined = F.concat_ws(
-            "|", *[self._df[c].cast("string") for c in self._df.columns], F.lit(str(seed))
+            "\x1f",
+            *[F.coalesce(self._df[c].cast("string"), F.lit("\x01")) for c in self._df.columns],
+            F.lit(str(seed)),
         )
         h = F.conv(F.substring(F.md5(F.encode(joined, "utf-8")), 1, 14), 16, 10).cast("bigint")
         ordered = self._df.withColumn("__h", h).orderBy("__h").drop("__h")
@@ -360,11 +397,16 @@ class DataBag:
         DataFrame-native two-pass scheme (no RDD round-trip): count rows
         per physical partition, then offset a per-partition row_number —
         same plan shape as RDD.zipWithIndex but stays in Tungsten.
-        The __pid-stamped frame is PERSISTED before the count pass: both
-        passes (and any downstream recompute under AQE/task retry) must
-        see the same partition ids, which a recomputation of the
-        un-persisted plan would not guarantee."""
-        df = self._df.withColumn("__pid", F.spark_partition_id()).persist()
+        The __pid-stamped frame is pinned via eager localCheckpoint
+        before the count pass: both passes (and any downstream
+        recompute under AQE/task retry) must see the same partition
+        ids, which a recomputation of the un-pinned plan would not
+        guarantee. localCheckpoint (not ``persist``): checkpoint blocks
+        are released by the ContextCleaner when the result frame is
+        dropped, whereas a persisted frame stays in the CacheManager
+        for the session lifetime (there is no safe explicit unpersist
+        point — the returned lazy plan keeps reading the cache)."""
+        df = self._df.withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=True)
         w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
         counts = df.groupBy("__pid").count().orderBy("__pid").collect()
         offsets = {}

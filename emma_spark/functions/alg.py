@@ -38,6 +38,21 @@ def _c(x: ColumnLike) -> Column:
     return F.lit(x)
 
 
+def zero_col(zero: Any) -> Column:
+    """Lift a fold zero to a Column, widening the accumulator type so
+    the merge lambda's operand types match (int -> bigint etc.)."""
+    if isinstance(zero, Column):
+        return zero
+    z = F.lit(zero)
+    if isinstance(zero, bool):
+        return z
+    if isinstance(zero, int):
+        return z.cast("bigint")
+    if isinstance(zero, float):
+        return z.cast("double")
+    return z
+
+
 class Alg:
     """Base: an aggregation compiled to one or more agg Columns.
 
@@ -260,18 +275,7 @@ class Fold(Alg):
     def exprs(self) -> list[Column]:
         src = _c(self.e)
         mapped = F.collect_list(self.init(src) if self.init else src)
-        if isinstance(self.zero, Column):
-            zero = self.zero
-        else:
-            zero = F.lit(self.zero)
-            # widen the accumulator so merge type matches (int -> bigint etc.)
-            if isinstance(self.zero, bool):
-                pass
-            elif isinstance(self.zero, int):
-                zero = zero.cast("bigint")
-            elif isinstance(self.zero, float):
-                zero = zero.cast("double")
-        return [F.aggregate(mapped, zero, self.plus).alias(self.name)]
+        return [F.aggregate(mapped, zero_col(self.zero), self.plus).alias(self.name)]
 
 
 @dataclass

@@ -120,7 +120,14 @@ def read_parquet(spark: SparkSession, path: str, schema=None) -> DataBag:
     if ns_cols:
         # Session-independent: the driver harness provides its own vanilla
         # SparkSession, so the conf must be set here (runtime-settable SQL
-        # conf), not only in emma_spark.session.get_spark.
+        # conf), not only in emma_spark.session.get_spark. The conf is
+        # deliberately NOT restored after the read: the returned plan is
+        # lazy and physical planning re-reads the conf at action time, so
+        # a save/restore would break execution of the very frame built
+        # here. Leaving it set is harmless within this engine — every ns
+        # read goes through this helper, which always applies the
+        # matching div-1000 micros fixup; without the conf the same read
+        # would hard-error (PARQUET_TYPE_ILLEGAL), not change meaning.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
     if isinstance(schema, type) and dataclasses.is_dataclass(schema):
@@ -152,13 +159,27 @@ def fan_out(df, min_parts: int | None = None):
     how many cores the cluster has (parquet splits only at row-group
     boundaries), so an expensive narrow pass (e.g. hashing every
     shingle of every document) runs on one core. A round-robin
-    repartition spreads it. No-op when the plan is already at least
-    ``min_parts`` wide — the 100 TB case, where inputs arrive thousands
-    of partitions wide and an extra shuffle would be pure loss.
-    """
-    sc = df.sparkSession.sparkContext
-    target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    repartition spreads it. No-op when the input is already wide — the
+    100 TB case, where inputs arrive thousands of partitions wide and
+    an extra shuffle would be pure loss.
+
+    Width is estimated from Catalyst's size statistics
+    (``sizeInBytes / maxPartitionBytes`` ≈ the scan's split count) —
+    a driver-side metadata lookup, NOT ``df.rdd.getNumPartitions()``,
+    which forces an RDD conversion of the whole plan on every call.
+    Plans without file statistics report a huge default sizeInBytes
+    and correctly no-op."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        digits = "".join(ch for ch in raw if ch.isdigit())
+        max_bytes = int(digits) if digits else 134217728
+        est_parts = max(1, size // max_bytes)
+    except Exception:
+        est_parts = target  # estimation unavailable -> assume wide (no-op)
+    if est_parts >= target:
         return df
     return df.repartition(target)
 

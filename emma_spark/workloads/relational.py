@@ -927,8 +927,9 @@ def mutable_bag_update(spark, sf_dir):
     oracle="""
     SELECT c_custkey, c_name FROM (
       SELECT c_custkey, c_name,
-             CAST(concat('0x', substr(md5(concat_ws('|',
-                  CAST(c_custkey AS VARCHAR), c_name, '7')), 1, 14)) AS BIGINT) AS __h
+             CAST(concat('0x', substr(md5(concat_ws(chr(31),
+                  coalesce(CAST(c_custkey AS VARCHAR), chr(1)),
+                  coalesce(c_name, chr(1)), '7')), 1, 14)) AS BIGINT) AS __h
       FROM customer ORDER BY __h LIMIT 25
     )
     """,
