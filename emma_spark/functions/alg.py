@@ -301,6 +301,50 @@ class ReduceOpt(Alg):
         return [F.when(F.size(arr) > 0, red).alias(self.name)]
 
 
+class BagExpr:
+    """The nested group bag in aggregate position — ``Group.values`` as
+    a foldable expression.
+
+    This is what lets a HIGHER-ORDER aggregate parameter (the
+    reference's ``Proj[L] = DataBag[A] => L``,
+    ``emma-examples/.../imdb/GraphPreprocessing.scala:26``) stay on the
+    fold-group-fusion path: the HOF receives a BagExpr and calls the
+    fold surface (``api/DataBag.scala:216-346``); every call returns an
+    aggregate Column, so ``groupBy().agg(proj(bag))`` compiles to ONE
+    partial-aggregated hash-agg pass — the group bag never
+    materializes, no matter what the caller's lambda computes."""
+
+    def size(self) -> Column:
+        return F.count(F.lit(1))
+
+    def count(self, p: ColumnLike) -> Column:
+        return F.count_if(_c(p))
+
+    def sum(self, e: ColumnLike) -> Column:
+        return F.coalesce(F.sum(_c(e)), F.lit(0))
+
+    def min(self, e: ColumnLike) -> Column:
+        return F.min(_c(e))
+
+    def max(self, e: ColumnLike) -> Column:
+        return F.max(_c(e))
+
+    def avg(self, e: ColumnLike) -> Column:
+        return F.avg(_c(e))
+
+    def exists(self, p: ColumnLike) -> Column:
+        return F.coalesce(F.max(_c(p)), F.lit(False))
+
+    def forall(self, p: ColumnLike) -> Column:
+        return F.coalesce(F.min(_c(p)), F.lit(True))
+
+    def distinct_size(self, e: ColumnLike) -> Column:
+        return F.countDistinct(_c(e))
+
+    def fold(self, zero: Any, init, plus, e: ColumnLike) -> Column:
+        return Fold(zero=zero, init=init, plus=plus, e=_c(e)).exprs()[0]
+
+
 def all_exprs(algs: Sequence[Alg]) -> list[Column]:
     """Product algebra: N algs -> one agg() pass (``Alg2..Alg22``,
     ``FoldForestFusion.scala:49-105`` — native in Spark)."""

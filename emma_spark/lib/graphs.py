@@ -60,6 +60,31 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     return out
 
 
+def graph_preprocessing(collabs: DataFrame, src: str, dst: str, proj) -> DataFrame:
+    """Labeled-edge extraction with a higher-order aggregate parameter —
+    GraphPreprocessing parity (``emma-examples/src/main/scala/org/
+    emmalanguage/examples/imdb/GraphPreprocessing.scala:26-52``): group
+    a bag of collaborations by (src, dst) and label each edge with
+    ``proj(cs)``, where ``proj`` is the caller-supplied ``Proj[L] =
+    DataBag[Collaboration] => L``.
+
+    ``proj`` receives a :class:`~emma_spark.functions.alg.BagExpr` (the
+    group bag in fold position) and returns either one Column or a
+    dict of named label Columns (tuple-typed L). Because every BagExpr
+    fold is an aggregate expression, the lowering is a single
+    partial-aggregated ``groupBy(src, dst).agg(...)`` — the reference's
+    fold-group fusion applied THROUGH the HOF parameter, with the
+    group bag never materialized."""
+    from ..functions.alg import BagExpr
+
+    label = proj(BagExpr())
+    if isinstance(label, dict):
+        cols = [c.alias(n) for n, c in label.items()]
+    else:
+        cols = [label.alias("label")]
+    return collabs.groupBy(src, dst).agg(*cols)
+
+
 def triangles(edges: DataFrame) -> DataFrame:
     """Canonical triangles (x<y<z) by 3-way self-join on oriented edges."""
     e = (

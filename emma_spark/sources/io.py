@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import datetime as _dt
+import enum
 import typing
 from typing import Optional
 
@@ -66,9 +67,41 @@ def _to_spark_type(tp) -> tuple[T.DataType, bool]:
         return T.MapType(kt, vt, vn), False
     if dataclasses.is_dataclass(tp):
         return schema_of(tp), False
+    if isinstance(tp, type) and issubclass(tp, enum.Enum):
+        # enum column codec (reference: io/csv/CSVColumn.scala:40-80
+        # derives codecs for scala.Enumeration / Java enums): IntEnum
+        # persists by VALUE (long), any other Enum by NAME (string) —
+        # both round-trip losslessly through CSV and Parquet.
+        if issubclass(tp, enum.IntEnum):
+            return T.LongType(), False
+        return T.StringType(), False
     if tp in _PRIMITIVES:
         return _PRIMITIVES[tp], False
     raise TypeError(f"unsupported type {tp}")
+
+
+def rows_of(items) -> list[tuple]:
+    """Encode dataclass instances to row tuples under the same codec
+    ``schema_of`` derives the schema with: enums by name/value, nested
+    dataclasses as nested tuples — the write half of the reference's
+    per-type CSV/Parquet converter derivation
+    (``io/csv/CSVConverter.scala:37,94-116``)."""
+
+    def encode(v):
+        if isinstance(v, enum.IntEnum):
+            return int(v)
+        if isinstance(v, enum.Enum):
+            return v.name
+        if dataclasses.is_dataclass(v) and not isinstance(v, type):
+            return tuple(encode(getattr(v, f.name)) for f in dataclasses.fields(v))
+        if isinstance(v, (list, tuple)):
+            return [encode(x) for x in v]
+        return v
+
+    return [
+        tuple(encode(getattr(it, f.name)) for f in dataclasses.fields(it))
+        for it in items
+    ]
 
 
 def read_text(spark: SparkSession, path: str) -> DataBag:

@@ -147,3 +147,56 @@ def graph_triangles(spark, sf_dir):
         .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
         .select("x", "y", "z")
     )
+
+
+@query(
+    "graph_preprocessing_edges",
+    oracle="""
+    SELECT sn.n_name AS src, cn.n_name AS dst,
+           count(*) AS n_collabs,
+           sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100 AS volume,
+           max(CAST(l_quantity AS BIGINT)) AS max_qty
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE o_orderstatus = 'F' AND l_returnflag = 'R'
+    GROUP BY 1, 2
+    """,
+)
+def graph_preprocessing_edges(spark, sf_dir):
+    """GraphPreprocessing parity (emma-examples/.../imdb/
+    GraphPreprocessing.scala:26-52): a 5-way collaboration join with a
+    DOUBLY-referenced dimension (nation joined once for the supplier
+    side, once for the customer side — the reference joins people and
+    credits twice the same way), grouped into labeled edges where the
+    label is a HIGHER-ORDER aggregate parameter ``Proj[L]``: the caller
+    passes a lambda over the group bag (a BagExpr), and every fold it
+    performs lowers to aggregate Columns in ONE fused hash-agg pass.
+    Dims broadcast; the single fact shuffle is the orderkey join."""
+    from ..lib.graphs import graph_preprocessing
+
+    t = io.load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    li, o, c, s, n = (t[k].df for k in ("lineitem", "orders", "customer", "supplier", "nation"))
+    sn = F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("src")))
+    cn = F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("dst")))
+    collabs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o.filter(F.col("o_orderstatus") == "F"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .withColumn("net_cents", F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)))
+    )
+    # the Proj[L] HOF: an arbitrary caller lambda folding the group bag
+    proj = lambda cs: {
+        "n_collabs": cs.size(),
+        "volume": cs.sum(F.col("net_cents")) / 100,
+        "max_qty": cs.max(F.col("l_quantity").cast("bigint")),
+    }
+    return graph_preprocessing(collabs, "src", "dst", proj)

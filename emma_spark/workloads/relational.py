@@ -614,6 +614,47 @@ def fold_global(spark, sf_dir):
 
 
 @query(
+    "fold_minmax_struct_ordering",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_quantity, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity, l_extendedprice) AS rmin,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity DESC, l_extendedprice DESC) AS rmax
+      FROM lineitem
+    )
+    SELECT a.l_returnflag,
+           a.l_quantity AS min_qty, a.l_extendedprice AS min_price,
+           b.l_quantity AS max_qty, b.l_extendedprice AS max_price
+    FROM ranked a JOIN ranked b
+      ON a.l_returnflag = b.l_returnflag AND a.rmin = 1 AND b.rmax = 1
+    """,
+)
+def fold_minmax_struct_ordering(spark, sf_dir):
+    """min/max by an arbitrary composite Ordering
+    (api/DataBag.scala:255-266: ``min``/``max`` take ``Ordering[A]`` —
+    here the lexicographic tuple order on (quantity, extendedprice)).
+    Spark structs compare lexicographically by field, so the fold is a
+    plain one-pass ``F.min/F.max`` over a struct — no window, no sort;
+    the oracle cross-checks with explicit rank-1 rows. Ties are
+    value-identical, so both formulations are deterministic."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    pair = F.struct(F.col("l_quantity"), F.col("l_extendedprice"))
+    out = li.group_by(["l_returnflag"]).agg(
+        alg.Min(pair, name="__mn", raise_on_empty=False),
+        alg.Max(pair, name="__mx", raise_on_empty=False),
+    )
+    return out.df.select(
+        "l_returnflag",
+        F.col("__mn.l_quantity").alias("min_qty"),
+        F.col("__mn.l_extendedprice").alias("min_price"),
+        F.col("__mx.l_quantity").alias("max_qty"),
+        F.col("__mx.l_extendedprice").alias("max_price"),
+    )
+
+
+@query(
     "rollup_orders",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,

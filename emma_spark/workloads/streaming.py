@@ -68,6 +68,45 @@ def stream_tumbling_counts(spark, sf_dir):
 
 
 @query(
+    "stream_watermark_append",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
+           count(*) AS n,
+           sum(floor(value * 10000 + 0.5)) / 10000 AS total
+    FROM events
+    GROUP BY 1, 2
+    HAVING win_start + INTERVAL 1 HOUR < (SELECT max(ts) - INTERVAL 37 MINUTE
+                                          FROM events)
+    """,
+    headline=True,
+)
+def stream_watermark_append(spark, sf_dir):
+    """The production streaming shape: watermark + APPEND mode — state
+    for windows older than max(event time) − 37 min is finalized,
+    emitted once, and EVICTED, so state stays bounded on an unbounded
+    stream (complete mode, by contrast, retains every window forever).
+
+    Determinism: availableNow drains the input, then a no-data
+    micro-batch advances the watermark and flushes every finalized
+    window; exactly the windows with end < max(ts) − delay are
+    emitted, which the oracle's HAVING clause mirrors. The 37-minute
+    delay is deliberately hour-misaligned so the strict-< boundary
+    can't land exactly on a window edge."""
+    staged = _stage_events(spark, sf_dir)
+    stream = S.read_stream_parquet(spark, staged, spark.read.parquet(staged).schema)
+    wm = S.with_watermark(stream, "ts", "37 minutes")
+    agg = S.tumbling(wm, "ts", "1 hour", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5))) / 10000).alias("total"),
+    )
+    name = f"stream_wm_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, output_mode="append", state_partitions=4)
+    return spark.table(name).select(
+        F.col("window.start").alias("win_start"), "event_type", "n", "total"
+    )
+
+
+@query(
     "stream_keyed_state_counts",
     oracle="SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
 )

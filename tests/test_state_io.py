@@ -104,3 +104,39 @@ def test_read_text(spark, tmp_path):
     DataBag(spark.createDataFrame([("hello",), ("world",)], ["value"])).write_text(p)
     back = io.read_text(spark, p)
     assert sorted(r["value"] for r in back.collect()) == ["hello", "world"]
+
+
+import enum as _enum
+
+
+class Color(_enum.Enum):
+    RED = 1
+    BLUE = 2
+
+
+class Prio(_enum.IntEnum):
+    LOW = 0
+    HIGH = 9
+
+
+@dataclasses.dataclass
+class Item:
+    k: int
+    color: Color
+    prio: Prio
+
+
+def test_csv_roundtrip_enum_codec(spark, tmp_path):
+    """Enum column codec (io/csv/CSVColumn.scala:40-80): plain Enum by
+    NAME, IntEnum by VALUE; both survive a CSV round-trip."""
+    from emma_spark.sources import io
+
+    items = [Item(1, Color.RED, Prio.HIGH), Item(2, Color.BLUE, Prio.LOW)]
+    schema = io.schema_of(Item)
+    assert [f.dataType.simpleString() for f in schema] == ["bigint", "string", "bigint"]
+    bag = DataBag(spark.createDataFrame(io.rows_of(items), schema))
+    p = str(tmp_path / "enum_csv")
+    bag.write_csv(p)
+    back = io.read_csv(spark, p, schema=Item)
+    got = {r["k"]: (Color[r["color"]], Prio(r["prio"])) for r in back.collect()}
+    assert got == {1: (Color.RED, Prio.HIGH), 2: (Color.BLUE, Prio.LOW)}
