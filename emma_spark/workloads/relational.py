@@ -852,22 +852,10 @@ def events_sessionize(spark, sf_dir):
     )
 
 
-@query(
-    "events_tumbling_hourly",
-    oracle="""
-    SELECT date_trunc('hour', ts) AS hour, event_type,
-           count(*) AS n, sum(floor(value * 1000000 + 0.5)) / 1000000 AS total
-    FROM events GROUP BY 1, 2
-    """,
-)
-def events_tumbling_hourly(spark, sf_dir):
-    """Tumbling-window aggregation (batch analog of the streaming
-    tumbling window in emma_spark.streaming)."""
-    e = T(spark, sf_dir, "events")["events"]
-    return (
-        e.df.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), qsum(F.col("value"), 6).alias("total"))
-    )
+# events_tumbling_hourly was retired in r3: it duplicated
+# stream_tumbling_counts' oracle (same grouping, same aggregate) and
+# hyper_rollup_daily covers batch time-bucket aggregation — one driver
+# slot freed for a never-checked query.
 
 
 # ----------------------------------------------------------------------
