@@ -88,7 +88,7 @@ _PRIORITY = [
     "skew_salted_join_agg", "hyper_rollup_daily", "sample_reservoir",
     "mutable_bag_update", "click_count_diffs", "directors_muses_shape",
     "comprehension_join_derivation", "csv_roundtrip_agg",
-    "agg_distinct_counts", "fold_minmax_struct_ordering",
+    "stream_session_windows", "fold_minmax_struct_ordering",
     # previously-green keepers (LLM family, §2.9 algorithms, core shapes)
     "text_token_count", "text_quality", "text_lang_id", "text_fingerprint",
     "dedup_exact", "dedup_minhash_signature", "dedup_minhash_pairs",

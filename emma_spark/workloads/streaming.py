@@ -144,6 +144,53 @@ def stream_keyed_state_counts(spark, sf_dir):
 
 
 @query(
+    "stream_session_windows",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id, min(ts) AS win_start, count(*) AS n
+    FROM sess GROUP BY user_id, sid
+    HAVING max(ts) + INTERVAL 30 MINUTE < (SELECT max(ts) - INTERVAL 37 MINUTE
+                                           FROM events)
+    """,
+)
+def stream_session_windows(spark, sf_dir):
+    """Streaming SESSION windows (gap-merged, watermark + append): per
+    user, events within 30 min of each other merge into one session;
+    a session finalizes — is emitted once and its state evicted — when
+    the watermark passes its end (last event + gap).
+
+    Oracle: classic gaps-and-islands sessionization with Spark's exact
+    merge rule (a gap of EXACTLY the duration starts a new session,
+    because session windows are half-open [start, last+gap)), keeping
+    sessions whose end clears the final watermark. The 37-minute delay
+    is micro-second-misaligned with event times, so the boundary
+    comparison cannot tie."""
+    staged = _stage_events(spark, sf_dir)
+    stream = S.read_stream_parquet(spark, staged, spark.read.parquet(staged).schema)
+    wm = S.with_watermark(stream, "ts", "37 minutes")
+    agg = S.session(wm, "ts", "30 minutes", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = f"stream_sw_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, output_mode="append", state_partitions=4)
+    return spark.table(name).select(
+        "user_id", F.col("window.start").alias("win_start"), "n"
+    )
+
+
+@query(
     "stream_sliding_counts",
     oracle="""
     WITH w AS (
