@@ -37,6 +37,24 @@ def split(df: DataFrame, fractions: list[float], seed: int = 631431513,
     return df.withColumn(fold_col, expr)
 
 
+def split_hash(df: DataFrame, k: int, key_cols: list[str], seed: int = 13,
+               fold_col: str = "fold_id") -> DataFrame:
+    """Equal-fraction k-fold assignment by a PORTABLE content hash
+    (first 56 bits of md5 over the seed-salted key columns, mod k) —
+    the oracle-checkable variant of :func:`split`: any engine with md5
+    reproduces the folds bit-for-bit (DuckDB:
+    ``CAST(concat('0x', substr(md5(concat_ws(chr(31), keys..., seed)),
+    1, 14)) AS BIGINT) % k``). Deterministic per content, stable under
+    repartitioning."""
+    joined = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(df[c].cast("string"), F.lit("\x01")) for c in key_cols],
+        F.lit(str(seed)),
+    )
+    h = F.conv(F.substring(F.md5(F.encode(joined, "utf-8")), 1, 14), 16, 10).cast("bigint")
+    return df.withColumn(fold_col, (h % k).cast("int"))
+
+
 def select(splits: DataFrame, k: int, fold_col: str = "fold_id") -> DataFrame:
     """Entries of fold k (test split)."""
     return splits.filter(F.col(fold_col) == k).drop(fold_col)

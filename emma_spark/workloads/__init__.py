@@ -96,8 +96,8 @@ _PRIORITY = [
     "graph_transitive_closure", "graph_connected_components",
     "graph_triangles", "ml_stats_summarize", "ml_kmeans_assign",
     "ml_naive_bayes_train", "ml_encode_dict_freq", "ml_kmeans_fit",
-    "ml_linreg_closed_form", "flatmap_wordcount", "join_equi",
-    "join_multiway_revenue", "join_theta_range", "groupby_agg_pricing",
+    "ml_linreg_closed_form", "ml_kfold_crossval", "flatmap_wordcount",
+    "join_equi", "join_multiway_revenue", "groupby_agg_pricing",
     "groupby_nest", "groupby_having", "fold_global",
 ]
 

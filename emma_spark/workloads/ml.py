@@ -283,3 +283,70 @@ def ml_linreg_closed_form(spark, sf_dir):
         rd(F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias("slope"),
         rd(F.regr_intercept(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias("intercept"),
     )
+
+
+@query(
+    "ml_kfold_crossval",
+    oracle="""
+    WITH t AS (
+      SELECT l_quantity AS x, l_extendedprice AS y,
+             CAST(CAST(concat('0x', substr(md5(concat_ws(chr(31),
+                    coalesce(CAST(l_orderkey AS VARCHAR), chr(1)),
+                    coalesce(CAST(l_linenumber AS VARCHAR), chr(1)),
+                    '13')), 1, 14)) AS BIGINT) % 5 AS INT) AS fold
+      FROM lineitem
+    ), models AS (
+      SELECT ks.k,
+             floor(regr_slope(y, x) * 10000 + 0.5) / 10000 AS m,
+             floor(regr_intercept(y, x) * 10000 + 0.5) / 10000 AS c
+      FROM t CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS k) ks
+      WHERE t.fold != ks.k
+      GROUP BY ks.k
+    )
+    SELECT t.fold AS k, count(*) AS n_test,
+           floor(sqrt(sum(floor((y - (m * x + c)) * (y - (m * x + c)) * 100 + 0.5))
+                      / (100.0 * count(*))) * 100 + 0.5) / 100 AS rmse
+    FROM t JOIN models ON t.fold = models.k
+    GROUP BY t.fold
+    """,
+)
+def ml_kfold_crossval(spark, sf_dir):
+    """k-fold cross-validation (kfold.scala semantics via
+    lib/ml/kfold.split_hash + eval): 5 portable hash folds; for each
+    fold k train a closed-form linear regression on the OTHER folds and
+    score RMSE on fold k.
+
+    One pass trains all 5 models (cross join with the fold-id dim +
+    fold != k filter — a 5x expand, the inherent CV cost, aggregated
+    with map-side partials); one join scores them. Cross-engine float
+    determinism: models are quantized to 4dp BEFORE scoring, so both
+    engines square bit-identical residuals; the squared errors are
+    per-row quantized to exact integers before the sum."""
+    from ..lib.ml import kfold
+
+    li = io.load_tables(spark, sf_dir, "lineitem")["lineitem"].df
+    t = kfold.split_hash(
+        li, 5, ["l_orderkey", "l_linenumber"], seed=13, fold_col="fold"
+    ).select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"), "fold"
+    )
+    ks = spark.range(5).select(F.col("id").cast("int").alias("k"))
+    models = (
+        t.crossJoin(ks)
+        .filter(F.col("fold") != F.col("k"))
+        .groupBy("k")
+        .agg(
+            rd(F.regr_slope(F.col("y"), F.col("x")), 4).alias("m"),
+            rd(F.regr_intercept(F.col("y"), F.col("x")), 4).alias("c"),
+        )
+    )
+    err = F.col("y") - (F.col("m") * F.col("x") + F.col("c"))
+    sq = F.floor(err * err * 100 + F.lit(0.5))
+    return (
+        t.join(models, t["fold"] == models["k"])
+        .groupBy(F.col("fold").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            (F.floor(F.sqrt(F.sum(sq) / (100.0 * F.count(F.lit(1)))) * 100 + F.lit(0.5)) / 100).alias("rmse"),
+        )
+    )
