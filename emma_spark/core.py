@@ -535,12 +535,20 @@ class GroupedBag:
         can't express (user Alg in ``api/DataBag.scala:59-63`` with a
         non-encodable accumulator).
 
-        Lowered to ``applyInPandas`` (Arrow batches): ONE shuffle on
-        the group keys; inside each group the fold runs
-        ``plus(acc, init(v))`` over the value column. No map-side
-        partials (Spark can't merge opaque Python accumulators), so at
-        100 TB a skewed key lands whole on one task — prefer Column
-        algs when expressible; this path exists for the rest.
+        Lowered as a TWO-STAGE ``applyInPandas`` fold — Spark cannot
+        merge opaque Python accumulators map-side, so the partial
+        combine is rebuilt explicitly:
+
+        1. group on (keys, spark_partition_id): each task folds only
+           ONE INPUT PARTITION's rows of a key and emits one pickled
+           accumulator — a skewed key's rows spread over as many tasks
+           as input partitions instead of landing whole on one;
+        2. group on keys: merge the ≤#partitions accumulators per key
+           with ``plus``, then ``finish``.
+
+        Lawfulness (assoc + comm ``plus``, Alg.scala:38-42) makes the
+        partition split semantically invisible. Prefer Column algs when
+        expressible; this path exists for the rest.
 
         ``result_schema`` is a DDL string for the OUTPUT value columns
         (e.g. ``"b0 bigint, b1 bigint"``); ``finish`` maps the final
@@ -549,24 +557,43 @@ class GroupedBag:
         import pandas as pd
         from pyspark.sql import types as Ty
 
-        kdf = self._df.select(*self._keys, _cols(self._df, e)[0].alias("__v"))
-        knames = kdf.columns[:-1]
+        kdf = self._df.select(
+            *self._keys,
+            _cols(self._df, e)[0].alias("__v"),
+            F.spark_partition_id().alias("__pid"),
+        )
+        knames = kdf.columns[:-2]
         val_struct = Ty.StructType.fromDDL(result_schema)
-        out_fields = list(kdf.schema.fields[:-1]) + list(val_struct.fields)
+        out_fields = list(kdf.schema.fields[:-2]) + list(val_struct.fields)
         schema = Ty.StructType(out_fields)
         names = [f.name for f in out_fields]
+        part_fields = list(kdf.schema.fields[:-2]) + [Ty.StructField("__acc", Ty.BinaryType())]
+        part_schema = Ty.StructType(part_fields)
+        part_names = [f.name for f in part_fields]
 
-        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        def fold_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pickle
+
             acc = zero
             for v in pdf["__v"]:
                 acc = plus(acc, init(v))
+            keyvals = [pdf[n].iloc[0] for n in knames]
+            return pd.DataFrame([keyvals + [pickle.dumps(acc)]], columns=part_names)
+
+        def merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pickle
+
+            acc = zero
+            for blob in pdf["__acc"]:
+                acc = plus(acc, pickle.loads(bytes(blob)))
             res = finish(acc) if finish else (acc,)
             if not isinstance(res, tuple):
                 res = (res,)
             keyvals = [pdf[n].iloc[0] for n in knames]
             return pd.DataFrame([keyvals + list(res)], columns=names)
 
-        return DataBag(kdf.groupBy(*knames).applyInPandas(fn, schema))
+        partials = kdf.groupBy(*knames, "__pid").applyInPandas(fold_partition, part_schema)
+        return DataBag(partials.groupBy(*knames).applyInPandas(merge_partials, schema))
 
 
 def _consumes(fn):
