@@ -155,6 +155,64 @@ def lsh_topk(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    centroid_mod: int = 61,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse centroids → inverted lists →
+    probe → exact re-rank. The third ANN path next to brute force
+    (exact, Q×N) and hyperplane LSH (data-independent buckets).
+
+    Centroids here are every ``centroid_mod``-th corpus vector by id —
+    deterministic and training-free, so C grows ~N/mod and the whole
+    query has an exact SQL twin (a TRAINED quantizer — e.g.
+    lib/ml/kmeans centroids — drops in without changing the plan
+    shape). Plan: broadcast centroids; one N×C assignment pass picks
+    each corpus vector's nearest list (rank-1 window, rounded sim +
+    id tie-break so the argmin is engine-stable); queries probe their
+    ``nprobe`` nearest lists; candidates come from an EQUI-join on the
+    centroid id — Σ|list| per probe, never Q×N — and re-rank with the
+    exact cosine."""
+    from pyspark.sql import Window
+
+    cents = F.broadcast(
+        corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cvv")
+        )
+    )
+
+    def nearest(df: DataFrame, id_alias: str, vec_alias: str, n: int) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(id_alias), as_double(F.col(vec_col)).alias(vec_alias)
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.desc(_rd(cosine(F.col(vec_alias), F.col("cvv")), 4)), F.asc("cid")
+        )
+        return (
+            base.crossJoin(cents)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n)
+            .select(id_alias, vec_alias, "cid")
+        )
+
+    assign = nearest(corpus, "neighbor_id", "cv", 1)
+    probes = nearest(queries, "query_id", "qv", nprobe)
+    sims = (
+        probes.join(assign, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", _rd(cosine(F.col("qv"), F.col("cv")), 4).alias("sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -83,7 +83,8 @@ _PRIORITY = [
     # never driver-checked before r3
     "graph_preprocessing_edges", "stream_watermark_append",
     "stream_tumbling_counts", "stream_keyed_state_counts",
-    "stream_sliding_counts", "ann_topk_cosine", "ann_lsh_topk",
+    "stream_sliding_counts", "ann_topk_cosine", "ann_ivf_topk",
+    "ann_lsh_topk",
     "embedding_neardup", "asof_join_purchases", "range_join_price_bands",
     "skew_salted_join_agg", "hyper_rollup_daily", "sample_reservoir",
     "mutable_bag_update", "click_count_diffs", "directors_muses_shape",
@@ -97,7 +98,7 @@ _PRIORITY = [
     "graph_triangles", "ml_stats_summarize", "ml_kmeans_assign",
     "ml_naive_bayes_train", "ml_encode_dict_freq", "ml_kmeans_fit",
     "ml_linreg_closed_form", "ml_kfold_crossval", "flatmap_wordcount",
-    "join_equi", "join_multiway_revenue", "groupby_agg_pricing",
+    "join_multiway_revenue", "groupby_agg_pricing",
     "groupby_nest", "groupby_having", "fold_global",
 ]
 

@@ -13,11 +13,16 @@ from ..llm import similarity as S
 from ..sources import io
 from . import query
 
-SQL_COS = (
-    "list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * cv[i]))"
-    " / (sqrt(list_sum(list_transform(qv, x -> x*x)))"
-    " * sqrt(list_sum(list_transform(cv, x -> x*x))))"
-)
+def sql_cos(a: str = "qv", b: str = "cv") -> str:
+    """Cosine of two DOUBLE[] columns as an explicit dot/norm fold."""
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i]))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x*x))))"
+    )
+
+
+SQL_COS = sql_cos("qv", "cv")
 
 
 @query(
@@ -78,3 +83,57 @@ def ann_lsh_topk(spark, sf_dir):
     emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
     queries = emb.filter(F.col("vec_id") < 10)
     return S.lsh_topk(emb, queries, k=3, planes=6, dim=64)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvv
+      FROM embeddings WHERE vec_id % 61 = 0
+    ),
+    corp AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    assign AS (
+      SELECT neighbor_id, cv, cid FROM (
+        SELECT corp.neighbor_id, corp.cv, cents.cid,
+               row_number() OVER (
+                 PARTITION BY corp.neighbor_id
+                 ORDER BY floor(({sql_cos('cv', 'cvv')}) * 10000 + 0.5) / 10000 DESC,
+                          cents.cid) AS rk
+        FROM corp CROSS JOIN cents
+      ) WHERE rk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, cents.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY floor(({sql_cos('qv', 'cvv')}) * 10000 + 0.5) / 10000 DESC,
+                          cents.cid) AS rk
+        FROM q CROSS JOIN cents
+      ) WHERE rk <= 2
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             floor(({SQL_COS}) * 10000 + 0.5) / 10000 AS sim
+      FROM probes JOIN assign USING (cid)
+      WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 3
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (llm/similarity.ivf_topk): deterministic coarse
+    centroids → inverted-list assignment → nprobe=2 probing →
+    equi-join candidates → exact cosine re-rank. Unlike the LSH query
+    (rows-only), the deterministic quantizer makes this approximate
+    path fully value-hash checkable."""
+    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, k=3, centroid_mod=61, nprobe=2)
