@@ -1,0 +1,62 @@
+"""End-to-end training-corpus curation: the composition layer over the
+LLM-data operators (text quality → exact dedup → near-dup removal →
+corpus stats) as ONE lazy DataFrame plan.
+
+This is the shape a 100 TB pre-training pipeline actually runs; every
+stage is one of the engine's shuffle-aware operators, so the whole
+pipeline is: scan → narrow quality filter (pushed to the scan where
+possible) → one content-hash shuffle (exact dedup) → signature build +
+one bucket join (near-dup) → one stats aggregation. No driver
+materialization anywhere; stages compose as plans, so Catalyst prunes
+columns across stage boundaries (e.g. the stats pass never carries
+text once token counts are computed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup as D
+from . import text as X
+
+
+def curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    min_alpha: float = 0.5,
+    num_hashes: int = 4,
+    shingle: int = 5,
+    bands: int = 2,
+) -> DataFrame:
+    """Quality-gate, exact-dedup, and near-dup-filter a document bag;
+    returns the surviving rows (all original columns).
+
+    Near-dup policy: among LSH candidate pairs (a < b), the HIGHER id
+    is dropped — deterministic, one pass, no transitive clustering
+    (connected-component dedup is available via lib.graphs for
+    pipelines that need it)."""
+    t = F.col(text_col)
+    qm = X.quality_metrics(t)
+    gated = docs.filter(
+        (F.size(X.tokens(t)) >= min_tokens) & (qm["alpha_ratio"] >= min_alpha)
+    )
+    kept = D.drop_exact_dups(gated, text_col=text_col, id_col=id_col)
+    sigs = D.minhash_signature(
+        kept, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle=shingle
+    )
+    pairs = D.lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
+    removed = pairs.select(F.col("b").alias(id_col)).distinct()
+    return kept.join(removed, id_col, "left_anti")
+
+
+def corpus_stats(docs: DataFrame, by: str = "lang", text_col: str = "text") -> DataFrame:
+    """Per-group corpus accounting: docs, tokens, chars."""
+    t = F.col(text_col)
+    return docs.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(X.tokens(t))).alias("total_tokens"),
+        F.sum(F.length(t)).alias("total_chars"),
+    )

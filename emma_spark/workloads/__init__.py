@@ -98,8 +98,8 @@ _PRIORITY = [
     "graph_triangles", "ml_stats_summarize", "ml_kmeans_assign",
     "ml_naive_bayes_train", "ml_encode_dict_freq", "ml_kmeans_fit",
     "ml_linreg_closed_form", "ml_kfold_crossval", "flatmap_wordcount",
-    "join_multiway_revenue", "groupby_agg_pricing",
-    "groupby_nest", "groupby_having", "fold_global",
+    "join_multiway_revenue", "pipeline_corpus_curation",
+    "groupby_agg_pricing", "groupby_nest", "fold_global",
 ]
 
 
@@ -107,7 +107,8 @@ def load_all() -> dict[str, Query]:
     """Import all workload modules (side effect: registration), ordered
     so the driver's 50-query window lands on ``_PRIORITY``."""
     from . import (  # noqa: F401
-        dedup, graph, ml, multimodal, relational, similarity, streaming, text,
+        dedup, graph, ml, multimodal, pipeline, relational, similarity,
+        streaming, text,
     )
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]

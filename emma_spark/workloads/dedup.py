@@ -17,7 +17,7 @@ SHINGLE = 5
 SQL_SHINGLES = f"list_transform(range(1, greatest(len(lower(text)) - {SHINGLE - 2}, 1)), i -> substr(lower(text), i, {SHINGLE}))"
 
 
-def _sig_sql() -> str:
+def _sig_sql(src: str = "documents") -> str:
     from ..llm.dedup import MINHASH_P, minhash_coef
 
     h32 = "CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)"
@@ -29,7 +29,7 @@ def _sig_sql() -> str:
         )
     return (
         f"SELECT doc_id, {', '.join(mins)} FROM "
-        f"(SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {h32}) AS hs FROM documents)"
+        f"(SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {h32}) AS hs FROM {src})"
     )
 
 
