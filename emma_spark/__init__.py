@@ -11,7 +11,7 @@ auto-caching, and large-scale training-data ops (dedup, similarity,
 text analysis, multimodal plumbing).
 """
 
-from .core import DataBag, GroupedBag
+from .core import DataBag, GroupedBag, sql
 from .functions import alg
 from .functions.expr import Elem, eq, ne, struct
 from .operators.asof import asof_join

@@ -633,6 +633,22 @@ del _name
 DataBag.with_filter = DataBag.filter
 
 
+def sql(spark: SparkSession, query: str, **bags: "DataBag | DataFrame") -> DataBag:
+    """ANSI-SQL entry point over DataBags: each keyword argument is
+    registered as a temp view under its name, then ``query`` runs
+    through ``spark.sql`` — the full Catalyst SQL surface (joins,
+    windows, grouping sets, CTEs) over engine bags.
+
+    The reference has no SQL layer (SURVEY §1.1: 'no table/column/SQL
+    layer'); this is a free capability of the Spark-first rebuild, and
+    the views are plain plan aliases — no materialization, pushdown
+    and pruning cross the view boundary."""
+    for name, bag in bags.items():
+        df = bag.df if isinstance(bag, DataBag) else bag
+        df.createOrReplaceTempView(name)
+    return DataBag(spark.sql(query))
+
+
 def _disambiguate(left: DataFrame, right: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Self-join column refresh (``SparkNtv.scala:79-82``): alias both
     sides so ambiguous column lineage resolves."""

@@ -1200,3 +1200,36 @@ def hyper_rollup_daily(spark, sf_dir):
         (F.floor(F.col("v_sum") * 1000000 + F.lit(0.5)) / 1000000).alias("v_sum"),
         "v_min", "v_max",
     )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100 AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@query("sql_entry_q3_shape", oracle=_Q3_SQL)
+def sql_entry_q3_shape(spark, sf_dir):
+    """The SQL entry point (core.sql): bags registered as temp views and
+    queried with ANSI SQL — TPC-H Q3 shape (shipping priority). The
+    ORACLE IS THE SAME SQL STRING run by DuckDB: one text, two engines.
+    Views are plan aliases, so the segment filter and date predicates
+    push into the parquet scans; the revenue sum is per-row quantized
+    for cross-engine determinism; deterministic ORDER BY tie-breaks
+    make the LIMIT stable."""
+    from ..core import sql as bag_sql
+
+    t = T(spark, sf_dir, "customer", "orders", "lineitem")
+    return bag_sql(
+        spark, _Q3_SQL,
+        customer=t["customer"], orders=t["orders"], lineitem=t["lineitem"],
+    ).df
