@@ -1,0 +1,68 @@
+"""Plan-shape audit: the physical plans of headline queries must carry
+the scale-critical properties. This is the `.explain("formatted")`
+review encoded as regression tests — a query that silently loses its
+pushdown, broadcast, partial aggregation, or codegen coverage fails
+here long before it becomes a 100 TB incident."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from emma_spark.workloads import load_all
+
+    return load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark, registry):
+    plan = _plan(registry["filter_pushdown"].fn(spark, SF_DIR))
+    scan = plan[plan.index("PushedFilters"):][:250]
+    assert "o_orderstatus" in scan and "o_totalprice" in scan, scan
+
+
+def test_scan_prunes_unused_columns(spark, registry):
+    plan = _plan(registry["filter_pushdown"].fn(spark, SF_DIR))
+    read = plan[plan.index("ReadSchema"):][:300]
+    assert "o_orderdate" not in read and "o_custkey" not in read, read
+
+
+def test_multiway_join_broadcasts_dims_no_cartesian(spark, registry):
+    plan = _plan(registry["join_multiway_revenue"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wordcount_partial_aggregation(spark, registry):
+    plan = _plan(registry["flatmap_wordcount"].fn(spark, SF_DIR))
+    assert "partial_count" in plan, "map-side combine missing"
+
+
+def test_dedup_pairs_hash_join_not_bnlj(spark, registry):
+    plan = _plan(registry["dedup_minhash_pairs"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, "pair generation degraded to n^2"
+
+
+def test_no_row_at_a_time_python_in_headline_plans(spark, registry):
+    """Arrow-batched seams (mapInPandas etc.) are allowed; legacy
+    row-at-a-time Python UDFs (BatchEvalPython) are banned everywhere."""
+    for name, q in registry.items():
+        if not q.headline:
+            continue
+        if name.startswith("stream_"):
+            continue  # streaming queries execute on .start(), not lazily
+        plan = _plan(q.fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_codegen_covers_projection(spark, registry):
+    # "*(n) " prefixes mark WholeStageCodegen stages in plan.toString()
+    plan = _plan(registry["map_project"].fn(spark, SF_DIR))
+    assert "*(1)" in plan, plan[:400]
