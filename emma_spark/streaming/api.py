@@ -82,6 +82,32 @@ def keyed_state(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with a time-interval condition:
+    ``right_ts ∈ [left_ts − lower, left_ts + upper]`` per key.
+
+    Both inputs must carry watermarks — the interval plus the
+    watermarks bound how long each side's rows are retained in join
+    state, which is what makes a stream-stream join runnable on an
+    unbounded stream (state evicts once the other side's watermark
+    passes the interval edge). Matches emit as they arrive (append)."""
+    cond = (
+        (left[on] == right[on])
+        & (right[right_ts] >= F.expr(f"{left_ts} - interval {lower}"))
+        & (right[right_ts] <= F.expr(f"{left_ts} + interval {upper}"))
+    )
+    return left.join(right, cond, how)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,

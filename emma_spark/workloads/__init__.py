@@ -90,8 +90,9 @@ _PRIORITY = [
     "mutable_bag_update", "click_count_diffs", "directors_muses_shape",
     "comprehension_join_derivation", "csv_roundtrip_agg",
     "stream_session_windows", "fold_minmax_struct_ordering",
+    "stream_stream_interval_join",
     # previously-green keepers (LLM family, §2.9 algorithms, core shapes)
-    "text_token_count", "text_quality", "text_lang_id", "text_fingerprint",
+    "text_token_count", "text_quality", "text_lang_id",
     "dedup_exact", "dedup_minhash_signature", "dedup_minhash_pairs",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_ngram_jaccard",
     "graph_transitive_closure", "graph_connected_components",

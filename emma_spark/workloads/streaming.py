@@ -144,6 +144,50 @@ def stream_keyed_state_counts(spark, sf_dir):
 
 
 @query(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS pid, p.user_id, c.event_id AS cid
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def stream_stream_interval_join(spark, sf_dir):
+    """STREAM-STREAM join (purchases enriched with each click from the
+    preceding hour, per user) — the production shape: watermarks on
+    BOTH sides + a time-interval join condition, which together bound
+    join state (a side's row evicts once the other watermark clears
+    its interval). Inner matches emit on arrival (append mode), so the
+    drained result equals the batch interval join, which is the
+    oracle."""
+    staged = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    p = (
+        S.with_watermark(S.read_stream_parquet(spark, staged, schema), "ts", "2 hours")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts"))
+    )
+    c = (
+        S.with_watermark(S.read_stream_parquet(spark, staged, schema), "ts", "2 hours")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("cid"), F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.expr("p_ts - interval 1 hour"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(j.select("pid", "user_id", "cid"), name,
+                    output_mode="append", state_partitions=4)
+    return spark.table(name)
+
+
+@query(
     "stream_session_windows",
     oracle="""
     WITH gaps AS (
