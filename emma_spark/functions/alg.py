@@ -264,6 +264,12 @@ class Fold(Alg):
     per-group list materializes, so this is the *explicit* slow path;
     every builtin above is preferred. ``init``/``plus`` operate on
     Columns (stay JVM-side even here).
+
+    Scale contract: use only where the GROUP is bounded (a filter or
+    key structure caps rows per group). For unbounded groups use a
+    builtin alg, ``GroupedBag.py_fold`` (two-stage partial combine),
+    or — for the global case — ``DataBag.reduce``/``reduce_option``,
+    which fold per-partition first and never build a whole-bag array.
     """
 
     zero: Any = None

@@ -1233,3 +1233,29 @@ def sql_entry_q3_shape(spark, sf_dir):
         spark, _Q3_SQL,
         customer=t["customer"], orders=t["orders"], lineitem=t["lineitem"],
     ).df
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+           floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000 AS p90,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact per-group percentiles (median / p90 order value) — both
+    engines use the same linear-interpolation definition
+    (rank = p·(n−1) over the sorted group), so the values agree to the
+    4dp quantization. At 100 TB swap ``F.percentile`` for
+    ``F.approx_percentile`` (bounded-state KLL-style sketch) — exact
+    percentiles need a per-group sort; the approximate form keeps the
+    same call shape."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    return o.df.groupBy("o_orderpriority").agg(
+        rd(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 4).alias("p50"),
+        rd(F.percentile(F.col("o_totalprice"), F.lit(0.9)), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
