@@ -60,6 +60,45 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     return out
 
 
+def page_rank_int(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    unit: int = 10**12,
+) -> DataFrame:
+    """PageRank power iteration in INTEGER micro-units (1 = 1/unit of
+    probability mass) — every step is either exact integer arithmetic
+    (sums, `div`) or a single IEEE multiply+floor, so the result is
+    bit-identical on any engine and an SQL oracle can replay it.
+
+    pr_0 = unit/N;  pr_{i+1}(v) = teleport + floor(d · Σ_{u→v} pr_i(u)
+    div outdeg(u)) with teleport = (unit − d·unit)/N in exact ints.
+    A driver loop over DataFrame joins — emma's iteration model
+    (SURVEY §2.8): the loop is control flow, each step is a plan.
+    Every node here must have out-edges (no dangling-mass term)."""
+    n = nodes.count()
+    teleport = (unit - int(damping * 100) * unit // 100) // n
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+    pr = nodes.select(F.col("id"), F.lit(unit // n).cast("bigint").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["id"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("id"), F.expr("pr div __d").alias("__c"))
+            .groupBy("id")
+            .agg(F.sum("__c").alias("__c"))
+        )
+        pr = nodes.join(contrib, "id", "left").select(
+            F.col("id"),
+            (
+                F.lit(teleport)
+                + F.floor(F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0)))
+            ).cast("bigint").alias("pr"),
+        )
+    return pr
+
+
 def graph_preprocessing(collabs: DataFrame, src: str, dst: str, proj) -> DataFrame:
     """Labeled-edge extraction with a higher-order aggregate parameter —
     GraphPreprocessing parity (``emma-examples/src/main/scala/org/

@@ -94,8 +94,8 @@ _PRIORITY = [
     # previously-green keepers (LLM family, §2.9 algorithms, core shapes)
     "text_token_count", "text_quality", "text_lang_id",
     "dedup_exact", "dedup_minhash_signature", "dedup_minhash_pairs",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_ngram_jaccard",
-    "graph_transitive_closure", "graph_connected_components",
+    "dedup_simhash_pairs", "dedup_ngram_jaccard",
+    "stream_dedup_keys", "graph_pagerank", "graph_connected_components",
     "graph_triangles", "ml_stats_summarize", "ml_kmeans_assign",
     "ml_naive_bayes_train", "ml_encode_dict_freq", "ml_kmeans_fit",
     "ml_linreg_closed_form", "ml_kfold_crossval", "flatmap_wordcount",

@@ -200,3 +200,51 @@ def graph_preprocessing_edges(spark, sf_dir):
         "max_qty": cs.max(F.col("l_quantity").cast("bigint")),
     }
     return graph_preprocessing(collabs, "src", "dst", proj)
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.id, CAST(6000000000 + floor(0.85 * coalesce(s.c, 0)) AS BIGINT) AS pr
+      FROM pr_nodes n LEFT JOIN (
+        SELECT e.dst AS id, sum(p.pr // d.d) AS c
+        FROM pr_edges e JOIN {prev} p ON e.src = p.id
+        JOIN pr_deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) s ON n.id = s.id
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH pr_nodes AS (SELECT n_nationkey AS id FROM nation),
+    pr_edges AS (
+      SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+      UNION ALL
+      SELECT n_nationkey, (6 * n_nationkey + 1) % 25 FROM nation
+    ),
+    pr_deg AS (SELECT src, count(*) AS d FROM pr_edges GROUP BY src),
+    pr0 AS (SELECT id, CAST(40000000000 AS BIGINT) AS pr FROM pr_nodes),
+    {_pagerank_iter_sql('pr0', 'pr1')},
+    {_pagerank_iter_sql('pr1', 'pr2')},
+    {_pagerank_iter_sql('pr2', 'pr3')}
+    SELECT id, pr FROM pr3
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """PageRank (3 power iterations, d=0.85) over a deterministic
+    25-node functional graph, computed in integer micro-units
+    (lib/graphs.page_rank_int) so every engine produces bit-identical
+    mass — the oracle unrolls the same three iterations in SQL. The
+    canonical iterative-dataflow benchmark emma's loop machinery
+    targets (SURVEY §2.8), as a driver loop over DataFrame plans."""
+    from ..lib.graphs import page_rank_int
+
+    n = io.read_parquet(spark, f"{sf_dir}/nation.parquet").df
+    nodes = n.select(F.col("n_nationkey").alias("id"))
+    k = F.col("n_nationkey")
+    edges = n.select(k.alias("src"), ((k + 1) % 25).alias("dst")).unionByName(
+        n.select(k.alias("src"), ((k * 6 + 1) % 25).alias("dst"))
+    )
+    return page_rank_int(edges, nodes, iters=3, damping=0.85)

@@ -235,6 +235,31 @@ def stream_session_windows(spark, sf_dir):
 
 
 @query(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_keys(spark, sf_dir):
+    """Streaming deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key only until
+    the watermark clears the key's event time, so dedup state evicts
+    continuously on an unbounded stream (plain dropDuplicates grows
+    state forever). Projecting to the key columns makes the emitted
+    set deterministic (first-arrival races only affect non-key
+    columns, which are dropped): exactly the distinct keys, which is
+    the oracle. NOTE: within-watermark dedup guarantees single
+    emission only for duplicates closer than the delay — duplicates
+    separated further may re-emit, hence the final distinct()."""
+    staged = _stage_events(spark, sf_dir)
+    stream = S.read_stream_parquet(spark, staged, spark.read.parquet(staged).schema)
+    wm = S.with_watermark(stream, "ts", "2 hours").select("user_id", "event_type", "ts")
+    dd = wm.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    name = f"stream_dd_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(dd.select("user_id", "event_type"), name,
+                    output_mode="append", state_partitions=4)
+    return spark.table(name).distinct()
+
+
+@query(
     "stream_sliding_counts",
     oracle="""
     WITH w AS (
