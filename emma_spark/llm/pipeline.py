@@ -43,7 +43,14 @@ def curate(
     gated = docs.filter(
         (F.size(X.tokens(t)) >= min_tokens) & (qm["alpha_ratio"] >= min_alpha)
     )
-    kept = D.drop_exact_dups(gated, text_col=text_col, id_col=id_col)
+    # `kept` feeds BOTH the signature build and the final anti-join:
+    # pin it (lazy localCheckpoint — computed once on first action,
+    # blocks GC-released) or the quality filter + exact-dedup shuffle
+    # would run twice. The auto-cache used-more-than-once policy
+    # (Caching.scala:57-94) applied by hand.
+    kept = D.drop_exact_dups(gated, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
     sigs = D.minhash_signature(
         kept, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle=shingle
     )

@@ -44,7 +44,7 @@ FROM final GROUP BY lang
 """
 
 
-@query("pipeline_corpus_curation", oracle=_ORACLE)
+@query("pipeline_corpus_curation", oracle=_ORACLE, headline=True)
 def pipeline_corpus_curation(spark, sf_dir):
     """The LLM-data operators composed end-to-end as one lazy plan:
     quality gate (narrow filter) → exact dedup (one content-hash
