@@ -47,9 +47,16 @@ def curate(
     # pin it (lazy localCheckpoint — computed once on first action,
     # blocks GC-released) or the quality filter + exact-dedup shuffle
     # would run twice. The auto-cache used-more-than-once policy
-    # (Caching.scala:57-94) applied by hand.
-    kept = D.drop_exact_dups(gated, text_col=text_col, id_col=id_col).localCheckpoint(
-        eager=False
+    # (Caching.scala:57-94) applied by hand. Then REBALANCE: AQE
+    # coalesces the dedup shuffle by BYTES, but the next stage (shingle
+    # explode + md5 per shingle) is CPU-bound per row — without the
+    # re-spread the whole signature build lands on one task (measured
+    # 5x slower at sf0.1). Cheap at any scale: the deduped bag already
+    # paid a shuffle, this one moves strictly fewer rows.
+    kept = (
+        D.drop_exact_dups(gated, text_col=text_col, id_col=id_col)
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
     )
     sigs = D.minhash_signature(
         kept, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle=shingle
