@@ -168,6 +168,72 @@ def frame_sample_plan(
     )
 
 
+def audio_features(
+    df: DataFrame,
+    decode: Callable[[bytes, int, int], list[float]] | None = None,
+    stub: bool = False,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Audio blob → fixed-width feature vector via ``mapInPandas`` —
+    same Arrow-batched plumbing as :func:`image_features`, audio-shaped
+    metadata (sample_rate, n_samples). ``stub=True`` raises at the
+    librosa/ffmpeg seam; default is the deterministic FNV fake (shipped
+    by value — no executor imports)."""
+    if decode is None:
+        if stub:
+            def decode(blob, sr, ns):  # pragma: no cover - the real-codec seam
+                raise NotImplementedError(
+                    "audio decode requires a codec (librosa/ffmpeg); "
+                    "pass decode= or use the deterministic fake (stub=False)"
+                )
+        else:
+            fnv = _make_fake_decode()
+
+            def decode(blob, sr, ns):
+                base = fnv(blob, sr, 0, 0)[:8]
+                return base + [float(sr), float(ns)]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode(blob, m["sample_rate"], m["n_samples"])
+                for blob, m in zip(pdf[blob_col], pdf[meta_col])
+            ]
+            yield pd.DataFrame({"id": pdf[id_col], "features": feats})
+
+    return df.select(id_col, blob_col, meta_col).mapInPandas(run, out_schema)
+
+
+def synth_audio_table(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic audio table (binary blobs + meta),
+    portable arithmetic only — mirrors :func:`synth_image_table`."""
+    fmt = F.when(F.col("id") % 2 == 0, "wav").otherwise("flac")
+    sr = F.when(F.col("id") % 3 == 0, 16000).otherwise(44100)
+    ns = (F.col("id") * 1000 + 100).cast("long")
+    blob = F.encode(
+        F.concat(F.lit("AUDBLOB:"), F.col("id").cast("string"),
+                 F.lit(":"), F.repeat(F.lit("s"), (F.col("id") % 48 + 1).cast("int"))),
+        "utf-8",
+    ).cast("binary")
+    return spark.range(n).select(
+        F.col("id"),
+        blob.alias("blob"),
+        F.struct(
+            sr.cast("int").alias("sample_rate"), ns.alias("n_samples"),
+            F.lit(1).alias("channels"), fmt.alias("format"),
+        ).alias("meta"),
+    )
+
+
 def synth_image_table(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic synthetic multimodal table (binary blobs + meta)
     for tests/demos — generated distributed (spark.range), not driver

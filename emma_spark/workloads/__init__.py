@@ -90,9 +90,10 @@ _PRIORITY = [
     "mutable_bag_update", "click_count_diffs", "directors_muses_shape",
     "comprehension_join_derivation", "csv_roundtrip_agg",
     "stream_session_windows", "fold_minmax_struct_ordering",
-    "stream_stream_interval_join",
+    "stream_stream_interval_join", "multimodal_audio_features",
+    "multimodal_frame_sample",
     # previously-green keepers (LLM family, §2.9 algorithms, core shapes)
-    "text_token_count", "text_quality", "text_lang_id",
+    "text_quality", "text_lang_id",
     "dedup_exact", "dedup_minhash_signature", "dedup_minhash_pairs",
     "dedup_simhash_pairs", "dedup_ngram_jaccard",
     "stream_dedup_keys", "graph_pagerank", "graph_connected_components",

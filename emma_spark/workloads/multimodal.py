@@ -71,3 +71,74 @@ def multimodal_image_features(spark, sf_dir):
         F.col("features")[9].cast("bigint").alias("h"),
         F.size("features").cast("int").alias("dim"),
     )
+
+
+_AUDIO_ORACLE = """
+WITH auds AS (
+  SELECT id,
+         'AUDBLOB:' || CAST(id AS VARCHAR) || ':'
+           || repeat('s', CAST(id % 48 + 1 AS INT)) AS s,
+         CASE WHEN id % 3 = 0 THEN 16000 ELSE 44100 END AS sr,
+         id * 1000 + 100 AS ns
+  FROM range(192) t(id)
+), hashed AS (
+  SELECT id, sr, ns,
+    list_reduce(
+      list_prepend(CAST(2166136261 AS HUGEINT),
+                   list_transform(string_split(s, ''),
+                                  c -> CAST(ord(c) AS HUGEINT))),
+      (a, b) -> (xor(a, b) * 16777619) % 4294967296
+    ) AS acc
+  FROM auds WHERE sr = 44100
+)
+SELECT id,
+       CAST(acc % 256 AS BIGINT)        AS b0,
+       CAST((acc // 8) % 256 AS BIGINT) AS b1,
+       CAST(sr AS BIGINT) AS sr, CAST(ns AS BIGINT) AS ns,
+       10 AS dim
+FROM hashed
+"""
+
+
+@query("multimodal_audio_features", oracle=_AUDIO_ORACLE)
+def multimodal_audio_features(spark, sf_dir):
+    """Audio modality end-to-end: typed metadata filter (only 44.1 kHz
+    clips decoded — blob pruned for the rest at the scan) → Arrow-
+    batched feature extraction → exact integer comparison against the
+    FNV oracle."""
+    auds = M.synth_audio_table(spark, n=192)
+    hq = M.filter_by_meta(auds, F.col("meta.sample_rate") == 44100)
+    feats = M.audio_features(hq)
+    byte = lambda i: F.round(F.col("features")[i] * 255).cast("bigint")
+    return feats.select(
+        "id",
+        byte(0).alias("b0"), byte(1).alias("b1"),
+        F.col("features")[8].cast("bigint").alias("sr"),
+        F.col("features")[9].cast("bigint").alias("ns"),
+        F.size("features").cast("int").alias("dim"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT id AS video_id, unnest(range(0, id % 100 + 1, 7)) AS frame_no
+    FROM range(128) t(id)
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling PLAN (llm/multimodal.frame_sample_plan):
+    (video_id, frame_no) rows for every 7th frame, derived from
+    METADATA ONLY — no codec, no blob read; the decode of selected
+    frames is a separate batched pass. Pure sequence+explode, exactly
+    mirrored by the oracle's range unnest."""
+    vids = spark.range(128).select(
+        F.col("id"),
+        F.lit(None).cast("binary").alias("blob"),
+        F.struct(
+            F.lit(640).alias("width"), F.lit(480).alias("height"),
+            (F.col("id") % 100 + 1).cast("long").alias("n_frames"),
+            F.lit(25.0).alias("fps"), F.lit("mp4").alias("format"),
+        ).alias("meta"),
+    )
+    return M.frame_sample_plan(vids, every_n=7)
