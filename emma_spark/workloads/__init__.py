@@ -101,7 +101,7 @@ _PRIORITY = [
     "ml_naive_bayes_train", "ml_encode_dict_freq", "ml_kmeans_fit",
     "ml_linreg_closed_form", "ml_kfold_crossval", "flatmap_wordcount",
     "join_multiway_revenue", "pipeline_corpus_curation",
-    "sql_entry_q3_shape", "groupby_agg_pricing", "fold_global",
+    "sql_entry_q3_shape", "fold_global",
 ]
 
 
