@@ -1259,3 +1259,44 @@ def agg_percentiles(spark, sf_dir):
         rd(F.percentile(F.col("o_totalprice"), F.lit(0.9)), 4).alias("p90"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "comprehension_composite_theta",
+    oracle="""
+    SELECT a.l_orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+           CAST(a.l_quantity + b.l_quantity AS BIGINT) AS qty_sum
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey = b.l_suppkey
+     AND a.l_linenumber < b.l_linenumber
+    """,
+)
+def comprehension_composite_theta(spark, sf_dir):
+    """Comprehension-derived SELF-join with a fused COMPOSITE key and a
+    residual theta guard — the three hardest Combination.scala rules in
+    one query: two equality guards linking the same generator pair fuse
+    into one (orderkey, suppkey) composite join key
+    (MatchCollectEqualityGuards :598-658 → MatchEquiJoin :723-777); the
+    `<` guard is non-equality, so it stays a post-join filter
+    (MatchFilter :125-145); and both generators share lineage, so the
+    lowering's side-alias namespace does the self-join column refresh
+    (SparkNtv.scala:79-82). ONE hash join on the composite key — never
+    a cartesian."""
+    from ..plans.comprehension import comprehension
+
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    pairs = (
+        comprehension(a=li, b=li)
+        .where(lambda x: x.a.l_orderkey == x.b.l_orderkey)
+        .where(lambda x: x.a.l_suppkey == x.b.l_suppkey)
+        .where(lambda x: x.a.l_linenumber < x.b.l_linenumber)
+        .select(
+            lambda x: {
+                "l_orderkey": x.a.l_orderkey,
+                "ln_a": x.a.l_linenumber,
+                "ln_b": x.b.l_linenumber,
+                "qty_sum": (x.a.l_quantity + x.b.l_quantity).cast("bigint"),
+            }
+        )
+    )
+    return pairs.df

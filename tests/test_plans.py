@@ -66,3 +66,13 @@ def test_codegen_covers_projection(spark, registry):
     # "*(n) " prefixes mark WholeStageCodegen stages in plan.toString()
     plan = _plan(registry["map_project"].fn(spark, SF_DIR))
     assert "*(1)" in plan, plan[:400]
+
+
+def test_comprehension_composite_key_single_hash_join(spark, registry):
+    """Two equality guards must fuse into ONE composite-key equi-join —
+    not a cartesian with filters."""
+    plan = _plan(registry["comprehension_composite_theta"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) == 1, plan[:600]
