@@ -1300,3 +1300,80 @@ def comprehension_composite_theta(spark, sf_dir):
         )
     )
     return pairs.df
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P,
+           sum(CASE WHEN o_orderstatus = 'F'
+                    THEN floor(o_totalprice * 100 + 0.5) END) / 100 AS F_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot (wide aggregation) — absent in the reference, a Spark free
+    gain: `groupBy().pivot(col, values).agg(...)` compiles to the same
+    conditional-aggregate pass the oracle spells out (one shuffle,
+    map-side partials; the explicit value list avoids the extra
+    distinct-values job AND keeps the schema static, which is what you
+    want at 100 TB)."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    wide = (
+        o.df.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            qsum(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("F"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("O"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("P"),
+        F.col("F_total"),
+    )
+
+
+@query(
+    "array_hof_surface",
+    oracle="""
+    SELECT l_orderkey,
+           list_transform(qs, x -> x * 2)                   AS doubled,
+           list_filter(qs, x -> x > 25)                     AS big,
+           list_sum(qs)                                     AS total,
+           list_sort(qs)                                    AS sorted_qs,
+           len(qs)                                          AS n,
+           list_max(qs)                                     AS mx
+    FROM (
+      SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+      FROM lineitem WHERE l_orderkey % 97 = 0 GROUP BY l_orderkey
+    )
+    """,
+)
+def array_hof_surface(spark, sf_dir):
+    """Array higher-order-function surface (transform / filter /
+    aggregate / sort / size / array_max) over per-order quantity
+    arrays — the Column-expression machinery every llm/ operator is
+    built from, exercised directly against DuckDB's list_* twins.
+    Arrays built sorted so the bag→array order is engine-independent."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    base = (
+        li.filter(lambda x: x.l_orderkey % 97 == 0)
+        .group_by(["l_orderkey"])
+        .agg(alg.Expr(F.sort_array(F.collect_list(F.col("l_quantity").cast("bigint"))), name="qs"))
+    )
+    qs = F.col("qs")
+    return base.df.select(
+        "l_orderkey",
+        F.transform(qs, lambda x: x * 2).alias("doubled"),
+        F.filter(qs, lambda x: x > 25).alias("big"),
+        F.aggregate(qs, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("total"),
+        F.sort_array(qs).alias("sorted_qs"),
+        F.size(qs).alias("n"),
+        F.array_max(qs).alias("mx"),
+    )
