@@ -1377,3 +1377,77 @@ def array_hof_surface(spark, sf_dir):
         F.size(qs).alias("n"),
         F.array_max(qs).alias("mx"),
     )
+
+
+@query(
+    "unpivot_quantities",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey % 199 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey % 199 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax
+    FROM lineitem WHERE l_orderkey % 199 = 0
+    """,
+)
+def unpivot_quantities(spark, sf_dir):
+    """Unpivot / melt (wide → long) — `DataFrame.unpivot` compiles to
+    an Expand node: one narrow pass emitting 3 rows per input, no
+    shuffle, no self-union scan triplication (the oracle's UNION ALL
+    spells out the semantics; Spark reads the table once)."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(lambda x: x.l_orderkey % 199 == 0)
+        .df.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            [F.col("l_quantity").alias("qty"),
+             F.col("l_discount").alias("discount"),
+             F.col("l_tax").alias("tax")],
+            "measure", "val",
+        )
+    )
+
+
+@query(
+    "json_extract_fields",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderkey,
+             '{"status": "' || o_orderstatus || '", "price": '
+               || CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) || '}' AS doc
+      FROM orders WHERE o_orderkey % 131 = 0
+    )
+    SELECT o_orderkey,
+           json_extract_string(doc, '$.status') AS status,
+           CAST(json_extract(doc, '$.price') AS BIGINT) AS price_cents
+    FROM j
+    """,
+)
+def json_extract_fields(spark, sf_dir):
+    """Semi-structured surface: JSON documents (built with portable
+    string concat so both engines parse IDENTICAL bytes) parsed with
+    ``from_json`` against an explicit schema — schema-on-read stays a
+    Column expression, no Python. DuckDB twin uses json_extract on the
+    same documents."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    doc = F.concat(
+        F.lit('{"status": "'), F.col("o_orderstatus"),
+        F.lit('", "price": '),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").cast("string"),
+        F.lit("}"),
+    )
+    parsed = (
+        o.filter(lambda x: x.o_orderkey % 131 == 0)
+        .df.select("o_orderkey", doc.alias("doc"))
+        .select(
+            "o_orderkey",
+            F.from_json(F.col("doc"), "status string, price bigint").alias("j"),
+        )
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("j.status").alias("status"),
+        F.col("j.price").alias("price_cents"),
+    )
