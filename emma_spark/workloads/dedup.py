@@ -140,3 +140,39 @@ def dedup_ngram_jaccard(spark, sf_dir):
     deterministic across engines."""
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     return D.ngram_jaccard_pairs(docs, n=3, blocks=25, min_sim=0.5)
+
+
+@query(
+    "dedup_transitive_groups",
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_sig_sql()}),
+    p AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+       AND ((l.mh0 = r.mh0 AND l.mh1 = r.mh1) OR (l.mh2 = r.mh2 AND l.mh3 = r.mh3))
+    ),
+    ue AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+    nodes AS (SELECT DISTINCT src AS id FROM ue),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT ue.dst, reach.comp FROM reach JOIN ue ON reach.id = ue.src
+    )
+    SELECT id AS doc_id, min(comp) AS keeper FROM reach GROUP BY id
+    """,
+)
+def dedup_transitive_groups(spark, sf_dir):
+    """TRANSITIVE near-dup clustering: LSH candidate pairs as an edge
+    set, connected components over it, min-id keeper per component —
+    the dedup policy that also collapses A~B~C chains where A and C
+    never co-bucket. Composes two engine layers (llm.dedup bucket join
+    + lib.graphs min-label fixpoint with per-round localCheckpoint);
+    the oracle replays both (signature SQL + recursive CTE)."""
+    from ..lib.graphs import connected_components
+
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    sigs = D.minhash_signature(docs, num_hashes=N_HASHES, shingle=SHINGLE)
+    pairs = D.lsh_candidate_pairs(sigs, num_hashes=N_HASHES, bands=2)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    cc = connected_components(edges)
+    return cc.select(F.col("id").alias("doc_id"), F.col("comp").alias("keeper"))
