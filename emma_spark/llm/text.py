@@ -132,3 +132,36 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         out.withColumn("lang_guess", lang_id(t))
         .withColumn("fp", fingerprint(t))
     )
+
+
+def kmv_distinct_estimate(
+    df, group_col: str, value_col: str, k: int = 32, id_salt: str = "kmv"
+):
+    """KMV (k-minimum-values) distinct-count sketch, deterministic form:
+    hash each value with the portable 56-bit md5, keep each group's k
+    smallest DISTINCT hashes, estimate |distinct| = (k-1)·2^56 / h_k.
+
+    Plan: dedup (group, hash) with map-side partial agg, then a
+    rank-k window — the shuffle carries distinct hashes only and the
+    driver sees one row per group. Integer arithmetic end to end
+    (floor division), so any engine reproduces the estimate exactly —
+    unlike HLL sketches (``approx_count_distinct``), whose registers
+    are implementation-defined. Production note: for a mergeable
+    always-on sketch use approx_count_distinct; this operator is the
+    portable, exactly-reproducible alternative."""
+    from pyspark.sql import Window, functions as F
+
+    h = md5_long(F.col(value_col).cast("string"), salt=id_salt)
+    distinct_h = df.select(F.col(group_col), h.alias("__h")).distinct()
+    w = Window.partitionBy(group_col).orderBy("__h")
+    topk = distinct_h.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    )
+    return topk.groupBy(group_col).agg(
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1))
+        ).otherwise(
+            F.floor(F.lit((k - 1) * (1 << 56)) / F.max("__h")).cast("bigint")
+        ).cast("bigint").alias("est_distinct"),
+        F.count(F.lit(1)).alias("n_mins"),
+    )

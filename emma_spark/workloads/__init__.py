@@ -92,8 +92,9 @@ _PRIORITY = [
     "stream_session_windows", "fold_minmax_struct_ordering",
     "stream_stream_interval_join", "multimodal_audio_features",
     "multimodal_frame_sample",
+    "sketch_kmv_distinct",
     # previously-green keepers (LLM family, §2.9 algorithms, core shapes)
-    "text_quality", "text_lang_id",
+    "text_lang_id",
     "dedup_exact", "dedup_minhash_signature", "dedup_minhash_pairs",
     "dedup_simhash_pairs", "dedup_ngram_jaccard",
     "stream_dedup_keys", "graph_pagerank", "graph_connected_components",

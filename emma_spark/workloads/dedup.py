@@ -176,3 +176,48 @@ def dedup_transitive_groups(spark, sf_dir):
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     cc = connected_components(edges)
     return cc.select(F.col("id").alias("doc_id"), F.col("comp").alias("keeper"))
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             {sql_md5_long("concat('kmv', '|', CAST(l_partkey AS VARCHAR))")} AS hh
+      FROM lineitem
+    ), topk AS (
+      SELECT l_returnflag, hh,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY hh) AS rk
+      FROM h
+    ), agg AS (
+      SELECT l_returnflag, count(*) AS n_mins, max(hh) AS hk
+      FROM topk WHERE rk <= 32 GROUP BY l_returnflag
+    ), est AS (
+      SELECT l_returnflag,
+             CASE WHEN n_mins < 32 THEN n_mins
+                  ELSE CAST(floor(CAST(31 * 72057594037927936 AS HUGEINT) / hk)
+                            AS BIGINT) END AS est_distinct,
+             n_mins
+      FROM agg
+    )
+    SELECT e.l_returnflag, e.est_distinct, e.n_mins, x.exact_distinct
+    FROM est e JOIN (
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct
+      FROM lineitem GROUP BY l_returnflag
+    ) x ON e.l_returnflag = x.l_returnflag
+    """,
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (llm/text.kmv_distinct_estimate) next
+    to the exact count: a deterministic, engine-portable cardinality
+    estimator — integer arithmetic end to end, so the DuckDB twin
+    reproduces the ESTIMATE exactly (HLL register layouts never
+    cross-check). k=32 smallest distinct 56-bit hashes per group."""
+    from ..llm.text import kmv_distinct_estimate
+
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    est = kmv_distinct_estimate(li, "l_returnflag", "l_partkey", k=32)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return est.join(exact, "l_returnflag")
