@@ -1451,3 +1451,76 @@ def json_extract_fields(spark, sf_dir):
         F.col("j.status").alias("status"),
         F.col("j.price").alias("price_cents"),
     )
+
+
+@query(
+    "datetime_ops_surface",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+           CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+           CAST(ts AS DATE) + INTERVAL 30 DAY AS plus30,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s
+    FROM events WHERE event_id % 211 = 0
+    """,
+)
+def datetime_ops_surface(spark, sf_dir):
+    """Temporal scalar surface (the reference's ``java.time.Instant``
+    values, SURVEY §1.2 / Marketing.scala:33): extract fields, date
+    arithmetic, truncation, epoch conversion — all Column expressions
+    with exact cross-engine semantics (no locale-dependent ops like
+    day-of-week numbering)."""
+    e = T(spark, sf_dir, "events")["events"]
+    ts = F.col("ts")
+    return (
+        e.filter(lambda x: x.event_id % 211 == 0)
+        .df.select(
+            "event_id",
+            F.year(ts).alias("y"), F.month(ts).alias("m"),
+            F.dayofmonth(ts).alias("d"), F.hour(ts).alias("h"),
+            F.date_add(ts.cast("date"), 30).cast("timestamp").alias("plus30"),
+            F.date_trunc("day", ts).alias("day_start"),
+            F.unix_timestamp(ts).alias("epoch_s"),
+        )
+    )
+
+
+@query(
+    "map_ops_surface",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             map(list(o_orderstatus ORDER BY o_orderstatus),
+                 list(cnt ORDER BY o_orderstatus)) AS status_counts
+      FROM (SELECT o_custkey, o_orderstatus, count(*) AS cnt
+            FROM orders GROUP BY o_custkey, o_orderstatus)
+      GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           coalesce(map_extract(status_counts, 'F')[1], 0) AS f_cnt,
+           coalesce(map_extract(status_counts, 'O')[1], 0) AS o_cnt,
+           len(map_keys(status_counts)) AS n_statuses
+    FROM m
+    """,
+)
+def map_ops_surface(spark, sf_dir):
+    """MapType surface (the reference's ``Map[K, V]`` model columns,
+    SURVEY §1.2): build a per-customer status→count map with
+    map_from_entries, read it back with element_at / map_keys. Maps are
+    built from SORTED entry arrays and compared through extracted
+    scalars, so engine-internal map ordering can't flip the hash."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    per = o.df.groupBy("o_custkey", "o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
+    m = per.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col("o_orderstatus"), F.col("cnt"))))
+        ).alias("status_counts")
+    )
+    sc = F.col("status_counts")
+    return m.select(
+        "o_custkey",
+        F.coalesce(F.element_at(sc, "F"), F.lit(0)).alias("f_cnt"),
+        F.coalesce(F.element_at(sc, "O"), F.lit(0)).alias("o_cnt"),
+        F.size(F.map_keys(sc)).alias("n_statuses"),
+    )
