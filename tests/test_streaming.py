@@ -101,3 +101,55 @@ def test_watermark_is_attached(spark, staged_events):
     )
     # watermark node present in the logical plan
     assert "EventTimeWatermark" in stream._jdf.queryExecution().logical().toString()
+
+
+def test_interval_join_helper_equals_batch(spark, staged_events):
+    """S.interval_join (stream-stream) drained == batch interval join."""
+    batch = spark.read.parquet(staged_events)
+    schema = batch.schema
+
+    def side(df, tcol, idcol):
+        return (
+            df.filter(F.col("event_type") == ("purchase" if idcol == "pid" else "click"))
+            .select(F.col("event_id").alias(idcol), "user_id", F.col("ts").alias(tcol))
+        )
+
+    lp = S.with_watermark(S.read_stream_parquet(spark, staged_events, schema), "ts", "2 hours")
+    rc = S.with_watermark(S.read_stream_parquet(spark, staged_events, schema), "ts", "2 hours")
+    l = side(lp, "p_ts", "pid")
+    r = side(rc, "c_ts", "cid").withColumnRenamed("user_id", "c_user")
+    j = S.interval_join(
+        l, r.withColumnRenamed("c_user", "user_id"), "user_id", "p_ts", "c_ts",
+        lower="1 hour", upper="0 seconds",
+    ).select("pid", "cid")
+    name = f"ij_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(j, name, output_mode="append", state_partitions=2)
+    got = spark.table(name)
+
+    bl, br = side(batch, "p_ts", "pid"), side(batch, "c_ts", "cid").withColumnRenamed("user_id", "u2")
+    want = bl.join(
+        br,
+        (bl["user_id"] == br["u2"])
+        & (br["c_ts"] >= F.expr("p_ts - interval 1 hour"))
+        & (br["c_ts"] <= bl["p_ts"]),
+    ).select("pid", "cid")
+    assert as_bag(got.collect()) == as_bag(want.collect())
+
+
+def test_foreach_batch_parquet_sink(spark, staged_events, tmp_path):
+    """Continuous parquet sink with checkpointing: the drained files
+    hold exactly the stream's rows."""
+    batch = spark.read.parquet(staged_events)
+    stream = S.read_stream_parquet(spark, staged_events, batch.schema)
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    q = S.foreach_batch_parquet(
+        stream.select("event_id", "user_id"), out, ck, output_mode="append"
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(out)
+    assert back.count() == batch.count()
+    assert as_bag(back.select("event_id").collect()) == as_bag(
+        batch.select("event_id").collect()
+    )
