@@ -82,3 +82,18 @@ def test_sample_deterministic_under_partitioning(spark, data):
     key = lambda rs: sorted((r["k"], r["v"]) for r in rs)
     assert key(s1) == key(s2)
     assert len(s1) == min(5, len(data))
+
+
+@given(data=rows, nparts=st.integers(1, 6))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_two_level_reduce_partition_invariant(spark, data, nparts):
+    """The r3 two-level reduce/reduceOption must equal the Python fold
+    under ANY partitioning (lawful monoid => partition grouping is
+    semantically invisible)."""
+    xs = _bag(spark, data)
+    if nparts > 1:
+        xs = xs.repartition(nparts)
+    vals = [v for _, v in data]
+    assert xs.reduce(0, lambda a, b: a + b, e="v") == sum(vals)
+    got = xs.reduce_option(lambda a, b: F.greatest(a, b), e="v")
+    assert got == (max(vals) if vals else None)
