@@ -1,0 +1,26 @@
+"""Regenerate docs/QUERIES.md from the workload registry."""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from emma_spark.workloads import load_all  # noqa: E402
+
+q = load_all()
+lines = [
+    "# Query registry — coverage map",
+    "",
+    "Auto-generated view of `emma_spark.workloads` (regenerate: see",
+    "`tools/gen_query_index.py`). `window` = inside the driver's 50-row",
+    "correctness window this round; rotated-out queries carry r1/r2 green",
+    "driver rows and stay covered by `tools/diffcheck.py --vanilla`.",
+    "",
+    "| # | query | oracle | window | module |",
+    "|---|---|---|---|---|",
+]
+for i, (name, item) in enumerate(q.items()):
+    oracle = "full SQL" if item.oracle else "rows-only"
+    win = "yes" if i < 50 else ""
+    mod = item.fn.__module__.replace("emma_spark.workloads.", "")
+    lines.append(f"| {i} | {name} | {oracle} | {win} | {mod} |")
+open("docs/QUERIES.md", "w").write("\n".join(lines) + "\n")
+print(f"wrote {len(q)} entries")
