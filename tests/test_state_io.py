@@ -140,3 +140,39 @@ def test_csv_roundtrip_enum_codec(spark, tmp_path):
     back = io.read_csv(spark, p, schema=Item)
     got = {r["k"]: (Color[r["color"]], Prio(r["prio"])) for r in back.collect()}
     assert got == {1: (Color.RED, Prio.HIGH), 2: (Color.BLUE, Prio.LOW)}
+
+
+def test_csv_options_null_comment_delimiter(spark, tmp_path):
+    """CSV codec option breadth (io/csv/CSV.scala:23-55): custom
+    delimiter, comment lines, and nullValue round-trip."""
+    from emma_spark.sources import io
+
+    p = tmp_path / "opt.csv"
+    p.mkdir()
+    (p / "part.csv").write_text(
+        "# leading comment\n"
+        "k;name;score\n"
+        "1;alpha;2.5\n"
+        "# interior comment\n"
+        "2;NA;-1.0\n"
+        "3;gamma;NA\n"
+    )
+    bag = io.read_csv(
+        spark, str(p), schema="k int, name string, score double",
+        delimiter=";", comment="#", null_value="NA",
+    )
+    rows = {r["k"]: (r["name"], r["score"]) for r in bag.collect()}
+    assert rows == {1: ("alpha", 2.5), 2: (None, -1.0), 3: ("gamma", None)}
+
+
+def test_sql_entry_point_views(spark):
+    """core.sql: bags registered as temp views, ANSI SQL over them."""
+    from emma_spark import DataBag, sql
+
+    xs = DataBag(spark.createDataFrame([(1, "a"), (2, "b"), (2, "c")], "k int, v string"))
+    out = sql(
+        spark,
+        "SELECT k, count(*) AS n FROM t GROUP BY k HAVING count(*) > 1",
+        t=xs,
+    )
+    assert [(r["k"], r["n"]) for r in out.collect()] == [(2, 2)]
