@@ -292,13 +292,17 @@ class DataBag:
     # ------------------------------------------------------------------
     # joins (derived combinators, ComprehensionCombinators.scala:27-38)
     # ------------------------------------------------------------------
-    def cross(self, other: "DataBag") -> "DataBag":
+    def cross(self, other: "DataBag", pair: bool = False) -> "DataBag":
         """Cartesian product (``MatchCross`` ``Combination.scala:340-367``;
-        Spark ``SparkNtv.scala:72-77``). Output columns are the union of
-        both sides (flat — not emma's ``(_1,_2)`` struct; pair-shape via
-        ``pair_with``)."""
+        Spark ``SparkNtv.scala:72-77``). Default output columns are the
+        union of both sides (flat); ``pair=True`` yields emma's exact
+        ``(A, B)`` tuple shape as ``_1``/``_2`` struct columns
+        (SURVEY §1.2: tuples map to `_1/_2` structs)."""
         left, right = _disambiguate(self._df, other._df)
-        return DataBag(left.crossJoin(right))
+        out = left.crossJoin(right)
+        if pair:
+            out = _pair_shape(out, self._df.columns, other._df.columns)
+        return DataBag(out)
 
     def equi_join(
         self,
@@ -306,6 +310,7 @@ class DataBag:
         kx: ExprFn | str | Sequence,
         ky: ExprFn | str | Sequence | None = None,
         how: str = "inner",
+        pair: bool = False,
     ) -> "DataBag":
         """Equi-join on key extractors (``MatchEquiJoin``
         ``Combination.scala:723-777``; Dataset impl ``SparkNtv.scala:60-70``).
@@ -314,7 +319,8 @@ class DataBag:
         ``Combination.scala:598-658``). Self-joins auto-alias
         (``SparkNtv.scala:79-82`` column refresh). ``how`` extends the
         reference (inner-only there, SURVEY §2.3 'free gains') with
-        left/right/full/semi/anti."""
+        left/right/full/semi/anti. ``pair=True`` yields emma's exact
+        ``(A, B)`` output shape as ``_1``/``_2`` structs."""
         left, right = _disambiguate(self._df, other._df)
         lk = _cols(left, kx, alias="l")
         rk = _cols(right, ky if ky is not None else kx, alias="r")
@@ -322,7 +328,12 @@ class DataBag:
         for a, b in zip(lk, rk):
             c = a.eqNullSafe(b) if how not in ("left_semi", "left_anti") else (a == b)
             cond = c if cond is None else (cond & c)
-        return DataBag(left.join(right, cond, how))
+        out = left.join(right, cond, how)
+        if pair:
+            if how not in ("inner", "cross"):
+                raise ValueError("pair shape is defined for inner joins only")
+            out = _pair_shape(out, self._df.columns, other._df.columns)
+        return DataBag(out)
 
     def join(self, other: "DataBag", on=None, how: str = "inner") -> "DataBag":
         """Idiomatic passthrough join (column-name ``on`` dedups keys)."""
@@ -653,6 +664,16 @@ def _disambiguate(left: DataFrame, right: DataFrame) -> tuple[DataFrame, DataFra
     """Self-join column refresh (``SparkNtv.scala:79-82``): alias both
     sides so ambiguous column lineage resolves."""
     return left.alias("l"), right.alias("r")
+
+
+def _pair_shape(joined: DataFrame, left_cols, right_cols) -> DataFrame:
+    """emma's join/cross output type ``(A, B)`` (SURVEY §1.2: tuples →
+    ``_1``/``_2`` structs; Dataset ``joinWith`` semantics,
+    ``SparkNtv.scala:60-77``)."""
+    return joined.select(
+        F.struct(*[F.col(f"l.{c}") for c in left_cols]).alias("_1"),
+        F.struct(*[F.col(f"r.{c}") for c in right_cols]).alias("_2"),
+    )
 
 
 def _infer_sql_type(v) -> str:

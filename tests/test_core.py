@@ -438,3 +438,18 @@ def test_zip_with_index_leaves_no_cache_entry(spark, tables):
     n = z.df.count()
     assert n > 0
     assert cm.isEmpty()
+
+
+def test_pair_shape_join_and_cross(spark):
+    """emma's (A, B) join/cross output type: _1/_2 structs (Dataset
+    joinWith semantics, SparkNtv.scala:60-77; SURVEY §1.2)."""
+    xs = DataBag(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    ys = DataBag(spark.createDataFrame([(1, 10.0), (3, 30.0)], "k int, w double"))
+    j = xs.equi_join(ys, "k", pair=True)
+    rows = j.collect()
+    assert len(rows) == 1
+    assert rows[0]["_1"]["v"] == "a" and rows[0]["_2"]["w"] == 10.0
+    c = xs.cross(ys, pair=True)
+    assert c.df.columns == ["_1", "_2"] and c.size() == 4
+    with pytest.raises(ValueError):
+        xs.equi_join(ys, "k", how="left", pair=True)
