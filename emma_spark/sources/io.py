@@ -120,11 +120,36 @@ def read_csv(
     comment: str | None = None,
     null_value: str = "",
     charset: str = "UTF-8",
+    skip_rows: int = 0,
 ) -> DataBag:
     """Typed CSV read; options mirror ``io/csv/CSV.scala:23-55`` mapped as
-    in ``SparkDataset.scala:172-183``."""
+    in ``SparkDataset.scala:172-183``.
+
+    ``skip_rows`` (the reference's ``skipRows``) drops the first N
+    PHYSICAL lines before parsing. Spark's CSV reader has no such
+    option, so the skip path reads lines via ``textFile`` +
+    ``zipWithIndex`` and parses the remainder — a documented RDD
+    round-trip on this cold IO path only (per-file line order is what
+    zipWithIndex indexes, matching the reference's file semantics)."""
     if isinstance(schema, type) and dataclasses.is_dataclass(schema):
         schema = schema_of(schema)
+    if skip_rows > 0:
+        sc = spark.sparkContext
+        lines = (
+            sc.textFile(path)
+            .zipWithIndex()
+            .filter(lambda t: t[1] >= skip_rows)
+            .keys()
+        )
+        reader = spark.read.options(
+            header=header, delimiter=delimiter, quote=quote, escape=escape,
+            nullValue=null_value, inferSchema=schema is None,
+        )
+        if comment:
+            reader = reader.option("comment", comment)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return DataBag(reader.csv(lines))
     reader = spark.read.options(
         header=header,
         delimiter=delimiter,

@@ -176,3 +176,31 @@ def test_sql_entry_point_views(spark):
         t=xs,
     )
     assert [(r["k"], r["n"]) for r in out.collect()] == [(2, 2)]
+
+
+def test_csv_skip_rows(spark, tmp_path):
+    """skipRows (io/csv/CSV.scala:23-55): drop N physical lines before
+    parsing — preamble junk ahead of the header."""
+    from emma_spark.sources import io
+
+    p = tmp_path / "skip.csv"
+    p.mkdir()
+    (p / "part.csv").write_text(
+        "GENERATED 2026-08-13\nsource: unit-test\nk,v\n1,a\n2,b\n"
+    )
+    bag = io.read_csv(spark, str(p), schema="k int, v string", skip_rows=2)
+    assert {(r["k"], r["v"]) for r in bag.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_parquet_write_codec_option(spark, tmp_path):
+    """Parquet format options (io/parquet/Parquet.scala:24-60): the
+    codec passes through to the files."""
+    import os
+
+    from emma_spark.sources import io
+
+    p = str(tmp_path / "zstd_pq")
+    DataBag(spark.range(10)).write_parquet(p, compression="zstd")
+    files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert files and all(".zstd." in f for f in files), files
+    assert io.read_parquet(spark, p).df.count() == 10
