@@ -130,7 +130,9 @@ def lsh_candidate_pairs(
     The bucket bag feeds BOTH join sides, so it is pinned first — via
     eager localCheckpoint, the auto-cache policy (bag referenced more
     than once → cache; Caching.scala:57-94, SURVEY §4 #9) without the
-    CacheManager lifetime leak of `persist` (blocks free on GC).
+    CacheManager lifetime leak of `persist` (blocks free on GC); lazy
+    (eager=False) so the pin materializes inside the first consuming
+    job instead of a separate serialized round.
     Without pinning, the full minhash expression tree would be
     re-evaluated for each side."""
     rows = num_hashes // bands
@@ -144,7 +146,7 @@ def lsh_candidate_pairs(
     e = (
         sigs.select(F.col(id_col), F.explode(F.array(*structs)).alias("__bkt"))
         .select(id_col, "__bkt.*")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     keys = ["band"] + [f"k{r}" for r in range(rows)]
     left = e.select(F.col(id_col).alias("a"), *keys)
