@@ -453,3 +453,18 @@ def test_pair_shape_join_and_cross(spark):
     assert c.df.columns == ["_1", "_2"] and c.size() == 4
     with pytest.raises(ValueError):
         xs.equi_join(ys, "k", how="left", pair=True)
+
+
+def test_sample_null_positions_not_confused(spark):
+    """ADVICE r2: concat_ws skips NULLs, so ('a',NULL,'b') and
+    ('a','b',NULL) used to hash identically (tie broken by partition
+    luck). With the NULL sentinel the pick is content-deterministic
+    under any partitioning."""
+    df = spark.createDataFrame(
+        [("a", None, "b"), ("a", "b", None)], "x string, y string, z string"
+    )
+    xs = DataBag(df)
+    pick1 = [tuple(r) for r in xs.sample(1, seed=5)]
+    for nparts in (1, 2, 3, 5):
+        again = [tuple(r) for r in DataBag(df.repartition(nparts)).sample(1, seed=5)]
+        assert again == pick1
