@@ -1524,3 +1524,37 @@ def map_ops_surface(spark, sf_dir):
         F.coalesce(F.element_at(sc, "O"), F.lit(0)).alias("o_cnt"),
         F.size(F.map_keys(sc)).alias("n_statuses"),
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           list_sum(list_transform(string_split(CAST(o_orderkey AS VARCHAR), ''),
+                                   c -> CAST(c AS BIGINT))) AS digit_sum
+    FROM orders WHERE o_orderkey % 173 = 0
+    """,
+)
+def udf_arrow_scalar(spark, sf_dir):
+    """The Arrow-vectorized UDF escape hatch (functions/udf.arrow_udf;
+    SURVEY §2.7 UDF surface): a pandas-batched scalar function — digit
+    sum, exact integers — in an otherwise Column-only plan. The plan
+    shows ArrowEvalPython (batched), never BatchEvalPython
+    (row-at-a-time), which the plan-audit tests ban globally. (This
+    particular function IS SQL-expressible — which is what makes it
+    oracle-checkable; the hatch exists for the ones that aren't.)"""
+    import pandas as pd
+
+    from ..functions.udf import arrow_udf
+
+    @arrow_udf("bigint")
+    def digit_sum(s):
+        # no type hints: the module's `from __future__ import annotations`
+        # stringifies them, which pandas_udf's hint inspection rejects
+        return s.astype("string").map(lambda x: sum(int(c) for c in x)).astype("int64")
+
+    o = T(spark, sf_dir, "orders")["orders"]
+    return (
+        o.filter(lambda x: x.o_orderkey % 173 == 0)
+        .df.select("o_orderkey", digit_sum(F.col("o_orderkey")).alias("digit_sum"))
+    )
