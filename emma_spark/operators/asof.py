@@ -28,13 +28,23 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join. Right payload columns arrive suffixed; rows with
-    no prior right row get NULLs (and are filtered by tolerance if set).
+    no matching right row get NULLs (and are filtered by tolerance if
+    set).
+
+    ``direction="backward"`` (default) attaches the most recent right
+    row with ``right.ts <= left.ts``; ``"forward"`` attaches the
+    EARLIEST right row with ``right.ts >= left.ts`` (same plan with the
+    sort reversed — still one shuffle + one window pass).
 
     Ties (equal ts): the right row sorts BEFORE the left row at the
-    same timestamp, so an exactly-simultaneous right row matches.
+    same timestamp, so an exactly-simultaneous right row matches in
+    both directions.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, ts)]
 
     lt = left.withColumn("__side", F.lit(1))
@@ -55,9 +65,10 @@ def asof_join(
     rt = rt.select(*lt.columns)
 
     u = lt.unionByName(rt)
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in right_cols]
@@ -72,9 +83,10 @@ def asof_join(
         .drop("__side")
     )
     if tolerance_seconds is not None:
-        within = (
-            F.col(ts).cast("double") - F.col(f"__ts{suffix}").cast("double")
-        ) <= tolerance_seconds
+        gap = F.col(ts).cast("double") - F.col(f"__ts{suffix}").cast("double")
+        if direction == "forward":
+            gap = -gap
+        within = gap <= tolerance_seconds
         out = out.select(
             *[c for c in left.columns],
             *[

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from emma_spark.operators.asof import asof_join
 from emma_spark.operators.skew import salted_join, top_keys
-from tests.conftest import as_bag
+from tests.conftest import SF_DIR, as_bag
 
 
 def test_salted_join_equals_plain_join(spark):
@@ -152,3 +152,30 @@ def test_hyper_rollup_partials_equal_direct(spark, tables):
         ).collect()
     )
     assert got == want
+
+
+def test_asof_join_forward_direction(spark, duck):
+    """direction='forward': earliest right with ts >= left.ts (pandas
+    merge_asof parity); oracle = correlated min subquery."""
+    from emma_spark.operators.asof import asof_join
+
+    from emma_spark.sources import io
+
+    ev = io.read_parquet(spark, f"{SF_DIR}/events.parquet").df
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    got = asof_join(purchases, clicks, on="user_id", ts="ts", direction="forward").select(
+        "pid", F.col("ts_right").alias("next_click")
+    )
+    want = duck.execute("""
+        SELECT p.event_id AS pid,
+               (SELECT min(c.ts) FROM events c
+                WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                  AND c.ts >= p.ts) AS next_click
+        FROM events p WHERE p.event_type = 'purchase'
+    """).fetchall()
+    g = sorted((r["pid"], r["next_click"]) for r in got.collect())
+    w = sorted((a, b) for a, b in want)
+    assert g == w
