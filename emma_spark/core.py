@@ -514,18 +514,34 @@ class GroupedBag:
         cols = A.all_exprs(algs) + [c.alias(n) for n, c in named.items()]
         return DataBag(self._df.groupBy(*self._keys).agg(*cols))
 
-    def nest(self, name: str = "values", sort: bool = False) -> DataBag:
+    def nest(self, name: str = "values", sort: bool = False,
+             max_group_size: int | None = None) -> DataBag:
         """True group materialization: ``Group(key, DataBag[A])`` as
         key + array<struct> (``collect_list(struct(*))``, SURVEY §1.1).
 
         At 100 TB a skewed key OOMs an executor — only use when group
         values are genuinely consumed as a bag; fold paths never
-        materialize."""
+        materialize. ``max_group_size`` is the production guardrail:
+        the job FAILS (``raise_error`` inside the plan) the moment any
+        group exceeds it, instead of silently building a giant array
+        that OOMs three stages later."""
         struct_col = F.struct(*[self._df[c] for c in self._df.columns])
         col = F.collect_list(struct_col)
         if sort:
             col = F.sort_array(col)
-        return DataBag(self._df.groupBy(*self._keys).agg(col.alias(name)))
+        out = self._df.groupBy(*self._keys).agg(col.alias(name))
+        if max_group_size is not None:
+            guard = F.when(
+                F.size(F.col(name)) > max_group_size,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"nest(): group exceeds max_group_size={max_group_size} (size="),
+                        F.size(F.col(name)).cast("string"), F.lit(")"),
+                    )
+                ),
+            ).otherwise(F.col(name))
+            out = out.withColumn(name, guard)
+        return DataBag(out)
 
     def having(self, p: Callable[[Elem], Column], *algs: A.Alg, **named: Column) -> DataBag:
         """Grouped agg + post-aggregation filter."""

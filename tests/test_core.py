@@ -468,3 +468,15 @@ def test_sample_null_positions_not_confused(spark):
     for nparts in (1, 2, 3, 5):
         again = [tuple(r) for r in DataBag(df.repartition(nparts)).sample(1, seed=5)]
         assert again == pick1
+
+
+def test_nest_max_group_size_guardrail(spark):
+    """nest(max_group_size=N): plan-embedded raise_error the moment a
+    group exceeds the cap — fail fast instead of OOM later."""
+    xs = DataBag(spark.createDataFrame(
+        [(1, i) for i in range(5)] + [(2, 0)], "k int, v int"))
+    ok = xs.group_by(["k"]).nest(max_group_size=5)
+    assert {r["k"]: len(r["values"]) for r in ok.collect()} == {1: 5, 2: 1}
+    bad = xs.group_by(["k"]).nest(max_group_size=3)
+    with pytest.raises(Exception, match="max_group_size"):
+        bad.collect()
