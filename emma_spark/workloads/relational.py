@@ -1558,3 +1558,67 @@ def udf_arrow_scalar(spark, sf_dir):
         o.filter(lambda x: x.o_orderkey % 173 == 0)
         .df.select("o_orderkey", digit_sum(F.col("o_orderkey")).alias("digit_sum"))
     )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS qp_corr,
+           floor(covar_pop(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS qp_covar,
+           floor(stddev_pop(l_quantity) * 10000 + 0.5) / 10000 AS q_stddev,
+           floor(skewness(l_quantity) * 10000 + 0.5) / 10000 AS q_skew
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark, sf_dir):
+    """Statistical aggregate surface (corr / covariance / stddev /
+    skewness) — declarative moment aggregates with map-side partials
+    (the reference computes these by hand-written Alg folds,
+    emma-lib/.../stats/stat.scala:23-62); both engines' moment
+    formulations agree to the 4dp quantization on this data."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return li.df.groupBy("l_returnflag").agg(
+        rd(F.corr("l_quantity", "l_extendedprice"), 4).alias("qp_corr"),
+        rd(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qp_covar"),
+        rd(F.stddev_pop("l_quantity"), 4).alias("q_stddev"),
+        rd(F.skewness("l_quantity"), 4).alias("q_skew"),
+    )
+
+
+@query(
+    "string_ops_surface",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_brand, p_type)         AS lev,
+           lpad(p_brand, 12, '*')               AS padded,
+           reverse(p_name)                      AS rname,
+           instr(p_type, 'BRASS')               AS brass_at,
+           split_part(p_brand, '#', 2)          AS brand_no,
+           translate(p_type, 'AEIOU', 'aeiou') AS lowered_vowels,
+           left(p_name, 6)                      AS pre,
+           replace(p_type, ' ', '_')            AS snake
+    FROM part WHERE p_partkey % 97 = 0
+    """,
+)
+def string_ops_surface(spark, sf_dir):
+    """String-function surface beyond SparkExp's startsWith/contains
+    (SURVEY §2.6): edit distance, padding, reverse, 1-based find,
+    field split, character translation, prefix, replace — all
+    bit-identical across engines (pure integer/codepoint semantics,
+    no locale)."""
+    p = T(spark, sf_dir, "part")["part"]
+    return (
+        p.filter(lambda x: x.p_partkey % 97 == 0)
+        .df.select(
+            "p_partkey",
+            F.levenshtein("p_brand", "p_type").alias("lev"),
+            F.lpad("p_brand", 12, "*").alias("padded"),
+            F.reverse("p_name").alias("rname"),
+            F.instr("p_type", "BRASS").alias("brass_at"),
+            F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("brand_no"),
+            F.translate("p_type", "AEIOU", "aeiou").alias("lowered_vowels"),
+            F.substring("p_name", 1, 6).alias("pre"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("snake"),
+        )
+    )
