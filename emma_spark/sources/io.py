@@ -121,9 +121,16 @@ def read_csv(
     null_value: str = "",
     charset: str = "UTF-8",
     skip_rows: int = 0,
+    mode: str = "PERMISSIVE",
 ) -> DataBag:
     """Typed CSV read; options mirror ``io/csv/CSV.scala:23-55`` mapped as
     in ``SparkDataset.scala:172-183``.
+
+    ``mode`` governs malformed records (real-world ingestion):
+    PERMISSIVE (default — bad fields null out), DROPMALFORMED (bad
+    rows vanish), FAILFAST (raise). At 100 TB you almost always want
+    DROPMALFORMED plus a separate count of dropped rows, never a
+    pipeline that dies at row 10^12.
 
     ``skip_rows`` (the reference's ``skipRows``) drops the first N
     PHYSICAL lines before parsing. Spark's CSV reader has no such
@@ -143,7 +150,7 @@ def read_csv(
         )
         reader = spark.read.options(
             header=header, delimiter=delimiter, quote=quote, escape=escape,
-            nullValue=null_value, inferSchema=schema is None,
+            nullValue=null_value, inferSchema=schema is None, mode=mode,
         )
         if comment:
             reader = reader.option("comment", comment)
@@ -158,6 +165,7 @@ def read_csv(
         nullValue=null_value,
         charset=charset,
         inferSchema=schema is None,
+        mode=mode,
     )
     if comment:
         reader = reader.option("comment", comment)

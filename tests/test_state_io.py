@@ -204,3 +204,23 @@ def test_parquet_write_codec_option(spark, tmp_path):
     files = [f for f in os.listdir(p) if f.endswith(".parquet")]
     assert files and all(".zstd." in f for f in files), files
     assert io.read_parquet(spark, p).df.count() == 10
+
+
+def test_csv_malformed_modes(spark, tmp_path):
+    """Ingestion robustness: DROPMALFORMED drops bad rows, PERMISSIVE
+    nulls bad fields, FAILFAST raises."""
+    from emma_spark.sources import io
+
+    p = tmp_path / "bad.csv"
+    p.mkdir()
+    (p / "part.csv").write_text("k,v\n1,10\nnot_an_int,20\n3,30\n")
+    dropped = io.read_csv(spark, str(p), schema="k int, v int", mode="DROPMALFORMED")
+    assert {(r["k"], r["v"]) for r in dropped.collect()} == {(1, 10), (3, 30)}
+    permissive = io.read_csv(spark, str(p), schema="k int, v int", mode="PERMISSIVE")
+    got = sorted(
+        [(r["k"], r["v"]) for r in permissive.collect()],
+        key=lambda t: (t[0] is None, t),
+    )
+    assert got == [(1, 10), (3, 30), (None, 20)]
+    with pytest.raises(Exception):
+        io.read_csv(spark, str(p), schema="k int, v int", mode="FAILFAST").collect()
