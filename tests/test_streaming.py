@@ -153,3 +153,34 @@ def test_foreach_batch_parquet_sink(spark, staged_events, tmp_path):
     assert as_bag(back.select("event_id").collect()) == as_bag(
         batch.select("event_id").collect()
     )
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Incremental exactly-once ingestion: drain batch 1 to a
+    checkpointed parquet sink, add new input files, drain again with
+    the SAME checkpoint — the sink holds every row exactly once (the
+    checkpoint remembers processed files; the file sink commits
+    atomically via its manifest)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    spark.range(0, 100).withColumn("batch", F.lit(1)).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 100
+    spark.range(100, 250).withColumn("batch", F.lit(2)).write.mode("append").parquet(src)
+    drain()
+    back = spark.read.parquet(out)
+    assert back.count() == 250
+    assert back.select("id").distinct().count() == 250  # no duplicates
