@@ -208,14 +208,31 @@ def read_parquet(spark: SparkSession, path: str, schema=None) -> DataBag:
     return DataBag(df)
 
 
+_NS_COLS_MEMO: dict = {}
+
+
 def _ns_timestamp_columns(path: str) -> list[str]:
+    """Memoized per (path, mtime, size): the pyarrow footer probe costs
+    tens of ms and every query re-opens its tables — across a
+    50-query harness run that is seconds of pure metadata re-reading."""
+    import os
+
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, None, None)
+    if key in _NS_COLS_MEMO:
+        return _NS_COLS_MEMO[key]
     try:
         import pyarrow.parquet as pq
 
         schema = pq.read_schema(path)
+        cols = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
     except Exception:
-        return []
-    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+        cols = []
+    _NS_COLS_MEMO[key] = cols
+    return cols
 
 
 def fan_out(df, min_parts: int | None = None):

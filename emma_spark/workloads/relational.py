@@ -204,17 +204,28 @@ def join_equi(spark, sf_dir):
 def join_multiway_revenue(spark, sf_dir):
     """5-way join cascade (reference: 5-way comprehension joins,
     GraphPreprocessing.scala:34-46) — TPC-H Q5 shape. nation/region are
-    broadcast (dim tables); the fact-fact join shuffles on orderkey.
-    Catalyst reorders freely since we declare, not schedule."""
+    broadcast (dim tables). Revenue is PRE-AGGREGATED per orderkey
+    BEFORE the fact-fact join (Catalyst does not push aggregates
+    through joins): the orderkey exchange then carries one row per
+    order instead of every lineitem, and at 100 TB that same exchange
+    is exactly the partitioning the orders join needs — one reused
+    shuffle of ~4× fewer rows. Quantized cents keep the two-level sum
+    exact. Catalyst reorders the rest freely."""
     t = T(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    li_cents = t["lineitem"].group_by(["l_orderkey"]).agg(
+        alg.Expr(
+            F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5))),
+            name="cents",
+        )
+    )
     return (
-        t["lineitem"]
+        li_cents
         .equi_join(t["orders"], "l_orderkey", "o_orderkey")
         .equi_join(t["customer"], "o_custkey", "c_custkey")
         .equi_join(t["nation"].broadcast(), "c_nationkey", "n_nationkey")
         .equi_join(t["region"].broadcast(), "n_regionkey", "r_regionkey")
         .group_by(["n_name"])
-        .agg(alg.Expr(qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), name="revenue"))
+        .agg(alg.Expr(F.sum("cents") / 10000, name="revenue"))
         .df
     )
 
