@@ -1633,3 +1633,37 @@ def string_ops_surface(spark, sf_dir):
             F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("snake"),
         )
     )
+
+
+@query(
+    "window_rank_variants",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile,
+           lag(o_orderkey)  OVER w AS prev_o,
+           lead(o_orderkey) OVER w AS next_o
+    FROM orders
+    WHERE o_custkey % 211 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_rank_variants(spark, sf_dir):
+    """The remaining ranking/offset window functions (rank, dense_rank,
+    ntile, lag, lead) over a fully deterministic order (date + key
+    tie-break) — one partition-shuffle serves all five; at scale the
+    o_custkey exchange is the only data movement."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.filter(lambda x: x.o_custkey % 211 == 0)
+        .df.select(
+            "o_custkey", "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.lag("o_orderkey").over(w).alias("prev_o"),
+            F.lead("o_orderkey").over(w).alias("next_o"),
+        )
+    )
