@@ -179,3 +179,37 @@ def test_asof_join_forward_direction(spark, duck):
     g = sorted((r["pid"], r["next_click"]) for r in got.collect())
     w = sorted((a, b) for a, b in want)
     assert g == w
+
+
+def test_hyper_rollup_week_level_partial_merge(spark):
+    """Week level re-aggregates day partials; equals direct weekly
+    aggregation of raw rows."""
+    from emma_spark.operators.rollup import hyper_rollup
+    from emma_spark.sources import io
+
+    e = io.read_parquet(spark, f"{SF_DIR}/events.parquet").df.select(
+        "ts", "event_type", F.col("value").cast("double").alias("value")
+    )
+    levels = hyper_rollup(e, "ts", ["event_type"], "value",
+                          buckets=["hour", "day", "week"])
+    wk = levels["week"].select("bucket_ts", "event_type", "n", "v_min", "v_max")
+    direct = (
+        e.groupBy(F.date_trunc("week", "ts").alias("bucket_ts"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("v_min"),
+             F.max("value").alias("v_max"))
+    )
+    assert as_bag(wk.collect()) == as_bag(direct.collect())
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The documented 100 TB swap for agg_percentiles: approx_percentile
+    (bounded-state sketch) stays within tolerance of the exact sort-based
+    percentile."""
+    from emma_spark.sources import io
+
+    o = io.read_parquet(spark, f"{SF_DIR}/orders.parquet").df
+    row = o.agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("exact"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02

@@ -100,3 +100,25 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "day" in pf, pf
     # pruned read returns exactly the source's rows for that day
     assert q.count() == src.filter(src["day"] == one_day).count()
+
+
+def test_broadcast_degrades_to_shuffle_join_when_too_big(spark, registry):
+    """'Same declared plan, the right physical strategy at either
+    scale': with broadcasting disabled (the 100 TB stand-in — a fact
+    table over the threshold), the SAME join code plans a shuffle join,
+    not a cartesian; with defaults it broadcasts."""
+    from emma_spark.sources import io
+
+    t = io.load_tables(spark, SF_DIR, "orders", "customer")
+    join = lambda: (
+        t["orders"].equi_join(t["customer"], "o_custkey", "c_custkey").df
+    )
+    assert "BroadcastHashJoin" in _plan(join())
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = _plan(join())
+        assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p[:400]
+        assert "CartesianProduct" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
