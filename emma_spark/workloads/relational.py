@@ -1667,3 +1667,34 @@ def window_rank_variants(spark, sf_dir):
             F.lead("o_orderkey").over(w).alias("next_o"),
         )
     )
+
+
+@query(
+    "exists_correlated_q4_shape",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_correlated_q4_shape(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS — the reference expresses this
+    as `exists` + cross (BaseCodegenIntegrationSpec.scala:127-139);
+    Spark-first it is a LEFT SEMI join with the correlation predicate
+    pushed into the probe side's scan. One orderkey shuffle, probe rows
+    pre-filtered before it."""
+    t = T(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].filter(
+        lambda x: (x.o_orderdate >= "1995-01-01") & (x.o_orderdate < "1995-07-01")
+    )
+    big_items = t["lineitem"].filter(lambda x: x.l_quantity > 45)
+    return (
+        o.equi_join(big_items, "o_orderkey", "l_orderkey", how="left_semi")
+        .group_by(["o_orderpriority"])
+        .agg(alg.Size(name="n_orders"))
+        .df
+    )
