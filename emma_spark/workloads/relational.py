@@ -1698,3 +1698,55 @@ def exists_correlated_q4_shape(spark, sf_dir):
         .agg(alg.Size(name="n_orders"))
         .df
     )
+
+
+@query(
+    "groupby_nest_consume",
+    oracle="""
+    WITH nested AS (
+      SELECT o_custkey, list_sort(list(o_orderkey)) AS orders_bag
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, unnest(orders_bag) AS o_orderkey,
+           len(orders_bag) AS n_sibling
+    FROM nested WHERE o_custkey % 151 = 0
+    """,
+)
+def groupby_nest_consume(spark, sf_dir):
+    """The nest path CONSUMED as a bag (Group(k, DataBag) where values
+    are genuinely used as a collection, api/DataBag.scala:106): group
+    materialization -> per-element context (sibling count) -> unnest
+    back to rows. Sorted arrays make the bag→array order
+    engine-independent; the filter keeps materialized groups bounded —
+    the nest contract (see GroupedBag.nest max_group_size)."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    nested = (
+        o.filter(lambda x: x.o_custkey % 151 == 0)
+        .group_by(["o_custkey"])
+        .agg(alg.Expr(F.sort_array(F.collect_list("o_orderkey")), name="orders_bag"))
+    )
+    return nested.df.select(
+        "o_custkey",
+        F.explode("orders_bag").alias("o_orderkey"),
+        F.size("orders_bag").alias("n_sibling"),
+    )
+
+
+@query(
+    "orderby_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10
+    """,
+)
+def orderby_limit_offset(spark, sf_dir):
+    """Pagination (LIMIT + OFFSET) over a deterministic total order —
+    rows 11-20 by price. Spark's offset composes with the sorted limit
+    into a single TakeOrdered-style plan (driver sees 20 rows, skips
+    10), not a full sort."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    return (
+        o.order_by(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .df.offset(10).limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
