@@ -1750,3 +1750,46 @@ def orderby_limit_offset(spark, sf_dir):
         .df.offset(10).limit(10)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "q1_pricing_summary_full",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(floor(l_quantity * 10000 + 0.5)) / 10000 AS sum_qty,
+           sum(floor(l_extendedprice * 10000 + 0.5)) / 10000 AS sum_base_price,
+           sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)) / 10000 AS sum_disc_price,
+           sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5)) / 10000 AS sum_charge,
+           floor(sum(floor(l_quantity * 10000 + 0.5)) / count(*) + 0.5) / 10000 AS avg_qty,
+           floor(sum(floor(l_extendedprice * 10000 + 0.5)) / count(*) + 0.5) / 10000 AS avg_price,
+           floor(sum(floor(l_discount * 1000000 + 0.5)) / count(*) + 0.5) / 1000000 AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary_full(spark, sf_dir):
+    """The COMPLETE TPC-H Q1 pricing summary — all eight aggregates in
+    one hash-agg pass (fold-forest fusion by construction): four
+    quantized sums, three averages derived as exact-integer-sum /
+    count (order-independent, unlike a float avg), and the row count.
+    One shuffle of 4 group keys; everything else map-side."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    qs = lambda c, s: F.sum(F.floor(c * s + F.lit(0.5)))
+    n = F.count(F.lit(1))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(lambda x: x.l_shipdate <= "1998-09-02")
+        .df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (qs(F.col("l_quantity"), 10000) / 10000).alias("sum_qty"),
+            (qs(F.col("l_extendedprice"), 10000) / 10000).alias("sum_base_price"),
+            (qs(disc_price, 10000) / 10000).alias("sum_disc_price"),
+            (qs(disc_price * (1 + F.col("l_tax")), 10000) / 10000).alias("sum_charge"),
+            (F.floor(qs(F.col("l_quantity"), 10000) / n + F.lit(0.5)) / 10000).alias("avg_qty"),
+            (F.floor(qs(F.col("l_extendedprice"), 10000) / n + F.lit(0.5)) / 10000).alias("avg_price"),
+            (F.floor(qs(F.col("l_discount"), 1000000) / n + F.lit(0.5)) / 1000000).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
