@@ -38,8 +38,8 @@ final AS (
   WHERE rm.b IS NULL
 )
 SELECT lang, count(*) AS n_docs,
-       sum(len({SQL_TOKS})) AS total_tokens,
-       sum(length(text)) AS total_chars
+       CAST(sum(len({SQL_TOKS})) AS BIGINT) AS total_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM final GROUP BY lang
 """
 

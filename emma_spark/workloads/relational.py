@@ -480,7 +480,7 @@ def groupby_having(spark, sf_dir):
            CAST(list_reduce(list(CAST(l_quantity AS HUGEINT)), (a, b) -> a * b)
                 AS VARCHAR) AS prod_qty,
            count(*) AS n,
-           sum(CAST(l_quantity * l_quantity AS BIGINT)) AS sum_sq
+           CAST(sum(CAST(l_quantity * l_quantity AS BIGINT)) AS BIGINT) AS sum_sq
     FROM lineitem WHERE l_linenumber <= 5
     GROUP BY l_orderkey
     """,
@@ -566,7 +566,7 @@ def fold_histogram_pandas_udaf(spark, sf_dir):
     SELECT max(l_quantity) AS ro_max,
            TRUE AS ro_empty_is_none,
            count(*) AS n,
-           sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem
     """,
 )
@@ -833,8 +833,8 @@ def scalar_expr_surface(spark, sf_dir):
       FROM events
     ), sess AS (
       SELECT user_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, count(*) AS n_events
@@ -1028,7 +1028,7 @@ def click_count_diffs(spark, sf_dir):
 @query(
     "csv_roundtrip_agg",
     oracle="""
-    SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS key_sum
+    SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
     FROM nation GROUP BY n_regionkey
     """,
 )
@@ -1356,7 +1356,7 @@ def pivot_status_by_priority(spark, sf_dir):
     SELECT l_orderkey,
            list_transform(qs, x -> x * 2)                   AS doubled,
            list_filter(qs, x -> x > 25)                     AS big,
-           list_sum(qs)                                     AS total,
+           CAST(list_sum(qs) AS BIGINT)                     AS total,
            list_sort(qs)                                    AS sorted_qs,
            len(qs)                                          AS n,
            list_max(qs)                                     AS mx
@@ -1541,8 +1541,8 @@ def map_ops_surface(spark, sf_dir):
     "udf_arrow_scalar",
     oracle="""
     SELECT o_orderkey,
-           list_sum(list_transform(string_split(CAST(o_orderkey AS VARCHAR), ''),
-                                   c -> CAST(c AS BIGINT))) AS digit_sum
+           CAST(list_sum(list_transform(string_split(CAST(o_orderkey AS VARCHAR), ''),
+                                   c -> CAST(c AS BIGINT))) AS BIGINT) AS digit_sum
     FROM orders WHERE o_orderkey % 173 = 0
     """,
 )
