@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..llm import similarity as S
+from ..llm.similarity import int_hash_unit
 from ..sources import io
 from . import query
 
@@ -75,11 +76,51 @@ def embedding_neardup(spark, sf_dir):
     return S.embedding_neardup_pairs(emb, min_sim=0.35, blocks=20)
 
 
-@query("ann_lsh_topk", oracle=None)  # approximate: rows-only check
+def _bucket_sql(vcol: str, planes: int = 6, dim: int = 64, seed: int = 7) -> str:
+    """SQL twin of llm/similarity.hyperplane_bucket: the SAME md5-derived
+    hyperplane coefficients (repr() round-trips doubles exactly, and
+    DuckDB parses decimal literals to nearest double — the identical
+    bits Spark folds), and the SAME left-to-right sequential dot fold
+    (list_reduce ≡ F.aggregate from 0.0: IEEE 0.0+x == x)."""
+    bits = []
+    for p in range(planes):
+        coeffs = ", ".join(
+            repr(int_hash_unit(p * 10007 + j * 31 + seed)) for j in range(dim)
+        )
+        dot = (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> ([{coeffs}])[i] * {vcol}[i]), (a, b) -> a + b)"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_bucket_sql('v', planes=6, dim=64)} AS bucket FROM base),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket AS bucket_c FROM b),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             floor(({SQL_COS}) * 10000 + 0.5) / 10000 AS sim
+      FROM q JOIN c ON bucket = bucket_c AND query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 3
+    """,
+)
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (random hyperplane sign buckets +
-    exact re-rank inside buckets). No SQL oracle (approximate by
-    design); recall vs brute force is asserted in tests."""
+    exact re-rank inside buckets). The hyperplanes are literal
+    md5-derived constants and the dot is a sequential double fold, so
+    the "approximate" query is fully deterministic and its oracle
+    replays bucketing + re-rank exactly (same literals, same fold
+    order); recall vs brute force is additionally asserted in tests."""
     emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
     queries = emb.filter(F.col("vec_id") < 10)
     return S.lsh_topk(emb, queries, k=3, planes=6, dim=64)
