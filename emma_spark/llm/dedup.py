@@ -219,26 +219,53 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    blocks: int = 25,
     min_sim: float = 0.5,
+    blocking: str = "lsh",
+    blocks: int = 25,
+    num_hashes: int = 4,
+    bands: int = 2,
 ) -> DataFrame:
-    """Exact Jaccard over distinct char n-gram sets for blocked pairs.
+    """Exact Jaccard over distinct char n-gram sets for candidate pairs.
 
-    Blocking on ``id % blocks`` bounds pair count (at scale, replace the
-    block key with LSH bucket ids from `lsh_candidate_pairs` — same
-    join shape). Jaccard via array_intersect on the distinct-shingle
-    arrays; ratio of ints -> deterministic, rounded to 6dp."""
+    ``blocking="lsh"`` (the default, the scale path): candidates come
+    from MinHash banding over the SAME n-gram universe
+    (`minhash_signature(shingle=n)` → `lsh_candidate_pairs`), so
+    candidate generation is similarity-driven — any pair with high
+    shingle overlap co-buckets with high probability — followed by two
+    id equi-joins that attach the shingle arrays for EXACT Jaccard
+    verification. The classic candidate→verify dedup pipeline:
+    Σ|bucket|² + 2 hash joins, never n². ``blocking="mod"`` (explicit
+    demo/test mode only) blocks on ``id % blocks``: bounded cost but
+    similarity-blind — it scores only same-residue pairs and silently
+    misses the rest, so it is never the default. Jaccard via
+    array_intersect on distinct-shingle arrays; ratio of ints ->
+    deterministic, rounded to 6dp."""
     sh = F.array_distinct(char_ngrams(F.col(text_col), n=n))
-    base = df.select(
-        F.col(id_col), (F.col(id_col) % blocks).alias("__blk"), sh.alias("__sh")
-    )
-    l = base.select(
-        F.col(id_col).alias("a"), F.col("__blk"), F.col("__sh").alias("sh_a")
-    ).alias("l")
-    r = base.select(
-        F.col(id_col).alias("b"), F.col("__blk").alias("__blk_r"), F.col("__sh").alias("sh_b")
-    ).alias("r")
-    pairs = l.join(r, (F.col("__blk") == F.col("__blk_r")) & (F.col("a") < F.col("b")), "inner")
+    if blocking == "lsh":
+        sigs = minhash_signature(
+            df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle=n
+        )
+        cand = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
+        # shingle arrays feed both verify joins — pin one narrow pass
+        base = df.select(F.col(id_col), sh.alias("__sh")).localCheckpoint(eager=False)
+        pairs = cand.join(
+            base.select(F.col(id_col).alias("a"), F.col("__sh").alias("sh_a")), "a"
+        ).join(base.select(F.col(id_col).alias("b"), F.col("__sh").alias("sh_b")), "b")
+    elif blocking == "mod":
+        base = df.select(
+            F.col(id_col), (F.col(id_col) % blocks).alias("__blk"), sh.alias("__sh")
+        )
+        l = base.select(
+            F.col(id_col).alias("a"), F.col("__blk"), F.col("__sh").alias("sh_a")
+        ).alias("l")
+        r = base.select(
+            F.col(id_col).alias("b"), F.col("__blk").alias("__blk_r"), F.col("__sh").alias("sh_b")
+        ).alias("r")
+        pairs = l.join(
+            r, (F.col("__blk") == F.col("__blk_r")) & (F.col("a") < F.col("b")), "inner"
+        )
+    else:
+        raise ValueError(f"blocking must be 'lsh' or 'mod', got {blocking!r}")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     uni = F.size("sh_a") + F.size("sh_b") - inter
     return (

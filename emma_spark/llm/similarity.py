@@ -218,14 +218,37 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     min_sim: float = 0.95,
+    blocking: str = "lsh",
     blocks: int = 20,
+    planes: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b, sim >= min_sim),
-    blocked on id % blocks for the standalone/oracle-checkable form; the
-    scale path swaps the block key for `hyperplane_bucket`."""
+    """Embedding-cosine near-duplicate pairs (a < b, sim >= min_sim).
+
+    ``blocking="lsh"`` (the default, the scale path): block key =
+    `hyperplane_bucket` sign bits, so candidate pairs are
+    similarity-driven — vectors at angle θ co-bucket with probability
+    (1 - θ/π)^planes, concentrating exactly the high-cosine pairs the
+    operator exists to find, at Σ|bucket|² join cost. Recall/cost
+    tunes via ``planes`` (fewer planes → bigger buckets → higher
+    recall). ``blocking="mod"`` (explicit demo/test mode only) blocks
+    on ``id % blocks``: bounded cost but similarity-blind — it
+    inspects only same-residue pairs and silently misses the rest, so
+    it is never the default."""
+    if blocking == "lsh":
+        blk = hyperplane_bucket(F.col(vec_col), dim, planes)
+    elif blocking == "mod":
+        blk = F.col(id_col) % blocks
+    else:
+        raise ValueError(f"blocking must be 'lsh' or 'mod', got {blocking!r}")
     base = df.select(
-        F.col(id_col), (F.col(id_col) % blocks).alias("__blk"), as_double(F.col(vec_col)).alias("v")
+        F.col(id_col), blk.alias("__blk"), as_double(F.col(vec_col)).alias("v")
     )
+    if blocking == "lsh":
+        # the planes×dim bucket fold feeds both join sides — pin it so
+        # it is computed once, not re-evaluated per side (lazy: the pin
+        # materializes inside the first consuming job)
+        base = base.localCheckpoint(eager=False)
     l = base.select(F.col(id_col).alias("a"), "__blk", F.col("v").alias("va"))
     r = base.select(F.col(id_col).alias("b"), F.col("__blk").alias("__blk_r"), F.col("v").alias("vb"))
     pairs = l.join(r, (F.col("__blk") == F.col("__blk_r")) & (F.col("a") < F.col("b")))

@@ -13,11 +13,18 @@ from .text import SQL_TOKS, sql_md5_long
 N_HASHES = 4
 SHINGLE = 5
 
-# SQL fragment: char 5-gram shingles of lower(text)
-SQL_SHINGLES = f"list_transform(range(1, greatest(len(lower(text)) - {SHINGLE - 2}, 1)), i -> substr(lower(text), i, {SHINGLE}))"
+def sql_shingles(shingle: int = SHINGLE) -> str:
+    """SQL fragment: char n-gram shingles of lower(text)."""
+    return (
+        f"list_transform(range(1, greatest(len(lower(text)) - {shingle - 2}, 1)), "
+        f"i -> substr(lower(text), i, {shingle}))"
+    )
 
 
-def _sig_sql(src: str = "documents") -> str:
+SQL_SHINGLES = sql_shingles()
+
+
+def _sig_sql(src: str = "documents", shingle: int = SHINGLE) -> str:
     from ..llm.dedup import MINHASH_P, minhash_coef
 
     h32 = "CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)"
@@ -29,7 +36,7 @@ def _sig_sql(src: str = "documents") -> str:
         )
     return (
         f"SELECT doc_id, {', '.join(mins)} FROM "
-        f"(SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {h32}) AS hs FROM {src})"
+        f"(SELECT doc_id, list_transform({sql_shingles(shingle)}, s -> {h32}) AS hs FROM {src})"
     )
 
 
@@ -119,27 +126,36 @@ def dedup_simhash_pairs(spark, sf_dir):
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, doc_id % 25 AS blk,
-             list_distinct(list_transform(range(1, greatest(len(lower(text)) - 1, 1)),
-                                          i -> substr(lower(text), i, 3))) AS s
+    WITH sig AS ({_sig_sql(shingle=3)}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+       AND ((l.mh0 = r.mh0 AND l.mh1 = r.mh1) OR (l.mh2 = r.mh2 AND l.mh3 = r.mh3))
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct({sql_shingles(3)}) AS s
       FROM documents
-    ), pairs AS (
-      SELECT l.doc_id AS a, r.doc_id AS b,
+    ),
+    pairs AS (
+      SELECT a, b,
              len(list_intersect(l.s, r.s)) AS inter,
              len(l.s) + len(r.s) - len(list_intersect(l.s, r.s)) AS uni
-      FROM sh l JOIN sh r ON l.blk = r.blk AND l.doc_id < r.doc_id
+      FROM cand JOIN sh l ON cand.a = l.doc_id JOIN sh r ON cand.b = r.doc_id
     )
     SELECT a, b, floor(inter::DOUBLE / uni * 1000000 + 0.5) / 1000000 AS jaccard
     FROM pairs WHERE floor(inter::DOUBLE / uni * 1000000 + 0.5) / 1000000 >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard for blocked pairs (block = id % 25; at scale
-    the block key is the LSH bucket — same join shape). Integer ratio ->
-    deterministic across engines."""
+    """Exact 3-gram Jaccard with the DEFAULT similarity-driven blocking:
+    MinHash-LSH candidates over the same 3-gram universe, then exact
+    verification via two id joins (candidate→verify, Σ|bucket|² — the
+    scale path; ``blocking="mod"`` remains as an explicit demo mode).
+    Integer ratio -> deterministic across engines; the oracle replays
+    signatures, banding AND verification."""
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
-    return D.ngram_jaccard_pairs(docs, n=3, blocks=25, min_sim=0.5)
+    return D.ngram_jaccard_pairs(docs, n=3, min_sim=0.5)
 
 
 @query(

@@ -26,6 +26,25 @@ def sql_cos(a: str = "qv", b: str = "cv") -> str:
 SQL_COS = sql_cos("qv", "cv")
 
 
+def _bucket_sql(vcol: str, planes: int = 6, dim: int = 64, seed: int = 7) -> str:
+    """SQL twin of llm/similarity.hyperplane_bucket: the SAME md5-derived
+    hyperplane coefficients (repr() round-trips doubles exactly, and
+    DuckDB parses decimal literals to nearest double — the identical
+    bits Spark folds), and the SAME left-to-right sequential dot fold
+    (list_reduce ≡ F.aggregate from 0.0: IEEE 0.0+x == x)."""
+    bits = []
+    for p in range(planes):
+        coeffs = ", ".join(
+            repr(int_hash_unit(p * 10007 + j * 31 + seed)) for j in range(dim)
+        )
+        dot = (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> ([{coeffs}])[i] * {vcol}[i]), (a, b) -> a + b)"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
 @query(
     "ann_topk_cosine",
     oracle=f"""
@@ -56,43 +75,27 @@ def ann_topk_cosine(spark, sf_dir):
 @query(
     "embedding_neardup",
     oracle=f"""
-    WITH base AS (SELECT vec_id, vec_id % 20 AS blk, embedding::DOUBLE[] AS v
-                  FROM embeddings),
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_bucket_sql('v', planes=6, dim=64)} AS blk FROM base),
     pairs AS (
       SELECT l.vec_id AS a, r.vec_id AS b, l.v AS qv, r.v AS cv
-      FROM base l JOIN base r ON l.blk = r.blk AND l.vec_id < r.vec_id
+      FROM b l JOIN b r ON l.blk = r.blk AND l.vec_id < r.vec_id
     )
     SELECT a, b, floor(({SQL_COS}) * 10000 + 0.5) / 10000 AS sim FROM pairs
-    WHERE floor(({SQL_COS}) * 10000 + 0.5) / 10000 >= 0.35
+    WHERE floor(({SQL_COS}) * 10000 + 0.5) / 10000 >= 0.30
     """,
 )
 def embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs within id-blocks (scale path
-    swaps block key for hyperplane LSH buckets — same join shape).
-    Threshold 0.35 sits at ~p99.9 of the synthetic data's in-block
-    cosine distribution (max 0.44), so the check matches a small
-    NONZERO pair set — a 0.8 cutoff would trivially pass on 0 rows."""
+    """Embedding-cosine near-dup pairs with the DEFAULT similarity-
+    driven blocking: hyperplane-LSH buckets (6 planes — the same
+    literal hyperplanes the ann_lsh query folds), so candidates are
+    angle-concentrated rather than id-residue-blind (``blocking="mod"``
+    survives as an explicit demo mode). Threshold 0.30 keeps a NONZERO
+    matched set on the synthetic data (47 in-bucket pairs >= 0.30 at
+    sf0.01, in-bucket max 0.47) — a 0.8 cutoff would trivially pass on
+    0 rows; the oracle replays bucketing, join and rounded cosine."""
     emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
-    return S.embedding_neardup_pairs(emb, min_sim=0.35, blocks=20)
-
-
-def _bucket_sql(vcol: str, planes: int = 6, dim: int = 64, seed: int = 7) -> str:
-    """SQL twin of llm/similarity.hyperplane_bucket: the SAME md5-derived
-    hyperplane coefficients (repr() round-trips doubles exactly, and
-    DuckDB parses decimal literals to nearest double — the identical
-    bits Spark folds), and the SAME left-to-right sequential dot fold
-    (list_reduce ≡ F.aggregate from 0.0: IEEE 0.0+x == x)."""
-    bits = []
-    for p in range(planes):
-        coeffs = ", ".join(
-            repr(int_hash_unit(p * 10007 + j * 31 + seed)) for j in range(dim)
-        )
-        dot = (
-            f"list_reduce(list_transform(range(1, {dim + 1}), "
-            f"i -> ([{coeffs}])[i] * {vcol}[i]), (a, b) -> a + b)"
-        )
-        bits.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
-    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+    return S.embedding_neardup_pairs(emb, min_sim=0.30, planes=6, dim=64)
 
 
 @query(
