@@ -161,6 +161,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 3,
+    centroids: list[tuple[int, list[float]]] | None = None,
     centroid_mod: int = 61,
     nprobe: int = 2,
 ) -> DataFrame:
@@ -168,40 +169,70 @@ def ivf_topk(
     probe → exact re-rank. The third ANN path next to brute force
     (exact, Q×N) and hyperplane LSH (data-independent buckets).
 
-    Centroids here are every ``centroid_mod``-th corpus vector by id —
-    deterministic and training-free, so C grows ~N/mod and the whole
-    query has an exact SQL twin (a TRAINED quantizer — e.g.
-    lib/ml/kmeans centroids — drops in without changing the plan
-    shape). Plan: broadcast centroids; one N×C assignment pass picks
-    each corpus vector's nearest list (rank-1 window, rounded sim +
-    id tie-break so the argmin is engine-stable); queries probe their
-    ``nprobe`` nearest lists; candidates come from an EQUI-join on the
-    centroid id — Σ|list| per probe, never Q×N — and re-rank with the
-    exact cosine."""
+    ``centroids`` (the scale path): a TRAINED driver-side quantizer
+    [(cid, vector), ...] — e.g. lib/ml/kmeans centroids or the
+    quantized SQL-replayable Lloyd fit. C is FIXED, so assignment is a
+    pure narrow projection: each vector folds a literal array of
+    (−rounded_sim, cid) structs and takes array_sort's head — O(N·C)
+    work, ZERO shuffle, no window, broadcast semantics by construction
+    (same trick as lib/ml/kmeans._nearest). Queries probe their
+    ``nprobe`` nearest lists the same way; the only shuffles left are
+    the cid equi-join and the final per-query top-k window.
+
+    Fallback (``centroids=None``, demo/test mode): centroids = every
+    ``centroid_mod``-th corpus vector by id — training-free, but C
+    grows ~N/mod so the N×C assignment pass (crossJoin + rank-1
+    window, rounded sim + id tie-break) is O(N²/mod): correct at small
+    SF, NOT the 100 TB path."""
     from pyspark.sql import Window
 
-    cents = F.broadcast(
-        corpus.filter(F.col(id_col) % centroid_mod == 0).select(
-            F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cvv")
-        )
-    )
+    if centroids is not None:
+        def top_cids(vec: Column, n: int) -> Column:
+            cands = F.array(
+                *[
+                    F.struct(
+                        (-_rd(cosine(vec, F.array(*[F.lit(float(x)) for x in cv])), 4)
+                         ).alias("negsim"),
+                        F.lit(int(cid)).alias("cid"),
+                    )
+                    for cid, cv in centroids
+                ]
+            )
+            return F.slice(F.array_sort(cands), 1, n).getField("cid")
 
-    def nearest(df: DataFrame, id_alias: str, vec_alias: str, n: int) -> DataFrame:
-        base = df.select(
-            F.col(id_col).alias(id_alias), as_double(F.col(vec_col)).alias(vec_alias)
+        assign = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+            top_cids(as_double(F.col(vec_col)), 1)[0].alias("cid"),
         )
-        w = Window.partitionBy(id_alias).orderBy(
-            F.desc(_rd(cosine(F.col(vec_alias), F.col("cvv")), 4)), F.asc("cid")
+        probes = queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+            F.explode(top_cids(as_double(F.col(vec_col)), nprobe)).alias("cid"),
         )
-        return (
-            base.crossJoin(cents)
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= n)
-            .select(id_alias, vec_alias, "cid")
+    else:
+        cents = F.broadcast(
+            corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+                F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cvv")
+            )
         )
 
-    assign = nearest(corpus, "neighbor_id", "cv", 1)
-    probes = nearest(queries, "query_id", "qv", nprobe)
+        def nearest(df: DataFrame, id_alias: str, vec_alias: str, n: int) -> DataFrame:
+            base = df.select(
+                F.col(id_col).alias(id_alias), as_double(F.col(vec_col)).alias(vec_alias)
+            )
+            w = Window.partitionBy(id_alias).orderBy(
+                F.desc(_rd(cosine(F.col(vec_alias), F.col("cvv")), 4)), F.asc("cid")
+            )
+            return (
+                base.crossJoin(cents)
+                .withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= n)
+                .select(id_alias, vec_alias, "cid")
+            )
+
+        assign = nearest(corpus, "neighbor_id", "cv", 1)
+        probes = nearest(queries, "query_id", "qv", nprobe)
     sims = (
         probes.join(assign, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -167,12 +167,14 @@ def ml_encode_dict_freq(spark, sf_dir):
     )
 
 
-def _kmeans_fit_sql(iters: int = 2, k: int = 4, dims: int = 8) -> str:
-    """Lloyd unrolled as chained CTEs, math quantized to exact integers
-    at every cross-engine-sensitive spot (squared-distance terms and
-    centroid sums), so Spark and DuckDB agree bit-for-bit."""
-    sql = f"""
-    WITH pts AS (
+def _kmeans_fit_ctes(iters: int = 2, k: int = 4, dims: int = 8) -> str:
+    """Lloyd unrolled as chained CTEs (no WITH prefix), math quantized
+    to exact integers at every cross-engine-sensitive spot (squared-
+    distance terms and centroid sums), so Spark and DuckDB agree
+    bit-for-bit. Ends in relation ``centq`` = (cid, pos, value) with
+    value quantized to the 1e-6 grid — reusable as a trained-quantizer
+    input by other oracles (ann_ivf_trained)."""
+    sql = f"""pts AS (
       SELECT * FROM (
         SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
                unnest(embedding::DOUBLE[]) AS v
@@ -205,39 +207,38 @@ def _kmeans_fit_sql(iters: int = 2, k: int = 4, dims: int = 8) -> str:
       FROM a{i} a JOIN pts p USING (id) GROUP BY a.cid, p.pos
     )"""
         prev = f"cent{i}"
-    return sql + f"""
-    SELECT cid, pos, floor(c * 1000000 + 0.5) / 1000000 AS value FROM {prev}
-    """
+    return sql + f""",
+    centq AS (
+      SELECT cid, pos, floor(c * 1000000 + 0.5) / 1000000 AS value FROM {prev}
+    )"""
 
 
-@query("ml_kmeans_fit", oracle=_kmeans_fit_sql())
-def ml_kmeans_fit(spark, sf_dir):
-    """kMeans Lloyd fit (kMeans.scala:40-92): deterministic init (the k
-    smallest vec_ids), 2 full assign+update rounds, centroids out as
-    (cid, pos, value).
+def _kmeans_fit_sql(iters: int = 2, k: int = 4, dims: int = 8) -> str:
+    return f"WITH {_kmeans_fit_ctes(iters, k, dims)} SELECT cid, pos, value FROM centq"
 
-    Long-format variant chosen so every float op is quantized to exact
-    integer arithmetic and a DuckDB oracle can replay the whole fit
-    bit-for-bit — upgrading this from the rows-only check. Per round:
-    centroids (k·D rows) broadcast into the distance join, argmin via
-    window, means from exact integer sums. The wide-vector seeded-init
-    variant for production scale remains lib/ml/kmeans.py (pytest:
-    cost decreases monotonically, assignment overlap vs golden)."""
+
+def quantized_kmeans_fit(emb, iters: int = 2, k: int = 4, dims: int = 8):
+    """Deterministic quantized Lloyd fit (the SQL-replayable twin of
+    lib/ml/kmeans): init = the k smallest vec_ids, `iters` full
+    assign+update rounds over the first `dims` coordinates, centroids
+    out long-format (cid, pos, value) on the 1e-6 grid. Every float op
+    quantized to exact integer arithmetic so `_kmeans_fit_ctes`
+    replays it bit-for-bit; reused by ml_kmeans_fit and as the trained
+    quantizer for ann_ivf_trained."""
     from pyspark.sql import Window
 
-    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
     pts = emb.select(
         F.col("vec_id").alias("id"),
-        F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 8)).alias(
+        F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, dims)).alias(
             "pos", "v"
         ),
     ).persist()
-    init_ids = sorted(r["id"] for r in pts.select("id").distinct().orderBy("id").limit(4).collect())
+    init_ids = sorted(r["id"] for r in pts.select("id").distinct().orderBy("id").limit(k).collect())
     mapping = F.create_map(*[F.lit(x) for i, pid in enumerate(init_ids) for x in (pid, i)])
     cent = pts.filter(F.col("id").isin(init_ids)).select(
         mapping[F.col("id")].alias("cid"), "pos", F.col("v").alias("c")
     )
-    for _ in range(2):
+    for _ in range(iters):
         d = (
             pts.join(F.broadcast(cent), "pos")
             .groupBy("id", "cid")
@@ -262,6 +263,23 @@ def ml_kmeans_fit(spark, sf_dir):
     out = out.localCheckpoint(eager=True)
     pts.unpersist()
     return out
+
+
+@query("ml_kmeans_fit", oracle=_kmeans_fit_sql())
+def ml_kmeans_fit(spark, sf_dir):
+    """kMeans Lloyd fit (kMeans.scala:40-92): deterministic init (the k
+    smallest vec_ids), 2 full assign+update rounds, centroids out as
+    (cid, pos, value).
+
+    Long-format variant chosen so every float op is quantized to exact
+    integer arithmetic and a DuckDB oracle can replay the whole fit
+    bit-for-bit — upgrading this from the rows-only check. Per round:
+    centroids (k·D rows) broadcast into the distance join, argmin via
+    window, means from exact integer sums. The wide-vector seeded-init
+    variant for production scale remains lib/ml/kmeans.py (pytest:
+    cost decreases monotonically, assignment overlap vs golden)."""
+    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
+    return quantized_kmeans_fit(emb, iters=2, k=4, dims=8)
 
 
 @query(

@@ -173,11 +173,79 @@ def ann_lsh_topk(spark, sf_dir):
     """,
 )
 def ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN (llm/similarity.ivf_topk): deterministic coarse
-    centroids → inverted-list assignment → nprobe=2 probing →
-    equi-join candidates → exact cosine re-rank. Unlike the LSH query
-    (rows-only), the deterministic quantizer makes this approximate
-    path fully value-hash checkable."""
+    """IVF-style ANN (llm/similarity.ivf_topk), UNTRAINED demo variant:
+    deterministic modulo-sampled coarse centroids → inverted-list
+    assignment → nprobe=2 probing → equi-join candidates → exact
+    cosine re-rank. C grows ~N/61 here, so ann_ivf_trained (fixed-C
+    Lloyd quantizer) is the scale path; this row keeps the
+    training-free plan value-hash checked."""
     emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_topk(emb, queries, k=3, centroid_mod=61, nprobe=2)
+
+
+def _ivf_trained_oracle() -> str:
+    from .ml import _kmeans_fit_ctes
+
+    return f"""
+    WITH {_kmeans_fit_ctes(iters=2, k=4, dims=64)},
+    cvec AS (SELECT cid, list(value ORDER BY pos) AS cvv FROM centq GROUP BY cid),
+    corp AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    assign AS (
+      SELECT neighbor_id, cv, cid FROM (
+        SELECT corp.neighbor_id, corp.cv, cvec.cid,
+               row_number() OVER (
+                 PARTITION BY corp.neighbor_id
+                 ORDER BY floor(({sql_cos('cv', 'cvv')}) * 10000 + 0.5) / 10000 DESC,
+                          cvec.cid) AS rk
+        FROM corp CROSS JOIN cvec
+      ) WHERE rk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, cvec.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY floor(({sql_cos('qv', 'cvv')}) * 10000 + 0.5) / 10000 DESC,
+                          cvec.cid) AS rk
+        FROM q CROSS JOIN cvec
+      ) WHERE rk <= 2
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             floor(({SQL_COS}) * 10000 + 0.5) / 10000 AS sim
+      FROM probes JOIN assign USING (cid)
+      WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 3
+    """
+
+
+@query("ann_ivf_trained", oracle=_ivf_trained_oracle())
+def ann_ivf_trained(spark, sf_dir):
+    """IVF with a TRAINED fixed-C quantizer — the 100 TB ANN path
+    (closes the untrained variant's C~N/61 scale caveat): centroids
+    come from the quantized SQL-replayable Lloyd fit (workloads/ml.
+    quantized_kmeans_fit, k=4 over all 64 dims, values on the 1e-6
+    grid), collected to the driver (k·D doubles — model-sized state,
+    as in lib/ml/kmeans), and assignment becomes a literal-array
+    struct-sort projection: O(N·C) narrow work, zero shuffle, no
+    window. The oracle replays the entire composition — Lloyd fit
+    CTEs, nearest-list assignment, nprobe=2 probing, exact cosine
+    re-rank."""
+    from .ml import quantized_kmeans_fit
+
+    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
+    fitted = quantized_kmeans_fit(emb, iters=2, k=4, dims=64).collect()
+    acc: dict[int, dict[int, float]] = {}
+    for r in fitted:
+        acc.setdefault(r["cid"], {})[r["pos"]] = r["value"]
+    cents = sorted((cid, [d[p] for p in sorted(d)]) for cid, d in acc.items())
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, k=3, centroids=cents, nprobe=2)

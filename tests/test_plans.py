@@ -122,3 +122,25 @@ def test_broadcast_degrades_to_shuffle_join_when_too_big(spark, registry):
         assert "CartesianProduct" not in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ivf_trained_assignment_is_narrow(spark, registry):
+    """Trained-quantizer IVF (fixed C): the assignment pass must be a
+    literal-array projection — O(N·C) narrow work with no join of any
+    kind for assignment. Only the cid equi-join and the final top-k
+    window may shuffle; the untrained fallback (C~N/mod) keeps its
+    crossJoin and serves as the contrast."""
+    from emma_spark.llm.similarity import ivf_topk
+    from emma_spark.sources import io
+    from pyspark.sql import functions as F
+
+    emb = io.read_parquet(spark, f"{SF_DIR}/embeddings.parquet").df
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = [(0, [0.1] * 64), (1, [-0.1] * 64), (2, [0.1, -0.1] * 32)]
+    trained = _plan(ivf_topk(emb, queries, centroids=cents, nprobe=2))
+    assert "BroadcastNestedLoopJoin" not in trained
+    assert "CartesianProduct" not in trained
+    # exactly one equi-join (candidates on cid): assignment adds none
+    assert trained.count("SortMergeJoin") + trained.count("BroadcastHashJoin") + trained.count("ShuffledHashJoin") == 1, trained
+    untrained = _plan(ivf_topk(emb, queries, centroid_mod=61, nprobe=2))
+    assert "BroadcastNestedLoopJoin" in untrained or "CartesianProduct" in untrained
