@@ -29,3 +29,32 @@ def scores(df: DataFrame, label_col: str = "label", pred_col: str = "prediction"
     rec = c["tp"] / (c["tp"] + c["fn"]) if c["tp"] + c["fn"] else 0.0
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
     return {"accuracy": acc, "precision": prec, "recall": rec, "f1": f1, **c}
+
+
+def scores_df(df: DataFrame, label_col: str = "label", pred_col: str = "prediction",
+              positive: float = 1.0, dp: int = 6) -> DataFrame:
+    """Confusion counts + accuracy/precision/recall/f1 as ONE 1-row
+    DataFrame — the distributed, oracle-checkable twin of `scores`
+    (eval.scala semantics): a single aggregate pass with map-side
+    partials, metrics derived from the exact integer counts and
+    quantized to the 10^-dp grid (ratios of ints -> cross-engine
+    deterministic)."""
+    p = F.lit(positive)
+    s = 10 ** dp
+    c = df.agg(
+        F.count_if((F.col(label_col) == p) & (F.col(pred_col) == p)).alias("tp"),
+        F.count_if((F.col(label_col) != p) & (F.col(pred_col) == p)).alias("fp"),
+        F.count_if((F.col(label_col) == p) & (F.col(pred_col) != p)).alias("fn"),
+        F.count_if((F.col(label_col) != p) & (F.col(pred_col) != p)).alias("tn"),
+    )
+    rd = lambda col: F.floor(col * s + F.lit(0.5)) / s
+    tp, fp, fn, tn = (F.col(k).cast("double") for k in ("tp", "fp", "fn", "tn"))
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    return c.select(
+        "tp", "fp", "fn", "tn",
+        rd((tp + tn) / (tp + fp + fn + tn)).alias("accuracy"),
+        rd(prec).alias("precision"),
+        rd(rec).alias("recall"),
+        rd(2 * prec * rec / (prec + rec)).alias("f1"),
+    )

@@ -96,6 +96,7 @@ _PRIORITY = [
     # kmv / damping quantization
     "ann_lsh_topk", "dedup_ngram_jaccard", "embedding_neardup",
     "sketch_kmv_distinct", "graph_pagerank", "ann_ivf_trained",
+    "ml_sgd_linreg", "ml_logreg_sgd", "ml_eval_scores",
     # (d) previously-green keepers (headliners + perf-watch queries)
     "ann_topk_cosine", "ann_ivf_topk",
     "dedup_exact", "dedup_minhash_signature", "dedup_minhash_pairs",
@@ -104,7 +105,6 @@ _PRIORITY = [
     "graph_triangles", "ml_kmeans_fit", "ml_kmeans_assign",
     "ml_linreg_closed_form", "flatmap_wordcount", "join_multiway_revenue",
     "fold_global", "sql_entry_q3_shape", "groupby_agg_pricing",
-    "text_lang_id", "ml_stats_summarize", "hyper_rollup_daily",
 ]
 
 

@@ -368,3 +368,194 @@ def ml_kfold_crossval(spark, sf_dir):
             (F.floor(F.sqrt(F.sum(sq) / (100.0 * F.count(F.lit(1)))) * 100 + F.lit(0.5)) / 100).alias("rmse"),
         )
     )
+
+
+# ---------------------------------------------------------------- SGD family
+# Deterministic replayable gradient descent (the ml_kmeans_fit trick
+# applied to optimization/solver/sgd.scala:30-80): rotating modulo
+# mini-batches, per-row gradient terms quantized to exact 1e-6-grid
+# integers before the cross-row sum, weights re-quantized to the 1e-9
+# grid after every update — so a DuckDB CTE chain replays the whole
+# fit bit-for-bit. The production solver (lib/ml/optimization.sgd:
+# seeded-hash mini-batches, clipping, unquantized floats) remains the
+# scale path; this twin exists to put the SGD iteration math under the
+# value-hash gate.
+
+_SGD_ITERS = 3
+_SGD_MOD = 7  # batch `it` = rows with l_orderkey % 7 == it
+
+
+def _sgd_feats_sql(logistic: bool):
+    """(feature SQL exprs, label SQL expr) — structurally identical to
+    the Column builders below."""
+    if logistic:
+        return (
+            ["1.0", "CAST(l_quantity AS DOUBLE) / 10", "l_discount * 10"],
+            "CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END",
+        )
+    return ["1.0", "CAST(l_quantity AS DOUBLE) / 10"], "l_extendedprice / 1000"
+
+
+def _sgd_feats_cols(logistic: bool):
+    """(feature Columns, label Column) — built lazily: Column exprs
+    need an active session, and oracles are rendered at import time."""
+    if logistic:
+        feats = [
+            F.lit(1.0),
+            F.col("l_quantity").cast("double") / 10,
+            F.col("l_discount") * 10,
+        ]
+        return feats, F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    feats = [F.lit(1.0), F.col("l_quantity").cast("double") / 10]
+    return feats, F.col("l_extendedprice") / 1000
+
+
+def _sgd_sql(logistic: bool, lr: float = 0.05) -> str:
+    import math
+
+    feats_sql, label_sql = _sgd_feats_sql(logistic)
+    nf = len(feats_sql)
+    cols = ", ".join(f"{e} AS x{j}" for j, e in enumerate(feats_sql))
+    sql = f"""
+    WITH d AS (SELECT l_orderkey, {cols}, {label_sql} AS y FROM lineitem),
+    w0 AS (SELECT {', '.join(f'0.0 AS w{j}' for j in range(nf))})"""
+    for it in range(1, _SGD_ITERS + 1):
+        pred = " + ".join(f"w.w{j} * x{j}" for j in range(nf))
+        if logistic:
+            resid = f"(floor(1.0 / (1.0 + exp(-({pred}))) * 1000000 + 0.5) / 1000000 - y)"
+        else:
+            resid = f"({pred} - y)"
+        gsums = ", ".join(
+            f"CAST(sum(CAST(floor({resid} * x{j} * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS g{j}"
+            for j in range(nf)
+        )
+        lrit = repr(lr / math.sqrt(it))
+        wnew = ", ".join(
+            f"floor((w.w{j} - {lrit} * (g.g{j} / (1000000.0 * g.n))) * 1000000000 + 0.5)"
+            f" / 1000000000 AS w{j}"
+            for j in range(nf)
+        )
+        sql += f""",
+    g{it} AS (
+      SELECT {gsums}, count(*) AS n
+      FROM d, w{it - 1} w WHERE l_orderkey % {_SGD_MOD} = {it % _SGD_MOD}
+    ),
+    w{it} AS (SELECT {wnew} FROM w{it - 1} w, g{it} g)"""
+    outs = " UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS pos, "
+        f"floor(w{j} * 1000000 + 0.5) / 1000000 AS weight FROM w{_SGD_ITERS}"
+        for j in range(nf)
+    )
+    return sql + f" {outs}"
+
+
+def _quantized_sgd_fit(spark, li, logistic: bool, lr: float = 0.05):
+    import math
+
+    feats, label = _sgd_feats_cols(logistic)
+    d = li.select(
+        F.col("l_orderkey"),
+        *[e.alias(f"x{j}") for j, e in enumerate(feats)],
+        label.alias("y"),
+    ).persist()
+    try:
+        nf = len(feats)
+        w = [0.0] * nf
+        for it in range(1, _SGD_ITERS + 1):
+            pred = sum((F.lit(w[j]) * F.col(f"x{j}") for j in range(1, nf)),
+                       F.lit(w[0]) * F.col("x0"))
+            if logistic:
+                resid = (
+                    F.floor((F.lit(1.0) / (F.lit(1.0) + F.exp(-pred))) * 1000000
+                            + F.lit(0.5)) / 1000000 - F.col("y")
+                )
+            else:
+                resid = pred - F.col("y")
+            row = (
+                d.filter(F.col("l_orderkey") % _SGD_MOD == it % _SGD_MOD)
+                .agg(
+                    *[
+                        F.sum(
+                            F.floor(resid * F.col(f"x{j}") * 1000000 + F.lit(0.5))
+                        ).alias(f"g{j}")
+                        for j in range(nf)
+                    ],
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()[0]
+            )
+            lrit = lr / math.sqrt(it)
+            w = [
+                math.floor((w[j] - lrit * (row[f"g{j}"] / (1000000.0 * row["n"])))
+                           * 1000000000 + 0.5) / 1000000000
+                for j in range(nf)
+            ]
+        out = [(j, math.floor(w[j] * 1000000 + 0.5) / 1000000) for j in range(nf)]
+        return spark.createDataFrame(out, "pos: bigint, weight: double")
+    finally:
+        d.unpersist()
+
+
+@query("ml_sgd_linreg", oracle=_sgd_sql(logistic=False))
+def ml_sgd_linreg(spark, sf_dir):
+    """Mini-batch gradient descent for linear regression
+    (optimization/solver/sgd.scala:30-80 semantics: per-iteration
+    batch, mean gradient fold, lr/sqrt(it) step; error objective
+    error/rmse.scala): price/1000 ~ quantity/10 over lineitem, 3
+    iterations, rotating l_orderkey%7 batches. Quantized at every
+    cross-engine-sensitive spot so the oracle CTE chain replays the
+    fit exactly; weights out long-format on the 1e-6 grid."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    return _quantized_sgd_fit(spark, li, logistic=False)
+
+
+@query("ml_logreg_sgd", oracle=_sgd_sql(logistic=True))
+def ml_logreg_sgd(spark, sf_dir):
+    """Logistic regression by the same quantized SGD loop
+    (error/crossentropy.scala: sigmoid residual): P(returnflag='R') ~
+    (1, quantity/10, discount*10). The sigmoid is quantized to the
+    1e-6 grid before the residual, so the <=2-ulp libm exp()
+    difference between engines cannot leak into the hash."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    return _quantized_sgd_fit(spark, li, logistic=True)
+
+
+@query(
+    "ml_eval_scores",
+    oracle="""
+    WITH d AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
+             CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS prediction
+      FROM lineitem
+    ),
+    c AS (
+      SELECT count(*) FILTER (WHERE label = 1.0 AND prediction = 1.0) AS tp,
+             count(*) FILTER (WHERE label != 1.0 AND prediction = 1.0) AS fp,
+             count(*) FILTER (WHERE label = 1.0 AND prediction != 1.0) AS fn,
+             count(*) FILTER (WHERE label != 1.0 AND prediction != 1.0) AS tn
+      FROM d
+    )
+    SELECT tp, fp, fn, tn,
+      floor((tp + tn)::DOUBLE / (tp + fp + fn + tn) * 1000000 + 0.5) / 1000000 AS accuracy,
+      floor(tp::DOUBLE / (tp + fp) * 1000000 + 0.5) / 1000000 AS precision,
+      floor(tp::DOUBLE / (tp + fn) * 1000000 + 0.5) / 1000000 AS recall,
+      floor(2 * (tp::DOUBLE / (tp + fp)) * (tp::DOUBLE / (tp + fn))
+            / (tp::DOUBLE / (tp + fp) + tp::DOUBLE / (tp + fn)) * 1000000 + 0.5)
+        / 1000000 AS f1
+    FROM c
+    """,
+)
+def ml_eval_scores(spark, sf_dir):
+    """Classification evaluation (classification/eval.scala): confusion
+    counts + accuracy/precision/recall/f1 in ONE aggregate pass
+    (lib/ml/eval.scores_df) for a threshold classifier
+    (quantity > 25 -> 'R') against the true return flag. Counts are
+    exact ints; metrics are ratios of ints quantized at 6dp."""
+    from ..lib.ml.eval import scores_df
+
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    d = li.select(
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
+        F.when(F.col("l_quantity") > 25, 1.0).otherwise(0.0).alias("prediction"),
+    )
+    return scores_df(d)

@@ -137,6 +137,22 @@ def test_logreg_separates(spark):
     assert s["accuracy"] >= 0.95, s
 
 
+def test_scores_df_matches_scores(spark):
+    from emma_spark.lib.ml.eval import scores, scores_df
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0), (1.0, 1.0), (0.0, 0.0)],
+        ["label", "prediction"],
+    )
+    want = scores(df)
+    got = scores_df(df).collect()[0].asDict()
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (
+        want["tp"], want["fp"], want["fn"], want["tn"]
+    )
+    for m in ("accuracy", "precision", "recall", "f1"):
+        assert abs(got[m] - want[m]) < 1e-6, (m, got[m], want[m])
+
+
 # ---------------------------------------------------------------- kfold
 def test_kfold_partition_properties(spark):
     from emma_spark.lib.ml import kfold
