@@ -416,7 +416,20 @@ class DataBag:
         are released by the ContextCleaner when the result frame is
         dropped, whereas a persisted frame stays in the CacheManager
         for the session lifetime (there is no safe explicit unpersist
-        point — the returned lazy plan keeps reading the cache)."""
+        point — the returned lazy plan keeps reading the cache).
+
+        Tradeoff, not strictly superior: localCheckpoint truncates
+        lineage into NON-RELIABLE executor-local storage — lose an
+        executor on a real cluster and the job FAILS instead of
+        recomputing (a persisted frame would recompute; a reliable
+        ``checkpoint()`` to a checkpoint dir would survive). Here the
+        pin is small (one stamped pass over the input) and the
+        determinism requirement rules out recompute anyway — a retried
+        recompute could legally renumber partitions, which is the very
+        bug the pin prevents — so fail-and-rerun is the correct
+        failure mode. Long-lived multi-hour pins at cluster scale
+        should prefer ``spark.sparkContext.setCheckpointDir`` +
+        ``checkpoint()``."""
         df = self._df.withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=True)
         w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
         counts = df.groupBy("__pid").count().orderBy("__pid").collect()

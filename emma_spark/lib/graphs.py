@@ -68,17 +68,23 @@ def page_rank_int(
     unit: int = 10**12,
 ) -> DataFrame:
     """PageRank power iteration in INTEGER micro-units (1 = 1/unit of
-    probability mass) — every step is either exact integer arithmetic
-    (sums, `div`) or a single IEEE multiply+floor, so the result is
-    bit-identical on any engine and an SQL oracle can replay it.
+    probability mass) — every step is exact integer arithmetic (sums,
+    ``div``), so the result is bit-identical on any engine and an SQL
+    oracle can replay it. The damping factor is quantized ONCE to
+    d100 = round(damping·100) and that same d100 drives both the
+    teleport mass and the per-iteration multiply — mixing the float
+    ``damping`` into either would leak IEEE rounding (e.g.
+    int(0.29·100) == 28) and break mass conservation.
 
-    pr_0 = unit/N;  pr_{i+1}(v) = teleport + floor(d · Σ_{u→v} pr_i(u)
-    div outdeg(u)) with teleport = (unit − d·unit)/N in exact ints.
-    A driver loop over DataFrame joins — emma's iteration model
-    (SURVEY §2.8): the loop is control flow, each step is a plan.
-    Every node here must have out-edges (no dangling-mass term)."""
+    pr_0 = unit/N;  pr_{i+1}(v) = teleport + (d100 · Σ_{u→v} pr_i(u)
+    div outdeg(u)) div 100 with teleport = (unit − d100·unit div 100)
+    div N in exact ints. A driver loop over DataFrame joins — emma's
+    iteration model (SURVEY §2.8): the loop is control flow, each
+    step is a plan. Every node here must have out-edges (no
+    dangling-mass term)."""
     n = nodes.count()
-    teleport = (unit - int(damping * 100) * unit // 100) // n
+    d100 = round(damping * 100)
+    teleport = (unit - d100 * unit // 100) // n
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
     pr = nodes.select(F.col("id"), F.lit(unit // n).cast("bigint").alias("pr"))
     for _ in range(iters):
@@ -93,7 +99,7 @@ def page_rank_int(
             F.col("id"),
             (
                 F.lit(teleport)
-                + F.floor(F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0)))
+                + F.expr(f"({d100} * coalesce(__c, 0)) div 100")
             ).cast("bigint").alias("pr"),
         )
     return pr

@@ -132,7 +132,10 @@ def lsh_candidate_pairs(
     than once → cache; Caching.scala:57-94, SURVEY §4 #9) without the
     CacheManager lifetime leak of `persist` (blocks free on GC); lazy
     (eager=False) so the pin materializes inside the first consuming
-    job instead of a separate serialized round.
+    job instead of a separate serialized round. Cluster caveat: the
+    pinned blocks are executor-local (non-reliable) — an executor loss
+    fails the job rather than recomputing; for multi-hour cluster runs
+    swap in reliable ``checkpoint()`` with a checkpoint dir.
     Without pinning, the full minhash expression tree would be
     re-evaluated for each side."""
     rows = num_hashes // bands

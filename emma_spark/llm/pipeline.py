@@ -45,8 +45,10 @@ def curate(
     )
     # `kept` feeds BOTH the signature build and the final anti-join:
     # pin it (lazy localCheckpoint — computed once on first action,
-    # blocks GC-released) or the quality filter + exact-dedup shuffle
-    # would run twice. The auto-cache used-more-than-once policy
+    # blocks GC-released; executor-local, so an executor loss fails the
+    # job instead of recomputing — use reliable checkpoint() for
+    # multi-hour cluster runs) or the quality filter + exact-dedup
+    # shuffle would run twice. The auto-cache used-more-than-once policy
     # (Caching.scala:57-94) applied by hand. Then REBALANCE: AQE
     # coalesces the dedup shuffle by BYTES, but the next stage (shingle
     # explode + md5 per shingle) is CPU-bound per row — without the

@@ -143,8 +143,12 @@ def kmv_distinct_estimate(
 
     Plan: dedup (group, hash) with map-side partial agg, then a
     rank-k window — the shuffle carries distinct hashes only and the
-    driver sees one row per group. Integer arithmetic end to end
-    (floor division), so any engine reproduces the estimate exactly —
+    driver sees one row per group. Integer arithmetic end to end —
+    the numerator (k-1)·2^56 exceeds 2^53 for k ≥ 2, so it is lifted
+    to decimal(38,0) and divided with ``div`` (exact integral
+    division, matching DuckDB's HUGEINT ``//``) rather than a double
+    ``/`` whose floor can be off by one — so any engine reproduces
+    the estimate exactly,
     unlike HLL sketches (``approx_count_distinct``), whose registers
     are implementation-defined. Production note: for a mergeable
     always-on sketch use approx_count_distinct; this operator is the
@@ -161,7 +165,10 @@ def kmv_distinct_estimate(
         F.when(
             F.count(F.lit(1)) < k, F.count(F.lit(1))
         ).otherwise(
-            F.floor(F.lit((k - 1) * (1 << 56)) / F.max("__h")).cast("bigint")
+            F.expr(
+                f"CAST({(k - 1) * (1 << 56)} AS DECIMAL(38,0))"
+                " div CAST(max(__h) AS DECIMAL(38,0))"
+            )
         ).cast("bigint").alias("est_distinct"),
         F.count(F.lit(1)).alias("n_mins"),
     )

@@ -109,6 +109,26 @@ def read_text(spark: SparkSession, path: str) -> DataBag:
     return DataBag(spark.read.text(path))
 
 
+def _list_input_files(spark: SparkSession, path: str) -> list[str]:
+    """Resolve a file/dir/glob path to its data files the way Spark's
+    own file index does (Hadoop ``globStatus`` + non-hidden children),
+    metadata-only. Sorted for a deterministic union order."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    files: list[str] = []
+    for st in fs.globStatus(jpath) or []:
+        if st.isDirectory():
+            for child in fs.listStatus(st.getPath()):
+                name = child.getPath().getName()
+                if child.isFile() and not name.startswith(("_", ".")):
+                    files.append(child.getPath().toString())
+        elif st.isFile():
+            files.append(st.getPath().toString())
+    return sorted(files)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -133,21 +153,35 @@ def read_csv(
     pipeline that dies at row 10^12.
 
     ``skip_rows`` (the reference's ``skipRows``) drops the first N
-    PHYSICAL lines before parsing. Spark's CSV reader has no such
-    option, so the skip path reads lines via ``textFile`` +
-    ``zipWithIndex`` and parses the remainder — a documented RDD
-    round-trip on this cold IO path only (per-file line order is what
-    zipWithIndex indexes, matching the reference's file semantics)."""
+    PHYSICAL lines of EACH file before parsing ("starting at the
+    beginning of the file", ``io/csv/CSV.scala:33``). Spark's CSV
+    reader has no such option, so the skip path enumerates the input
+    files (Hadoop FS metadata only — no data read), gives each file
+    its own ``textFile().zipWithIndex()`` (indices are per-file, so N
+    means N *in that file*, not N across the whole glob), drops each
+    non-first file's header line itself (the RDD-backed CSV reader
+    only recognizes ONE leading header), and unions. A documented RDD
+    round-trip on this cold IO path only; the per-file driver loop
+    touches metadata, never rows."""
     if isinstance(schema, type) and dataclasses.is_dataclass(schema):
         schema = schema_of(schema)
     if skip_rows > 0:
         sc = spark.sparkContext
-        lines = (
-            sc.textFile(path)
-            .zipWithIndex()
-            .filter(lambda t: t[1] >= skip_rows)
-            .keys()
-        )
+        files = _list_input_files(spark, path)
+        if not files:
+            raise FileNotFoundError(path)
+        parts = []
+        for i, f in enumerate(files):
+            # first file keeps its header line (the reader consumes it);
+            # every other file drops header + skipped rows entirely
+            drop = skip_rows if (i == 0 or not header) else skip_rows + 1
+            parts.append(
+                sc.textFile(f)
+                .zipWithIndex()
+                .filter(lambda t, _n=drop: t[1] >= _n)
+                .keys()
+            )
+        lines = sc.union(parts) if len(parts) > 1 else parts[0]
         reader = spark.read.options(
             header=header, delimiter=delimiter, quote=quote, escape=escape,
             nullValue=null_value, inferSchema=schema is None, mode=mode,

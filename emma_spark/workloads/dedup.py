@@ -211,7 +211,7 @@ def dedup_transitive_groups(spark, sf_dir):
     ), est AS (
       SELECT l_returnflag,
              CASE WHEN n_mins < 32 THEN n_mins
-                  ELSE CAST(floor(CAST(31 * 72057594037927936 AS HUGEINT) / hk)
+                  ELSE CAST(CAST(31 * 72057594037927936 AS HUGEINT) // hk
                             AS BIGINT) END AS est_distinct,
              n_mins
       FROM agg

@@ -205,7 +205,7 @@ def graph_preprocessing_edges(spark, sf_dir):
 def _pagerank_iter_sql(prev: str, out: str) -> str:
     return f"""
     {out} AS (
-      SELECT n.id, CAST(6000000000 + floor(0.85 * coalesce(s.c, 0)) AS BIGINT) AS pr
+      SELECT n.id, CAST(6000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS pr
       FROM pr_nodes n LEFT JOIN (
         SELECT e.dst AS id, sum(p.pr // d.d) AS c
         FROM pr_edges e JOIN {prev} p ON e.src = p.id

@@ -192,6 +192,38 @@ def test_csv_skip_rows(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in bag.collect()} == {(1, "a"), (2, "b")}
 
 
+def test_csv_skip_rows_per_file(spark, tmp_path):
+    """skipRows is PER FILE ('starting at the beginning of the file',
+    io/csv/CSV.scala:33): a directory of files each with its own
+    preamble + header must yield every file's data rows — a global
+    line index would only skip the first file's preamble and would
+    swallow data rows elsewhere."""
+    from emma_spark.sources import io
+
+    p = tmp_path / "multiskip"
+    p.mkdir()
+    (p / "a.csv").write_text("PREAMBLE A\nk,v\n1,a\n2,b\n")
+    (p / "b.csv").write_text("PREAMBLE B\nk,v\n3,c\n4,d\n")
+    (p / "c.csv").write_text("PREAMBLE C\nk,v\n5,e\n")
+    bag = io.read_csv(
+        spark, str(p), schema="k int, v string", skip_rows=1, header=True
+    )
+    assert {(r["k"], r["v"]) for r in bag.collect()} == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")
+    }
+    # headerless variant: every physical line after the skip is data
+    q = tmp_path / "multiskip_nohdr"
+    q.mkdir()
+    (q / "a.csv").write_text("junk\n1,a\n2,b\n")
+    (q / "b.csv").write_text("junk\n3,c\n")
+    bag2 = io.read_csv(
+        spark, str(q), schema="k int, v string", skip_rows=1, header=False
+    )
+    assert {(r["k"], r["v"]) for r in bag2.collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+
+
 def test_parquet_write_codec_option(spark, tmp_path):
     """Parquet format options (io/parquet/Parquet.scala:24-60): the
     codec passes through to the files."""
