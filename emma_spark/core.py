@@ -236,25 +236,41 @@ class DataBag:
         row = parts.agg(*A.ReduceOpt(plus=plus, e=F.col("__p"), name="r").exprs()).collect()[0]
         return row["r"]
 
-    def fold_py(self, zero, init: Callable, plus: Callable, e: ExprFn | str | None = None):
+    def fold_py(
+        self,
+        zero,
+        init: Callable,
+        plus: Callable,
+        e: ExprFn | str | None = None,
+        fan_in: int = 64,
+    ):
         """Arbitrary PYTHON-monoid fold — the reference's universal
         ``fold(zero)(init, plus)`` (``api/DataBag.scala:59-63``) for
         algebras ``F.aggregate`` cannot express (ragged vectors,
         dict accumulators, ...).
 
-        Two-level distributed fold: each partition folds its rows in an
-        Arrow-batched ``mapInPandas`` pass and emits ONE pickled
-        accumulator; the bounded set of partials (one per partition)
-        merges on the driver with ``plus``. ``plus`` must be
+        Tree-reduced distributed fold (``RDD.treeAggregate`` shape):
+        each partition folds its rows in an Arrow-batched
+        ``mapInPandas`` pass and emits ONE pickled accumulator; while
+        more than ``fan_in`` partials remain they are repartitioned
+        into groups of ≤``fan_in`` and merged executor-side with
+        ``plus`` (another tiny ``mapInPandas`` level — the shuffled
+        rows are single pickles), so the driver merges at most
+        ``fan_in`` accumulators no matter how many partitions the
+        input has (a 100k-partition scan costs ⌈log_fan_in⌉ = 2 extra
+        micro-stages, not a 100k-pickle driver loop). ``plus`` must be
         associative and commutative and ``zero`` its identity — the
         same lawfulness the reference's Alg demands (Alg.scala:38-42).
         The documented slow path: prefer Column algs whenever the
         algebra is expressible."""
+        import math
         import pickle
 
         import pandas as pd
         from pyspark.sql import types as Ty
 
+        if fan_in < 2:
+            raise ValueError("fan_in must be >= 2")
         if e is not None:
             df = self._df.select(_cols(self._df, e)[0].alias("value"))
             extract = lambda pdf: list(pdf["value"])
@@ -271,9 +287,23 @@ class DataBag:
             if seen:
                 yield pd.DataFrame({"acc": [pickle.dumps(acc)]})
 
+        def merge(batches):
+            acc, seen = zero, False
+            for pdf in batches:
+                for b in pdf["acc"]:
+                    acc = plus(acc, pickle.loads(bytes(b)))
+                    seen = True
+            if seen:
+                yield pd.DataFrame({"acc": [pickle.dumps(acc)]})
+
         schema = Ty.StructType([Ty.StructField("acc", Ty.BinaryType())])
+        partials = df.mapInPandas(part, schema)
+        n = df.rdd.getNumPartitions()
+        while n > fan_in:
+            n = math.ceil(n / fan_in)
+            partials = partials.repartition(n).mapInPandas(merge, schema)
         out = zero
-        for r in df.mapInPandas(part, schema).collect():
+        for r in partials.collect():
             out = plus(out, pickle.loads(bytes(r["acc"])))
         return out
 

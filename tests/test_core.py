@@ -316,6 +316,36 @@ def test_fold_py_row_mode(tables, duck):
     assert total == exp
 
 
+def test_fold_py_tree_merge_many_partitions(spark, duck, tables):
+    """Tree reduce: with 70 input partitions and fan_in=4 the partials
+    go through three executor-side merge levels (70→18→5→2) before the
+    driver sees ≤ fan_in pickles — exercising the path a 100k-partition
+    scan would take. Dict accumulator (non-Column algebra) to prove the
+    merge levels run `plus` on real accumulators, not rows."""
+    li = tables["lineitem"].df.repartition(70)
+    from emma_spark.core import DataBag
+
+    def plus(a, b):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = out.get(k, 0) + v
+        return out
+
+    hist = DataBag(li).fold_py(
+        zero={},
+        init=lambda f: {f: 1},
+        plus=plus,
+        e="l_returnflag",
+        fan_in=4,
+    )
+    exp = dict(
+        duck.execute(
+            "SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    assert hist == exp
+
+
 def test_py_fold_grouped_histogram(tables, duck):
     """GroupedBag.py_fold: non-columnar vector accumulator via
     applyInPandas matches a CASE-WHEN oracle."""
