@@ -239,6 +239,26 @@ def read_parquet(spark: SparkSession, path: str, schema=None) -> DataBag:
         # integer `div`, NOT `/`: float division of int64 nanos loses
         # precision past 2^53 and lands ±1µs off after floor
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Naive (isAdjustedToUTC=false) µs/ms parquet timestamps infer as
+    # TIMESTAMP_NTZ under Spark's default inferTimestampNTZ — but NTZ
+    # is rejected by withWatermark (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
+    # and diverges from this engine's timestamp contract: naive wall
+    # times are TIMESTAMP_LTZ in a UTC session (exactly what the ns
+    # shim above produces), so DuckDB's naive TIMESTAMP and Spark
+    # render identical instants. Normalize here, at the IO layer, so a
+    # vanilla driver session gets the same types as get_spark's; the
+    # TZ pin makes the NTZ→LTZ cast read the naive value AS UTC on any
+    # machine (cast interprets NTZ in the session zone). Like
+    # nanosAsLong above, the confs stay set — restoring them would
+    # change the meaning of the lazy plan built here.
+    ntz_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    if ntz_cols:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for c in ntz_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return DataBag(df)
 
 

@@ -1793,3 +1793,336 @@ def q1_pricing_summary_full(spark, sf_dir):
             n.alias("count_order"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# TPC-H shape corpus (round 4): the remaining canonical plan shapes —
+# correlated MIN, nation-pair disjunction, outer-join distribution,
+# NOT-IN anti + count-distinct, correlated AVG, HAVING + top-k,
+# OR-of-ANDs pushdown, anti + global-scalar subquery. Each is the
+# reference's comprehension shape a user would actually write
+# (SURVEY §2.3/§2.4); schemas adapted to the driver tables (no
+# partsupp — lineitem is the part↔supplier link).
+# ----------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(floor(l_extendedprice / l_quantity * 100 + 0.5)) AS unit_c
+      FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, min(unit_c) AS min_c FROM cost GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS p_partkey, min(c.l_suppkey) AS s_suppkey,
+           min(c.unit_c) / 100 AS min_unit_cost
+    FROM cost c JOIN best b
+      ON c.l_partkey = b.l_partkey AND c.unit_c = b.min_c
+    JOIN part p ON p.p_partkey = c.l_partkey
+    WHERE p.p_size >= 30
+    GROUP BY c.l_partkey
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape — correlated MIN subquery (cheapest supplier per
+    part) as groupBy-min + join-back, the standard decorrelation
+    Catalyst itself applies to scalar subqueries. Unit cost quantized
+    to integer cents BEFORE the min so the (part, min) join key is
+    exact on both engines; supplier ties resolved by min suppkey.
+    Scale: two partial-agg shuffles on l_partkey (the second reuses
+    the first's partitioning) + a broadcast of the filtered part dim."""
+    t = T(spark, sf_dir, "lineitem", "part")
+    li, part = t["lineitem"].df, t["part"].df
+    cents = F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100 + F.lit(0.5))
+    cost = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cents).alias("unit_c"))
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_c").alias("min_c"))
+    dim = F.broadcast(part.filter(F.col("p_size") >= 30).select("p_partkey"))
+    return (
+        cost.join(best, ["l_partkey"])
+        .filter(F.col("unit_c") == F.col("min_c"))
+        .join(dim, cost["l_partkey"] == dim["p_partkey"])
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.min("l_suppkey").alias("s_suppkey"),
+            (F.min("unit_c") / 100).alias("min_unit_cost"),
+        )
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           {qsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 — volume shipping between two nations, the nation-pair
+    DISJUNCTION join filter + year rollup. Plan: both nation dims and
+    supplier/customer broadcast (small sides), so the only shuffles are
+    the lineitem↔orders equi-join and the final 3-key agg; the pair
+    predicate prunes AFTER the broadcast joins, costing nothing extra.
+    The reference derives the same join tree from a 6-generator
+    comprehension (Combination.scala MatchEquiJoin cascade)."""
+    t = T(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    li, o = t["lineitem"].df, t["orders"].df
+    n = t["nation"].df
+    s = t["supplier"].df.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"),
+                             F.col("n_name").alias("supp_nation"))),
+        "s_nationkey",
+    )
+    c = t["customer"].df.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"),
+                             F.col("n_name").alias("cust_nation"))),
+        "c_nationkey",
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(qsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 — customer order-count distribution: LEFT OUTER join
+    with the filter INSIDE the join condition (customers with zero
+    matching orders must survive with count 0 — a WHERE would wrongly
+    drop them), then a double aggregation. count(o_orderkey) counts
+    non-null matches only, exactly SQL's semantics. Scale: one shuffle
+    join on custkey, the second agg's key space is tiny (~distinct
+    counts), so its shuffle is negligible."""
+    t = T(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"].df, t["orders"].df
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q16_parts_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (10, 20, 30, 40)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16_parts_supplier_count(spark, sf_dir):
+    """TPC-H Q16 — supplier variety per (brand, size): NOT IN
+    (complaint suppliers) lowered to a broadcast LEFT ANTI join (safe
+    here because s_suppkey is non-null; a general NOT IN needs the
+    null-aware variant), part dim broadcast, then COUNT DISTINCT.
+    Scale: distinct-agg expands to a two-phase hash agg on
+    (brand, size, suppkey) — partial dedup map-side, no extra
+    shuffle beyond the group keys."""
+    t = T(spark, sf_dir, "lineitem", "part", "supplier")
+    li, p, s = t["lineitem"].df, t["part"].df, t["supplier"].df
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    dim = p.filter(F.col("p_size").isin(10, 20, 30, 40)).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(dim), li["l_partkey"] == dim["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH pq AS (
+      SELECT l_partkey, sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sq,
+             count(*) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {qsum_sql("l.l_extendedprice")} / 7 AS avg_yearly
+    FROM lineitem l JOIN pq ON l.l_partkey = pq.l_partkey
+    WHERE CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) * pq.n * 5 < pq.sq
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 — small-quantity order revenue: the correlated
+    per-part AVG subquery (qty < 0.2·avg(qty over part)) decorrelated
+    into a groupBy + join-back. The threshold compare is EXACT
+    integers — qty quantized to centi-units, then q·n·5 < Σq avoids
+    the float 0.2·avg both engines would round differently. Scale:
+    the per-part agg reuses the join's hash partitioning on
+    l_partkey; single scalar output row."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"].df
+    qq = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(qq).alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        li.join(pq, "l_partkey")
+        .filter(qq * F.col("n") * 5 < F.col("sq"))
+        .agg((qsum(F.col("l_extendedprice")) / 7).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q18_large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 21000
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           big.qty_c / 100 AS total_qty
+    FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 10
+    """,
+)
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 — large-volume orders: HAVING on a grouped sum, then
+    dim joins and a deterministic top-10 (totalprice desc, orderkey
+    tiebreak — LIMIT without a total tiebreak is nondeterministic
+    across engines AND across Spark partitionings). Scale: the HAVING
+    prunes before the joins so only qualifying orderkeys shuffle;
+    TakeOrdered(10) never materializes the full sort."""
+    t = T(spark, sf_dir, "lineitem", "orders", "customer")
+    li, o, c = t["lineitem"].df, t["orders"].df, t["customer"].df
+    qq = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qq).alias("qty_c"))
+        .filter(F.col("qty_c") > 21000)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            (F.col("qty_c") / 100).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {qsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'BRAND1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'BRAND2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'BRAND3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 — discounted revenue under an OR-of-ANDs predicate.
+    The single-table conjuncts CAN'T all push below the join (they
+    span both sides), but Catalyst factors the common
+    per-side implications out of the disjunction
+    (l_quantity BETWEEN 1 AND 30 pushes to the scan); the broadcast
+    join keeps the disjunction evaluation map-side. One scalar row."""
+    t = T(spark, sf_dir, "lineitem", "part")
+    li, p = t["lineitem"].df, t["part"].df
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return j.filter(
+        arm("BRAND1", 15, 1, 11) | arm("BRAND2", 25, 10, 20) | arm("BRAND3", 35, 20, 30)
+    ).agg(qsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+
+
+@query(
+    "q22_dormant_customers",
+    oracle=f"""
+    WITH thresh AS (
+      SELECT {qsum_sql("c_acctbal", 2)} / count(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey, count(*) AS numcust,
+           {qsum_sql("c.c_acctbal", 2)} AS totacctbal
+    FROM customer c, thresh
+    WHERE c.c_acctbal > thresh.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 — wealthy customers with no URGENT order (every
+    customer in this corpus has SOME order, so the anti-join side is
+    the filtered bag): a global scalar subquery (avg positive balance,
+    one row — crossJoin'd, the degenerate broadcast) + LEFT ANTI join,
+    grouped by nation. The scalar avg is quantized-sum / count so the threshold
+    is the same double on both engines. Scale: anti join shuffles on
+    custkey; the scalar side is a 1-row broadcast."""
+    t = T(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"].df, t["orders"].df
+    thresh = c.filter(F.col("c_acctbal") > 0).agg(
+        (qsum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            c["c_custkey"] == o["o_custkey"],
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            qsum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -23,7 +23,10 @@ def _stage_events(spark, sf_dir: str) -> str:
     """Write events to a session-scoped temp dir (streaming file
     sources read directories)."""
     src = f"{sf_dir}/events.parquet"
-    stamp = f"{os.path.getmtime(src):.0f}_{os.path.getsize(src)}_v2"
+    # _v3: staged timestamp type changed (NTZ→LTZ normalization in
+    # io.read_parquet) — older staged dirs carry NTZ ts columns that
+    # withWatermark rejects, so they must not be reused
+    stamp = f"{os.path.getmtime(src):.0f}_{os.path.getsize(src)}_v3"
     staged = os.path.join(
         tempfile.gettempdir(), f"emma_stream_{abs(hash((sf_dir, stamp)))}"
     )
