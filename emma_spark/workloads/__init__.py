@@ -97,14 +97,22 @@ _PRIORITY = [
     "ann_lsh_topk", "dedup_ngram_jaccard", "embedding_neardup",
     "sketch_kmv_distinct", "graph_pagerank", "ann_ivf_trained",
     "ml_sgd_linreg", "ml_logreg_sgd", "ml_eval_scores",
-    # (d) previously-green keepers (headliners + perf-watch queries)
-    "ann_topk_cosine", "ann_ivf_topk",
-    "dedup_exact", "dedup_minhash_signature", "dedup_minhash_pairs",
-    "dedup_simhash_pairs", "stream_watermark_append",
-    "stream_tumbling_counts", "graph_connected_components",
-    "graph_triangles", "ml_kmeans_fit", "ml_kmeans_assign",
-    "ml_linreg_closed_form", "flatmap_wordcount", "join_multiway_revenue",
-    "fold_global", "sql_entry_q3_shape", "groupby_agg_pricing",
+    # (d) r4 additions — first driver rows (TPC-H plan shapes, sketches,
+    # text analytics, funnel, stream-static join)
+    "q2_min_cost_supplier", "q7_volume_shipping",
+    "q13_customer_distribution", "q16_parts_supplier_count",
+    "q17_small_quantity_revenue", "q18_large_volume_orders",
+    "q19_disjunctive_revenue", "q22_dormant_customers",
+    "sketch_countmin_tokens", "sketch_bloom_membership",
+    "text_tfidf_top_terms", "text_vocab_coverage",
+    "text_stratified_sample", "events_funnel", "stream_static_enrich",
+    # (e) previously-green keepers under active watch: the two streaming
+    # headliners (staging + timestamp typing changed this round — the
+    # NTZ→LTZ IO fix must re-verify driver-side) and the r3 bench
+    # regression under re-measurement. The other r1-r3 greens rotate
+    # out (still swept by tools/diffcheck.py --vanilla every round).
+    "stream_watermark_append", "stream_tumbling_counts",
+    "ann_topk_cosine",
 ]
 
 
@@ -113,7 +121,7 @@ def load_all() -> dict[str, Query]:
     so the driver's 50-query window lands on ``_PRIORITY``."""
     from . import (  # noqa: F401
         dedup, graph, ml, multimodal, pipeline, relational, similarity,
-        streaming, text,
+        sketches, streaming, text,
     )
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]

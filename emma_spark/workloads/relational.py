@@ -2126,3 +2126,57 @@ def q22_dormant_customers(spark, sf_dir):
             qsum(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel (view → later click → later purchase): each
+    stage is a per-user MIN over events AFTER the previous stage's
+    anchor — the classic behavioral-analytics shape (strictly ordered,
+    not mere co-occurrence). Three user-keyed aggs; every join reuses
+    the user_id hash partitioning, so one exchange serves the whole
+    cascade; output is one row of stage counts."""
+    ev = T(spark, sf_dir, "events")["events"].df
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )

@@ -291,3 +291,39 @@ def stream_sliding_counts(spark, sf_dir):
     return spark.table(name).select(
         F.col("window.start").alias("win_start"), "event_type", "n"
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, e.ts) AS win_start,
+           c.c_mktsegment, count(*) AS n,
+           sum(floor(e.value * 10000 + 0.5)) / 10000 AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static join: the event stream enriched against the
+    static customer dim (the standard streaming-ETL lookup shape —
+    Structured Streaming re-plans the static side per micro-batch, so
+    a broadcast hint keeps it a map-side hash join with NO stream
+    shuffle before the windowed agg). Windowed counts + quantized sum
+    per market segment; oracle is the batch join."""
+    staged = _stage_events(spark, sf_dir)
+    stream = S.read_stream_parquet(spark, staged, spark.read.parquet(staged).schema)
+    dim = F.broadcast(
+        io.read_parquet(spark, f"{sf_dir}/customer.parquet").df.select(
+            F.col("c_custkey"), F.col("c_mktsegment")
+        )
+    )
+    joined = stream.join(dim, stream["user_id"] == dim["c_custkey"])
+    agg = S.tumbling(joined, "ts", "1 hour", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5))) / 10000).alias("total"),
+    )
+    name = f"stream_se_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, output_mode="complete", state_partitions=4)
+    return spark.table(name).select(
+        F.col("window.start").alias("win_start"), "c_mktsegment", "n", "total"
+    )

@@ -92,3 +92,145 @@ def text_fingerprint(spark, sf_dir):
     """Document fingerprint: md5 of whitespace-normalized text as bigint."""
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             tf.tf * n.n_docs / dfreq.df AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * n.n_docs / dfreq.df DESC, tf.term
+             ) AS rk
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    )
+    SELECT doc_id, term, rk, floor(score * 1000000 + 0.5) / 1000000 AS score
+    FROM scored WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by tf·idf with the LINEAR idf variant
+    (tf·N/df — a pure rational of exact integers, so ranking is
+    bit-identical on any engine; log-idf would hang the rank order on
+    libm's last ulp). Deterministic tie-break (score desc, term asc).
+    Plan: tf agg on (doc, term), df agg reusing the same exchange's
+    term key, broadcast of the 1-row corpus count, rank-k window per
+    doc — term dictionary sizes keep every post-agg stage small."""
+    from pyspark.sql import Window
+
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    toks = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    score = F.col("tf") * F.lit(n_docs) / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id", "term", "rk",
+            (F.floor(score * 1000000 + F.lit(0.5)) / 1000000).alias("score"),
+        )
+    )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({SQL_TOKS}) AS token FROM documents
+    ), counts AS (
+      SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    ), tot AS (SELECT sum(cnt) AS total FROM counts),
+    ranked AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+             sum(cnt) OVER (ORDER BY cnt DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts
+    )
+    SELECT rank, token, cnt,
+           floor(cum * 1.0 / tot.total * 1000000 + 0.5) / 1000000 AS cum_share
+    FROM ranked CROSS JOIN tot WHERE rank <= 25
+    """,
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: top-25 tokens with cumulative share
+    of all token occurrences — the 'how small a vocab covers 90% of
+    the corpus' planning query every tokenizer build starts with.
+    The global-order window runs on the POST-AGG vocabulary (tiny);
+    the corpus-scale work is one (token) hash-agg with map-side
+    combine."""
+    from pyspark.sql import Window
+
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    toks = docs.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum", F.sum("cnt").over(wc))
+        .filter(F.col("rank") <= 25)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank", "token", "cnt",
+            (F.floor(F.col("cum") / F.col("total") * 1000000 + F.lit(0.5)) / 1000000
+             ).alias("cum_share"),
+        )
+    )
+
+
+_STRAT_RATES = {"en": 200, "de": 500, "es": 500, "fr": 500, "zh": 500}
+
+
+@query(
+    "text_stratified_sample",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang,
+             {sql_md5_long("concat('strat', '|', CAST(doc_id AS VARCHAR))")}
+               % 1000 AS slot
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_total,
+           count(*) FILTER (WHERE slot < CASE lang
+             WHEN 'en' THEN 200 WHEN 'de' THEN 500 WHEN 'es' THEN 500
+             WHEN 'fr' THEN 500 WHEN 'zh' THEN 500 ELSE 100 END)
+             AS n_sampled
+    FROM tagged GROUP BY lang
+    """,
+)
+def text_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — per-language rates applied
+    via the portable md5 slot (doc_id is the sampling key, so the
+    SAME documents are kept on every engine, every run, every
+    partitioning — `df.sampleBy` is seed-stable only within one Spark
+    version). Downsampling dominant languages is the canonical corpus
+    rebalancing step. Pure narrow ops; the only shuffle is the tiny
+    per-lang count."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    slot = X.md5_long(F.col("doc_id").cast("string"), salt="strat") % 1000
+    rate = F.lit(100)
+    for lang, r in _STRAT_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return (
+        docs.select("lang", slot.alias("slot"), rate.alias("rate"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("slot") < F.col("rate"), 1)).alias("n_sampled"),
+        )
+    )
