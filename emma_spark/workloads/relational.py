@@ -2180,3 +2180,139 @@ def events_funnel(spark, sf_dir):
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
     )
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                      AS BIGINT)) AS val_c
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT sum(val_c) AS total_c FROM pv)
+    SELECT pv.l_partkey, pv.val_c / 10000 AS part_value
+    FROM pv CROSS JOIN tot
+    WHERE pv.val_c * 1500 > tot.total_c
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape — groups exceeding a FRACTION of the global
+    total (part value > total/1500): per-key agg + a 1-row global agg
+    broadcast back, with the threshold compare in exact centi-units
+    (val·500 > total avoids the float total·0.002 both engines would
+    round differently). Scale: the global total is a second pass over
+    the per-part aggregates (tiny), never over raw lineitem."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"].df
+    val_c = F.sum(
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    pv = li.groupBy("l_partkey").agg(val_c.alias("val_c"))
+    tot = pv.agg(F.sum("val_c").alias("total_c"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val_c") * 1500 > F.col("total_c"))
+        .select("l_partkey", (F.col("val_c") / 10000).alias("part_value"))
+    )
+
+
+@query(
+    "q20_qualified_suppliers",
+    oracle="""
+    WITH pl AS (
+      SELECT l_suppkey, l_partkey,
+             sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    ), qual AS (
+      SELECT DISTINCT pl.l_suppkey
+      FROM pl JOIN part p ON p.p_partkey = pl.l_partkey
+      WHERE p.p_size <= 5 AND pl.qty_c > 10000
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s WHERE s.s_suppkey IN (SELECT l_suppkey FROM qual)
+    """,
+)
+def q20_qualified_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape — the nested IN chain (suppliers having moved
+    > 100 units of any small part) lowered to agg → dim-filter →
+    LEFT SEMI join. The reference's comprehension spells this as
+    exists-over-join; the Spark plan is the same two-hash-join
+    pipeline with the semi side deduplicated by the join itself
+    (no DISTINCT materialization)."""
+    t = T(spark, sf_dir, "lineitem", "part", "supplier")
+    li, p, s = t["lineitem"].df, t["part"].df, t["supplier"].df
+    qq = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+    pl = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(qq).alias("qty_c"))
+    small = p.filter(F.col("p_size") <= 5).select("p_partkey")
+    qual = (
+        pl.join(F.broadcast(small), pl["l_partkey"] == small["p_partkey"])
+        .filter(F.col("qty_c") > 10000)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(qual, s["s_suppkey"] == qual["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "agg_argmax_surface",
+    oracle="""
+    SELECT l_returnflag,
+           arg_max(l_orderkey, floor(l_extendedprice * 10000 + 0.5) * 100000
+                               + l_orderkey) AS top_order,
+           arg_min(l_orderkey, floor(l_extendedprice * 10000 + 0.5) * 100000
+                               - l_orderkey) AS bottom_order,
+           max(floor(l_extendedprice * 10000 + 0.5)) / 10000 AS top_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_argmax_surface(spark, sf_dir):
+    """arg-max/arg-min aggregates (Spark ``max_by``/``min_by`` ↔ DuckDB
+    ``arg_max``/``arg_min``) — the 'row achieving the extreme' fold the
+    reference writes as fold(Min/Max with Ordering on a projection)
+    (Ordering section, SURVEY §2.4). Ties broken INSIDE the ordering
+    key (price quantized to integer then orderkey mixed in), because
+    max_by's choice among equal keys is engine-defined."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"].df
+    price_c = F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5))
+    return li.groupBy("l_returnflag").agg(
+        F.max_by(
+            F.col("l_orderkey"), price_c * 100000 + F.col("l_orderkey")
+        ).alias("top_order"),
+        F.min_by(
+            F.col("l_orderkey"), price_c * 100000 - F.col("l_orderkey")
+        ).alias("bottom_order"),
+        (F.max(price_c) / 10000).alias("top_price"),
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           sum(floor(o_totalprice * 100 + 0.5)) / 100 AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form of which rollup/cube
+    are special cases — SURVEY §2.4 rollup/cube row): the (status,
+    priority), (status), () lattice in ONE pass — Spark expands the
+    sets map-side and shares a single shuffle, vs three scans for
+    three GROUP BYs."""
+    o = T(spark, sf_dir, "orders")["orders"].df
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))) / 100).alias(
+            "total"
+        ),
+    )

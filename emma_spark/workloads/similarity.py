@@ -249,3 +249,36 @@ def ann_ivf_trained(spark, sf_dir):
     cents = sorted((cid, [d[p] for p in sorted(d)]) for cid, d in acc.items())
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_topk(emb, queries, k=3, centroids=cents, nprobe=2)
+
+
+@query(
+    "embedding_normalize",
+    oracle="""
+    SELECT vec_id,
+           floor(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000
+                 + 0.5) / 1000000 AS l2_norm,
+           floor(CAST(embedding[1] AS DOUBLE)
+                 / sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * 1000000 + 0.5) / 1000000 AS first_unit
+    FROM embeddings
+    """,
+)
+def embedding_normalize(spark, sf_dir):
+    """Vector arithmetic surface: L2 norm + first unit-vector
+    component via array HOFs (``aggregate``/``transform``) — the
+    embedding-preprocessing step every ANN path assumes, entirely
+    JVM-side Column math (no UDF, no shuffle, whole-stage codegen).
+    float32→float64 BEFORE squaring on both engines (DuckDB list_sum
+    would otherwise accumulate in float32 and diverge)."""
+    from ..llm.similarity import _norm, as_double
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    v = as_double(F.col("embedding"))
+    n = _norm(v)
+    return emb.select(
+        "vec_id",
+        (F.floor(n * 1000000 + F.lit(0.5)) / 1000000).alias("l2_norm"),
+        (F.floor(v[0] / n * 1000000 + F.lit(0.5)) / 1000000).alias("first_unit"),
+    )

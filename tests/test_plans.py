@@ -144,3 +144,40 @@ def test_ivf_trained_assignment_is_narrow(spark, registry):
     assert trained.count("SortMergeJoin") + trained.count("BroadcastHashJoin") + trained.count("ShuffledHashJoin") == 1, trained
     untrained = _plan(ivf_topk(emb, queries, centroid_mod=61, nprobe=2))
     assert "BroadcastNestedLoopJoin" in untrained or "CartesianProduct" in untrained
+
+
+def test_q7_broadcasts_dims_single_fact_shuffle_join(spark, registry):
+    """Q7: customer/supplier/nation sides broadcast; the only
+    shuffle-worthy join is lineitem-orders."""
+    plan = _plan(registry["q7_volume_shipping"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_anti_join_is_broadcast(spark, registry):
+    """NOT IN lowered to broadcast LEFT ANTI (non-null keys) — never a
+    BNLJ null-aware anti join."""
+    plan = _plan(registry["q16_parts_supplier_count"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_disjunction_stays_on_broadcast_join(spark, registry):
+    plan = _plan(registry["q19_disjunctive_revenue"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_countmin_probe_broadcasts_sketch(spark, registry):
+    """The d·w-cell sketch must broadcast to the probe side — a probe
+    that shuffles the corpus against the sketch is backwards."""
+    plan = _plan(registry["sketch_countmin_tokens"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q18_top_k_is_take_ordered(spark, registry):
+    """LIMIT + ORDER BY must lower to TakeOrderedAndProject — a global
+    sort before limit materializes the full order at scale."""
+    plan = _plan(registry["q18_large_volume_orders"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
