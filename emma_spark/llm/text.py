@@ -172,3 +172,69 @@ def kmv_distinct_estimate(
         ).cast("bigint").alias("est_distinct"),
         F.count(F.lit(1)).alias("n_mins"),
     )
+
+
+def repetition_metrics(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021, 'Scaling
+    Language Models', text-quality appendix): the fraction of 2-grams
+    that are duplicates and the distinct/total token ratio.
+    Boilerplate and crawler loops score high on dup share and low on
+    distinct ratio. Pure array HOF math — no shuffle, no UDF; apply
+    as a narrow filter BEFORE any dedup shuffle so repeated junk
+    never pays a network round-trip."""
+    toks = tokens(text)
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    # 2-gram duplicate mass via sort + neighbor compare: among the
+    # SORTED 2-gram strings, each adjacent-equal pair marks one
+    # occurrence beyond a gram's first — their count is the classic
+    # "duplicated n-gram" numerator
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    sg = F.array_sort(grams)
+    ng = F.size(sg)
+    dup_flags = F.zip_with(
+        F.slice(sg, 1, F.greatest(ng - 1, F.lit(0))),
+        F.slice(sg, 2, F.greatest(ng - 1, F.lit(0))),
+        lambda a, b: (a == b).cast("int"),
+    )
+    n_dup_pairs = F.aggregate(dup_flags, F.lit(0), lambda acc, v: acc + v)
+    return {
+        "distinct_token_ratio": F.when(
+            n > 0, _rd(n_distinct.cast("double") / n, 6)
+        ).otherwise(F.lit(1.0)),
+        "dup_2gram_share": F.when(
+            ng > 1, _rd(n_dup_pairs.cast("double") / ng, 6)
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def pack_sequences(
+    df, id_col: str = "doc_id", token_col: str = "n_tokens", ctx: int = 2048
+):
+    """Token-budget sequence packing: assign documents to training
+    context windows of ``ctx`` tokens by cumulative token count in
+    ``id_col`` order (pack = floor(cum_before / ctx)). The
+    deterministic packing every pretraining data loader needs — not
+    optimal bin packing (NP-hard and order-unstable), but reproducible
+    on any engine and one window pass.
+
+    Scale: a global ordered cumsum is a single range-partitioned
+    window — Spark range-partitions the sort and carries the running
+    sum across partitions with partial sums; ~the cost of one sort of
+    (id, n_tokens) pairs, never of the text itself."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return df.select(
+        F.col(id_col),
+        F.col(token_col),
+        ((cum - F.col(token_col)) / F.lit(ctx)).cast("bigint").alias("pack_id"),
+        (cum - F.col(token_col)).alias("pack_offset"),
+    )

@@ -193,6 +193,78 @@ def text_vocab_coverage(spark, sf_dir):
     )
 
 
+@query(
+    "text_repetition_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, len(toks) AS n,
+             len(list_distinct(toks)) AS nd,
+             list_sort([toks[i] || ' ' || toks[i+1]
+                        FOR i IN range(1, len(toks))]) AS sg
+      FROM t
+    ), d AS (
+      SELECT doc_id, n, nd, len(sg) AS ng,
+             CASE WHEN len(sg) > 1 THEN
+               list_sum([CASE WHEN sg[i] = sg[i+1] THEN 1 ELSE 0 END
+                         FOR i IN range(1, len(sg))])
+             ELSE 0 END AS ndup
+      FROM g
+    )
+    SELECT doc_id,
+           CASE WHEN n > 0
+                THEN floor(nd * 1.0 / n * 1000000 + 0.5) / 1000000
+                ELSE 1.0 END AS distinct_token_ratio,
+           CASE WHEN ng > 1
+                THEN floor(ndup * 1.0 / ng * 1000000 + 0.5) / 1000000
+                ELSE 0.0 END AS dup_2gram_share
+    FROM d
+    """,
+)
+def text_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition filtering signals per document:
+    duplicated-2-gram share + distinct-token ratio (llm/text.
+    repetition_metrics) — the narrow pre-dedup junk gate. All array
+    HOFs, zero shuffle; the oracle replays the sort-neighbor dup
+    count with DuckDB list comprehensions."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    m = X.repetition_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["distinct_token_ratio"].alias("distinct_token_ratio"),
+        m["dup_2gram_share"].alias("dup_2gram_share"),
+    )
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({SQL_TOKS})::BIGINT AS n_tokens FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS pack_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, pack_offset // 2048 AS pack_id, pack_offset
+    FROM c
+    """,
+)
+def text_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing into 2048-token training
+    windows (llm/text.pack_sequences): global ordered cumsum →
+    pack_id = floor(offset/2048). One range-partitioned sort of
+    (doc_id, n_tokens) pairs — the text itself never moves."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    with_counts = docs.select(
+        "doc_id", F.size(X.tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    return X.pack_sequences(with_counts, "doc_id", "n_tokens", ctx=2048)
+
+
 _STRAT_RATES = {"en": 200, "de": 500, "es": 500, "fr": 500, "zh": 500}
 
 
