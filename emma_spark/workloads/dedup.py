@@ -161,20 +161,47 @@ def dedup_ngram_jaccard(spark, sf_dir):
 @query(
     "dedup_transitive_groups",
     oracle=f"""
-    WITH RECURSIVE sig AS ({_sig_sql()}),
-    p AS (
+    WITH RECURSIVE sig AS MATERIALIZED ({_sig_sql()}),
+    rep AS MATERIALIZED (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY mh0, mh1, mh2, mh3) AS rep
+      FROM sig
+    ),
+    p AS MATERIALIZED (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
       FROM sig l JOIN sig r ON l.doc_id < r.doc_id
        AND ((l.mh0 = r.mh0 AND l.mh1 = r.mh1) OR (l.mh2 = r.mh2 AND l.mh3 = r.mh3))
     ),
-    ue AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
-    nodes AS (SELECT DISTINCT src AS id FROM ue),
+    -- identical-signature docs form cliques; collapse each clique to
+    -- its min-id representative BEFORE the reachability CTE (the
+    -- naive reach relation is O(|component|^2) tuples — quadratic in
+    -- the raw graph, tractable in the rep graph). Component minima
+    -- are preserved: every doc_id >= its rep, and the rep is in the
+    -- same component.
+    redges AS (
+      SELECT DISTINCT lr.rep AS src, rr.rep AS dst
+      FROM p JOIN rep lr ON p.a = lr.doc_id
+             JOIN rep rr ON p.b = rr.doc_id
+      WHERE lr.rep <> rr.rep
+    ),
+    rsym AS (SELECT src, dst FROM redges UNION SELECT dst, src FROM redges),
+    rnodes AS (SELECT DISTINCT src AS id FROM rsym),
     reach(id, comp) AS (
-      SELECT id, id FROM nodes
+      SELECT id, id FROM rnodes
       UNION
-      SELECT ue.dst, reach.comp FROM reach JOIN ue ON reach.id = ue.src
+      SELECT rsym.dst, reach.comp FROM reach JOIN rsym ON reach.id = rsym.src
+    ),
+    rcomp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+    -- explicit DISTINCT: inside WITH RECURSIVE, DuckDB treats UNION in
+    -- non-self-referential CTEs as the recursive union (no dedup)
+    members AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT a AS doc_id FROM p UNION ALL SELECT b FROM p
+      )
     )
-    SELECT id AS doc_id, min(comp) AS keeper FROM reach GROUP BY id
+    SELECT m.doc_id, coalesce(rc.comp, r2.rep) AS keeper
+    FROM members m JOIN rep r2 ON m.doc_id = r2.doc_id
+    LEFT JOIN rcomp rc ON r2.rep = rc.id
     """,
 )
 def dedup_transitive_groups(spark, sf_dir):
