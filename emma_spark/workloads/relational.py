@@ -2316,3 +2316,63 @@ def grouping_sets_orders(spark, sf_dir):
             "total"
         ),
     )
+
+
+@query(
+    "incremental_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             floor(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), inserts AS (
+      SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,
+             'N' AS o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0
+    ), delta AS (
+      SELECT * FROM updates UNION ALL SELECT * FROM inserts
+    )
+    SELECT coalesce(d.o_orderkey, s.o_orderkey) AS o_orderkey,
+           coalesce(d.o_custkey, s.o_custkey) AS o_custkey,
+           coalesce(d.o_orderstatus, s.o_orderstatus) AS o_orderstatus,
+           coalesce(d.o_totalprice, s.o_totalprice) AS o_totalprice
+    FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          FROM orders) s
+    FULL JOIN delta d ON s.o_orderkey = d.o_orderkey
+    """,
+)
+def incremental_merge_upsert(spark, sf_dir):
+    """MERGE / CDC upsert as a batch plan: snapshot FULL OUTER JOIN
+    delta on the key, delta wins per column (update rows overwrite,
+    insert rows have no snapshot match, untouched rows pass through) —
+    the relational core of Delta/Iceberg MERGE INTO expressed in pure
+    DataFrame ops. The delta here is derived deterministically from
+    orders (10% updates with +10% price, ~1% inserts beyond the key
+    space) so the oracle replays it. Scale: one key-partitioned
+    shuffle join; with a sorted/bucketed snapshot the join is
+    merge-without-sort, and table formats turn the same plan into
+    file-level rewrites."""
+    o = T(spark, sf_dir, "orders")["orders"].df.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.floor(F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)) / 100).alias(
+            "o_totalprice"
+        ),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    delta = updates.unionByName(inserts)
+    s, d = o.alias("s"), delta.alias("d")
+    merged = s.join(d, F.col("s.o_orderkey") == F.col("d.o_orderkey"), "full")
+    pick = lambda c: F.coalesce(F.col(f"d.{c}"), F.col(f"s.{c}")).alias(c)
+    return merged.select(
+        pick("o_orderkey"), pick("o_custkey"),
+        pick("o_orderstatus"), pick("o_totalprice"),
+    )

@@ -64,3 +64,52 @@ def test_bloom_false_positive_rate_sane(spark):
     # n≈1500 members, m=8192, k=3 → theoretical fp ≈ (1-e^{-3n/m})^3 ≈ 8%;
     # allow generous slack — this guards against "everything hits"
     assert fp < 1000 * 0.25
+
+
+# ---------------------------------------------------------------- text ops
+def test_repetition_metrics_extremes(spark):
+    import pyspark.sql.functions as F
+    from emma_spark.llm.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),   # one gram repeated
+            (2, "all tokens here are fully unique"),
+            (3, "x"),                                # single token: no grams
+            (4, ""),                                 # empty
+        ],
+        "id int, text string",
+    )
+    m = repetition_metrics(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            m["distinct_token_ratio"].alias("dr"),
+            m["dup_2gram_share"].alias("dup"),
+        ).collect()
+    }
+    assert rows[1]["dup"] > 0.7 and rows[1]["dr"] < 0.2
+    assert rows[2]["dup"] == 0.0 and rows[2]["dr"] == 1.0
+    assert rows[3]["dup"] == 0.0
+    assert rows[4]["dup"] == 0.0
+
+
+def test_pack_sequences_invariants(spark):
+    import pyspark.sql.functions as F
+    from emma_spark.llm.text import pack_sequences
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 300 + 1).alias("n_tokens")
+    )
+    packed = pack_sequences(df, "doc_id", "n_tokens", ctx=512).collect()
+    rows = sorted(packed, key=lambda r: r["doc_id"])
+    # offsets are the exclusive prefix sum in doc_id order
+    acc = 0
+    for r in rows:
+        assert r["pack_offset"] == acc
+        assert r["pack_id"] == acc // 512
+        acc += r["n_tokens"]
+    # every pack id in a contiguous range
+    pids = sorted({r["pack_id"] for r in rows})
+    assert pids == list(range(pids[-1] + 1))
