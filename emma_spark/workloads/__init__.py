@@ -106,13 +106,14 @@ _PRIORITY = [
     "sketch_countmin_tokens", "sketch_bloom_membership",
     "text_tfidf_top_terms", "text_vocab_coverage",
     "text_stratified_sample", "events_funnel", "stream_static_enrich",
-    # (e) previously-green keepers under active watch: the two streaming
-    # headliners (staging + timestamp typing changed this round — the
-    # NTZ→LTZ IO fix must re-verify driver-side) and the r3 bench
-    # regression under re-measurement. The other r1-r3 greens rotate
-    # out (still swept by tools/diffcheck.py --vanilla every round).
-    "stream_watermark_append", "stream_tumbling_counts",
-    "ann_topk_cosine",
+    "incremental_merge_upsert", "text_repetition_quality",
+    # (e) previously-green keeper under active watch: the streaming
+    # flagship (staging + timestamp typing changed this round — the
+    # NTZ→LTZ IO fix must re-verify driver-side). Other r1-r3 greens
+    # rotate out (still swept by tools/diffcheck.py --vanilla every
+    # round); remaining r4 additions (q11/q20/argmax/grouping-sets/
+    # embedding-normalize/vocab/pack) queue for the r5 window.
+    "stream_watermark_append",
 ]
 
 
