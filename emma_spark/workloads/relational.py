@@ -2376,3 +2376,89 @@ def incremental_merge_upsert(spark, sf_dir):
         pick("o_orderkey"), pick("o_custkey"),
         pick("o_orderstatus"), pick("o_totalprice"),
     )
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name FROM part),
+    b AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM n)
+    SELECT l.p_name AS a, r.p_name AS b,
+           levenshtein(l.p_name, r.p_name) AS dist
+    FROM b l JOIN b r ON l.blk = r.blk AND l.p_name < r.p_name
+    WHERE levenshtein(l.p_name, r.p_name) <= 3
+    """,
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """Fuzzy string matching — edit-distance pairs via attribute
+    blocking: block on the first token (the adjective), verify with
+    Levenshtein ≤ 3 inside each block. The equi-join on the block key
+    keeps it a hash join at Σ|block|² cost; an unblocked
+    levenshtein theta-join would plan the n² BNLJ. For open-ended text
+    at 100 TB swap the block key for q-gram MinHash buckets
+    (llm/dedup.lsh_candidate_pairs) — same plan shape, this query
+    fixes the blocking so the oracle replays it exactly."""
+    p = T(spark, sf_dir, "part")["part"].df
+    n = p.select("p_name").distinct()
+    b = n.select("p_name", F.split(F.col("p_name"), " ")[0].alias("blk"))
+    l = b.select(F.col("p_name").alias("a"), F.col("blk"))
+    r = b.select(F.col("p_name").alias("b"), F.col("blk").alias("blk_r"))
+    return (
+        l.join(r, (F.col("blk") == F.col("blk_r")) & (F.col("a") < F.col("b")))
+        .withColumn("dist", F.levenshtein(F.col("a"), F.col("b")))
+        .filter(F.col("dist") <= 3)
+        .select("a", "b", "dist")
+    )
+
+
+@query(
+    "graph_sssp_bounded",
+    oracle="""
+    WITH RECURSIVE e AS MATERIALIZED (
+      SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst,
+             1 + (n_nationkey + (n_nationkey + 1) % 25) % 5 AS w
+      FROM nation
+      UNION ALL
+      SELECT n_nationkey, (6 * n_nationkey + 1) % 25,
+             1 + (n_nationkey + (6 * n_nationkey + 1) % 25) % 5
+      FROM nation
+    ),
+    walk(node, dist, depth) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+      UNION
+      SELECT e.dst, walk.dist + e.w, walk.depth + 1
+      FROM walk JOIN e ON walk.node = e.src
+      WHERE walk.depth < 6
+    )
+    SELECT node AS id, min(dist) AS dist FROM walk GROUP BY node
+    """,
+)
+def graph_sssp_bounded(spark, sf_dir):
+    """Single-source shortest paths, 6 Bellman-Ford rounds over the
+    weighted 25-node functional graph — after k rounds the frontier
+    holds EXACTLY min-cost over ≤k-hop paths, which the oracle's
+    depth-bounded walk enumeration reproduces (integer weights, so
+    both engines agree bit-for-bit). The §2.8 iteration pattern with
+    per-round relaxation instead of CC's label broadcast: each round
+    is one join + groupBy-min, lineage cut by localCheckpoint."""
+    n = T(spark, sf_dir, "nation")["nation"].df
+    k = F.col("n_nationkey")
+    mk = lambda d: [(k).alias("src"), d.alias("dst"), (1 + (k + d) % 5).alias("w")]
+    edges = (
+        n.select(*mk((k + 1) % 25))
+        .unionByName(n.select(*mk((k * 6 + 1) % 25)))
+        .localCheckpoint(eager=False)
+    )
+    dist = n.sparkSession.createDataFrame([(0, 0)], "id bigint, dist bigint")
+    for _ in range(6):
+        relaxed = (
+            dist.join(edges, dist["id"] == edges["src"])
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -306,3 +306,76 @@ def text_stratified_sample(spark, sf_dir):
             F.count(F.when(F.col("slot") < F.col("rate"), 1)).alias("n_sampled"),
         )
     )
+
+
+_BM25_TERMS = ("spark", "table", "hash")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "text_bm25_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('spark', 'table', 'hash') GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             sum(((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+               AS score
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, floor(score * 1000000 + 0.5) / 1000000 AS bm25
+    FROM scored
+    """,
+)
+def text_bm25_scores(spark, sf_dir):
+    """BM25 retrieval scoring for a fixed query (k1=1.2, b=0.75) with
+    the RATIONAL idf variant ((N−df+½)/(df+½), no log — the ln would
+    hang cross-engine equality on libm's last ulp; the rational form
+    is the same monotone relevance ordering and bit-deterministic).
+    Plan: tf filtered to the query terms BEFORE the (doc,term) agg (a
+    3-term IN prunes at the scan), df and the 1-row corpus stats
+    broadcast; per-doc score is one grouped sum."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    toks = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    contrib = (
+        ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+        .select(
+            "doc_id",
+            (F.floor(F.col("score") * 1000000 + F.lit(0.5)) / 1000000).alias("bm25"),
+        )
+    )
