@@ -2190,10 +2190,10 @@ def events_funnel(spark, sf_dir):
              sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
                       AS BIGINT)) AS val_c
       FROM lineitem GROUP BY l_partkey
-    ), tot AS (SELECT sum(val_c) AS total_c FROM pv)
+    ), tot AS (SELECT sum(val_c) AS total_c, count(*) AS n_parts FROM pv)
     SELECT pv.l_partkey, pv.val_c / 10000 AS part_value
     FROM pv CROSS JOIN tot
-    WHERE pv.val_c * 1500 > tot.total_c
+    WHERE pv.val_c * tot.n_parts * 100 > tot.total_c * 125
     """,
 )
 def q11_important_parts(spark, sf_dir):
@@ -2211,10 +2211,12 @@ def q11_important_parts(spark, sf_dir):
         ).cast("bigint")
     )
     pv = li.groupBy("l_partkey").agg(val_c.alias("val_c"))
-    tot = pv.agg(F.sum("val_c").alias("total_c"))
+    tot = pv.agg(
+        F.sum("val_c").alias("total_c"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         pv.crossJoin(F.broadcast(tot))
-        .filter(F.col("val_c") * 1500 > F.col("total_c"))
+        .filter(F.col("val_c") * F.col("n_parts") * 100 > F.col("total_c") * 125)
         .select("l_partkey", (F.col("val_c") / 10000).alias("part_value"))
     )
 
