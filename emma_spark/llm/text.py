@@ -220,21 +220,44 @@ def pack_sequences(
     ``id_col`` order (pack = floor(cum_before / ctx)). The
     deterministic packing every pretraining data loader needs — not
     optimal bin packing (NP-hard and order-unstable), but reproducible
-    on any engine and one window pass.
+    on any engine.
 
-    Scale: a global ordered cumsum is a single range-partitioned
-    window — Spark range-partitions the sort and carries the running
-    sum across partitions with partial sums; ~the cost of one sort of
-    (id, n_tokens) pairs, never of the text itself."""
+    Scale: an UNPARTITIONED ``Window.orderBy`` would drag every row
+    into one task — the classic global-cumsum trap. Instead, the
+    zip_with_index two-pass scheme: range-partition by id (partition i
+    holds a contiguous id range, pinned via eager localCheckpoint so
+    retries can't renumber), per-partition token totals to the driver
+    (rows ≤ #partitions), exclusive prefix offsets back as a literal
+    map, then a PARTITIONED running-sum window. Fully parallel; only
+    (pid, sum) pairs ever leave the executors."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(id_col).rowsBetween(
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    part = (
+        df.repartitionByRange(n_parts, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = part.groupBy("__pid").agg(F.sum(token_col).alias("s")).orderBy("__pid").collect()
+    offsets, acc = {}, 0
+    for r in sums:
+        offsets[r["__pid"]] = acc
+        acc += r["s"]
+    omap = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        if offsets
+        else F.create_map()
+    )
+    w = Window.partitionBy("__pid").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = F.sum(F.col(token_col)).over(w)
-    return df.select(
+    cum_local = F.sum(F.col(token_col)).over(w)
+    offset = omap[F.col("__pid")] + cum_local - F.col(token_col)
+    return part.select(
         F.col(id_col),
         F.col(token_col),
-        ((cum - F.col(token_col)) / F.lit(ctx)).cast("bigint").alias("pack_id"),
-        (cum - F.col(token_col)).alias("pack_offset"),
+        (offset / F.lit(ctx)).cast("bigint").alias("pack_id"),
+        offset.alias("pack_offset"),
     )
