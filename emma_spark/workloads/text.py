@@ -379,3 +379,55 @@ def text_bm25_scores(spark, sf_dir):
             (F.floor(F.col("score") * 1000000 + F.lit(0.5)) / 1000000).alias("bm25"),
         )
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS} AS tk FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest([array_to_string(tk[i:i+2], ' ')
+                     FOR i IN range(1, len(tk) - 1)]) AS g
+      FROM toks WHERE len(tk) >= 3
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+    ), hits AS (
+      SELECT g.doc_id, count(DISTINCT g.g) AS n_shared
+      FROM grams g JOIN bench b ON g.g = b.g
+      WHERE g.doc_id % 50 <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_shared, n_shared >= 5 AS likely_leak FROM hits
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the training-corpus hygiene pass:
+    flag training documents sharing token n-grams with an eval set
+    (here: every 50th doc stands in as the benchmark; 3-grams at this
+    tiny corpus — production uses 8-13-gram VERBATIM matching, same
+    plan). Plan: distinct benchmark grams are a broadcast set (eval
+    suites are tiny next to a 100 TB corpus), so the corpus side is
+    one semi-join-shaped hash probe + per-doc distinct count — the
+    corpus shuffles once on (doc, gram), the benchmark never
+    shuffles."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    tk = X.tokens(F.col("text"))
+    grams3 = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 2),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, 3)),
+    )
+    g = docs.filter(F.size(tk) >= 3).select(
+        "doc_id", F.explode(grams3).alias("g")
+    )
+    bench = g.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    return (
+        g.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+        .select(
+            "doc_id", "n_shared", (F.col("n_shared") >= 5).alias("likely_leak")
+        )
+    )
