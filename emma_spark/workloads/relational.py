@@ -2464,3 +2464,258 @@ def graph_sssp_bounded(spark, sf_dir):
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {qsum_sql("l_extendedprice * l_discount")} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 — the canonical scan-filter-aggregate: every predicate
+    pushes to the parquet scan (PushedFilters carries the date range,
+    discount band, quantity cap), one partial-agg'd scalar out. The
+    query whole-stage codegen was built for."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"].df
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(qsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                  AS BIGINT) AS vol_c,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE n1.n_regionkey = 1
+    )
+    SELECT o_year,
+           floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END)
+                 * 1.0 / sum(vol_c) * 1000000 + 0.5) / 1000000 AS mkt_share
+    FROM rev GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 — national market share: NATION_3's fraction of all
+    supplier revenue into region 1's customers, per order year. The
+    share is a conditional-sum / sum ratio of exact centi-unit
+    integers (one grouped agg computes both legs — no second pass, no
+    join of two aggregates). Dims broadcast; one fact shuffle."""
+    t = T(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    li, o = t["lineitem"].df, t["orders"].df
+    n = t["nation"].df
+    cust = (
+        t["customer"].df
+        .join(F.broadcast(n.filter(F.col("n_regionkey") == 1)),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        t["supplier"].df
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"),
+                                   F.col("n_name").alias("supp_nation"))),
+              F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    vol_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("bigint")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.year("o_orderdate").alias("o_year"),
+                vol_c.alias("vol_c"), "supp_nation")
+    )
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol_c")).otherwise(F.lit(0)))
+    return rev.groupBy("o_year").agg(
+        (F.floor(nat * 1.0 / F.sum("vol_c") * 1000000 + F.lit(0.5)) / 1000000)
+        .alias("mkt_share")
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           {qsum_sql("l.l_extendedprice * (1 - l.l_discount) - 10 * l.l_quantity", 4)}
+             AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape — product profit by supplier nation × order
+    year, restricted to a part-name LIKE family (no partsupp table in
+    this corpus, so supply cost is a 10/unit proxy — the PLAN is Q9's:
+    LIKE-filtered part dim broadcast, lineitem⋈orders fact shuffle,
+    supplier→nation broadcast chain, two-key agg)."""
+    t = T(spark, sf_dir, "lineitem", "orders", "supplier", "nation", "part")
+    li, o = t["lineitem"].df, t["orders"].df
+    sn = (
+        t["supplier"].df
+        .join(F.broadcast(t["nation"].df),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    pw = t["part"].df.filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 10 * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(pw), li["l_partkey"] == pw["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(qsum(amount, 4).alias("profit"))
+    )
+
+
+@query(
+    "q10_returned_item_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {qsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           min(n.n_name) AS nation
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q10_returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 — top-20 customers by revenue lost to returns:
+    returnflag filter at the scan, fact join, grouped quantized
+    revenue, TakeOrdered(20) with custkey tiebreak (a bare float
+    ORDER BY ... LIMIT is nondeterministic under ties). The quantized
+    sum makes the ORDER key itself engine-stable."""
+    t = T(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    li, o, c = t["lineitem"].df, t["orders"].df, t["customer"].df
+    cn = c.join(
+        F.broadcast(t["nation"].df), c["c_nationkey"] == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "n_name")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            qsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.min("n_name").alias("nation"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT floor(
+             sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)
+                 ELSE 0 END) * 100.0
+             / sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT))
+             * 1000000 + 0.5) / 1000000 AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l.l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 — promotional revenue percentage for one month: both
+    ratio legs from ONE conditional agg over exact centi-units; the
+    date window pushes to the scan, the part dim broadcasts."""
+    t = T(spark, sf_dir, "lineitem", "part")
+    li, p = t["lineitem"].df, t["part"].df
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("bigint")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev_c).otherwise(F.lit(0)))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-09-01")
+            & (F.col("l_shipdate") < "1995-10-01")
+        )
+        .join(F.broadcast(p.select("p_partkey", "p_type")),
+              li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (F.floor(promo * 100.0 / F.sum(rev_c) * 1000000 + F.lit(0.5)) / 1000000)
+            .alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH srev AS (
+      SELECT l_suppkey,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                      AS BIGINT)) AS rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    ), mx AS (SELECT max(rev_c) AS m FROM srev)
+    SELECT s.s_suppkey, s.s_name, srev.rev_c / 10000 AS total_rev
+    FROM srev JOIN mx ON srev.rev_c = mx.m
+    JOIN supplier s ON s.s_suppkey = srev.l_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 — top supplier of a quarter: the CREATE VIEW + scalar
+    max correlated filter expressed as agg → 1-row max broadcast →
+    equality join back (exact integer revenue, so 'the max' is a
+    well-defined set on every engine — TPC-H's own spec note about
+    ties handled by construction)."""
+    t = T(spark, sf_dir, "lineitem", "supplier")
+    li, s = t["lineitem"].df, t["supplier"].df
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("bigint")
+    srev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_c).alias("rev_c"))
+    )
+    mx = srev.agg(F.max("rev_c").alias("m"))
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_c") == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", (F.col("rev_c") / 10000).alias("total_rev"))
+    )
