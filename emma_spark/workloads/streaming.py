@@ -327,3 +327,61 @@ def stream_static_enrich(spark, sf_dir):
     return spark.table(name).select(
         F.col("window.start").alias("win_start"), "c_mktsegment", "n", "total"
     )
+
+
+@query(
+    "stream_state_ttl_closed",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT user_id, count(*) AS n
+    FROM events CROSS JOIN mx
+    GROUP BY user_id, mx.m
+    HAVING max(ts) < mx.m - INTERVAL 90 MINUTE
+    """,
+)
+def stream_state_ttl_closed(spark, sf_dir):
+    """Event-time state TTL — sessions CLOSED by watermark eviction:
+    per-user state registers a timeout at (last event + 30 min); the
+    availableNow drain plus the terminal no-data micro-batch advance
+    the watermark to max(ts) − 1 h, so exactly the users idle longer
+    than 90 min before the stream end emit a final closed record and
+    their state is FREED (the unbounded-key survival story: state
+    size tracks the ACTIVE keys, not all keys ever seen). The oracle
+    replays the eviction rule in SQL."""
+    import pandas as pd
+
+    staged = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = S.with_watermark(
+        S.read_stream_parquet(spark, staged, schema), "ts", "1 hour"
+    )
+
+    def update(key, pdf_iter, state):
+        if state.hasTimedOut:
+            (cnt, _last) = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]], "n": [cnt], "closed": [True]})
+            return
+        cnt, last_ms = (state.get if state.exists else (0, 0))
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            if len(pdf):
+                last_ms = max(last_ms, int(pdf["ts"].max().timestamp() * 1000))
+        state.update((cnt, last_ms))
+        state.setTimeoutTimestamp(last_ms + 30 * 60 * 1000)
+        yield pd.DataFrame({"user_id": [key[0]], "n": [cnt], "closed": [False]})
+
+    out = S.keyed_state(
+        stream,
+        keys=["user_id"],
+        func=update,
+        state_schema="n bigint, last_ms bigint",
+        output_schema="user_id bigint, n bigint, closed boolean",
+        output_mode="update",
+        timeout="EventTimeTimeout",
+    )
+    name = f"stream_ttl_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(out, name, output_mode="update", state_partitions=4)
+    return (
+        spark.table(name).filter(F.col("closed")).select("user_id", "n")
+    )

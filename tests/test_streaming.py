@@ -4,6 +4,7 @@ same data (differential, like everything else), plus keyed state
 
 from __future__ import annotations
 
+import datetime
 import os
 import tempfile
 import uuid
@@ -184,3 +185,65 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 250
     assert back.select("id").distinct().count() == 250  # no duplicates
+
+
+def test_keyed_state_event_time_timeout(spark, staged_events):
+    """Event-time state TTL: per-user session state registers a
+    timeout at (max event time seen + 30 min); when the watermark
+    passes it, the state is EVICTED and a final 'closed' record is
+    emitted with the accumulated count. availableNow + the terminal
+    no-data micro-batch advance the watermark to max(ts) - delay, so
+    exactly the users whose last event is older than
+    max(ts) - delay - 30min close deterministically — verified
+    against the batch computation of the same rule."""
+    import pandas as pd
+
+    batch = spark.read.parquet(staged_events)
+    stream = S.with_watermark(
+        S.read_stream_parquet(spark, staged_events, batch.schema), "ts", "1 hour"
+    )
+
+    def update(key, pdf_iter, state):
+        if state.hasTimedOut:
+            (cnt, last_ms) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [cnt], "closed": [True]}
+            )
+            return
+        cnt, last_ms = (state.get if state.exists else (0, 0))
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            if len(pdf):
+                last_ms = max(last_ms, int(pdf["ts"].max().timestamp() * 1000))
+        state.update((cnt, last_ms))
+        state.setTimeoutTimestamp(last_ms + 30 * 60 * 1000)
+        yield pd.DataFrame({"user_id": [key[0]], "n": [cnt], "closed": [False]})
+
+    out = S.keyed_state(
+        stream,
+        keys=["user_id"],
+        func=update,
+        state_schema="n bigint, last_ms bigint",
+        output_schema="user_id bigint, n bigint, closed boolean",
+        output_mode="update",
+        timeout="EventTimeTimeout",
+    )
+    name = f"ttl_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(out, name, output_mode="update", state_partitions=4)
+    closed = {
+        r["user_id"]: r["n"]
+        for r in spark.table(name).filter(F.col("closed")).collect()
+    }
+    # batch replay of the eviction rule
+    import pyspark.sql.functions as FF
+    mx = batch.agg(FF.max("ts")).collect()[0][0]
+    horizon = mx - datetime.timedelta(hours=1) - datetime.timedelta(minutes=30)
+    want = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id")
+        .agg(FF.count(FF.lit(1)).alias("n"), FF.max("ts").alias("last"))
+        .filter(FF.col("last") < horizon)
+        .collect()
+    }
+    assert closed == want
