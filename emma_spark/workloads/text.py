@@ -431,3 +431,42 @@ def text_decontaminate(spark, sf_dir):
             "doc_id", "n_shared", (F.col("n_shared") >= 5).alias("likely_leak")
         )
     )
+
+
+@query(
+    "text_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, len({SQL_TOKS}) + 1 AS wt FROM documents
+    ), pri AS (
+      SELECT doc_id, wt,
+             {sql_md5_long("concat('ws', '|', CAST(doc_id AS VARCHAR))")} // wt
+               AS priority
+      FROM w
+    )
+    SELECT doc_id, wt, priority FROM pri
+    ORDER BY priority, doc_id LIMIT 64
+    """,
+)
+def text_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling — k docs by smallest integer
+    priority md5(id) div weight (the exponential-clock scheme with
+    exact integer division, so heavier documents draw systematically
+    smaller priorities and every engine selects the IDENTICAL set —
+    `sampleBy` fractions are neither weighted per row nor
+    cross-engine stable). Weight = token count + 1: the quality-
+    weighted corpus subsample every data-mixing recipe needs.
+    Scale: priorities are a narrow projection; selection is
+    TakeOrdered(k) — only k rows ever reach the driver side of the
+    sort, no global sort materialization."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    wt = (F.size(X.tokens(F.col("text"))) + 1).alias("wt")
+    pri = docs.select("doc_id", wt).withColumn(
+        "priority",
+        F.expr(
+            "CAST(conv(substring(md5(encode(concat('ws', '|', "
+            "CAST(doc_id AS STRING)), 'utf-8')), 1, 14), 16, 10) AS BIGINT)"
+            " div wt"
+        ),
+    )
+    return pri.orderBy("priority", "doc_id").limit(64)
