@@ -234,8 +234,15 @@ def pack_sequences(
 
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    # NULL token counts would poison the cumulative sum (and the driver
+    # offset loop): fail loudly, row-side, JVM-side — no extra pass.
+    checked = F.when(
+        F.col(token_col).isNull(),
+        F.raise_error(F.lit(f"pack_sequences: NULL in {token_col}")).cast("bigint"),
+    ).otherwise(F.col(token_col).cast("bigint"))
     part = (
-        df.repartitionByRange(n_parts, F.col(id_col))
+        df.withColumn(token_col, checked)
+        .repartitionByRange(n_parts, F.col(id_col))
         .sortWithinPartitions(id_col)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
@@ -255,9 +262,12 @@ def pack_sequences(
     )
     cum_local = F.sum(F.col(token_col)).over(w)
     offset = omap[F.col("__pid")] + cum_local - F.col(token_col)
+    # integer `div`, not float `/`: float division drifts past 2^53
+    # (the same exactness rule that converted KMV and pagerank in r4)
     return part.select(
         F.col(id_col),
         F.col(token_col),
-        (offset / F.lit(ctx)).cast("bigint").alias("pack_id"),
         offset.alias("pack_offset"),
+    ).withColumn("pack_id", F.expr(f"pack_offset div {int(ctx)}")).select(
+        id_col, token_col, "pack_id", "pack_offset"
     )

@@ -215,7 +215,18 @@ def read_parquet(spark: SparkSession, path: str, schema=None) -> DataBag:
 
     timestamp[ns] parquet columns (Spark reads them as long under
     ``spark.sql.legacy.parquet.nanosAsLong``) are converted to
-    microsecond timestamps, matching DuckDB's truncation."""
+    microsecond timestamps, matching DuckDB's truncation.
+
+    **Session-wide side effect (by contract):** if the file contains
+    naive (NTZ) timestamp columns — top-level or nested inside
+    struct/array/map — this call pins ``spark.sql.session.timeZone``
+    to UTC for the remainder of the session and casts them to
+    TIMESTAMP_LTZ. This engine's timestamp contract is "naive wall
+    times are UTC instants"; the pin is what makes the NTZ→LTZ cast
+    mean that on any machine. Consequence for callers: later
+    string↔timestamp parsing/rendering in the same session also
+    happens in UTC, not the JVM-local zone. Pin your own zone AFTER
+    the reads if you need different rendering semantics."""
     ns_cols = _ns_timestamp_columns(path)
     if ns_cols:
         # Session-independent: the driver harness provides its own vanilla
@@ -251,15 +262,44 @@ def read_parquet(spark: SparkSession, path: str, schema=None) -> DataBag:
     # machine (cast interprets NTZ in the session zone). Like
     # nanosAsLong above, the confs stay set — restoring them would
     # change the meaning of the lazy plan built here.
-    ntz_cols = [
-        f.name for f in df.schema.fields
-        if isinstance(f.dataType, T.TimestampNTZType)
+    ntz_casts = [
+        (f.name, rewritten)
+        for f in df.schema.fields
+        for rewritten in (_ntz_to_ltz(f.dataType),)
+        if rewritten is not f.dataType
     ]
-    if ntz_cols:
+    if ntz_casts:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        for c in ntz_cols:
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        for c, dt in ntz_casts:
+            df = df.withColumn(c, F.col(c).cast(dt))
     return DataBag(df)
+
+
+def _ntz_to_ltz(dt):
+    """Rewrite TIMESTAMP_NTZ → TIMESTAMP_LTZ recursively through
+    struct/array/map so nested naive timestamps get the same UTC
+    normalization as top-level ones (Spark casts struct→struct /
+    array→array fieldwise). Returns the ORIGINAL object when nothing
+    changed, so callers can cheaply test `is not`."""
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampType()
+    if isinstance(dt, T.ArrayType):
+        elem = _ntz_to_ltz(dt.elementType)
+        return dt if elem is dt.elementType else T.ArrayType(elem, dt.containsNull)
+    if isinstance(dt, T.MapType):
+        k, v = _ntz_to_ltz(dt.keyType), _ntz_to_ltz(dt.valueType)
+        if k is dt.keyType and v is dt.valueType:
+            return dt
+        return T.MapType(k, v, dt.valueContainsNull)
+    if isinstance(dt, T.StructType):
+        fields = [
+            T.StructField(f.name, _ntz_to_ltz(f.dataType), f.nullable, f.metadata)
+            for f in dt.fields
+        ]
+        if all(nf.dataType is of.dataType for nf, of in zip(fields, dt.fields)):
+            return dt
+        return T.StructType(fields)
+    return dt
 
 
 _NS_COLS_MEMO: dict = {}

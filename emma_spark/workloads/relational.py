@@ -1354,12 +1354,12 @@ def pivot_status_by_priority(spark, sf_dir):
     "array_hof_surface",
     oracle="""
     SELECT l_orderkey,
-           list_transform(qs, x -> x * 2)                   AS doubled,
-           list_filter(qs, x -> x > 25)                     AS big,
-           CAST(list_sum(qs) AS BIGINT)                     AS total,
-           list_sort(qs)                                    AS sorted_qs,
-           len(qs)                                          AS n,
-           list_max(qs)                                     AS mx
+           coalesce(array_to_string(list_transform(qs, x -> x * 2), ','), '') AS doubled,
+           coalesce(array_to_string(list_filter(qs, x -> x > 25), ','), '')   AS big,
+           CAST(list_sum(qs) AS BIGINT)                                       AS total,
+           coalesce(array_to_string(list_sort(qs), ','), '')                  AS sorted_qs,
+           len(qs)                                              AS n,
+           list_max(qs)                                         AS mx
     FROM (
       SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
       FROM lineitem WHERE l_orderkey % 97 = 0 GROUP BY l_orderkey
@@ -1371,7 +1371,11 @@ def array_hof_surface(spark, sf_dir):
     aggregate / sort / size / array_max) over per-order quantity
     arrays — the Column-expression machinery every llm/ operator is
     built from, exercised directly against DuckDB's list_* twins.
-    Arrays built sorted so the bag→array order is engine-independent."""
+    Arrays built sorted so the bag→array order is engine-independent.
+    Array-typed outputs are serialized to ','-joined strings
+    (``concat_ws`` / ``array_to_string``) so every output column is a
+    scalar that external pandas-based canonicalizers can hash/sort —
+    array cells broke the r4 driver compare (unhashable ``list``)."""
     li = T(spark, sf_dir, "lineitem")["lineitem"]
     base = (
         li.filter(lambda x: x.l_orderkey % 97 == 0)
@@ -1381,10 +1385,10 @@ def array_hof_surface(spark, sf_dir):
     qs = F.col("qs")
     return base.df.select(
         "l_orderkey",
-        F.transform(qs, lambda x: x * 2).alias("doubled"),
-        F.filter(qs, lambda x: x > 25).alias("big"),
+        F.array_join(F.transform(qs, lambda x: x * 2).cast("array<string>"), ",").alias("doubled"),
+        F.array_join(F.filter(qs, lambda x: x > 25).cast("array<string>"), ",").alias("big"),
         F.aggregate(qs, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("total"),
-        F.sort_array(qs).alias("sorted_qs"),
+        F.array_join(F.sort_array(qs).cast("array<string>"), ",").alias("sorted_qs"),
         F.size(qs).alias("n"),
         F.array_max(qs).alias("mx"),
     )
@@ -2197,12 +2201,13 @@ def events_funnel(spark, sf_dir):
     """,
 )
 def q11_important_parts(spark, sf_dir):
-    """TPC-H Q11 shape — groups exceeding a FRACTION of the global
-    total (part value > total/1500): per-key agg + a 1-row global agg
-    broadcast back, with the threshold compare in exact centi-units
-    (val·500 > total avoids the float total·0.002 both engines would
-    round differently). Scale: the global total is a second pass over
-    the per-part aggregates (tiny), never over raw lineitem."""
+    """TPC-H Q11 shape — parts whose value exceeds 1.25× the mean
+    part share: per-key agg + a 1-row global agg broadcast back, with
+    the threshold compare in exact integer cross-multiplied form
+    (val·n_parts·100 > total·125 ⟺ val > 1.25·total/n_parts, avoiding
+    the float division both engines would round differently). Scale:
+    the global total is a second pass over the per-part aggregates
+    (tiny), never over raw lineitem."""
     li = T(spark, sf_dir, "lineitem")["lineitem"].df
     val_c = F.sum(
         F.floor(
@@ -2264,10 +2269,10 @@ def q20_qualified_suppliers(spark, sf_dir):
     "agg_argmax_surface",
     oracle="""
     SELECT l_returnflag,
-           arg_max(l_orderkey, floor(l_extendedprice * 10000 + 0.5) * 100000
-                               + l_orderkey) AS top_order,
-           arg_min(l_orderkey, floor(l_extendedprice * 10000 + 0.5) * 100000
-                               - l_orderkey) AS bottom_order,
+           arg_max(l_orderkey, CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)
+                               * 10000000 + l_orderkey) AS top_order,
+           arg_min(l_orderkey, CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)
+                               * 10000000 - l_orderkey) AS bottom_order,
            max(floor(l_extendedprice * 10000 + 0.5)) / 10000 AS top_price
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -2278,15 +2283,19 @@ def agg_argmax_surface(spark, sf_dir):
     reference writes as fold(Min/Max with Ordering on a projection)
     (Ordering section, SURVEY §2.4). Ties broken INSIDE the ordering
     key (price quantized to integer then orderkey mixed in), because
-    max_by's choice among equal keys is engine-defined."""
+    max_by's choice among equal keys is engine-defined. The orderkey
+    slot is 10^7 — wider than TPC-H's max orderkey at sf1 (6·10^6) —
+    so a lower price can never outrank a higher one (r4 ADVICE: the
+    old 10^5 slot collided); the oracle CASTs floor()'s double to
+    BIGINT before the multiply because price_c·10^7 exceeds 2^53."""
     li = T(spark, sf_dir, "lineitem")["lineitem"].df
     price_c = F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5))
     return li.groupBy("l_returnflag").agg(
         F.max_by(
-            F.col("l_orderkey"), price_c * 100000 + F.col("l_orderkey")
+            F.col("l_orderkey"), price_c * 10000000 + F.col("l_orderkey")
         ).alias("top_order"),
         F.min_by(
-            F.col("l_orderkey"), price_c * 100000 - F.col("l_orderkey")
+            F.col("l_orderkey"), price_c * 10000000 - F.col("l_orderkey")
         ).alias("bottom_order"),
         (F.max(price_c) / 10000).alias("top_price"),
     )

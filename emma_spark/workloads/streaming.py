@@ -347,7 +347,12 @@ def stream_state_ttl_closed(spark, sf_dir):
     than 90 min before the stream end emit a final closed record and
     their state is FREED (the unbounded-key survival story: state
     size tracks the ACTIVE keys, not all keys ever seen). The oracle
-    replays the eviction rule in SQL."""
+    replays the eviction rule in SQL. Closed rows are summed per user
+    before the compare: if the drain runs >1 micro-batch a user can be
+    evicted mid-stream and re-close at end-of-stream with the count
+    split across two rows — the sum is batch-boundary-invariant
+    (single-file staging keeps availableNow to one batch today, but
+    correctness must not hang on that)."""
     import pandas as pd
 
     staged = _stage_events(spark, sf_dir)
@@ -383,5 +388,8 @@ def stream_state_ttl_closed(spark, sf_dir):
     name = f"stream_ttl_{uuid.uuid4().hex[:8]}"
     S.run_to_memory(out, name, output_mode="update", state_partitions=4)
     return (
-        spark.table(name).filter(F.col("closed")).select("user_id", "n")
+        spark.table(name)
+        .filter(F.col("closed"))
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("n"))
     )

@@ -97,6 +97,47 @@ def test_parquet_roundtrip(spark, tmp_path):
     )
 
 
+def test_parquet_ntz_normalized_nested(spark, tmp_path):
+    """Naive (NTZ) parquet timestamps — top-level AND nested in a
+    struct/array — come back as TIMESTAMP_LTZ meaning the same UTC
+    instant, with the session zone pinned to UTC (the documented
+    read_parquet side effect)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emma_spark.sources import io
+
+    ts = [datetime.datetime(2024, 1, 1, 12, 0, i) for i in range(3)]
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "nested": pa.array(
+                [{"t": t, "v": i} for i, t in enumerate(ts)],
+                pa.struct([("t", pa.timestamp("us")), ("v", pa.int64())]),
+            ),
+            "arr": pa.array([[t] for t in ts], pa.list_(pa.timestamp("us"))),
+        }
+    )
+    p = str(tmp_path / "ntz.parquet")
+    pq.write_table(tbl, p)
+
+    from pyspark.sql import types as T
+
+    back = io.read_parquet(spark, p).df
+    sch = dict((f.name, f.dataType) for f in back.schema.fields)
+    assert isinstance(sch["ts"], T.TimestampType)
+    assert isinstance(sch["nested"].fields[0].dataType, T.TimestampType)
+    assert isinstance(sch["arr"].elementType, T.TimestampType)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    row = back.orderBy("id").first()
+    assert row["ts"] == datetime.datetime(2024, 1, 1, 12, 0, 0)
+    assert row["nested"]["t"] == datetime.datetime(2024, 1, 1, 12, 0, 0)
+    assert row["arr"][0] == datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+
 def test_read_text(spark, tmp_path):
     from emma_spark.sources import io
 
