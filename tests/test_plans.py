@@ -181,3 +181,53 @@ def test_q18_top_k_is_take_ordered(spark, registry):
     sort before limit materializes the full order at scale."""
     plan = _plan(registry["q18_large_volume_orders"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def _unpartitioned_window_specs(plan: str) -> list[str]:
+    """windowspecdefinition(...) occurrences with NO partition columns:
+    the spec's argument list starts directly with the sort order (the
+    partition-by columns would precede it). A one-task global window."""
+    import re
+
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = m.group(1)
+        # partitioned specs read "col1#id, ..., colN#id ASC NULLS FIRST, ..."
+        # — the FIRST arg of an unpartitioned spec is already an ordering
+        first = args.split(",")[0]
+        if " ASC" in first or " DESC" in first or "specifiedwindowframe" in first:
+            out.append(args[:120])
+    return out
+
+
+def test_vocab_coverage_no_global_window_over_vocabulary(spark, registry):
+    """text_vocab_coverage must carve the top-25 out with a distributed
+    TakeOrdered FIRST; the only permissible global window runs over
+    those 25 rows (post-limit). The r4 verdict flagged the old shape —
+    rank over the full 10^8-token distinct table."""
+    plan = _plan(registry["text_vocab_coverage"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    # the global window may only appear downstream of the take-ordered
+    # (plan prints root-first, so the window node must precede the
+    # TakeOrderedAndProject node in the string)
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan[:800]
+
+
+def test_build_dict_no_unpartitioned_window(spark):
+    """build_dict's dense index must come from the range-partitioned
+    two-pass zipWithIndex — every window in its plan is partitioned
+    (the old Window.orderBy('term') dragged the whole vocabulary into
+    one task)."""
+    from pyspark.sql import functions as F
+
+    from emma_spark.lib.ml.features import build_dict, tokenize
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    vocab = build_dict(docs.select(tokenize(F.col("text")).alias("toks")))
+    plan = _plan(vocab)
+    bad = _unpartitioned_window_specs(plan)
+    assert not bad, f"unpartitioned window specs: {bad}"
+    # and the index really is the lexicographic rank
+    rows = vocab.orderBy("term").collect()
+    assert [r["index"] for r in rows] == list(range(len(rows)))
+    assert rows == sorted(rows, key=lambda r: r["term"])
