@@ -458,9 +458,13 @@ class DataBag:
         recompute could legally renumber partitions, which is the very
         bug the pin prevents — so fail-and-rerun is the correct
         failure mode. Long-lived multi-hour pins at cluster scale
-        should prefer ``spark.sparkContext.setCheckpointDir`` +
-        ``checkpoint()``."""
-        df = self._df.withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=True)
+        select reliable checkpointing engine-wide via
+        ``plans.cache.configure_pinning(reliable=True,
+        checkpoint_dir=...)`` — this (and every other pin in the
+        engine) goes through :func:`plans.cache.pin`."""
+        from .plans.cache import pin as _pin
+
+        df = _pin(self._df.withColumn("__pid", F.spark_partition_id()), eager=True)
         w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
         counts = df.groupBy("__pid").count().orderBy("__pid").collect()
         offsets = {}

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 import hashlib
 
+from ..plans.cache import pin
 from .text import _rd, char_ngrams, md5_long, tokens
 
 # MinHash universal-hash family: h_i(x) = (a_i * h32(x) + b_i) mod P,
@@ -133,9 +134,11 @@ def lsh_candidate_pairs(
     CacheManager lifetime leak of `persist` (blocks free on GC); lazy
     (eager=False) so the pin materializes inside the first consuming
     job instead of a separate serialized round. Cluster caveat: the
-    pinned blocks are executor-local (non-reliable) — an executor loss
-    fails the job rather than recomputing; for multi-hour cluster runs
-    swap in reliable ``checkpoint()`` with a checkpoint dir.
+    default pin is executor-local (non-reliable) — an executor loss
+    fails the job rather than recomputing; multi-hour cluster runs
+    select ``plans.cache.configure_pinning(reliable=True,
+    checkpoint_dir=...)`` and every pin (this one included) switches
+    to reliable ``checkpoint()``.
     Without pinning, the full minhash expression tree would be
     re-evaluated for each side."""
     rows = num_hashes // bands
@@ -146,10 +149,9 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    e = (
+    e = pin(
         sigs.select(F.col(id_col), F.explode(F.array(*structs)).alias("__bkt"))
         .select(id_col, "__bkt.*")
-        .localCheckpoint(eager=False)
     )
     keys = ["band"] + [f"k{r}" for r in range(rows)]
     left = e.select(F.col(id_col).alias("a"), *keys)
@@ -250,7 +252,7 @@ def ngram_jaccard_pairs(
         )
         cand = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
         # shingle arrays feed both verify joins — pin one narrow pass
-        base = df.select(F.col(id_col), sh.alias("__sh")).localCheckpoint(eager=False)
+        base = pin(df.select(F.col(id_col), sh.alias("__sh")))
         pairs = cand.join(
             base.select(F.col(id_col).alias("a"), F.col("__sh").alias("sh_a")), "a"
         ).join(base.select(F.col(id_col).alias("b"), F.col("__sh").alias("sh_b")), "b")

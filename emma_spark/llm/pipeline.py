@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.cache import pin
 from . import dedup as D
 from . import text as X
 
@@ -44,21 +45,20 @@ def curate(
         (F.size(X.tokens(t)) >= min_tokens) & (qm["alpha_ratio"] >= min_alpha)
     )
     # `kept` feeds BOTH the signature build and the final anti-join:
-    # pin it (lazy localCheckpoint — computed once on first action,
-    # blocks GC-released; executor-local, so an executor loss fails the
-    # job instead of recomputing — use reliable checkpoint() for
-    # multi-hour cluster runs) or the quality filter + exact-dedup
-    # shuffle would run twice. The auto-cache used-more-than-once policy
+    # pin it (lazy by default — computed once on first action, blocks
+    # GC-released; executor-local, so an executor loss fails the job
+    # instead of recomputing — configure_pinning(reliable=True, ...)
+    # flips every pin to reliable checkpoint() for multi-hour cluster
+    # runs) or the quality filter + exact-dedup shuffle would run twice. The auto-cache used-more-than-once policy
     # (Caching.scala:57-94) applied by hand. Then REBALANCE: AQE
     # coalesces the dedup shuffle by BYTES, but the next stage (shingle
     # explode + md5 per shingle) is CPU-bound per row — without the
     # re-spread the whole signature build lands on one task (measured
     # 5x slower at sf0.1). Cheap at any scale: the deduped bag already
     # paid a shuffle, this one moves strictly fewer rows.
-    kept = (
+    kept = pin(
         D.drop_exact_dups(gated, text_col=text_col, id_col=id_col)
         .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=False)
     )
     sigs = D.minhash_signature(
         kept, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle=shingle

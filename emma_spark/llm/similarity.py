@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.cache import pin
 from .text import md5_long
 
 
@@ -279,7 +280,7 @@ def embedding_neardup_pairs(
         # the planes×dim bucket fold feeds both join sides — pin it so
         # it is computed once, not re-evaluated per side (lazy: the pin
         # materializes inside the first consuming job)
-        base = base.localCheckpoint(eager=False)
+        base = pin(base)
     l = base.select(F.col(id_col).alias("a"), "__blk", F.col("v").alias("va"))
     r = base.select(F.col(id_col).alias("b"), F.col("__blk").alias("__blk_r"), F.col("v").alias("vb"))
     pairs = l.join(r, (F.col("__blk") == F.col("__blk_r")) & (F.col("a") < F.col("b")))

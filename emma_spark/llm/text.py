@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.cache import pin
+
 # languages scored by stopword hits; fixed preference order breaks ties
 STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
@@ -240,12 +242,12 @@ def pack_sequences(
         F.col(token_col).isNull(),
         F.raise_error(F.lit(f"pack_sequences: NULL in {token_col}")).cast("bigint"),
     ).otherwise(F.col(token_col).cast("bigint"))
-    part = (
+    part = pin(
         df.withColumn(token_col, checked)
         .repartitionByRange(n_parts, F.col(id_col))
         .sortWithinPartitions(id_col)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .withColumn("__pid", F.spark_partition_id()),
+        eager=True,
     )
     sums = part.groupBy("__pid").agg(F.sum(token_col).alias("s")).orderBy("__pid").collect()
     offsets, acc = {}, 0

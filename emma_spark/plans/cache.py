@@ -80,3 +80,62 @@ def cached_count(df=None) -> int:
     the active scope (or 0 outside one)."""
     scope = _scope()
     return len(scope["persisted"]) if scope else 0
+
+
+# ---------------------------------------------------------------- pinning
+# One policy knob for every lineage-truncation pin in the engine (the
+# LSH bucket bag, the curation pipeline's `kept`, zip/pack offsets...).
+
+_pin_conf = {"reliable": False, "checkpoint_dir": None}
+
+
+def configure_pinning(reliable: bool = False, checkpoint_dir: str | None = None):
+    """Select the engine-wide pin mode.
+
+    Default (``reliable=False``): ``localCheckpoint`` — executor-local
+    blocks, freed by GC, zero HDFS/DFS traffic; an executor loss FAILS
+    the job (fail-and-rerun). Right for short jobs and local mode.
+
+    ``reliable=True``: ``checkpoint()`` to ``checkpoint_dir`` (or a
+    checkpoint dir already set on the SparkContext) — survives executor
+    loss at the cost of a DFS write per pin. Right for multi-hour
+    cluster runs where re-running from scratch costs more than the
+    write. This makes the tradeoff documented on every pin site
+    SELECTABLE instead of prose (r4 verdict item #5)."""
+    _pin_conf["reliable"] = bool(reliable)
+    _pin_conf["checkpoint_dir"] = checkpoint_dir
+
+
+@contextmanager
+def pinning(reliable: bool = False, checkpoint_dir: str | None = None) -> Iterator[None]:
+    """Scoped :func:`configure_pinning` (restores the prior mode)."""
+    prev = dict(_pin_conf)
+    configure_pinning(reliable, checkpoint_dir)
+    try:
+        yield
+    finally:
+        _pin_conf.update(prev)
+
+
+def pin(df, eager: bool = False):
+    """Truncate lineage and materialize-once under the configured mode.
+
+    Lazy by default (``eager=False``): the pin materializes inside the
+    first consuming job rather than a separate serialized round.
+    Reliable mode is always eager — Spark's ``checkpoint(eager=False)``
+    only checkpoints if the plan is later executed via an action on the
+    SAME object, which a pin-then-reuse-both-sides pattern does not
+    guarantee."""
+    if _pin_conf["reliable"]:
+        sc = df.sparkSession.sparkContext
+        cdir = _pin_conf["checkpoint_dir"]
+        if cdir is not None:
+            sc.setCheckpointDir(cdir)
+        elif sc.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable pinning needs a checkpoint dir: pass "
+                "configure_pinning(reliable=True, checkpoint_dir=...) or "
+                "sparkContext.setCheckpointDir(...)"
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
