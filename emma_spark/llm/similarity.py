@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 from ..plans.cache import pin
 from .text import md5_long
 
+# ivf_topk's untrained centroid_mod fallback is O(N^2/mod) — fine for
+# demos/tests, a cluster-killer on a real corpus. Hard ceiling:
+_IVF_FALLBACK_MAX_ROWS = 100_000
+
 
 def _rd(col: Column, dp: int) -> Column:
     """Cross-engine-stable rounding (floor(x*10^dp + 0.5)/10^dp)."""
@@ -184,9 +188,22 @@ def ivf_topk(
     ``centroid_mod``-th corpus vector by id — training-free, but C
     grows ~N/mod so the N×C assignment pass (crossJoin + rank-1
     window, rounded sim + id tie-break) is O(N²/mod): correct at small
-    SF, NOT the 100 TB path."""
+    SF, NOT the 100 TB path. ENFORCED, not just documented: the
+    fallback refuses corpora above ``_IVF_FALLBACK_MAX_ROWS`` rows
+    (the count costs one narrow scan of the id column — nothing next
+    to the quadratic join it prevents)."""
     from pyspark.sql import Window
 
+    if centroids is None:
+        n_corpus = corpus.select(id_col).count()
+        if n_corpus > _IVF_FALLBACK_MAX_ROWS:
+            raise ValueError(
+                f"ivf_topk centroid_mod fallback is O(N^2/mod) and the corpus "
+                f"has {n_corpus} rows (> {_IVF_FALLBACK_MAX_ROWS}): train a "
+                f"quantizer (e.g. lib.ml.kmeans) and pass centroids=[(cid, "
+                f"vec), ...] — the trained path assigns in O(N*C) with zero "
+                f"shuffle"
+            )
     if centroids is not None:
         def top_cids(vec: Column, n: int) -> Column:
             cands = F.array(

@@ -2351,6 +2351,7 @@ def grouping_sets_orders(spark, sf_dir):
           FROM orders) s
     FULL JOIN delta d ON s.o_orderkey = d.o_orderkey
     """,
+    headline=True,
 )
 def incremental_merge_upsert(spark, sf_dir):
     """MERGE / CDC upsert as a batch plan: snapshot FULL OUTER JOIN

@@ -53,6 +53,7 @@ def _sql_bf_pos(j_expr: str, key_expr: str) -> str:
     SELECT est.token, est.est, exact.exact
     FROM est JOIN exact ON est.token = exact.token
     """,
+    headline=True,
 )
 def sketch_countmin_tokens(spark, sf_dir):
     """Count-Min sketch of corpus token frequencies (d=4 × w=512)

@@ -347,6 +347,7 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     SELECT doc_id, floor(score * 1000000 + 0.5) / 1000000 AS bm25
     FROM scored
     """,
+    headline=True,
 )
 def text_bm25_scores(spark, sf_dir):
     """BM25 retrieval scoring for a fixed query (k1=1.2, b=0.75) with

@@ -146,6 +146,25 @@ def test_ivf_trained_assignment_is_narrow(spark, registry):
     assert "BroadcastNestedLoopJoin" in untrained or "CartesianProduct" in untrained
 
 
+def test_ivf_fallback_refuses_large_corpus(spark, monkeypatch):
+    """The untrained centroid_mod fallback must be an ENFORCED footgun:
+    above the row ceiling it raises and points at the trained path."""
+    import pytest
+
+    from emma_spark.llm import similarity as S
+    from emma_spark.sources import io
+    from pyspark.sql import functions as F
+
+    emb = io.read_parquet(spark, f"{SF_DIR}/embeddings.parquet").df
+    queries = emb.filter(F.col("vec_id") < 5)
+    monkeypatch.setattr(S, "_IVF_FALLBACK_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="train a"):
+        S.ivf_topk(emb, queries, centroid_mod=61)
+    # trained path unaffected by the ceiling
+    cents = [(0, [0.1] * 64), (1, [-0.1] * 64)]
+    S.ivf_topk(emb, queries, centroids=cents, nprobe=1).count()
+
+
 def test_q7_broadcasts_dims_single_fact_shuffle_join(spark, registry):
     """Q7: customer/supplier/nation sides broadcast; the only
     shuffle-worthy join is lineitem-orders."""
