@@ -1,12 +1,15 @@
-"""Deterministic distributed sketches: Count-Min and Bloom.
+"""Deterministic distributed sketches: Count-Min, Bloom, and HLL.
 
-Both sketches are built from the portable 56-bit md5 hash
+All sketches are built from the portable 56-bit md5 hash
 (:func:`emma_spark.llm.text.md5_long`), so every engine — and every
 partitioning of the same engine — produces the SAME sketch bit-for-bit
 and an ANSI-SQL oracle can replay estimates exactly. That is the same
-portability contract as the KMV sketch (text.kmv_distinct_estimate):
-HLL/theta register layouts are implementation-defined and can never be
-cross-checked; a hash-derived table of (row, bucket, count) can.
+portability contract as the KMV sketch (text.kmv_distinct_estimate).
+ENGINE-NATIVE register layouts (Spark's ``approx_count_distinct``,
+DuckDB's ``approx_count_distinct``) are implementation-defined and can
+never be cross-checked — which is why the HLL here derives its
+register/rank table from md5 explicitly instead of calling the
+built-in: same estimator, portable bits.
 
 Reference anchor: the reference ships fold-based aggregation algebra
 (``emma-language/.../api/alg/Alg.scala``) but no sketches; these are
@@ -96,6 +99,76 @@ def bloom_build(df: DataFrame, key_col: str, m: int = 8192, k: int = 3) -> DataF
     )
 
 
+def hll_register_table(
+    df: DataFrame, group_col: str, key_col: str, p: int = 9
+) -> DataFrame:
+    """HyperLogLog register table per group: (group, register, max_rank).
+
+    The 56-bit md5 hash splits into a ``p``-bit register index (low
+    bits, ``h % 2^p``) and a ``W = 56-p``-bit remainder; the rank is
+    the position of the remainder's highest set bit counted from the
+    top (``W+1`` when the remainder is 0) — computed with ``bin()``
+    string length, an exact integer op on both engines (no log2, whose
+    last-ulp behavior is libm-specific). One hash-agg shuffle of at
+    most m·|groups| cells regardless of input size — the register
+    table IS the mergeable sketch (max is the merge op).
+    """
+    m = 1 << p
+    w = 56 - p
+    h = md5_long(F.col(key_col).cast("string"), salt="hll")
+    base = df.select(F.col(group_col), h.alias("__h"))
+    return (
+        base.select(
+            group_col,
+            F.pmod(F.col("__h"), F.lit(m)).alias("register"),
+            F.expr(f"__h div {m}").alias("__rem"),
+        )
+        .select(
+            group_col,
+            "register",
+            F.when(F.col("__rem") == 0, F.lit(w + 1))
+            .otherwise(F.lit(w + 1) - F.length(F.bin(F.col("__rem"))))
+            .alias("rank"),
+        )
+        .groupBy(group_col, "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_col: str, p: int = 9) -> DataFrame:
+    """Raw HLL estimate per group from a register table — EXACT integer
+    arithmetic end to end, so a SQL oracle reproduces the estimate
+    bit-for-bit.
+
+    The harmonic sum Σ 2^(-M_j) is scaled by 2^S (S = max rank =
+    56-p+1): used registers contribute ``1 << (S - max_rank)``, the
+    (m - n_used) empty registers contribute ``1 << S`` each — all
+    exact bigints. α_m = 0.7213/(1 + 1.079/m) enters as the rational
+    7213·m / (10000·m + 10790), and the final divide is integral on
+    DECIMAL(38,0) (numerator α_num·m²·2^S ≈ 2.7e26 overflows bigint;
+    DuckDB mirrors with HUGEINT ``//``). No small-range linear-counting
+    correction: it needs ln(), which is not cross-engine-stable — the
+    raw estimator is biased below ~2.5m distinct but identically so on
+    every engine."""
+    m = 1 << p
+    s = 56 - p + 1
+    K = 7213 * m**3 * (1 << s)
+    den = 10000 * m + 10790
+    z = registers.groupBy(group_col).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s} - max_rank)")).alias("__zu"),
+        F.count(F.lit(1)).alias("n_used"),
+    )
+    zs = f"CAST(__zu + ({m} - n_used) * shiftleft(CAST(1 AS BIGINT), {s}) AS DECIMAL(38,0))"
+    return z.select(
+        group_col,
+        "n_used",
+        F.expr(
+            f"CAST(CAST('{K}' AS DECIMAL(38,0)) div "
+            f"(CAST({den} AS DECIMAL(38,0)) * {zs}) AS BIGINT)"
+        ).alias("est_distinct"),
+    )
+
+
 def bloom_contains(
     bloom: DataFrame, probes: DataFrame, key_col: str, m: int = 8192, k: int = 3
 ) -> DataFrame:
@@ -114,3 +187,60 @@ def bloom_contains(
         .groupBy(key_col)
         .agg((F.count(F.col("__set")) == k).alias("maybe_present"))
     )
+
+
+def binned_quantiles(
+    df: DataFrame, value_col: str, qs: list[float], bins: int = 128
+) -> DataFrame:
+    """Approximate quantiles from an equi-width histogram — the
+    bounded-state quantile sketch: ONE aggregation pass to ≤ ``bins``
+    cells regardless of input size (map-side combined), then the
+    quantile read-off over those ≤ ``bins`` rows. The t-digest/KLL
+    alternative with a portability guarantee: every step is integer
+    arithmetic on an INTEGER value column (quantize floats first), so
+    a SQL oracle reproduces the approximation exactly — real sketch
+    libraries' merge order changes their output, this never does.
+
+    Returns (q_pct, approx) — approx is the upper edge of the first
+    bin whose cumulative count reaches ceil(q·n). Error ≤ one bin
+    width = (max-min+1)/bins. The cumulative window runs over ≤ bins
+    rows (constant, broadcast-scale) — bounded by construction, not by
+    data size."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    mm = df.agg(
+        F.min(v).alias("__lo"),
+        F.max(v).alias("__hi"),
+        F.count(v).alias("__n"),
+    )
+    binned = (
+        df.crossJoin(F.broadcast(mm))
+        .select(
+            F.expr(
+                f"CAST(({value_col} - __lo) * {bins} div (__hi - __lo + 1) AS INT)"
+            ).alias("bin"),
+            "__lo", "__hi", "__n",
+        )
+        .groupBy("bin", "__lo", "__hi", "__n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = binned.withColumn("cum", F.sum("cnt").over(w))
+    out = None
+    for q in qs:
+        pct = int(round(q * 100))
+        # rank = ceil(n·pct/100) in pure integers: (n·pct + 99) div 100
+        hit = (
+            cum.filter(F.col("cum") >= F.expr(f"(__n * {pct} + 99) div 100"))
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(pct).alias("q_pct"),
+                F.expr(
+                    f"__lo + ((bin + 1) * (__hi - __lo + 1)) div {bins}"
+                ).alias("approx"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

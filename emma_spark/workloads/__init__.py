@@ -98,20 +98,24 @@ _PRIORITY = [
     "text_vocab_coverage", "ml_encode_dict_freq", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "embedding_neardup", "pipeline_corpus_curation",
     "zip_with_index_ordered", "ann_ivf_topk", "ann_ivf_trained",
+    # (c') NEW this round (first driver rows): portable HLL, binned
+    # quantile sketch, time-RANGE window, SCD2 history, bigram LM,
+    # embedding centroids, k-core peeling — all dual-SF local-green
+    "sketch_hll_distinct", "sketch_quantile_bins",
+    "window_rolling_30d_revenue", "scd2_status_history", "text_bigram_lm",
+    "embedding_centroids", "graph_kcore", "window_ntile_quartiles",
+    "events_attribution", "dq_profile_orders", "incremental_agg_maintenance",
+    "stream_hll_windowed_distinct",
     # (d) keepers: one representative per subsystem stays under driver
-    # watch (streaming flagship + stateful TTL cousin, sketches, text
-    # analytics, TPC-H heavies, ML, graph). The rest of the 139 carry
-    # green r1-r4 rows and rotate out, still swept by
-    # tools/diffcheck.py --vanilla every round.
-    "stream_watermark_append", "events_sessionize", "events_funnel",
+    # watch (streaming flagship, sketches, text analytics, TPC-H heavy,
+    # ML, graph, ANN). The rest of the registry carries green r1-r4
+    # rows and rotates out, still swept by tools/diffcheck.py --vanilla
+    # each round.
+    "stream_watermark_append", "events_funnel",
     "stream_static_enrich", "q1_pricing_summary_full",
-    "csv_roundtrip_agg", "fold_product_user_alg",
     "sketch_countmin_tokens", "sketch_bloom_membership",
-    "sketch_kmv_distinct", "text_tfidf_top_terms", "text_stratified_sample",
     "text_repetition_quality", "incremental_merge_upsert",
-    "q2_min_cost_supplier", "q7_volume_shipping", "q18_large_volume_orders",
-    "q22_dormant_customers", "graph_pagerank", "ann_lsh_topk",
-    "ml_sgd_linreg", "ml_eval_scores",
+    "graph_pagerank", "ann_lsh_topk",
 ]
 
 

@@ -248,3 +248,85 @@ def graph_pagerank(spark, sf_dir):
         n.select(k.alias("src"), ((k * 6 + 1) % 25).alias("dst"))
     )
     return page_rank_int(edges, nodes, iters=3, damping=0.85)
+
+
+def _kcore_level_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT e.src AS id FROM kc_edges e
+      JOIN {prev} a ON e.src = a.id
+      JOIN {prev} b ON e.dst = b.id
+      GROUP BY e.src HAVING count(*) >= 2
+    )"""
+
+
+@query(
+    "graph_kcore",
+    oracle=f"""
+    WITH kc_base AS (
+      SELECT n_nationkey AS src, (n_nationkey + 1) % 10 AS dst
+      FROM nation WHERE n_nationkey < 10
+      UNION ALL
+      SELECT n_nationkey, n_nationkey - 10 FROM nation WHERE n_nationkey >= 10
+    ),
+    kc_edges AS (
+      SELECT src, dst FROM kc_base UNION ALL SELECT dst, src FROM kc_base
+    ),
+    lvl0 AS (SELECT DISTINCT src AS id FROM kc_edges),
+    {_kcore_level_sql('lvl0', 'lvl1')},
+    {_kcore_level_sql('lvl1', 'lvl2')},
+    {_kcore_level_sql('lvl2', 'lvl3')},
+    {_kcore_level_sql('lvl3', 'lvl4')}
+    SELECT e.src AS id, count(*) AS deg
+    FROM kc_edges e
+    JOIN lvl4 a ON e.src = a.id
+    JOIN lvl4 b ON e.dst = b.id
+    GROUP BY e.src
+    """,
+)
+def graph_kcore(spark, sf_dir):
+    """k-core decomposition (k=2) by iterative peeling: repeatedly
+    delete nodes with degree < k among the survivors until the degree
+    filter is a no-op — community-detection's standard densest-region
+    primitive and a second fixpoint shape next to label propagation
+    (the survivor set SHRINKS monotonically instead of labels
+    converging). Graph: a 10-node cycle with 15 tail nodes hanging off
+    it (two peel rounds strip the tails, the cycle survives as the
+    2-core). Each round is one degree hash-agg over the restricted
+    edge set + a semi-join — no global structure; the fixpoint pins
+    each iteration's survivor set (plans/iterate.fixpoint, the
+    auto-cache loop policy). The oracle unrolls four peel levels —
+    strictly more than the fixture needs, and peeling is idempotent
+    after convergence."""
+    from ..plans.iterate import fixpoint
+
+    n = io.read_parquet(spark, f"{sf_dir}/nation.parquet").df
+    k = F.col("n_nationkey")
+    base = (
+        n.filter(k < 10)
+        .select(k.alias("src"), ((k + 1) % 10).alias("dst"))
+        .unionByName(n.filter(k >= 10).select(k.alias("src"), (k - 10).alias("dst")))
+    )
+    ue = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = DataBag(ue.select(F.col("src").alias("id")).distinct())
+
+    def step(s: DataBag) -> DataBag:
+        alive = s.df
+        deg = (
+            ue.join(alive.select(F.col("id").alias("src")), "src")
+            .join(alive.select(F.col("id").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        return DataBag(deg.filter(F.col("deg") >= 2).select(F.col("src").alias("id")))
+
+    core = fixpoint(nodes, step, max_iter=10).df
+    return (
+        ue.join(core.select(F.col("id").alias("src")), "src")
+        .join(core.select(F.col("id").alias("dst")), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("id"), "deg")
+    )

@@ -745,6 +745,102 @@ def window_running_sum(spark, sf_dir):
 
 
 @query(
+    "window_rolling_30d_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(floor(o_totalprice * 100 + 0.5)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) / 100 AS rev_30d
+    FROM orders WHERE o_custkey % 19 = 0
+    """,
+)
+def window_rolling_30d_revenue(spark, sf_dir):
+    """Time-RANGE window frame: each order's trailing-30-day revenue
+    for its customer — the rolling-metric shape (retention, spend
+    velocity, rate limiting) that ROWS frames cannot express when
+    event spacing is irregular. Spark's rangeBetween needs a numeric
+    ordering key, so the timestamp is cast to epoch seconds and the
+    frame is [-30·86400, 0] — value-identical to the oracle's
+    INTERVAL frame (both ends inclusive, peers-by-value). Partitioned
+    by customer: no global sort; per-key frames scan bounded windows.
+    Revenue summed in exact cents inside the frame."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        o.filter(lambda x: x.o_custkey % 19 == 0)
+        .df.select(
+            "o_custkey",
+            "o_orderkey",
+            (F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).over(w) / 100
+             ).alias("rev_30d"),
+        )
+    )
+
+
+@query(
+    "scd2_status_history",
+    oracle="""
+    WITH marked AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_status
+      FROM orders WHERE o_custkey % 23 = 0
+    ), changes AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+      FROM marked
+      WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    )
+    SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS valid_to,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL AS is_current
+    FROM changes
+    """,
+)
+def scd2_status_history(spark, sf_dir):
+    """Slowly-Changing-Dimension Type-2 history build — the warehouse
+    pattern that turns a change-event stream into validity intervals:
+    collapse consecutive identical statuses per customer (lag !=
+    current keeps only change points), then close each interval with
+    the next change's timestamp (lead; NULL = still current). Both
+    window passes are PARTITIONED by the dimension key with a
+    deterministic (date, orderkey) order — per-key sequential work,
+    no global sort, the same one-shuffle cost as any keyed window at
+    100 TB. Companion to incremental_merge_upsert (which keeps only
+    the latest row; this keeps the full history)."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    marked = (
+        o.filter(lambda x: x.o_custkey % 23 == 0)
+        .df.select(
+            "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey",
+            F.lag("o_orderstatus").over(w).alias("prev_status"),
+        )
+    )
+    changes = marked.filter(
+        F.col("prev_status").isNull()
+        | (F.col("prev_status") != F.col("o_orderstatus"))
+    )
+    valid_to = F.lead("o_orderdate").over(w)
+    return changes.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@query(
     "orderby_limit",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
@@ -2728,4 +2824,211 @@ def q15_top_supplier(spark, sf_dir):
         .filter(F.col("rev_c") == F.col("m"))
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .select("s_suppkey", "s_name", (F.col("rev_c") / 10000).alias("total_rev"))
+    )
+
+
+@query(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+           ) AS quartile
+    FROM orders WHERE o_custkey % 29 = 0
+    """,
+)
+def window_ntile_quartiles(spark, sf_dir):
+    """Per-group quantile bucketing with ntile(4): each customer's
+    orders split into spend quartiles — the per-entity percentile
+    feature (spend tier, engagement band) feature stores build.
+    Deterministic under the (price, orderkey) total order; partitioned
+    window, so per-key sequential work only (ntile over an
+    UNPARTITIONED window would be the global-sort trap — see
+    text_vocab_coverage)."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.filter(lambda x: x.o_custkey % 29 == 0)
+        .df.select(
+            "o_custkey", "o_orderkey", F.ntile(4).over(w).alias("quartile")
+        )
+    )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    SELECT user_id,
+           min_by(event_type, epoch_us(ts)::HUGEINT * 1000000000000 + event_id)
+             AS first_touch,
+           max_by(event_type, epoch_us(ts)::HUGEINT * 1000000000000 + event_id)
+             AS last_touch,
+           count(*) AS n_events,
+           sum(floor(value * 10000 + 0.5)) / 10000 AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """First-touch / last-touch attribution per user: the
+    marketing-analytics fold that assigns credit to the first and last
+    event of each user's history. ONE hash-agg — min_by/max_by over a
+    composite DECIMAL/HUGEINT key (epoch-microseconds·10^12 +
+    event_id: the id slot is wider than any event count, so the
+    tie-break can never collide — the widened-slot lesson from
+    agg_argmax_surface) — no window, no sort, no self-join;
+    deterministic on both engines even for same-timestamp events.
+    Value totals in exact 10^-4 units."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    okey = F.unix_micros(F.col("ts")).cast("decimal(38,0)") * F.lit(
+        1000000000000
+    ) + F.col("event_id")
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", okey).alias("first_touch"),
+        F.max_by("event_type", okey).alias("last_touch"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5))) / 10000).alias(
+            "total_value"
+        ),
+    )
+
+
+@query(
+    "dq_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(*) AS n, count(o_orderkey) AS n_nonnull,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_v,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice),
+           count(DISTINCT floor(o_totalprice * 100 + 0.5)),
+           floor(min(o_totalprice) * 100 + 0.5) / 100,
+           floor(max(o_totalprice) * 100 + 0.5) / 100
+    FROM orders
+    """,
+)
+def dq_profile_orders(spark, sf_dir):
+    """Data-quality profile (expectations-style): per-column row count,
+    non-null count, distinct count, min/max — the validation pass every
+    ingest pipeline runs before promoting a batch. ALL columns profile
+    in ONE scan: Spark fuses the per-column aggregates into a single
+    aggregation node (one shuffle of constant-width partials), then the
+    three profile rows are unpivoted from one wide row — the oracle's
+    UNION ALL spells the semantics but this plan reads the table once.
+    Doubles quantized to cents where float identity matters."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    price_c = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("nn_ok"),
+        F.countDistinct("o_orderkey").alias("nd_ok"),
+        F.min("o_orderkey").cast("double").alias("mn_ok"),
+        F.max("o_orderkey").cast("double").alias("mx_ok"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("double").alias("mn_ck"),
+        F.max("o_custkey").cast("double").alias("mx_ck"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct(price_c).alias("nd_tp"),
+        (F.min(price_c) / 100).alias("mn_tp"),
+        (F.max(price_c) / 100).alias("mx_tp"),
+    )
+    rows = [
+        ("o_orderkey", "nn_ok", "nd_ok", "mn_ok", "mx_ok"),
+        ("o_custkey", "nn_ck", "nd_ck", "mn_ck", "mx_ck"),
+        ("o_totalprice", "nn_tp", "nd_tp", "mn_tp", "mx_tp"),
+    ]
+    out = None
+    for col, nn, nd, mn, mx in rows:
+        one = wide.select(
+            F.lit(col).alias("col"),
+            F.col("n"),
+            F.col(nn).alias("n_nonnull"),
+            F.col(nd).alias("n_distinct"),
+            F.col(mn).alias("min_v"),
+            F.col(mx).alias("max_v"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus, count(*) AS n,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_c
+      FROM orders WHERE o_orderkey % 10 != 0 GROUP BY o_orderstatus
+    ), delta AS (
+      SELECT o_orderstatus, count(*) AS n,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_c
+      FROM orders WHERE o_orderkey % 10 = 0 GROUP BY o_orderstatus
+    ), merged AS (
+      SELECT coalesce(b.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
+             coalesce(b.n, 0) + coalesce(d.n, 0) AS n,
+             coalesce(b.total_c, 0) + coalesce(d.total_c, 0) AS total_c
+      FROM base b FULL JOIN delta d ON b.o_orderstatus = d.o_orderstatus
+    ), full_ AS (
+      SELECT o_orderstatus, count(*) AS n,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_c
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT m.o_orderstatus, m.n, m.total_c / 100 AS total,
+           (m.n = f.n AND m.total_c = f.total_c) AS matches_full
+    FROM merged m JOIN full_ f ON m.o_orderstatus = f.o_orderstatus
+    """,
+)
+def incremental_agg_maintenance(spark, sf_dir):
+    """Incremental view maintenance for decomposable aggregates: a
+    materialized per-status (count, sum) is refreshed by MERGING a
+    delta batch's partial aggregate — never rescanning the base (the
+    continuous-aggregate refresh pattern; same algebra that makes
+    Spark's own partial aggregation work, applied across batches).
+    The full-outer merge handles statuses new in the delta; the
+    matches_full flag proves merged == recomputed-from-scratch
+    (exact integer cents make that equality checkable). At 100 TB the
+    delta scan is the only data-proportional cost."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    pc = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+
+    def agg(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(pc).alias("total_c")
+        )
+
+    base = agg(o.filter(F.col("o_orderkey") % 10 != 0)).alias("b")
+    delta = agg(o.filter(F.col("o_orderkey") % 10 == 0)).alias("d")
+    merged = (
+        base.join(
+            delta, F.col("b.o_orderstatus") == F.col("d.o_orderstatus"), "full_outer"
+        )
+        .select(
+            F.coalesce(F.col("b.o_orderstatus"), F.col("d.o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))
+             ).alias("n"),
+            (F.coalesce(F.col("b.total_c"), F.lit(0))
+             + F.coalesce(F.col("d.total_c"), F.lit(0))).alias("total_c"),
+        )
+    )
+    full = agg(o).select(
+        F.col("o_orderstatus").alias("f_status"),
+        F.col("n").alias("f_n"),
+        F.col("total_c").alias("f_total_c"),
+    )
+    return merged.join(
+        full, merged["o_orderstatus"] == full["f_status"]
+    ).select(
+        "o_orderstatus",
+        "n",
+        (F.col("total_c") / 100).alias("total"),
+        ((F.col("n") == F.col("f_n")) & (F.col("total_c") == F.col("f_total_c"))
+         ).alias("matches_full"),
     )

@@ -282,3 +282,46 @@ def embedding_normalize(spark, sf_dir):
         (F.floor(n * 1000000 + F.lit(0.5)) / 1000000).alias("l2_norm"),
         (F.floor(v[0] / n * 1000000 + F.lit(0.5)) / 1000000).alias("first_unit"),
     )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH pos AS (
+      SELECT e.label, t.i AS pos,
+             CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS v_c
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS t(i)
+    )
+    SELECT label, pos, count(*) AS n_vecs,
+           floor(sum(v_c) * 1.0 / count(*) + 0.5) / 1000000 AS centroid_val
+    FROM pos GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding (class centroids) — the aggregation
+    behind nearest-centroid classifiers, cluster summaries, and IVF
+    quantizer seeding. posexplode → (label, dim) hash-agg: map-side
+    partial sums reduce the shuffle to |labels|·d cells no matter how
+    many vectors stream through — the ONLY scalable shape for
+    vector-mean at 100 TB (collecting vectors to average on a driver
+    is the anti-pattern). Components quantized to exact micro-units
+    before summing; the mean is one IEEE division + floor, identical
+    on both engines. Spark's 0-based posexplode is shifted to the
+    oracle's 1-based list indexing."""
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "v")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_c"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.floor(F.sum("v_c") / F.count(F.lit(1)) + F.lit(0.5)) / 1000000
+         ).alias("centroid_val"),
+    )

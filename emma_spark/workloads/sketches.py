@@ -120,3 +120,143 @@ def sketch_bloom_membership(spark, sf_dir):
             F.col("__m").isNotNull().alias("actually_present"),
         )
     )
+
+
+_HLL_P = 9  # m = 512 registers
+
+
+def _sql_hll(key_expr: str, group_expr: str, src: str) -> str:
+    """Register/rank/estimate replay for the md5-derived HLL: identical
+    integer math to llm/sketches.hll_register_table + hll_estimate."""
+    m = 1 << _HLL_P
+    w = 56 - _HLL_P
+    s = w + 1
+    k = 7213 * m**3 * (1 << s)
+    den = 10000 * m + 10790
+    h = sql_md5_long(f"concat('hll', '|', {key_expr})")
+    return f"""
+    hashed AS (
+      SELECT {group_expr} AS grp, {h} AS hh FROM {src}
+    ), regs AS (
+      SELECT grp, hh % {m} AS register,
+             CASE WHEN hh // {m} = 0 THEN {s}
+                  ELSE {s} - length(bin(hh // {m})) END AS rank
+      FROM hashed
+    ), mx AS (
+      SELECT grp, register, max(rank) AS max_rank
+      FROM regs GROUP BY grp, register
+    ), z AS (
+      SELECT grp,
+             sum((1::BIGINT << ({s} - max_rank))::HUGEINT) AS zu,
+             count(*) AS n_used
+      FROM mx GROUP BY grp
+    ), est AS (
+      SELECT grp, n_used,
+             CAST(CAST('{k}' AS HUGEINT) //
+                  ({den}::HUGEINT * (zu + ({m} - n_used) * (1::BIGINT << {s})::HUGEINT))
+                  AS BIGINT) AS est_distinct
+      FROM z
+    )"""
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH {_sql_hll("CAST(l_partkey AS VARCHAR)", "l_returnflag", "lineitem")}
+    SELECT e.grp AS l_returnflag, e.n_used, e.est_distinct, x.exact_distinct
+    FROM est e JOIN (
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct
+      FROM lineitem GROUP BY l_returnflag
+    ) x ON e.grp = x.l_returnflag
+    """,
+)
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count (llm/sketches.hll_register_table +
+    hll_estimate; p=9, m=512) per return flag, next to the exact count
+    and the KMV cousin (sketch_kmv_distinct): the industry-standard
+    cardinality sketch made engine-portable — md5-derived registers,
+    bin()-length ranks, exact-integer harmonic sum, DECIMAL/HUGEINT
+    integral divide, so DuckDB reproduces the ESTIMATE bit-for-bit
+    (engine-native approx_count_distinct register layouts cannot be
+    cross-checked; this can). Build is one hash-agg to ≤ m·|groups|
+    register cells, merge = MAX — the canonical 100 TB distinct-count
+    plan."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    regs = SK.hll_register_table(li, "l_returnflag", "l_partkey", p=_HLL_P)
+    est = SK.hll_estimate(regs, "l_returnflag", p=_HLL_P)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag", "n_used", "est_distinct", "exact_distinct"
+    )
+
+
+_QB_BINS = 128
+
+
+@query(
+    "sketch_quantile_bins",
+    oracle=f"""
+    WITH pc AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders
+    ), mm AS (
+      SELECT min(c) AS lo, max(c) AS hi, count(*) AS n FROM pc
+    ), binned AS (
+      SELECT (pc.c - mm.lo) * {_QB_BINS} // (mm.hi - mm.lo + 1) AS bin,
+             count(*) AS cnt
+      FROM pc CROSS JOIN mm GROUP BY 1
+    ), cum AS (
+      SELECT bin, sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM binned
+    ), qs AS (SELECT unnest([50, 90, 99]) AS q_pct),
+    hit AS (
+      SELECT q.q_pct, min(c.bin) AS bin
+      FROM qs q CROSS JOIN mm
+      JOIN cum c ON c.cum >= (mm.n * q.q_pct + 99) // 100
+      GROUP BY q.q_pct
+    ), exact AS (
+      SELECT 50 AS q_pct,
+             CAST(floor(quantile_cont(c, 0.50) * 10000 + 0.5) AS BIGINT)
+               AS exact_interp FROM pc
+      UNION ALL
+      SELECT 90, CAST(floor(quantile_cont(c, 0.90) * 10000 + 0.5) AS BIGINT)
+      FROM pc
+      UNION ALL
+      SELECT 99, CAST(floor(quantile_cont(c, 0.99) * 10000 + 0.5) AS BIGINT)
+      FROM pc
+    )
+    SELECT h.q_pct,
+           mm.lo + ((h.bin + 1) * (mm.hi - mm.lo + 1)) // {_QB_BINS} AS approx,
+           e.exact_interp
+    FROM hit h CROSS JOIN mm JOIN exact e ON e.q_pct = h.q_pct
+    """,
+)
+def sketch_quantile_bins(spark, sf_dir):
+    """Bounded-state quantile sketch (llm/sketches.binned_quantiles):
+    p50/p90/p99 of order value read off a 128-bin equi-width histogram
+    — ONE hash-agg to ≤128 cells no matter the row count, vs the
+    per-group sort exact percentiles need. Integer arithmetic end to
+    end (bin assignment, ceil-rank, bin-edge read-off all integer
+    div), so the oracle reproduces the approximation exactly —
+    t-digest/KLL merge orders change their answers, this never does.
+    Error ≤ one bin width by construction. The exact interpolated
+    percentile (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, 4dp
+    quantized) rides along as ground truth."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    pc = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("c")
+    )
+    approx = SK.binned_quantiles(pc, "c", qs=[0.5, 0.9, 0.99], bins=_QB_BINS)
+    exact = pc.agg(
+        *[
+            F.floor(F.percentile(F.col("c"), q) * 10000 + F.lit(0.5))
+            .cast("bigint")
+            .alias(f"e{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
+    unp = exact.unpivot([], ["e50", "e90", "e99"], "qn", "exact_interp").select(
+        F.substring("qn", 2, 3).cast("int").alias("q_pct"), "exact_interp"
+    )
+    return approx.join(unp, "q_pct").select("q_pct", "approx", "exact_interp")

@@ -393,3 +393,84 @@ def stream_state_ttl_closed(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.sum("n").alias("n"))
     )
+
+
+@query(
+    "stream_hll_windowed_distinct",
+    oracle="""
+    WITH hashed AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+             CAST(concat('0x', substr(md5(concat('hll', '|',
+               CAST(user_id AS VARCHAR))), 1, 14)) AS BIGINT) AS hh
+      FROM events
+    ), regs AS (
+      SELECT win_start, hh % 512 AS register,
+             CASE WHEN hh // 512 = 0 THEN 48
+                  ELSE 48 - length(bin(hh // 512)) END AS rank
+      FROM hashed
+    ), mx AS (
+      SELECT win_start, register, max(rank) AS max_rank
+      FROM regs GROUP BY win_start, register
+    ), z AS (
+      SELECT win_start,
+             sum((1::BIGINT << (48 - max_rank))::HUGEINT) AS zu,
+             count(*) AS n_used
+      FROM mx GROUP BY win_start
+    )
+    SELECT win_start, n_used,
+           CAST(CAST('272499435527510007411113984' AS HUGEINT) //
+                (5130790::HUGEINT *
+                 (zu + (512 - n_used) * (1::BIGINT << 48)::HUGEINT))
+                AS BIGINT) AS est_distinct,
+           x.exact_distinct
+    FROM z JOIN (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+             count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    ) x ON z.win_start = x.ws
+    """,
+)
+def stream_hll_windowed_distinct(spark, sf_dir):
+    """Streaming distinct-user estimation: the portable HLL register
+    sketch maintained BY Structured Streaming — per hour window the
+    stateful agg is groupBy(window, register).max(rank), bounded at
+    m=512 cells per window regardless of event volume (the
+    unbounded-distinct problem that exact streaming countDistinct
+    cannot survive; Spark refuses it in append mode for this reason).
+    Registers stream with a watermark; the estimate (exact integer
+    math, llm/sketches.hll_estimate) is read off the drained register
+    state batch-side, next to the exact per-window distinct as ground
+    truth. Oracle replays registers AND estimate bit-for-bit."""
+    from ..llm import sketches as SK
+    from ..llm.text import md5_long
+
+    staged = _stage_events(spark, sf_dir)
+    stream = S.read_stream_parquet(spark, staged, spark.read.parquet(staged).schema)
+    m, s_bits = 512, 48
+    h = md5_long(F.col("user_id").cast("string"), salt="hll")
+    hashed = stream.select(
+        F.col("ts"), F.pmod(h, F.lit(m)).alias("register"), h.alias("__h")
+    ).select(
+        "ts", "register",
+        F.when(F.expr(f"__h div {m}") == 0, F.lit(s_bits))
+        .otherwise(F.lit(s_bits) - F.length(F.bin(F.expr(f"__h div {m}"))))
+        .alias("rank"),
+    )
+    agg = S.tumbling(hashed, "ts", "1 hour", "register").agg(
+        F.max("rank").alias("max_rank")
+    )
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, output_mode="complete", state_partitions=4)
+    regs = spark.table(name).select(
+        F.col("window.start").alias("win_start"), "register", "max_rank"
+    )
+    est = SK.hll_estimate(regs, "win_start", p=9)
+    exact = (
+        io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+        .select(F.window("ts", "1 hour").alias("w"), "user_id")
+        .groupBy(F.col("w.start").alias("ws"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, est["win_start"] == exact["ws"]).select(
+        "win_start", "n_used", "est_distinct", "exact_distinct"
+    )

@@ -478,3 +478,57 @@ def text_weighted_sample(spark, sf_dir):
         ),
     )
     return pri.orderBy("priority", "doc_id").limit(64)
+
+
+@query(
+    "text_bigram_lm",
+    oracle=f"""
+    WITH t AS (
+      SELECT {SQL_TOKS} AS toks FROM documents
+    ), bg AS (
+      SELECT unnest([[toks[i], toks[i + 1]] FOR i IN range(1, len(toks))]) AS b
+      FROM t WHERE len(toks) >= 2
+    ), cnts AS (
+      SELECT b[1] AS w1, b[2] AS w2, count(*) AS cnt
+      FROM bg GROUP BY b[1], b[2]
+    ), tot AS (
+      SELECT w1, sum(cnt) AS n_w1 FROM cnts GROUP BY w1
+    )
+    SELECT c.w1, c.w2, c.cnt, c.cnt * 1000000 // t.n_w1 AS cond_ppm
+    FROM cnts c JOIN tot t ON c.w1 = t.w1
+    ORDER BY c.cnt DESC, c.w1, c.w2 LIMIT 50
+    """,
+)
+def text_bigram_lm(spark, sf_dir):
+    """Bigram language-model statistics: corpus bigram counts with the
+    conditional probability P(w2|w1) in exact parts-per-million
+    (cnt·10^6 integer-div count(w1·)) — the n-gram conditional table
+    every statistical LM / next-token-frequency analysis starts from.
+    Adjacency built with one arrays_zip of the token array against its
+    own tail (narrow, no shuffle); counting is two hash-aggs (bigram,
+    then first-word marginal) re-using the same w1 key; the top-50
+    report is TakeOrdered, never a global sort. The conditional stays
+    a rational of two counts — no float division to drift between
+    engines."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    toks = X.tokens(F.col("text"))
+    n = F.size(toks)
+    pairs = docs.select(toks.alias("tk"), n.alias("n")).filter(F.col("n") >= 2)
+    bg = pairs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.col("n") - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, F.col("n") - 1).alias("w2"),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cnts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnts.groupBy("w1").agg(F.sum("cnt").alias("n_w1"))
+    return (
+        cnts.join(tot, "w1")
+        .select(
+            "w1", "w2", "cnt", F.expr("cnt * 1000000 div n_w1").alias("cond_ppm")
+        )
+        .orderBy(F.desc("cnt"), "w1", "w2")
+        .limit(50)
+    )

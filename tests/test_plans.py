@@ -232,6 +232,31 @@ def test_vocab_coverage_no_global_window_over_vocabulary(spark, registry):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan[:800]
 
 
+def test_bigram_lm_top_k_is_take_ordered(spark, registry):
+    """text_bigram_lm's top-50 report must be TakeOrderedAndProject —
+    the bigram table (∝ vocab²) must never be globally sorted."""
+    plan = _plan(registry["text_bigram_lm"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_hll_register_agg_is_partial(spark, registry):
+    """The HLL register build must carry map-side partial aggregation
+    (partial_max of ranks) — the property that caps the shuffle at
+    m·|groups| cells per map task."""
+    plan = _plan(registry["sketch_hll_distinct"].fn(spark, SF_DIR))
+    assert "partial_max" in plan, plan[:1200]
+
+
+def test_embedding_centroids_partial_agg_no_collect_shape(spark, registry):
+    """Centroid means must partial-aggregate the exploded (label, dim)
+    cells map-side; the plan has exactly one exchange for the agg and
+    no nested-loop anything."""
+    plan = _plan(registry["embedding_centroids"].fn(spark, SF_DIR))
+    assert "partial_count" in plan or "partial_sum" in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_build_dict_no_unpartitioned_window(spark):
     """build_dict's dense index must come from the range-partitioned
     two-pass zipWithIndex — every window in its plan is partitioned
