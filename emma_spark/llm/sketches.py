@@ -31,22 +31,36 @@ from pyspark.sql import DataFrame, functions as F
 from .text import md5_long
 
 
+def _md5_hex(col, salt: str):
+    """One md5 per key; derived structures slice its hex digits."""
+    return F.md5(
+        F.encode(F.concat(F.lit(salt), F.lit("|"), col.cast("string")), "utf-8")
+    )
+
+
+def _hex_slice_long(hexcol, start: int, length: int):
+    """Hex substring → non-negative bigint (≤ 14 hex digits = 56 bits)."""
+    return F.conv(F.substring(hexcol, start, length), 16, 10).cast("bigint")
+
+
 def countmin_build(
     df: DataFrame, key_col: str, d: int = 4, w: int = 512
 ) -> DataFrame:
     """Count-Min sketch of key frequencies: ``d`` hash rows × ``w``
     buckets. Returns (row, bucket, cnt) — at most d·w rows.
 
-    Each input key lands in bucket ``md5('cm{i}|'||key) % w`` of every
-    row i; the build explodes the d (row, bucket) pairs map-side and
-    hash-aggregates — partial combine keeps the shuffle at d·w cells
-    per map task regardless of input size."""
+    Row i's bucket is an 8-hex-digit (32-bit) SLICE of one
+    ``md5('cm|'||key)`` — d buckets from a single hash computation
+    (md5's 128 bits are plenty for 4×32; per-row salted hashes would
+    cost d md5s per input row, and hashing dominates the build's CPU
+    at corpus scale). The build explodes the d (row, bucket) pairs
+    map-side and hash-aggregates — partial combine keeps the shuffle
+    at d·w cells per map task regardless of input size."""
+    hexh = _md5_hex(F.col(key_col), "cm")
     pairs = [
         F.struct(
             F.lit(i).alias("row"),
-            (md5_long(F.col(key_col).cast("string"), salt=f"cm{i}") % w).alias(
-                "bucket"
-            ),
+            (_hex_slice_long(hexh, 1 + 8 * i, 8) % w).alias("bucket"),
         )
         for i in range(d)
     ]
@@ -65,12 +79,11 @@ def countmin_estimate(
     key's bucket count. Always ≥ the true count (collisions only ever
     add); equality when no collision in at least one row. The sketch
     side is d·w rows — broadcast, so the probe side never shuffles."""
+    hexh = _md5_hex(F.col(key_col), "cm")
     pairs = [
         F.struct(
             F.lit(i).alias("row"),
-            (md5_long(F.col(key_col).cast("string"), salt=f"cm{i}") % w).alias(
-                "bucket"
-            ),
+            (_hex_slice_long(hexh, 1 + 8 * i, 8) % w).alias("bucket"),
         )
         for i in range(d)
     ]
@@ -86,13 +99,15 @@ def countmin_estimate(
 
 def bloom_build(df: DataFrame, key_col: str, m: int = 8192, k: int = 3) -> DataFrame:
     """Bloom filter as a DISTINCT set of set bit positions (≤ m rows,
-    one per set bit): position_j(key) = md5('bf{j}|'||key) % m for
-    j < k. A position table instead of a packed bitmap keeps the
-    structure relational (joinable, SQL-replayable) while carrying
-    identical information; at m=8192 it is broadcast-sized."""
+    one per set bit): position_j(key) = 10-hex-digit slice j of ONE
+    ``md5('bf|'||key)``, % m — k positions from a single hash (same
+    hash-economy as countmin_build). A position table instead of a
+    packed bitmap keeps the structure relational (joinable,
+    SQL-replayable) while carrying identical information; at m=8192 it
+    is broadcast-sized."""
+    hexh = _md5_hex(F.col(key_col), "bf")
     pos = [
-        (md5_long(F.col(key_col).cast("string"), salt=f"bf{j}") % m).alias("pos")
-        for j in range(k)
+        (_hex_slice_long(hexh, 1 + 10 * j, 10) % m).alias("pos") for j in range(k)
     ]
     return (
         df.select(F.explode(F.array(*pos)).alias("pos")).distinct()
@@ -176,9 +191,9 @@ def bloom_contains(
     (count of matched positions == k). No false negatives; false
     positives at the classic (1-e^{-kn/m})^k rate. Broadcast join
     against the ≤ m-row position set; probe side stays partitioned."""
+    hexh = _md5_hex(F.col(key_col), "bf")
     pos = [
-        (md5_long(F.col(key_col).cast("string"), salt=f"bf{j}") % m).alias("pos")
-        for j in range(k)
+        (_hex_slice_long(hexh, 1 + 10 * j, 10) % m).alias("pos") for j in range(k)
     ]
     exploded = probes.select(F.col(key_col), F.explode(F.array(*pos)).alias("pos"))
     hit = F.lit(1)

@@ -18,13 +18,20 @@ _BF_M, _BF_K = 8192, 3
 
 
 def _sql_cm_bucket(row_expr: str, key_expr: str) -> str:
-    h = sql_md5_long(f"concat('cm', CAST({row_expr} AS VARCHAR), '|', {key_expr})")
-    return f"{h} % {_CM_W}"
+    # row i's bucket = 8-hex-digit slice i of ONE md5('cm|'||key)
+    # (llm/sketches._hex_slice_long): substr position 1 + 8*i
+    return (
+        f"CAST(concat('0x', substr(md5(concat('cm', '|', {key_expr})), "
+        f"1 + 8 * ({row_expr}), 8)) AS BIGINT) % {_CM_W}"
+    )
 
 
 def _sql_bf_pos(j_expr: str, key_expr: str) -> str:
-    h = sql_md5_long(f"concat('bf', CAST({j_expr} AS VARCHAR), '|', {key_expr})")
-    return f"{h} % {_BF_M}"
+    # position j = 10-hex-digit slice j of ONE md5('bf|'||key)
+    return (
+        f"CAST(concat('0x', substr(md5(concat('bf', '|', {key_expr})), "
+        f"1 + 10 * ({j_expr}), 10)) AS BIGINT) % {_BF_M}"
+    )
 
 
 @query(

@@ -322,30 +322,33 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 @query(
     "text_bm25_scores",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
-    ), dl AS (
-      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    WITH base AS (
+      SELECT doc_id, len(tk) AS dl,
+             len(list_filter(tk, x -> x = 'spark')) AS tf1,
+             len(list_filter(tk, x -> x = 'table')) AS tf2,
+             len(list_filter(tk, x -> x = 'hash'))  AS tf3
+      FROM (SELECT doc_id, {SQL_TOKS} AS tk FROM documents)
     ), stats AS (
-      SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
-    ), tf AS (
-      SELECT doc_id, term, count(*) AS tf FROM toks
-      WHERE term IN ('spark', 'table', 'hash') GROUP BY doc_id, term
-    ), dfreq AS (
-      SELECT term, count(*) AS df FROM tf GROUP BY term
-    ), scored AS (
-      SELECT tf.doc_id,
-             sum(((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-                 * (tf.tf * (1.2 + 1))
-                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
-               AS score
-      FROM tf JOIN dfreq ON tf.term = dfreq.term
-              JOIN dl ON tf.doc_id = dl.doc_id
-              CROSS JOIN stats s
-      GROUP BY tf.doc_id
+      SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+             sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+      FROM base WHERE dl > 0
     )
-    SELECT doc_id, floor(score * 1000000 + 0.5) / 1000000 AS bm25
-    FROM scored
+    SELECT b.doc_id,
+           floor((
+             (CASE WHEN tf1 > 0 THEN ((s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+                * (tf1 * (1.2 + 1))
+                / (tf1 + 1.2 * (1 - 0.75 + 0.75 * b.dl / s.avgdl)) ELSE 0 END)
+             + (CASE WHEN tf2 > 0 THEN ((s.n - s.df2 + 0.5) / (s.df2 + 0.5))
+                * (tf2 * (1.2 + 1))
+                / (tf2 + 1.2 * (1 - 0.75 + 0.75 * b.dl / s.avgdl)) ELSE 0 END)
+             + (CASE WHEN tf3 > 0 THEN ((s.n - s.df3 + 0.5) / (s.df3 + 0.5))
+                * (tf3 * (1.2 + 1))
+                / (tf3 + 1.2 * (1 - 0.75 + 0.75 * b.dl / s.avgdl)) ELSE 0 END)
+           ) * 1000000 + 0.5) / 1000000 AS bm25
+    FROM base b CROSS JOIN stats s
+    WHERE tf1 + tf2 + tf3 > 0
     """,
     headline=True,
 )
@@ -354,37 +357,54 @@ def text_bm25_scores(spark, sf_dir):
     the RATIONAL idf variant ((N−df+½)/(df+½), no log — the ln would
     hang cross-engine equality on libm's last ulp; the rational form
     is the same monotone relevance ordering and bit-deterministic).
-    Plan: tf filtered to the query terms BEFORE the (doc,term) agg (a
-    3-term IN prunes at the scan), df and the 1-row corpus stats
-    broadcast; per-doc score is one grouped sum."""
+
+    Plan (rewritten r5, was 14 exchanges / two token explodes): for a
+    FIXED literal query the per-term tf is an array-HOF count — no
+    token explode, no (doc,term) shuffle, no join. One narrow pass
+    computes (dl, tf_spark, tf_table, tf_hash) per doc; one 1-row agg
+    derives (N, avgdl, df_i); broadcast back and score — two
+    exchanges total, both single-row-scale. Per-term contributions
+    sum in FIXED left-to-right order (the old grouped float sum's
+    order was engine-arbitrary). At 100 TB the explode path's
+    tokens-as-rows intermediate (rows × avg_dl) never materializes;
+    the explode+join shape only wins for large/dynamic query
+    vocabularies."""
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
-    toks = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    tk = X.tokens(F.col("text"))
+    t1, t2, t3 = _BM25_TERMS
+    base = docs.select(
+        "doc_id",
+        F.size(tk).alias("dl"),
+        F.size(F.filter(tk, lambda x: x == t1)).alias("tf1"),
+        F.size(F.filter(tk, lambda x: x == t2)).alias("tf2"),
+        F.size(F.filter(tk, lambda x: x == t3)).alias("tf3"),
+    )
+    stats = base.filter(F.col("dl") > 0).agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+        F.sum((F.col("tf1") > 0).cast("bigint")).alias("df1"),
+        F.sum((F.col("tf2") > 0).cast("bigint")).alias("df2"),
+        F.sum((F.col("tf3") > 0).cast("bigint")).alias("df3"),
     )
-    tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     k1, b = _BM25_K1, _BM25_B
-    contrib = (
-        ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        * (F.col("tf") * (k1 + 1))
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+
+    def contrib(tf: str, df: str):
+        c = (
+            ((F.col("n") - F.col(df) + 0.5) / (F.col(df) + 0.5))
+            * (F.col(tf) * (k1 + 1))
+            / (F.col(tf) + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        return F.when(F.col(tf) > 0, c).otherwise(F.lit(0.0))
+
+    score = (
+        contrib("tf1", "df1") + contrib("tf2", "df2") + contrib("tf3", "df3")
     )
     return (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(contrib).alias("score"))
+        base.crossJoin(F.broadcast(stats))
+        .filter(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
         .select(
             "doc_id",
-            (F.floor(F.col("score") * 1000000 + F.lit(0.5)) / 1000000).alias("bm25"),
+            (F.floor(score * 1000000 + F.lit(0.5)) / 1000000).alias("bm25"),
         )
     )
 
