@@ -105,7 +105,7 @@ _PRIORITY = [
     "window_rolling_30d_revenue", "scd2_status_history", "text_bigram_lm",
     "embedding_centroids", "graph_kcore", "window_ntile_quartiles",
     "events_attribution", "dq_profile_orders", "incremental_agg_maintenance",
-    "stream_hll_windowed_distinct",
+    "stream_hll_windowed_distinct", "ml_pca_power_top",
     # (d) keepers: one representative per subsystem stays under driver
     # watch (streaming flagship, sketches, text analytics, TPC-H heavy,
     # ML, graph, ANN). The rest of the registry carries green r1-r4
@@ -115,7 +115,7 @@ _PRIORITY = [
     "stream_static_enrich", "q1_pricing_summary_full",
     "sketch_countmin_tokens", "sketch_bloom_membership",
     "text_repetition_quality", "incremental_merge_upsert",
-    "graph_pagerank", "ann_lsh_topk",
+    "graph_pagerank",
 ]
 
 

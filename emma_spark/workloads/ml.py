@@ -559,3 +559,70 @@ def ml_eval_scores(spark, sf_dir):
         F.when(F.col("l_quantity") > 25, 1.0).otherwise(0.0).alias("prediction"),
     )
     return scores_df(d)
+
+
+def _pca_sql(iters: int = 3) -> str:
+    from ..lib.ml.pca import DOWN, QV, QX
+
+    parts = [f"""
+    xc AS (
+      SELECT e.vec_id, t.i AS pos,
+             CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * {QX} + 0.5)
+                  AS BIGINT) AS xc
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS t(i)
+    ), v0 AS (
+      SELECT DISTINCT pos, CAST({QV // 8} AS BIGINT) AS vc FROM xc
+    )"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""
+    u{t} AS (
+      SELECT x.vec_id, sum(x.xc * v.vc) AS u
+      FROM xc x JOIN v{p} v ON x.pos = v.pos GROUP BY x.vec_id
+    ), w{t} AS (
+      SELECT x.pos, sum(CAST(u.u AS HUGEINT) * x.xc) AS w
+      FROM xc x JOIN u{t} u ON x.vec_id = u.vec_id GROUP BY x.pos
+    ), ws{t} AS (
+      -- exact FLOOR division (python //): strip the non-negative
+      -- remainder first (DuckDB's bare // truncates toward zero)
+      SELECT pos, (w - ((w % {DOWN}) + {DOWN}) % {DOWN}) // {DOWN} AS ws
+      FROM w{t}
+    ), n{t} AS (
+      SELECT sqrt(CAST(sum(ws * ws) AS DOUBLE)) AS nrm FROM ws{t}
+    ), v{t} AS (
+      SELECT pos,
+             CAST(floor(CAST(ws AS DOUBLE) / n.nrm * {QV} + 0.5) AS BIGINT)
+               AS vc
+      FROM ws{t}, n{t} n
+    )""")
+    return (
+        "WITH" + ",".join(parts)
+        + f"""
+    SELECT pos - 1 AS pos, CAST(vc AS DOUBLE) / {QV} AS loading
+    FROM v{iters}
+    """
+    )
+
+
+@query("ml_pca_power_top", oracle=_pca_sql(iters=3))
+def ml_pca_power_top(spark, sf_dir):
+    """Dominant principal direction of the embedding matrix by THREE
+    power iterations (lib/ml/pca.pca_power_top) — covariance-free PCA:
+    v ← normalize(Xᵀ(Xv)), where Xv is an exact-integer per-row array
+    fold (narrow) and Xᵀu is one posexplode + d-cell DECIMAL hash-agg
+    per iteration; only d-row vectors ever reach the driver (the
+    model-as-driver-state contract shared with the SGD solvers). All
+    cross-row sums are exact integers, the per-iteration sqrt/divide
+    are correctly-rounded IEEE ops, and the down-scale uses explicit
+    floor division — so the unrolled SQL oracle reproduces the
+    eigenvector to the 10⁻⁹ quantum. The d×d covariance matrix is
+    never materialized: at 100 TB this touches the data 2·iters times
+    and shuffles only d-row partials."""
+    from ..lib.ml.pca import pca_power_top
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    v = pca_power_top(emb, vec_col="embedding", id_col="vec_id", iters=3)
+    return spark.createDataFrame(
+        [(j, float(v[j])) for j in range(len(v))], "pos: bigint, loading: double"
+    )

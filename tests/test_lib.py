@@ -216,3 +216,23 @@ def test_graphs_lib_on_chain(spark):
 
     tri = {(r["x"], r["y"], r["z"]) for r in triangles(edges).collect()}
     assert tri == {(10, 11, 12)}
+
+
+def test_pca_power_top_matches_numpy(spark):
+    """3 power iterations on a strongly-1D synthetic cloud recover the
+    dominant right singular vector (|cos| > 0.999 vs numpy's SVD)."""
+    import numpy as np
+
+    from emma_spark.lib.ml.pca import pca_power_top
+
+    rows = []
+    for i in range(200):
+        t = (i % 41) - 20
+        base = [t * 1.0, t * 0.5, t * 0.25, 0.1 * ((i * 7) % 5 - 2)]
+        rows.append((i, [float(x) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    v = np.array(pca_power_top(df, iters=3, dim=4))
+    x = np.array([r[1] for r in rows])
+    _, _, vt = np.linalg.svd(x, full_matrices=False)
+    cos = abs(float(np.dot(v, vt[0]) / (np.linalg.norm(v) * np.linalg.norm(vt[0]))))
+    assert cos > 0.999, (cos, v.tolist(), vt[0].tolist())
