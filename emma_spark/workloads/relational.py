@@ -997,6 +997,63 @@ def comprehension_join_derivation(spark, sf_dir):
 
 
 @query(
+    "asof_forward_conversion",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts, min_by(value, event_id) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), j AS (
+      SELECT c.event_id, c.user_id, c.ts AS c_ts, p.ts AS p_ts, p.value
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN epoch(p_ts) - epoch(c_ts) <= 7200
+                THEN floor(value * 10000 + 0.5) / 10000 END AS value_right,
+           CASE WHEN epoch(p_ts) - epoch(c_ts) <= 7200 THEN p_ts END
+             AS ts_right
+    FROM j
+    """,
+)
+def asof_forward_conversion(spark, sf_dir):
+    """FORWARD as-of join with tolerance (operators/asof.py
+    direction='forward'): each click attaches the next purchase by the
+    same user within 2 hours — the conversion-window attribution
+    shape. The right side is deduplicated per (user, ts) with a
+    deterministic min_by pick first, because an as-of match among
+    equal timestamps is otherwise engine-arbitrary. Oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN — a genuinely independent
+    implementation of the operator (merge-based) validating this
+    engine's union+window formulation; same one-shuffle cost as a
+    sort-merge join, no pair materialization."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min_by("value", "event_id").alias("value"))
+    )
+    from ..operators.asof import asof_join
+
+    out = asof_join(
+        clicks, purch, on="user_id", ts="ts", right_cols=["value"],
+        tolerance_seconds=7200, direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        (F.floor(F.col("value_right") * 10000 + F.lit(0.5)) / 10000).alias(
+            "value_right"
+        ),
+        "ts_right",
+    )
+
+
+@query(
     "asof_join_purchases",
     oracle="""
     SELECT p.user_id, p.event_id AS pid,
