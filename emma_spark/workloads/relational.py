@@ -3089,3 +3089,139 @@ def incremental_agg_maintenance(spark, sf_dir):
         ((F.col("n") == F.col("f_n")) & (F.col("total_c") == F.col("f_total_c"))
          ).alias("matches_full"),
     )
+
+
+@query(
+    "events_resample_ffill",
+    oracle="""
+    WITH ue AS (
+      SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS v_c
+      FROM events WHERE user_id % 37 = 0
+      GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+    ), spans AS (
+      SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+      FROM ue GROUP BY user_id
+    ), grid AS (
+      SELECT s.user_id, t.b AS bucket
+      FROM spans s, unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS t(b)
+    )
+    SELECT g.user_id, g.bucket,
+           last_value(ue.v_c IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS UNBOUNDED PRECEDING
+           ) / 10000.0 AS filled,
+           ue.v_c IS NOT NULL AS observed
+    FROM grid g LEFT JOIN ue ON g.user_id = ue.user_id AND g.bucket = ue.bucket
+    """,
+)
+def events_resample_ffill(spark, sf_dir):
+    """Time-series resampling with forward fill: each user's event
+    values summed into hourly buckets, the per-user [min, max] hour
+    range densified to a complete grid (``sequence`` + explode — rows
+    generated ∝ span, never a calendar cross join), gaps carried
+    forward with ``last(v, ignorenulls)`` over a PARTITIONED window —
+    the standard gap-filling shape feature pipelines and downsampling
+    jobs need. Per-user spans keep generation local; the only
+    shuffles are the hourly agg and the per-user window. Hour sums in
+    exact 10^-4 units; the fill divides once at the end."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    ue = (
+        e.filter(F.col("user_id") % 37 == 0)
+        .groupBy(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")).alias(
+                "v_c"
+            )
+        )
+    )
+    spans = ue.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(ue, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "bucket",
+        (F.last("v_c", ignorenulls=True).over(w) / 10000.0).alias("filled"),
+        F.col("v_c").isNotNull().alias("observed"),
+    )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                    AS BIGINT)) / 100 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'AUTOMOBILE'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Semi-join reduction via a Bloom runtime filter: the qualifying
+    orderkeys (AUTOMOBILE-segment customers) build the relational
+    Bloom position set (llm/sketches.bloom_build, m=65536 bits as ≤ m
+    rows), and the FACT side is prefiltered by THREE broadcast
+    LEFT-SEMI probes — one per hash position — BEFORE its shuffle:
+    only true matches + the Bloom's false positives move, and the real
+    join then removes the false positives, so the RESULT is provably
+    identical to the plain 3-way join (exactly what the oracle runs —
+    the filter's FP set cannot affect the answer). Hand-written form
+    of Spark's runtime-filter injection (its `bloom_filter_agg` is not
+    SQL-registered), kept explicit so the mechanics are testable.
+    Broadcast hash semi-joins add no shuffle and no per-row wide
+    literals; m must scale with the build-side cardinality (a
+    saturated filter is correct but filters nothing)."""
+    from ..llm import sketches as SK
+
+    _M, _K = 65536, 3
+    t = T(spark, sf_dir, "lineitem", "orders", "customer")
+    li, o, c = t["lineitem"].df, t["orders"].df, t["customer"].df
+    qual_cust = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    qual_orders = o.join(
+        F.broadcast(qual_cust), o["o_custkey"] == qual_cust["c_custkey"], "left_semi"
+    )
+    bits = SK.bloom_build(
+        qual_orders.select("o_orderkey"), "o_orderkey", m=_M, k=_K
+    )
+    hexh = SK._md5_hex(F.col("l_orderkey"), "bf")
+    filtered = li
+    for j in range(_K):
+        filtered = filtered.withColumn(
+            f"__p{j}", SK._hex_slice_long(hexh, 1 + 10 * j, 10) % _M
+        )
+    for j in range(_K):
+        bj = bits.select(F.col("pos").alias(f"__b{j}"))
+        filtered = filtered.join(
+            F.broadcast(bj), filtered[f"__p{j}"] == bj[f"__b{j}"], "left_semi"
+        )
+    filtered = filtered.drop(*[f"__p{j}" for j in range(_K)])
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        filtered.join(qual_orders, filtered["l_orderkey"] == qual_orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(rev_c) / 100).alias("revenue"),
+        )
+    )
