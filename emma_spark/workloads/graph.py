@@ -330,3 +330,110 @@ def graph_kcore(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("src").alias("id"), "deg")
     )
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH lp_base AS (
+      SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+      UNION ALL
+      SELECT n_nationkey, (7 * n_nationkey + 3) % 25 FROM nation
+    ),
+    lp_edges AS (
+      SELECT src, dst FROM lp_base UNION ALL SELECT dst, src FROM lp_base
+    ),
+    lp0 AS (
+      SELECT n_nationkey AS id,
+             CASE WHEN n_nationkey % 7 = 0 THEN n_nationkey END AS lbl,
+             CASE WHEN n_nationkey % 7 = 0 THEN n_nationkey END AS seed
+      FROM nation
+    ),
+    r1 AS (
+      SELECT n.id,
+             CASE WHEN n.seed IS NOT NULL THEN n.seed
+                  ELSE coalesce(v.lbl, n.lbl) END AS lbl, n.seed
+      FROM lp0 n LEFT JOIN (
+        SELECT dst AS id, arg_max(lbl, cnt * 100 - lbl) AS lbl FROM (
+          SELECT e.dst, p.lbl, count(*) AS cnt
+          FROM lp_edges e JOIN lp0 p ON e.src = p.id
+          WHERE p.lbl IS NOT NULL GROUP BY e.dst, p.lbl
+        ) GROUP BY dst
+      ) v ON n.id = v.id
+    ),
+    r2 AS (
+      SELECT n.id,
+             CASE WHEN n.seed IS NOT NULL THEN n.seed
+                  ELSE coalesce(v.lbl, n.lbl) END AS lbl, n.seed
+      FROM r1 n LEFT JOIN (
+        SELECT dst AS id, arg_max(lbl, cnt * 100 - lbl) AS lbl FROM (
+          SELECT e.dst, p.lbl, count(*) AS cnt
+          FROM lp_edges e JOIN r1 p ON e.src = p.id
+          WHERE p.lbl IS NOT NULL GROUP BY e.dst, p.lbl
+        ) GROUP BY dst
+      ) v ON n.id = v.id
+    ),
+    r3 AS (
+      SELECT n.id,
+             CASE WHEN n.seed IS NOT NULL THEN n.seed
+                  ELSE coalesce(v.lbl, n.lbl) END AS lbl, n.seed
+      FROM r2 n LEFT JOIN (
+        SELECT dst AS id, arg_max(lbl, cnt * 100 - lbl) AS lbl FROM (
+          SELECT e.dst, p.lbl, count(*) AS cnt
+          FROM lp_edges e JOIN r2 p ON e.src = p.id
+          WHERE p.lbl IS NOT NULL GROUP BY e.dst, p.lbl
+        ) GROUP BY dst
+      ) v ON n.id = v.id
+    )
+    SELECT id, lbl FROM r3
+    """,
+)
+def graph_label_propagation(spark, sf_dir):
+    """Semi-supervised label propagation (3 synchronous rounds):
+    nodes with id%7==0 are fixed seeds; every other node adopts the
+    MAJORITY label among its labeled neighbors each round, ties to the
+    smallest label (arg_max over the exact integer key cnt·100−lbl —
+    deterministic on both engines). The community-detection cousin of
+    connected components (min-label) with different algebra: a vote,
+    not a lattice meet. Each round is one neighbor join + one
+    (node,label) hash-agg + one argmax agg — shuffles on node ids
+    only, labels never leave the executors; the oracle unrolls the
+    three rounds."""
+    n = io.read_parquet(spark, f"{sf_dir}/nation.parquet").df
+    k = F.col("n_nationkey")
+    from ..plans.cache import pin
+
+    base = n.select(k.alias("src"), ((k + 1) % 25).alias("dst")).unionByName(
+        n.select(k.alias("src"), ((k * 7 + 3) % 25).alias("dst"))
+    )
+    edges = pin(base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ))
+    seed = F.when(k % 7 == 0, k)
+    labels = n.select(k.alias("id"), seed.alias("lbl"), seed.alias("seed"))
+    for _ in range(3):
+        counts = (
+            edges.join(
+                labels.filter(F.col("lbl").isNotNull()).select(
+                    F.col("id").alias("src"), F.col("lbl")
+                ),
+                "src",
+            )
+            .groupBy("dst", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        votes = counts.groupBy("dst").agg(
+            F.max_by("lbl", F.col("cnt") * 100 - F.col("lbl")).alias("vlbl")
+        )
+        labels = (
+            labels.join(votes, labels["id"] == votes["dst"], "left")
+            .select(
+                "id",
+                F.when(F.col("seed").isNotNull(), F.col("seed"))
+                .otherwise(F.coalesce(F.col("vlbl"), F.col("lbl")))
+                .alias("lbl"),
+                "seed",
+            )
+        )
+        labels = pin(labels)
+    return labels.select("id", "lbl")
