@@ -142,3 +142,60 @@ def multimodal_frame_sample(spark, sf_dir):
         ).alias("meta"),
     )
     return M.frame_sample_plan(vids, every_n=7)
+
+
+@query(
+    "multimodal_chunk_dedup",
+    oracle="""
+    WITH blobs AS (
+      SELECT id,
+             repeat('SEG' || CAST(id % 7 AS VARCHAR) || '|',
+                    CAST(id % 13 + 3 AS INT)) AS s
+      FROM range(400) t(id)
+    ), chunks AS (
+      SELECT b.id, substr(b.s, CAST(t.off AS INT), 32) AS chunk
+      FROM blobs b,
+           unnest(generate_series(1, len(b.s), 32)) AS t(off)
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           count(*) AS n_occurrences,
+           count(DISTINCT id) AS n_blobs
+    FROM chunks GROUP BY md5(chunk) HAVING count(*) >= 2
+    """,
+)
+def multimodal_chunk_dedup(spark, sf_dir):
+    """Content-addressed chunk deduplication for binary/blob columns —
+    the storage-dedup primitive (CAS/backup systems, media-corpus
+    shrinkage): blobs split at fixed 32-byte boundaries, each chunk
+    hashed, duplicate chunks counted across blobs. Chunking is
+    sequence+explode (rows ∝ blob bytes / chunk size, streamed — the
+    blob itself is never shuffled, only 32-byte chunks + hashes);
+    counting is one hash-agg with map-side partials. Deterministic
+    synthetic blobs (same range(400) convention as the other
+    multimodal fixtures) keep a full value oracle; on real data the
+    same plan runs over a binary column via substring on bytes.
+    Fixed-boundary CDC — rolling-hash (content-defined) boundaries
+    would resist insertions, at the cost of a per-byte scan; this is
+    the broadcastable first-order variant."""
+    blobs = spark.range(400).select(
+        "id",
+        F.expr(
+            "repeat(concat('SEG', CAST(id % 7 AS STRING), '|'), "
+            "CAST(id % 13 + 3 AS INT))"
+        ).alias("s"),
+    )
+    chunks = blobs.select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("s"), F.lit(32))
+        ).alias("off"),
+        "s",
+    ).select("id", F.expr("substring(s, off, 32)").alias("chunk"))
+    return (
+        chunks.groupBy(F.md5(F.encode(F.col("chunk"), "utf-8")).alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("id").alias("n_blobs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
