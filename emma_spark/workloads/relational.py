@@ -3225,3 +3225,72 @@ def join_bloom_prefilter(spark, sf_dir):
             (F.sum(rev_c) / 100).alias("revenue"),
         )
     )
+
+
+@query(
+    "scd2_point_in_time_lookup",
+    oracle="""
+    WITH marked AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_status
+      FROM orders WHERE o_custkey % 31 = 0
+    ), intervals AS (
+      SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS valid_to
+      FROM marked
+      WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    )
+    SELECT e.event_id, e.user_id, i.status
+    FROM events e JOIN intervals i
+      ON e.user_id = i.o_custkey
+     AND e.ts >= i.valid_from
+     AND (i.valid_to IS NULL OR e.ts < i.valid_to)
+    """,
+)
+def scd2_point_in_time_lookup(spark, sf_dir):
+    """Point-in-time dimension lookup against an SCD Type-2 history —
+    the join every warehouse runs after building validity intervals
+    (scd2_status_history): each event resolves the status that was
+    current AT ITS TIMESTAMP (valid_from ≤ ts < valid_to, open
+    current interval). The join is an equi-join on the dimension key
+    with the interval predicate as residual — per-key interval counts
+    are small (one per status change), so the per-key pair blow-up is
+    bounded by history length, NOT events×intervals; half-open
+    intervals guarantee each event matches at most one row. At 100 TB
+    this is one shuffle on the key for each side — same cost as any
+    dimension join."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    marked = (
+        o.filter(lambda x: x.o_custkey % 31 == 0)
+        .df.select(
+            "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey",
+            F.lag("o_orderstatus").over(w).alias("prev_status"),
+        )
+    )
+    intervals = (
+        marked.filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+        )
+    )
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    return (
+        e.join(
+            intervals,
+            (e["user_id"] == intervals["o_custkey"])
+            & (e["ts"] >= intervals["valid_from"])
+            & (intervals["valid_to"].isNull() | (e["ts"] < intervals["valid_to"])),
+        )
+        .select("event_id", "user_id", "status")
+    )

@@ -97,3 +97,53 @@ def test_two_level_reduce_partition_invariant(spark, data, nparts):
     assert xs.reduce(0, lambda a, b: a + b, e="v") == sum(vals)
     got = xs.reduce_option(lambda a, b: F.greatest(a, b), e="v")
     assert got == (max(vals) if vals else None)
+
+
+ids = st.lists(st.integers(0, 5000), min_size=1, max_size=120)
+
+
+@given(data=ids)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_binned_quantiles_error_bound(spark, data):
+    """Sketch contract: the approximate quantile is always within ONE
+    bin width above the true value and never below it (upper bin
+    edge), for any drawn integer multiset."""
+    from emma_spark.llm.sketches import binned_quantiles
+
+    bins = 16
+    df = spark.createDataFrame([(v,) for v in data], "c: bigint")
+    got = {
+        r["q_pct"]: r["approx"]
+        for r in binned_quantiles(df, "c", qs=[0.5, 0.9], bins=bins).collect()
+    }
+    lo, hi = min(data), max(data)
+    width = (hi - lo + 1 + bins - 1) // bins  # ceil of range/bins
+    s = sorted(data)
+    for pct in (50, 90):
+        rank = -(-len(s) * pct // 100)  # ceil(n·pct/100)
+        exact = s[rank - 1]
+        assert got[pct] >= exact, (pct, got[pct], exact, data)
+        assert got[pct] - exact <= width + 1, (pct, got[pct], exact, width, data)
+
+
+@given(data=st.lists(st.integers(0, 10**9), min_size=30, max_size=200, unique=True))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hll_partition_invariance_and_sanity(spark, data):
+    """The HLL estimate is IDENTICAL under different partitionings of
+    the same multiset (the portability contract), and lands within a
+    loose sanity band of the true cardinality (raw estimator at p=9 is
+    biased low in the small-range regime — the band only catches
+    gross breakage, the cross-engine oracle catches everything else)."""
+    from emma_spark.llm.sketches import hll_estimate, hll_register_table
+
+    rows_ = [("g", v) for v in data]
+    est = []
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows_, "g: string, v: bigint").repartition(parts)
+        regs = hll_register_table(df, "g", "v", p=9)
+        est.append(hll_estimate(regs, "g", p=9).collect()[0]["est_distinct"])
+    assert est[0] == est[1], est
+    n = len(data)
+    assert 0.3 * n <= est[0] <= 3.0 * n + 400, (est[0], n)
