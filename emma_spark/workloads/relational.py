@@ -3294,3 +3294,98 @@ def scd2_point_in_time_lookup(spark, sf_dir):
         )
         .select("event_id", "user_id", "status")
     )
+
+
+@query(
+    "dq_observed_ingest",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS n_nonpositive,
+           count(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END)
+             AS n_bad_status,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_c
+    FROM orders
+    """,
+)
+def dq_observed_ingest(spark, sf_dir):
+    """Ingest observability with ``Dataset.observe``: validation
+    counters (row count, non-positive prices, out-of-domain statuses,
+    checksum total) collected DURING a single pass of the data as
+    accumulator-style metrics — zero extra scans, zero shuffles; the
+    pattern for emitting data-quality metrics from production ingest
+    jobs without re-reading the batch. The pass itself is a noop-sink
+    write (any real job's write slot); the observed metrics come back
+    on the driver and are emitted as the result row. The oracle
+    recomputes the same aggregates relationally."""
+    from pyspark.sql import Observation
+
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n_nonpositive"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+        ).alias("n_bad_status"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_c"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_nonpositive"], m["n_bad_status"], m["total_c"])],
+        "n_rows: bigint, n_nonpositive: bigint, n_bad_status: bigint, total_c: bigint",
+    )
+
+
+def _zorder_expr(x: str, y: str, bits: int = 16) -> str:
+    """Bit-interleave SQL text (identical on Spark and DuckDB: >>, &,
+    << on bigints): z = ... y1 x1 y0 x0."""
+    # each term fully parenthesized: SQL's `+` binds TIGHTER than `<<`,
+    # so `a << 0 + b << 2` would parse as `a << (0 + b) << 2`. The
+    # BIGINT cast keeps the shift 64-bit (an INT32 input would
+    # overflow `1 << 31` on DuckDB).
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((CAST({x} AS BIGINT) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((CAST({y} AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_clustering",
+    oracle=f"""
+    WITH k AS (
+      SELECT o_orderkey,
+             o_custkey & 65535 AS x,
+             (epoch_us(o_orderdate) // 86400000000) & 65535 AS y
+      FROM orders WHERE o_orderkey % 199 = 0
+    )
+    SELECT o_orderkey, {_zorder_expr('x', 'y')} AS zval
+    FROM k
+    """,
+)
+def layout_zorder_clustering(spark, sf_dir):
+    """Z-order (Morton) clustering key: 16 bits each of customer and
+    order-day interleaved into one bigint — the space-filling-curve
+    layout key behind Delta/Iceberg Z-ORDER data clustering. Writing
+    files range-partitioned by zval co-locates rows close in BOTH
+    dimensions, so 2-D predicates (custkey range × date range) prune
+    file-level min/max stats far better than a lexicographic sort —
+    the 100 TB scan-locality story. The interleave is pure integer
+    bit arithmetic (>> & <<), generated from ONE expression string
+    for both engines; combine with repartitionByRange(zval) +
+    write_parquet at layout time. Epoch-day derived with exact
+    integer division of epoch-microseconds."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    k = (
+        o.filter(lambda r: r.o_orderkey % 199 == 0)
+        .df.select(
+            "o_orderkey",
+            (F.col("o_custkey").bitwiseAND(65535)).alias("x"),
+            F.expr("(unix_micros(o_orderdate) div 86400000000) & 65535").alias("y"),
+        )
+    )
+    return k.select("o_orderkey", F.expr(_zorder_expr("x", "y")).alias("zval"))
