@@ -3389,3 +3389,53 @@ def layout_zorder_clustering(spark, sf_dir):
         )
     )
     return k.select("o_orderkey", F.expr(_zorder_expr("x", "y")).alias("zval"))
+
+
+@query(
+    "udtf_expand_props",
+    oracle="""
+    SELECT t.k AS prop_key, count(*) AS n,
+           sum(CAST(json_extract(e.props, '$.' || t.k) AS BIGINT)) AS total
+    FROM events e, unnest(json_keys(e.props)) AS t(k)
+    WHERE e.event_id % 101 = 0
+    GROUP BY t.k
+    """,
+)
+def udtf_expand_props(spark, sf_dir):
+    """Python UDTF (table function) — the one SURVEY §2.7 surface not
+    expressible as a scalar/aggregate UDF: each input row EXPANDS to a
+    variable number of output rows (here: every key/value pair of the
+    props JSON document). Registered and invoked via SQL LATERAL
+    correlation, with ``spark.sql.execution.pythonUDTF.arrow.enabled``
+    so row transfer is Arrow-batched per the engine's no-row-at-a-time
+    policy. For THIS fixed schema a pure-Column ``from_json`` +
+    explode would do (and is preferred — see json_extract_fields);
+    the UDTF form is the seam for genuinely dynamic/imperative
+    expansion (unknown keys, custom tokenizers, parsers with state).
+    The per-key counts aggregate AFTER the expansion — expansion is
+    narrow, the single shuffle is the aggregation."""
+    import json
+    import uuid as _uuid
+
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="prop_key string, prop_val bigint")
+    class ExpandProps:
+        def eval(self, props: str):
+            if not props:
+                return
+            for k, v in json.loads(props).items():
+                yield k, int(v)
+
+    fname = f"expand_props_{_uuid.uuid4().hex[:8]}"
+    spark.udtf.register(fname, ExpandProps)
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    vname = f"events_{fname}"
+    e.filter(F.col("event_id") % 101 == 0).createOrReplaceTempView(vname)
+    return spark.sql(f"""
+        SELECT t.prop_key, count(*) AS n, sum(t.prop_val) AS total
+        FROM {vname} v, LATERAL {fname}(v.props) t
+        GROUP BY t.prop_key
+    """)

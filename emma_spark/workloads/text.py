@@ -552,3 +552,61 @@ def text_bigram_lm(spark, sf_dir):
         .orderBy(F.desc("cnt"), "w1", "w2")
         .limit(50)
     )
+
+
+@query(
+    "text_mixture_allocation",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(substr(source, 4) AS INT) % 5 + 1 AS w,
+             count(*) AS n_docs,
+             sum(len({SQL_TOKS})) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (SELECT sum(w) AS sw FROM per_src)
+    SELECT p.source, p.n_docs, p.n_tokens,
+           1000000 * p.w // t.sw AS target_tokens,
+           least(1000000::BIGINT,
+                 (1000000 * p.w // t.sw) * 1000000 // p.n_tokens) AS rate_ppm,
+           (1000000 * p.w // t.sw) * 100 // p.n_tokens AS epochs_x100
+    FROM per_src p CROSS JOIN tot t
+    """,
+)
+def text_mixture_allocation(spark, sf_dir):
+    """Training-mixture allocation: given per-source mixing weights
+    and a 10^6-token budget, compute each source's target token count,
+    the sampling rate to hit it (capped at 1 — you cannot sample more
+    than once per pass), and the oversampling factor (epochs×100) when
+    the target EXCEEDS the available tokens — the data-mixing recipe
+    arithmetic (DoReMi-style weights → concrete per-source rates)
+    every pretraining run resolves before reading a byte. One
+    per-source agg + a 1-row broadcast weight total; all allocation
+    math is exact integer division, so the plan is engine-portable.
+    Weights here derive deterministically from the source id; in
+    production they arrive as a literal map from the mixing policy."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    per_src = (
+        docs.select(
+            "source",
+            (F.expr("CAST(substring(source, 4) AS INT)") % 5 + 1).alias("w"),
+            F.size(X.tokens(F.col("text"))).alias("toks"),
+        )
+        .groupBy("source", "w")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per_src.agg(F.sum("w").alias("sw"))
+    target = F.expr("1000000 * w div sw")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        target.alias("target_tokens"),
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.expr("(1000000 * w div sw) * 1000000 div n_tokens"),
+        ).alias("rate_ppm"),
+        F.expr("(1000000 * w div sw) * 100 div n_tokens").alias("epochs_x100"),
+    )
