@@ -267,3 +267,89 @@ def sketch_quantile_bins(spark, sf_dir):
         F.substring("qn", 2, 3).cast("int").alias("q_pct"), "exact_interp"
     )
     return approx.join(unp, "q_pct").select("q_pct", "approx", "exact_interp")
+
+
+@query(
+    "sketch_quantile_bins_grouped",
+    oracle=f"""
+    WITH pc AS (
+      SELECT o_orderpriority AS grp,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ), mm AS (
+      SELECT grp, min(c) AS lo, max(c) AS hi, count(*) AS n
+      FROM pc GROUP BY grp
+    ), binned AS (
+      SELECT pc.grp, (pc.c - mm.lo) * {_QB_BINS} // (mm.hi - mm.lo + 1) AS bin,
+             count(*) AS cnt
+      FROM pc JOIN mm ON pc.grp = mm.grp GROUP BY 1, 2
+    ), cum AS (
+      SELECT grp, bin,
+             sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM binned
+    ), qs AS (SELECT unnest([50, 90]) AS q_pct),
+    hit AS (
+      SELECT c.grp, q.q_pct, min(c.bin) AS bin
+      FROM qs q
+      JOIN mm ON true
+      JOIN cum c ON c.grp = mm.grp AND c.cum >= (mm.n * q.q_pct + 99) // 100
+      GROUP BY c.grp, q.q_pct
+    )
+    SELECT h.grp AS o_orderpriority, h.q_pct,
+           mm.lo + ((h.bin + 1) * (mm.hi - mm.lo + 1)) // {_QB_BINS} AS approx
+    FROM hit h JOIN mm ON h.grp = mm.grp
+    """,
+)
+def sketch_quantile_bins_grouped(spark, sf_dir):
+    """PER-GROUP binned quantiles: the equi-width quantile sketch
+    generalized to grouped data with NOTHING global — per-group
+    min/max/count broadcast back, per-(group,bin) hash-agg (≤ B cells
+    per group), cumulative window PARTITIONED by group over ≤ B rows,
+    per-group read-off via a min(bin) aggregate. The grouped
+    percentile plan that scales where exact per-group percentiles
+    (one sort per group) do not; same exact-integer arithmetic as
+    sketch_quantile_bins, so the oracle replays it bit-for-bit."""
+    from pyspark.sql import Window
+
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    pc = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    mm = pc.groupBy("grp").agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("c").alias("n")
+    )
+    binned = (
+        pc.join(F.broadcast(mm), "grp")
+        .select(
+            "grp", "lo", "hi", "n",
+            F.expr(f"CAST((c - lo) * {_QB_BINS} div (hi - lo + 1) AS INT)").alias(
+                "bin"
+            ),
+        )
+        .groupBy("grp", "lo", "hi", "n", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.withColumn("cum", F.sum("cnt").over(w))
+    out = None
+    for pct in (50, 90):
+        hit = (
+            cum.filter(F.col("cum") >= F.expr(f"(n * {pct} + 99) div 100"))
+            .groupBy("grp", "lo", "hi")
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                F.col("grp").alias("o_orderpriority"),
+                F.lit(pct).alias("q_pct"),
+                F.expr(
+                    f"lo + ((bin + 1) * (hi - lo + 1)) div {_QB_BINS}"
+                ).alias("approx"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
