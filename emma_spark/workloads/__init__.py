@@ -106,15 +106,22 @@ _PRIORITY = [
     "embedding_centroids", "graph_kcore", "window_ntile_quartiles",
     "events_attribution", "dq_profile_orders", "incremental_agg_maintenance",
     "stream_hll_windowed_distinct", "ml_pca_power_top",
-    # (d) keepers: one representative per subsystem stays under driver
-    # watch (streaming flagship, sketches, text analytics, TPC-H heavy,
-    # ML, graph, ANN). The rest of the registry carries green r1-r4
-    # rows and rotates out, still swept by tools/diffcheck.py --vanilla
-    # each round.
-    "stream_watermark_append", "events_funnel",
-    "stream_static_enrich", "q1_pricing_summary_full",
+    # (c'') late r5 additions that fit after swapping unchanged
+    # r4-green keepers out: forward as-of (native-ASOF oracle),
+    # resample+ffill, Bloom-prefiltered join (exercises the resliced
+    # bloom_build), label propagation, the Python UDTF surface
+    "asof_forward_conversion", "events_resample_ffill",
+    "join_bloom_prefilter", "graph_label_propagation",
+    "udtf_expand_props",
+    # (d) keepers: the streaming flagship (io/NTZ path changed this
+    # round) + both sketch probes (hash slicing changed) + the
+    # iterative-graph representative. Everything else carries green
+    # r1-r4 rows and rotates out, still swept by
+    # tools/diffcheck.py --vanilla each round; the remaining r5-late
+    # queries (chunk dedup, SCD2 lookup, observed metrics, z-order,
+    # mixture allocation, grouped quantile bins) queue for r6.
+    "stream_watermark_append",
     "sketch_countmin_tokens", "sketch_bloom_membership",
-    "text_repetition_quality", "incremental_merge_upsert",
     "graph_pagerank",
 ]
 
