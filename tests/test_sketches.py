@@ -113,3 +113,18 @@ def test_pack_sequences_invariants(spark):
     # every pack id in a contiguous range
     pids = sorted({r["pack_id"] for r in rows})
     assert pids == list(range(pids[-1] + 1))
+
+
+def test_pack_sequences_null_token_count_raises(spark):
+    """A NULL token count must fail loudly (it would silently poison
+    the cumulative offsets), executor-side via raise_error."""
+    import pytest
+    import pyspark.sql.functions as F
+    from emma_spark.llm.text import pack_sequences
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") != 3, F.col("id") + 1).alias("n_tokens"),
+    )
+    with pytest.raises(Exception, match="pack_sequences: NULL"):
+        pack_sequences(df, "doc_id", "n_tokens", ctx=64).collect()
