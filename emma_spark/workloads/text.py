@@ -610,3 +610,113 @@ def text_mixture_allocation(spark, sf_dir):
         ).alias("rate_ppm"),
         F.expr("(1000000 * w div sw) * 100 div n_tokens").alias("epochs_x100"),
     )
+
+
+_BPE_MERGES = 5
+
+
+def _bpe_sql(n_merges: int = _BPE_MERGES) -> str:
+    parts = [f"""
+    w0 AS (
+      SELECT word, count(*) AS n,
+             ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq
+      FROM (SELECT unnest({SQL_TOKS}) AS word FROM documents)
+      GROUP BY word
+    )"""]
+    sel = []
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(f"""
+    t{k} AS (
+      SELECT n, list_filter(string_split(seq, ' '), x -> x != '') AS tk
+      FROM w{p}
+    ), pc{k} AS (
+      SELECT b[1] AS l, b[2] AS r, sum(n) AS cnt FROM (
+        SELECT n, unnest([[tk[i], tk[i + 1]] FOR i IN range(1, len(tk))]) AS b
+        FROM t{k} WHERE len(tk) >= 2
+      ) GROUP BY b[1], b[2]
+    ), b{k} AS (
+      SELECT l, r, cnt FROM pc{k} ORDER BY cnt DESC, l, r LIMIT 1
+    ), w{k} AS (
+      SELECT w.word, w.n,
+             replace(w.seq, ' ' || b.l || ' ' || b.r || ' ',
+                     ' ' || b.l || b.r || ' ') AS seq
+      FROM w{p} w CROSS JOIN b{k} b
+    )""")
+        sel.append(
+            f"SELECT {k} AS rank, l AS left_tok, r AS right_tok, cnt FROM b{k}"
+        )
+    return "WITH" + ",".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@query("text_bpe_train", oracle=_bpe_sql())
+def text_bpe_train(spark, sf_dir):
+    """BPE merge training — the first 5 merge rules learned from the
+    corpus: per level, count adjacent token pairs weighted by word
+    frequency, take the most frequent pair (ties: lexicographic),
+    fuse it everywhere, repeat. This turns the engine's 'BPE-ish'
+    tokenizer seam into an actual trainer whose merge table is
+    oracle-checked. ENTIRELY lazy dataflow — no driver loop: each
+    level is a pair hash-agg (map-side combined, vocab-bounded), a
+    1-row TakeOrdered argmax, and a broadcast-back string fuse;
+    per-level word tables pin via plans.cache.pin (each feeds two
+    consumers — unpinned, level k would recompute level k-1 twice).
+    Sequences are space-joined with boundary padding, so a fuse can
+    never match mid-token; application is both engines' identical
+    leftmost-non-overlapping replace (immediately repeated pairs
+    inside one word fuse one-per-round — deterministic on both
+    sides). At 100 TB the state is the word-frequency table (vocab-,
+    not corpus-sized) — the standard BPE-training working set."""
+    from ..plans.cache import pin
+
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    words = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "word", "n",
+            F.concat(
+                F.lit(" "), F.concat_ws(" ", F.split(F.col("word"), "")), F.lit(" ")
+            ).alias("seq"),
+        )
+    )
+    w = pin(words)
+    out = None
+    for k in range(1, _BPE_MERGES + 1):
+        tk = F.filter(F.split(F.col("seq"), " "), lambda x: x != "")
+        pairs = (
+            w.select("n", tk.alias("tk"))
+            .filter(F.size("tk") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("l"),
+                        F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("r"),
+                    )
+                ).alias("b"),
+            )
+            .groupBy(F.col("b.l").alias("l"), F.col("b.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pin(pairs.orderBy(F.desc("cnt"), "l", "r").limit(1))
+        out_k = best.select(
+            F.lit(k).alias("rank"),
+            F.col("l").alias("left_tok"),
+            F.col("r").alias("right_tok"),
+            "cnt",
+        )
+        out = out_k if out is None else out.unionByName(out_k)
+        w = pin(
+            w.crossJoin(F.broadcast(best)).select(
+                "word",
+                "n",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.lit(" "), F.col("l"), F.lit(" "), F.col("r"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" ")),
+                ).alias("seq"),
+            )
+        )
+    return out

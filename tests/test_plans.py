@@ -232,6 +232,29 @@ def test_vocab_coverage_no_global_window_over_vocabulary(spark, registry):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan[:800]
 
 
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column of a partition_by'd parquet
+    dataset must become a PartitionFilter (directory pruning) — the
+    scan lists only matching partitions instead of reading all files
+    and filtering rows. The 100 TB layout contract for write_parquet's
+    partition_by."""
+    from emma_spark.core import DataBag
+    from emma_spark.sources import io as eio
+    from pyspark.sql import functions as F
+
+    src = eio.read_parquet(spark, f"{SF_DIR}/orders.parquet").df.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    p = str(tmp_path / "orders_part")
+    DataBag(src).write_parquet(p, partition_by=["o_orderstatus"])
+    back = eio.read_parquet(spark, p).df.filter(F.col("o_orderstatus") == "F")
+    plan = _plan(back)
+    i = plan.index("PartitionFilters")
+    assert "o_orderstatus" in plan[i:i + 200], plan[i:i + 300]
+    # and the row filter does NOT appear as a post-scan Filter on data
+    assert back.count() == src.filter(F.col("o_orderstatus") == "F").count()
+
+
 def test_bigram_lm_top_k_is_take_ordered(spark, registry):
     """text_bigram_lm's top-50 report must be TakeOrderedAndProject —
     the bigram table (∝ vocab²) must never be globally sorted."""
