@@ -474,3 +474,83 @@ def stream_hll_windowed_distinct(spark, sf_dir):
     return est.join(exact, est["win_start"] == exact["ws"]).select(
         "win_start", "n_used", "est_distinct", "exact_distinct"
     )
+
+
+@query(
+    "stream_quantile_bins_windowed",
+    oracle="""
+    WITH pc AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+             least(CAST(floor(value * 100 + 0.5) AS BIGINT) * 128 // 100000,
+                   127) AS bin
+      FROM events
+    ), binned AS (
+      SELECT win_start, bin, count(*) AS cnt FROM pc GROUP BY win_start, bin
+    ), mm AS (
+      SELECT win_start, sum(cnt) AS n FROM binned GROUP BY win_start
+    ), cum AS (
+      SELECT win_start, bin,
+             sum(cnt) OVER (PARTITION BY win_start ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM binned
+    ), qs AS (SELECT unnest([50, 90]) AS q_pct),
+    hit AS (
+      SELECT c.win_start, q.q_pct, min(c.bin) AS bin
+      FROM qs q
+      JOIN mm ON true
+      JOIN cum c ON c.win_start = mm.win_start
+                AND c.cum >= (mm.n * q.q_pct + 99) // 100
+      GROUP BY c.win_start, q.q_pct
+    )
+    SELECT win_start, q_pct, ((bin + 1) * 100000 // 128) AS approx_c
+    FROM hit
+    """,
+)
+def stream_quantile_bins_windowed(spark, sf_dir):
+    """Streaming per-window quantiles via the binned sketch: the
+    STATEFUL aggregation is groupBy(window, bin).count() with a FIXED
+    128-bin domain ([0, 1000) in cents — streaming cannot do the
+    batch sketch's min/max first pass, so the domain is declared, the
+    standard streaming-histogram contract; out-of-domain values clamp
+    to the top bin). State is bounded at 128 cells per window — the
+    same bounded-state story as stream_hll_windowed_distinct, for
+    quantiles. p50/p90 read off the drained bin table batch-side with
+    the usual exact-integer ceil-rank; the oracle replays bins, ranks
+    and read-off identically."""
+    from pyspark.sql import Window
+
+    staged = _stage_events(spark, sf_dir)
+    stream = S.read_stream_parquet(spark, staged, spark.read.parquet(staged).schema)
+    bin_col = F.least(
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) * 128 div 100000"),
+        F.lit(127).cast("bigint"),
+    )
+    agg = S.tumbling(
+        stream.withColumn("bin", bin_col), "ts", "1 hour", "bin"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    name = f"stream_qb_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, output_mode="complete", state_partitions=4)
+    binned = spark.table(name).select(
+        F.col("window.start").alias("win_start"), "bin", "cnt"
+    )
+    mm = binned.groupBy("win_start").agg(F.sum("cnt").alias("n"))
+    w = (
+        Window.partitionBy("win_start")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.withColumn("cum", F.sum("cnt").over(w)).join(mm, "win_start")
+    out = None
+    for pct in (50, 90):
+        hit = (
+            cum.filter(F.col("cum") >= F.expr(f"(n * {pct} + 99) div 100"))
+            .groupBy("win_start")
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                "win_start",
+                F.lit(pct).alias("q_pct"),
+                F.expr("(bin + 1) * 100000 div 128").alias("approx_c"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
