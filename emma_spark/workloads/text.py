@@ -646,10 +646,26 @@ def _bpe_sql(n_merges: int = _BPE_MERGES) -> str:
         sel.append(
             f"SELECT {k} AS rank, l AS left_tok, r AS right_tok, cnt FROM b{k}"
         )
-    return "WITH" + ",".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+    merges_select = "\nUNION ALL\n".join(sel)
+    return "WITH" + ",".join(parts) + "\n", merges_select
 
 
-@query("text_bpe_train", oracle=_bpe_sql())
+def _bpe_train_sql() -> str:
+    chain, merges = _bpe_sql()
+    return chain + merges
+
+
+def _bpe_apply_sql() -> str:
+    chain, _ = _bpe_sql()
+    return chain + f"""
+    SELECT tok, sum(n) AS cnt FROM (
+      SELECT n, unnest(list_filter(string_split(seq, ' '), x -> x != '')) AS tok
+      FROM w{_BPE_MERGES}
+    ) GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
+    """
+
+
+@query("text_bpe_train", oracle=_bpe_train_sql())
 def text_bpe_train(spark, sf_dir):
     """BPE merge training — the first 5 merge rules learned from the
     corpus: per level, count adjacent token pairs weighted by word
@@ -667,6 +683,13 @@ def text_bpe_train(spark, sf_dir):
     inside one word fuse one-per-round — deterministic on both
     sides). At 100 TB the state is the word-frequency table (vocab-,
     not corpus-sized) — the standard BPE-training working set."""
+    merges, _ = _bpe_chain(spark, sf_dir)
+    return merges
+
+
+def _bpe_chain(spark, sf_dir):
+    """Build the lazy 5-level merge chain; returns (merges, w_final) —
+    the learned merge table and the fully-fused word table."""
     from ..plans.cache import pin
 
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
@@ -719,4 +742,25 @@ def text_bpe_train(spark, sf_dir):
                 ).alias("seq"),
             )
         )
-    return out
+    return out, w
+
+
+@query("text_bpe_apply", oracle=_bpe_apply_sql())
+def text_bpe_apply(spark, sf_dir):
+    """BPE tokenization with the LEARNED merges — the apply half of
+    text_bpe_train: the fully-fused word table (the trainer chain's
+    final state) exploded back into subword tokens, weighted by word
+    frequency, top-20 by occurrence. This is what the trained
+    tokenizer's effective vocabulary looks like over its own training
+    corpus — merged units rise, their constituent characters' counts
+    fall. Same lazy chain as the trainer (shared builder), one extra
+    explode + hash-agg + TakeOrdered(20)."""
+    _, w = _bpe_chain(spark, sf_dir)
+    toks = F.filter(F.split(F.col("seq"), " "), lambda x: x != "")
+    return (
+        w.select("n", F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(20)
+    )
