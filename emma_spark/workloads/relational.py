@@ -3439,3 +3439,204 @@ def udtf_expand_props(spark, sf_dir):
         FROM {vname} v, LATERAL {fname}(v.props) t
         GROUP BY t.prop_key
     """)
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)) / 10000
+             AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 — local supplier volume: revenue by nation where the
+    CUSTOMER and the SUPPLIER sit in the same nation of one region.
+    Completes the corpus's TPC-H coverage (Q1-Q11, Q13-Q20, Q22; the
+    Q12/Q21 column gap is documented in docs/QUERIES.md). Plan: the
+    region->nation->supplier dim chain collapses via broadcasts, so
+    the only real shuffles are lineitem<->orders and orders<->customer
+    on their join keys; the same-nation predicate
+    (c_nationkey = s_nationkey) is applied as a residual on the
+    already-joined row - no extra exchange. The date filter on orders
+    prunes BEFORE the fact join (pushed to the orders scan), cutting
+    the build side ~6x. Final agg keys on 5 nations - negligible.
+    Reference derives this join tree from a 6-generator comprehension
+    (Combination.scala MatchEquiJoin cascade, as Q7)."""
+    t = T(spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+          "nation", "region")
+    c, o, li = t["customer"].df, t["orders"].df, t["lineitem"].df
+    n = t["nation"].df
+    r = t["region"].df.filter(F.col("r_name") == "ASIA")
+    nr = F.broadcast(
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("n_nationkey", "n_name")
+    )
+    s = t["supplier"].df.join(
+        nr, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o_f = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    return (
+        li.join(o_f, li["l_orderkey"] == o_f["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(qsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "dq_drift_snapshots",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderdate <  TIMESTAMP '1998-01-01') AS n_h1,
+           count(*) FILTER (o_orderdate >= TIMESTAMP '1998-01-01') AS n_h2,
+           coalesce(sum(floor(o_totalprice * 100 + 0.5))
+                    FILTER (o_orderdate <  TIMESTAMP '1998-01-01'), 0) AS price_c_h1,
+           coalesce(sum(floor(o_totalprice * 100 + 0.5))
+                    FILTER (o_orderdate >= TIMESTAMP '1998-01-01'), 0) AS price_c_h2,
+           count(DISTINCT o_custkey)
+             FILTER (o_orderdate <  TIMESTAMP '1998-01-01') AS nd_cust_h1,
+           count(DISTINCT o_custkey)
+             FILTER (o_orderdate >= TIMESTAMP '1998-01-01') AS nd_cust_h2
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def dq_drift_snapshots(spark, sf_dir):
+    """Data-drift profile between two snapshots of the same table (the
+    check a pipeline runs before promoting a new ingest batch next to
+    last week's): per segment, row count, exact cent-sum and distinct
+    cardinality for BOTH halves, computed as conditional aggregates in
+    ONE scan - no self-join of the table against itself, no second
+    read. At 100 TB the alternative (two filtered subqueries joined on
+    the group key) reads the data twice and shuffles twice; the FILTER
+    form is one pass, one shuffle of constant-width partials per
+    priority. Exact cents so the drift comparison is engine-stable."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    h1 = F.col("o_orderdate") < "1998-01-01"
+    h2 = ~h1
+    price_c = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(h1, 1)).alias("n_h1"),
+        F.count(F.when(h2, 1)).alias("n_h2"),
+        F.coalesce(F.sum(F.when(h1, price_c)), F.lit(0)).alias("price_c_h1"),
+        F.coalesce(F.sum(F.when(h2, price_c)), F.lit(0)).alias("price_c_h2"),
+        F.count_distinct(F.when(h1, F.col("o_custkey"))).alias("nd_cust_h1"),
+        F.count_distinct(F.when(h2, F.col("o_custkey"))).alias("nd_cust_h2"),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             (epoch_us(ts) // 86400000000 - 19723) // 7 AS wk
+      FROM events WHERE event_id % 61 = 0
+    ),
+    f AS (SELECT user_id, min(wk) AS cohort_week FROM d GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, wk FROM d)
+    SELECT f.cohort_week, a.wk AS active_week,
+           count(DISTINCT a.user_id) AS n_users
+    FROM f JOIN a ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, a.wk
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Retention cohort triangle: users grouped by first-seen week x
+    week of activity -> distinct active users (the table behind every
+    product retention curve). Plan: per-user first-week agg and the
+    distinct (user, week) activity table BOTH hash-partition on
+    user_id, so the join between them is co-partitioned (AQE reuses
+    the exchange - no third shuffle); the final agg's key space is
+    weeks^2 (tiny forever). Weeks derived with exact integer division
+    of epoch-microseconds (19723 = epoch day of 2024-01-01); floor
+    and truncating division agree because event days are all
+    post-epoch. The log is sparsified (event_id % 61) so first-seen
+    weeks actually spread: the full synthetic log has ~67 events per
+    user, which would put every user in cohort week 0 and collapse
+    the triangle to one row per week."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    wk = F.expr("(unix_micros(ts) div 86400000000 - 19723) div 7")
+    d = e.filter(F.col("event_id") % 61 == 0).select("user_id", wk.alias("wk"))
+    first = d.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    activity = d.distinct()
+    return (
+        first.join(activity, "user_id")
+        .groupBy("cohort_week", F.col("wk").alias("active_week"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, cnt,
+             count(*)        OVER pw AS n,
+             sum(cnt)        OVER pw AS s,
+             sum(cnt * cnt)  OVER pw AS s2
+      FROM daily
+      WINDOW pw AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, cnt,
+           (7 * cnt - s) * (7 * cnt - s) AS z2_num,
+           7 * s2 - s * s AS z2_den,
+           (7 * cnt - s) * (7 * cnt - s) > 4 * (7 * s2 - s * s) AS is_anomaly
+    FROM w WHERE n = 7
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Volume-anomaly detection: per event type, each day's count is
+    scored against the trailing 7 days' mean/variance and flagged when
+    |z| > 2 - the alerting query every event pipeline runs. The z-test
+    is pure INTEGER arithmetic on counts: with s = sum, s2 = sum of
+    squares over the 7-day window, z^2 > 4 iff (7*cnt - s)^2 >
+    4*(7*s2 - s^2) - no float mean/stddev, so the flag is bit-stable
+    across engines and partitionings. Scale: the window runs on the
+    POST-AGG daily table (days x event-types rows - bounded by
+    calendar time, NOT by corpus size), partitioned by event_type;
+    the raw-event scan is one hash-agg shuffle. This is the legitimate
+    use of an ordered window that text_vocab_coverage had to be cured
+    of: the windowed relation here cannot grow with the data."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pw = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    w = daily.select(
+        "event_type", "day", "cnt",
+        F.count(F.lit(1)).over(pw).alias("n"),
+        F.sum("cnt").over(pw).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(pw).alias("s2"),
+    ).filter(F.col("n") == 7)
+    dev = 7 * F.col("cnt") - F.col("s")
+    den = 7 * F.col("s2") - F.col("s") * F.col("s")
+    return w.select(
+        "event_type", "day", "cnt",
+        (dev * dev).alias("z2_num"),
+        den.alias("z2_den"),
+        (dev * dev > 4 * den).alias("is_anomaly"),
+    )
