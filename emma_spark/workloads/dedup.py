@@ -264,3 +264,62 @@ def sketch_kmv_distinct(spark, sf_dir):
         F.countDistinct("l_partkey").alias("exact_distinct")
     )
     return est.join(exact, "l_returnflag")
+
+
+@query(
+    "dedup_paragraph_exact",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    ch AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(toks[(i*4+1):(i*4+4)], ' ') AS chunk
+      FROM w, unnest(generate_series(0, greatest((len(toks)+3)//4 - 1, 0))) AS t(i)
+    ),
+    win AS (SELECT chunk, min(doc_id * 1000000 + chunk_idx) AS wk
+            FROM ch GROUP BY chunk),
+    kept AS (SELECT wk // 1000000 AS doc_id, count(*) AS n_kept
+             FROM win GROUP BY 1),
+    tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+    SELECT t.doc_id, t.n_chunks, coalesce(k.n_kept, 0) AS n_kept
+    FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    """,
+)
+def dedup_paragraph_exact(spark, sf_dir):
+    """Sub-document (paragraph/span) exact dedup — the C4-style pass
+    that removes REPEATED SPANS across a corpus while keeping the
+    first occurrence: documents are cut into consecutive 4-token
+    chunks, each distinct chunk keeps its globally-first (doc,
+    position) occurrence, and every document reports how many of its
+    chunks survived. Plan: the chunking is pure array HOFs (narrow —
+    split/slice/array_join before anything wide); dedup is ONE
+    hash-shuffle of (chunk -> min composite key) with map-side
+    partial min; the winner's doc is recovered ARITHMETICALLY from
+    the composite key (doc_id*10^6 + chunk_idx, id slot wider than
+    any chunk count — the widened-slot rule), so there is NO join
+    back to the exploded chunk table, just a tiny per-doc count agg
+    LEFT-joined to the per-doc totals. At 100 TB: explode factor is
+    bounded (~tokens/4 rows per doc), both aggs are map-side
+    combinable, and nothing global exists in the plan."""
+    from ..llm import text as X
+
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    d = docs.select("doc_id", X.tokens(F.col("text")).alias("toks")).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, greatest(cast((size(toks) + 3) div 4 AS int)"
+            " - 1, 0)), i -> array_join(slice(toks, i*4+1, 4), ' '))"
+        ).alias("chunks"),
+    )
+    ex = d.select("doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk"))
+    win = ex.groupBy("chunk").agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("wk")
+    )
+    kept = (
+        win.select(F.expr("wk div 1000000").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    tot = d.select("doc_id", F.size("chunks").cast("bigint").alias("n_chunks"))
+    return tot.join(kept, "doc_id", "left").select(
+        "doc_id", "n_chunks", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+    )

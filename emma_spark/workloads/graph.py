@@ -437,3 +437,85 @@ def graph_label_propagation(spark, sf_dir):
         )
         labels = pin(labels)
     return labels.select("id", "lbl")
+
+
+def _ls_orient(e):
+    """Canonical (hi, lo) orientation of an undirected edge set."""
+    return e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _large_star(e):
+    """Large-star: every node u links its LARGER neighbors to the
+    minimum of its neighborhood (incl. itself). One agg + one join."""
+    nb = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = nb.groupBy("src").agg(F.min("dst").alias("mv"))
+    mins = mins.select("src", F.least("src", "mv").alias("m"))
+    return (
+        nb.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e):
+    """Small-star: every node links its SMALLER-or-equal neighbors
+    (and itself) to the minimum of that set. One agg + one join."""
+    o = _ls_orient(e)
+    mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+    nb = o.join(mins, "src")
+    lo = nb.filter(F.col("dst") != F.col("m")).select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    hi = mins.select("src", F.col("m").alias("dst"))
+    return lo.unionByName(hi).distinct()
+
+
+@query(
+    "graph_cc_twophase",
+    oracle=f"""
+    WITH RECURSIVE e AS ({SQL_CHAIN_EDGES}),
+    ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    nodes AS (SELECT DISTINCT src AS id FROM ue),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT ue.dst, reach.comp FROM reach JOIN ue ON reach.id = ue.src
+    )
+    SELECT id, min(comp) AS comp FROM reach GROUP BY id
+    """,
+)
+def graph_cc_twophase(spark, sf_dir):
+    """Connected components by the large-star / small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the SCALE answer to min-label propagation: label
+    propagation (graph_connected_components) needs O(diameter) rounds,
+    so a 100 TB web graph with million-hop chains never finishes;
+    star contraction converges in O(log n) rounds REGARDLESS of
+    diameter. Each phase is one neighborhood min hash-agg + one
+    equi-join back — no global structure, no growing label table; the
+    edge set monotonically contracts toward stars (child -> component
+    min). Fixpoint uses the content-signature probe; converged edges
+    ARE the component map (roots have no out-edge -> coalesce to
+    themselves). Same recursive-CTE oracle as the propagation variant:
+    both must produce the identical (id, min-id) labeling."""
+    e0 = _ls_orient(_chain_edges(spark, sf_dir).df)
+    nodes = (
+        e0.select(F.col("src").alias("id"))
+        .unionByName(e0.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+    def step(b: DataBag) -> DataBag:
+        return DataBag(_small_star(_large_star(b.df)))
+
+    star = fixpoint(DataBag(e0), step, max_iter=8).df
+    return nodes.join(
+        star.select(F.col("src").alias("id"), F.col("dst").alias("parent")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("parent", "id").alias("comp"))

@@ -764,3 +764,194 @@ def text_bpe_apply(spark, sf_dir):
         .orderBy(F.desc("cnt"), "tok")
         .limit(20)
     )
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, i AS chunk_idx,
+             least(32, len(toks) - i*24) AS n_toks,
+             toks[i*24 + 1] AS head,
+             toks[least(i*24 + 32, len(toks))] AS tail
+      FROM w, unnest(generate_series(0, greatest((len(toks)-1)//24, 0))) AS t(i)
+    )
+    SELECT doc_id, chunk_idx, n_toks, head, tail FROM c
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Context-window chunking with overlap — the pretraining prep
+    step that cuts each document into model-context-sized pieces
+    (window 32 tokens, stride 24, so consecutive chunks share 8
+    tokens and no token is lost at a boundary): one row out per
+    (doc, window) with its length and boundary tokens. Everything is
+    narrow array HOFs (sequence -> slice per start offset) — the
+    explode multiplies rows by ~len/stride but involves NO shuffle at
+    all; whatever consumes the chunks (packing, tokenizer, dedup)
+    decides the first exchange. Contrast with pack_sequences, which
+    handles the cross-DOCUMENT grouping problem; this is the
+    within-document split."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    d = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    ex = d.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.expr("sequence(0, greatest(cast((size(toks)-1) div 24 AS int), 0))")
+        ).alias("chunk_idx", "start"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.least(F.lit(32), F.size("toks") - F.col("start") * 24)
+        .cast("bigint")
+        .alias("n_toks"),
+        F.element_at("toks", F.col("start") * 24 + 1).alias("head"),
+        F.element_at(
+            "toks", F.least(F.col("start") * 24 + 32, F.size("toks"))
+        ).alias("tail"),
+    )
+
+
+@query(
+    "text_sparse_cosine_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents WHERE doc_id % 7 = 0),
+    tf AS (
+      SELECT doc_id, t AS token, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(toks) AS t FROM d) GROUP BY 1, 2
+    ),
+    norms AS (SELECT doc_id, sum(tf * tf) AS nsq FROM tf GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.tf * b.tf) AS num
+      FROM tf a JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, num,
+           floor(num / sqrt(na.nsq * nb.nsq) * 10000 + 0.5) / 10000 AS sim
+    FROM pairs
+    JOIN norms na ON pairs.doc_a = na.doc_id
+    JOIN norms nb ON pairs.doc_b = nb.doc_id
+    WHERE floor(num / sqrt(na.nsq * nb.nsq) * 10000 + 0.5) / 10000 >= 0.80
+    """,
+)
+def text_sparse_cosine_pairs(spark, sf_dir):
+    """All-pairs document cosine similarity over SPARSE term vectors
+    via the inverted-index join — the scalable bag-of-words similarity
+    pattern (term-at-a-time): tf vectors meet only on terms they
+    share, so pair candidates cost Σ_t df(t)² instead of |D|² dense
+    dot products. Plan: per-(doc, term) tf hash-agg; self-join of the
+    term index on token (+ doc_a < doc_b to halve); pair-sum hash-agg;
+    two slim joins to the per-doc norms; integer dot products, one
+    IEEE sqrt + 1e-4 quantization at the very end (both engines
+    correctly-round sqrt, so the threshold compare is stable). At
+    scale the index join gets stop-term pruning (drop df > cap terms
+    — exactly the LSH-vs-megabucket tradeoff documented for
+    dedup_minhash_pairs); this 31-word synthetic vocabulary needs no
+    cap, the sparsified corpus (doc_id % 7) keeps the quadratic
+    pair-agg honest at any SF."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    d = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nsq"))
+    a, b = tf.alias("a"), tf.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("num"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nsq").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nsq").alias("nb"))
+    sim = F.floor(
+        F.col("num") / F.sqrt(F.col("na") * F.col("nb")) * 10000 + F.lit(0.5)
+    ) / 10000
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "num", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.80)
+    )
+
+
+@query(
+    "text_winsorize_p90",
+    oracle="""
+    WITH vh AS (
+      SELECT lang, n_chars AS v, count(*) AS cnt
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, sum(cnt) AS n FROM vh GROUP BY lang),
+    cum AS (
+      SELECT lang, v,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM vh
+    ),
+    thr AS (
+      SELECT c.lang, min(c.v) AS p90
+      FROM cum c JOIN tot t ON c.lang = t.lang
+      WHERE c.cum >= (t.n * 90 + 99) // 100
+      GROUP BY c.lang
+    )
+    SELECT d.lang, thr.p90, count(*) AS n_docs,
+           sum(d.n_chars) AS raw_sum,
+           sum(least(d.n_chars, thr.p90)) AS winsorized_sum
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    GROUP BY d.lang, thr.p90
+    """,
+)
+def text_winsorize_p90(spark, sf_dir):
+    """Per-language p90 winsorization of document lengths — the
+    outlier-capping pass before length statistics feed sampling
+    weights (one mega-document must not dominate a language's token
+    budget). The p90 threshold comes from a per-(lang, value) VALUE
+    HISTOGRAM: doc-length is a bounded small-int domain, so the
+    histogram agg is ≤ |domain| rows per language and the ceil-rank
+    cumsum window runs over that bounded relation — partitioned by
+    lang, nothing proportional to corpus size (the discipline learned
+    from text_vocab_coverage: windows only over domain-bounded
+    post-agg tables). Pass 2 broadcasts the thresholds back and
+    clamps in one agg. Exact integers end to end; ceil-rank
+    (cum >= ceil(0.9 n)) matches percentile_disc semantics on both
+    engines."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    vh = docs.groupBy("lang", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = vh.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vh.select("lang", "v", F.sum("cnt").over(w).alias("cum"))
+    thr = (
+        cum.join(F.broadcast(tot), "lang")
+        .filter(F.col("cum") >= F.expr("(n * 90 + 99) div 100"))
+        .groupBy("lang")
+        .agg(F.min("v").alias("p90"))
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .groupBy("lang", "p90")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("raw_sum"),
+            F.sum(F.least(F.col("n_chars"), F.col("p90"))).alias("winsorized_sum"),
+        )
+    )
