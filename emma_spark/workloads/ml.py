@@ -626,3 +626,75 @@ def ml_pca_power_top(spark, sf_dir):
     return spark.createDataFrame(
         [(j, float(v[j])) for j in range(len(v))], "pos: bigint, loading: double"
     )
+
+
+@query(
+    "ml_knn_classify",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                      label AS true_label
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label
+          FROM embeddings WHERE vec_id >= 20),
+    sims AS (
+      SELECT query_id, neighbor_id, label,
+             floor((list_sum(list_transform(range(1, len(qv)+1),
+                                            i -> qv[i] * cv[i]))
+                    / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+                       * sqrt(list_sum(list_transform(cv, x -> x*x)))))
+                   * 10000 + 0.5) / 10000 AS sim
+      FROM q CROSS JOIN c
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rk
+        FROM sims) WHERE rk <= 5
+    ),
+    votes AS (SELECT query_id, label, count(*) AS cnt
+              FROM topk GROUP BY 1, 2),
+    pred AS (
+      SELECT query_id, max_by(label, cnt * 1024 - label) AS pred_label,
+             (max(cnt * 1024 - label) + 1023) // 1024 AS votes
+      FROM votes GROUP BY query_id
+    )
+    SELECT p.query_id, q.true_label, p.pred_label, p.votes,
+           p.pred_label = q.true_label AS correct
+    FROM pred p JOIN q ON p.query_id = q.query_id
+    """,
+)
+def ml_knn_classify(spark, sf_dir):
+    """k-nearest-neighbor classification (k=5, cosine): the first 20
+    vectors are held-out queries, everything else is the labeled
+    corpus; prediction is the majority label of the 5 nearest
+    neighbors. The vote is ONE hash-agg with a composite max_by key
+    (cnt*1024 - label: highest count wins, ties to the smallest
+    label — the widened-slot tie-break rule; vote count recovered
+    arithmetically from the same key) — no second window. Neighbor
+    search reuses the broadcast-queries x corpus scan + per-query
+    top-k window (llm/similarity.brute_force_topk); at 100 TB the
+    corpus side would swap to the LSH/IVF bucketed paths
+    (ann_lsh_topk / ann_ivf_trained) with the vote unchanged."""
+    from ..llm import similarity as S
+
+    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
+    q = emb.filter(F.col("vec_id") < 20)
+    c = emb.filter(F.col("vec_id") >= 20)
+    topk = S.brute_force_topk(c, q, k=5)
+    labeled = topk.join(
+        c.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    key = F.col("cnt") * 1024 - F.col("label")
+    pred = votes.groupBy("query_id").agg(
+        F.max_by("label", key).alias("pred_label"),
+        F.expr("(max(cnt * 1024 - label) + 1023) div 1024").alias("votes"),
+    )
+    truth = q.select(F.col("vec_id").alias("query_id"),
+                     F.col("label").alias("true_label"))
+    return pred.join(truth, "query_id").select(
+        "query_id", "true_label", "pred_label", "votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )

@@ -325,3 +325,62 @@ def embedding_centroids(spark, sf_dir):
         (F.floor(F.sum("v_c") / F.count(F.lit(1)) + F.lit(0.5)) / 1000000
          ).alias("centroid_val"),
     )
+
+
+@query(
+    "embedding_negative_sample",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n FROM embeddings),
+    a AS (SELECT vec_id AS anchor_id, label AS anchor_label
+          FROM embeddings WHERE vec_id < 50),
+    cand AS (
+      SELECT anchor_id, anchor_label, j,
+             (anchor_id * 2654435761 + j * 40503) % n.n AS neg_id
+      FROM a, n, unnest([1, 2, 3, 4]) AS t(j)
+    )
+    SELECT c.anchor_id, c.j, c.neg_id, e.label AS neg_label,
+           e.label = c.anchor_label AS is_false_negative
+    FROM cand c JOIN embeddings e ON c.neg_id = e.vec_id
+    WHERE c.neg_id != c.anchor_id
+    """,
+)
+def embedding_negative_sample(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws 4 pseudo-random corpus rows by pure ARITHMETIC on a
+    Knuth multiplicative hash ((anchor*2654435761 + j*40503) mod N) —
+    no RNG state, no sampling shuffle, bit-identical on any engine,
+    partitioning, or rerun (the exponential-clock lesson from
+    text_weighted_sample applied to pair mining). The candidate ids
+    then fetch their labels/features with ONE equi-join against the
+    corpus (uniform key distribution by construction — no hot
+    negatives). Rows whose draw collides with the anchor are dropped;
+    draws landing on the anchor's own class are FLAGGED
+    (is_false_negative) rather than silently kept — the in-batch
+    false-negative audit every contrastive pipeline needs. N arrives
+    via a 1-row count broadcast, not a driver constant, so the query
+    is SF-invariant."""
+    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    a = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
+    )
+    cand = (
+        a.crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id", "anchor_label",
+            F.explode(F.array(*[F.lit(j) for j in (1, 2, 3, 4)])).alias("j"),
+            "n",
+        )
+        .select(
+            "anchor_id", "anchor_label", "j",
+            ((F.col("anchor_id") * 2654435761 + F.col("j") * 40503) % F.col("n"))
+            .alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+    )
+    corpus = emb.select(F.col("vec_id").alias("neg_id"),
+                        F.col("label").alias("neg_label"))
+    return cand.join(corpus, "neg_id").select(
+        "anchor_id", "j", "neg_id", "neg_label",
+        (F.col("neg_label") == F.col("anchor_label")).alias("is_false_negative"),
+    )
