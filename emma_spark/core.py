@@ -527,6 +527,11 @@ class DataBag:
     def write_text(self, path: str) -> None:
         self._df.write.mode("overwrite").text(path)
 
+    def write_jsonl(self, path: str, **options) -> None:
+        """JSON-Lines sink (one document per line, the LLM-corpus
+        interchange format; overwrite mode like the other sinks)."""
+        self._df.write.mode("overwrite").options(**options).json(path)
+
     def write_parquet(self, path: str, partition_by: Sequence[str] | None = None, **options) -> None:
         w = self._df.write.mode("overwrite").options(**options)
         if partition_by:

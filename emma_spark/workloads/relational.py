@@ -3640,3 +3640,106 @@ def events_anomaly_zscore(spark, sf_dir):
         den.alias("z2_den"),
         (dev * dev > 4 * den).alias("is_anomaly"),
     )
+
+
+@query(
+    "jsonl_roundtrip_agg",
+    oracle="""
+    SELECT lang, source, count(*) AS n, sum(n_chars) AS chars,
+           CAST(sum(length(text)) AS BIGINT) AS text_len
+    FROM documents GROUP BY lang, source
+    """,
+)
+def jsonl_roundtrip_agg(spark, sf_dir):
+    """JSONL sink + typed source round-trip — the corpus interchange
+    format (one JSON doc per line) every LLM data pipeline ingests and
+    emits: documents are written to JSON-Lines and read back with an
+    EXPLICIT schema (schema inference would pre-scan all 100 TB twice;
+    read_jsonl documents that contract), then aggregated; the oracle
+    runs on the ORIGINAL parquet, so a hash match proves the codec
+    round-trips every row, string and count losslessly. The staged
+    write is partitioned (one file per task) — at scale the read back
+    parallelizes per file with no single-reader choke point."""
+    import tempfile
+
+    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet")
+    path = tempfile.mkdtemp(prefix="emma_jsonl_rt_") + "/documents"
+    docs.write_jsonl(path)
+    back = io.read_jsonl(spark, path, schema=docs.df.schema)
+    return back.df.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.length("text")).alias("text_len"),
+    )
+
+
+@query(
+    "events_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + 300 AS e, event_id
+      FROM events WHERE user_id < 30
+    ),
+    marked AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    grp AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    )
+    SELECT user_id, island, min(s) AS start_s, max(e) AS end_s,
+           count(*) AS n_events
+    FROM grp GROUP BY user_id, island
+    """,
+)
+def events_interval_merge(spark, sf_dir):
+    """Interval coalescing (gaps-and-islands): each event opens a
+    5-minute activity interval; overlapping/touching intervals per
+    user merge into maximal islands — the temporal-algebra primitive
+    behind sessionization-by-overlap, uptime stitching and
+    meeting-room-style range union. Two windows, BOTH partitioned by
+    user_id (per-key sequences — nothing global, the partition is the
+    parallelism unit at any scale): running max(end) over strictly
+    preceding rows detects island starts (> comparison against -1 for
+    the first row), a running sum of starts numbers the islands; one
+    hash-agg folds each island to [min start, max end, count]. Epoch
+    seconds as exact integers."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    iv = e.filter(F.col("user_id") < 30).select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("s"),
+        (F.expr("unix_micros(ts) div 1000000") + 300).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id", "s", "e", "event_id",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0).alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = marked.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    return grp.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_s"),
+        F.max("e").alias("end_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

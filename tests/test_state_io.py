@@ -297,3 +297,33 @@ def test_csv_malformed_modes(spark, tmp_path):
     assert got == [(1, 10), (3, 30), (None, 20)]
     with pytest.raises(Exception):
         io.read_csv(spark, str(p), schema="k int, v int", mode="FAILFAST").collect()
+
+
+def test_jsonl_roundtrip_and_typed_read(spark, tmp_path):
+    """write_jsonl -> read_jsonl(schema) round-trips rows exactly;
+    unicode and nested-ish strings survive the codec."""
+    from emma_spark.core import DataBag
+    from emma_spark.sources import io
+
+    rows = [(1, "héllo wörld", 2.5), (2, 'quote " comma, \t tab', -0.25),
+            (3, None, 0.0)]
+    bag = DataBag(spark.createDataFrame(rows, "k int, txt string, x double"))
+    p = str(tmp_path / "docs_jsonl")
+    bag.write_jsonl(p)
+    back = io.read_jsonl(spark, p, schema="k int, txt string, x double")
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_jsonl_malformed_permissive(spark, tmp_path):
+    """A malformed JSONL line nulls out under the default PERMISSIVE
+    read instead of failing the job."""
+    from emma_spark.sources import io
+
+    p = tmp_path / "bad_jsonl"
+    p.mkdir()
+    (p / "part.json").write_text('{"k": 1}\nNOT JSON\n{"k": 3}\n')
+    got = sorted(
+        (r["k"] for r in io.read_jsonl(spark, str(p), schema="k int").collect()),
+        key=lambda v: (v is None, v),
+    )
+    assert got == [1, 3, None]
