@@ -199,3 +199,51 @@ def multimodal_chunk_dedup(spark, sf_dir):
         )
         .filter(F.col("n_occurrences") >= 2)
     )
+
+
+@query(
+    "multimodal_shard_plan",
+    oracle="""
+    WITH blobs AS (
+      SELECT id, (id * 40503 % 4096) + 256 AS n_bytes FROM range(400) t(id)
+    ),
+    c AS (
+      SELECT id, n_bytes,
+             sum(n_bytes) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING)
+               - n_bytes AS off
+      FROM blobs
+    )
+    SELECT off // 16384 AS shard_id, count(*) AS n_blobs,
+           sum(n_bytes) AS shard_bytes, min(id) AS first_id, max(id) AS last_id
+    FROM c GROUP BY off // 16384
+    """,
+)
+def multimodal_shard_plan(spark, sf_dir):
+    """WebDataset-style shard manifest for a blob corpus: assign blobs
+    to ~16 KiB output shards by cumulative byte size in id order, then
+    fold each shard to its manifest row (count, bytes, id range) — the
+    layout-planning step before tarring an image/audio corpus into
+    sequentially-readable training shards. The cumulative sum reuses
+    llm/text.pack_sequences (range-partitioned two-pass cumsum — NO
+    global single-task window; only per-partition (pid, sum) pairs
+    reach the driver), applied to a byte column instead of a token
+    column: packing tokens into contexts and packing blobs into
+    shards are the same dataflow. Deterministic synthetic sizes
+    (id*40503 mod 4096 + 256) keep a full value oracle; contiguous id
+    ranges per shard (first_id..last_id) are what make the final tar
+    write a sequential scan."""
+    from ..llm import text as X
+
+    blobs = spark.range(400).select(
+        "id", ((F.col("id") * 40503 % 4096) + 256).alias("n_bytes")
+    )
+    packed = X.pack_sequences(blobs, id_col="id", token_col="n_bytes", ctx=16384)
+    return (
+        packed.groupBy(F.col("pack_id").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("n_bytes").alias("shard_bytes"),
+            F.min("id").alias("first_id"),
+            F.max("id").alias("last_id"),
+        )
+    )

@@ -955,3 +955,78 @@ def text_winsorize_p90(spark, sf_dir):
             F.sum(F.least(F.col("n_chars"), F.col("p90"))).alias("winsorized_sum"),
         )
     )
+
+
+@query(
+    "text_bigram_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest([[toks[i], toks[i + 1]] FOR i IN range(1, len(toks))]) AS b
+      FROM t WHERE len(toks) >= 2
+    ), db AS (
+      SELECT doc_id, b[1] AS w1, b[2] AS w2, count(*) AS m
+      FROM bg GROUP BY 1, 2, 3
+    ), cnts AS (
+      SELECT w1, w2, sum(m) AS cnt FROM db GROUP BY w1, w2
+    ), tot AS (
+      SELECT w1, sum(cnt) AS n_w1 FROM cnts GROUP BY w1
+    ), model AS (
+      SELECT c.w1, c.w2, c.cnt * 1000000 // t.n_w1 AS cond_ppm
+      FROM cnts c JOIN tot t ON c.w1 = t.w1
+    )
+    SELECT db.doc_id, sum(db.m) AS n_bigrams,
+           sum(db.m * model.cond_ppm) // sum(db.m) AS avg_ppm
+    FROM db JOIN model ON db.w1 = model.w1 AND db.w2 = model.w2
+    GROUP BY db.doc_id
+    """,
+)
+def text_bigram_score(spark, sf_dir):
+    """LM-based document quality scoring (the CCNet/perplexity-filter
+    shape with rational arithmetic): every document is scored by the
+    average corpus-model conditional probability of its own bigram
+    transitions — fluent-looking documents score high, shuffled or
+    off-distribution ones low; the score drives keep/drop or
+    mixture-bucket decisions. All integer: model conditionals in
+    exact ppm (cnt*10^6 div marginal), per-doc average as a rational
+    of two sums. Plan: per-(doc, bigram) multiplicities FIRST (one
+    hash-agg; shrinks the scoring join to distinct transitions per
+    doc), corpus model derived FROM those partials (bigram + marginal
+    hash-aggs — the raw corpus is never re-scanned), and the model is
+    vocabulary-bounded (≤|V|² rows) so the scoring join broadcasts —
+    at 100 TB the per-doc table is huge but the model side stays
+    megabytes, exactly like tf-idf's broadcast corpus stats. A real
+    perplexity filter swaps cond_ppm for a KenLM log-prob UDF (the
+    documented external-model seam, as multimodal.decode); dataflow
+    unchanged."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    toks = X.tokens(F.col("text"))
+    n = F.size(toks)
+    pairs = docs.select(
+        "doc_id", toks.alias("tk"), n.alias("n")
+    ).filter(F.col("n") >= 2)
+    bg = pairs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.col("n") - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, F.col("n") - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    db = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    cnts = db.groupBy("w1", "w2").agg(F.sum("m").alias("cnt"))
+    tot = cnts.groupBy("w1").agg(F.sum("cnt").alias("n_w1"))
+    model = cnts.join(tot, "w1").select(
+        "w1", "w2", F.expr("cnt * 1000000 div n_w1").alias("cond_ppm")
+    )
+    return (
+        db.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.expr("sum(m * cond_ppm) div sum(m)").alias("avg_ppm"),
+        )
+    )
