@@ -19,9 +19,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
-def read_stream_parquet(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
-    """File-source stream (schema mandatory for streaming reads)."""
-    return spark.readStream.schema(schema).parquet(path)
+def read_stream_parquet(
+    spark: SparkSession, path: str, schema: StructType | str, **options
+) -> DataFrame:
+    """File-source stream (schema mandatory for streaming reads).
+    ``maxFilesPerTrigger`` in ``options`` bounds micro-batch size —
+    with availableNow it splits a bounded drain into multiple
+    sequential epochs (how the tests exercise multi-batch merges)."""
+    r = spark.readStream.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.parquet(path)
 
 
 def read_stream_rate(spark: SparkSession, rows_per_sec: int = 100) -> DataFrame:

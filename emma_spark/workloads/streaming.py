@@ -554,3 +554,95 @@ def stream_quantile_bins_windowed(spark, sf_dir):
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+@query(
+    "stream_cdc_merge_snapshot",
+    oracle="""
+    SELECT user_id,
+           max_by(event_type,
+                  epoch_us(ts)::HUGEINT * 1000000000000 + event_id) AS last_type,
+           max_by(CAST(floor(value * 100 + 0.5) AS BIGINT),
+                  epoch_us(ts)::HUGEINT * 1000000000000 + event_id)
+             AS last_value_c,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_cdc_merge_snapshot(spark, sf_dir):
+    """Streaming CDC MERGE sink: a foreachBatch loop folds each
+    micro-batch into a keyed parquet SNAPSHOT (latest row + running
+    count per user) — the Delta/Iceberg `MERGE INTO` streaming-upsert
+    pattern built from primitives. Per epoch: the batch pre-aggregates
+    to one row per touched key (map-side shrink), then ONE
+    merge-shuffle against the previous snapshot; the snapshot is
+    written to an epoch-numbered dir and each epoch reads its
+    PREDECESSOR, so a replayed epoch (foreachBatch's at-least-once
+    contract) rewrites the same output from the same input —
+    idempotent, exactly-once end state. maxFilesPerTrigger forces a
+    genuinely multi-epoch drain; merge keys use the widened
+    timestamp·10^12+event_id slot (events_attribution's collision
+    rule). The last-write-wins fold is associative-commutative, so
+    batch boundaries cannot change the answer — the batch SQL oracle
+    proves it. At scale: snapshot and batch both hash-partition on
+    user_id; state lives in files, not the state store — unbounded
+    key cardinality without store memory pressure."""
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="emma_cdc_snap_")
+    ckpt = os.path.join(base, "_ckpt")
+    # stage the source into MULTIPLE files: one staged file would make
+    # availableNow a single epoch and the merge loop would never merge
+    src_dir = os.path.join(base, "src")
+    io.read_parquet(spark, f"{sf_dir}/events.parquet").df.repartition(
+        8
+    ).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = S.read_stream_parquet(spark, src_dir, schema, maxFilesPerTrigger=2)
+    okey = F.unix_micros(F.col("ts")).cast("decimal(38,0)") * F.lit(
+        1000000000000
+    ) + F.col("event_id")
+
+    def latest(df):
+        return df.groupBy("user_id").agg(
+            F.max_by("event_type", okey).alias("last_type"),
+            F.max_by(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"), okey
+            ).alias("last_value_c"),
+            F.max(okey).alias("okey"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    def merge_batch(batch_df, epoch_id: int):
+        snap = latest(batch_df)
+        prev = os.path.join(base, f"epoch={epoch_id - 1}")
+        if epoch_id > 0 and os.path.exists(prev):
+            old = batch_df.sparkSession.read.parquet(prev)
+            both = old.unionByName(snap)
+            snap = both.groupBy("user_id").agg(
+                F.max_by("last_type", F.col("okey")).alias("last_type"),
+                F.max_by("last_value_c", F.col("okey")).alias("last_value_c"),
+                F.max("okey").alias("okey"),
+                F.sum("n_events").alias("n_events"),
+            )
+        snap.write.mode("overwrite").parquet(
+            os.path.join(base, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    epochs = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(base)
+        if d.startswith("epoch=")
+    )
+    final = spark.read.parquet(os.path.join(base, f"epoch={epochs[-1]}"))
+    out = final.select("user_id", "last_type", "last_value_c", "n_events")
+    out = out.localCheckpoint(eager=True)  # detach from the temp dir
+    shutil.rmtree(base, ignore_errors=True)
+    return out
