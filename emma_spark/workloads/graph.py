@@ -519,3 +519,71 @@ def graph_cc_twophase(spark, sf_dir):
         "id",
         "left",
     ).select("id", F.coalesce("parent", "id").alias("comp"))
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH e AS ({SQL_HASH_EDGES}),
+    ue AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    deg AS (SELECT u, count(*) AS d FROM ue GROUP BY u),
+    wedges AS (
+      SELECT a.v AS x, b.v AS y, count(*) AS inter
+      FROM ue a JOIN ue b ON a.u = b.u AND a.v < b.v
+      GROUP BY a.v, b.v
+    )
+    SELECT x, y, inter,
+           inter * 1000000 // (da.d + db.d - inter) AS jaccard_ppm
+    FROM wedges
+    JOIN deg da ON wedges.x = da.u
+    JOIN deg db ON wedges.y = db.u
+    WHERE inter >= 3
+    """,
+)
+def graph_jaccard_neighbors(spark, sf_dir):
+    """Neighborhood Jaccard similarity — the link-prediction /
+    entity-resolution primitive: node pairs scored by
+    |N(a)∩N(b)| / |N(a)∪N(b)|, computed WITHOUT materializing
+    neighbor sets: the intersection count falls out of the WEDGE join
+    (adjacency joined to itself on the shared-neighbor center — each
+    common neighbor contributes exactly one wedge), the union size is
+    arithmetic from broadcast degrees (da + db - inter). Jaccard in
+    exact integer ppm. Scale: wedge count is Σ_w deg(w)² — hub nodes
+    dominate, so a web-scale run caps or samples super-node
+    adjacency first (same Σ|bucket|² discipline as every LSH path
+    here); the pair agg is one hash-shuffle with map-side combine."""
+    e = _hash_edges(spark, sf_dir)
+    ue = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    deg = ue.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    a, b = ue.alias("a"), ue.alias("b")
+    wedges = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")))
+        .groupBy(F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    da = deg.select(F.col("u").alias("x"), F.col("d").alias("dx"))
+    db = deg.select(F.col("u").alias("y"), F.col("d").alias("dy"))
+    return (
+        wedges.join(F.broadcast(da), "x")
+        .join(F.broadcast(db), "y")
+        .filter(F.col("inter") >= 3)
+        .select(
+            "x", "y", "inter",
+            F.expr("inter * 1000000 div (dx + dy - inter)").alias("jaccard_ppm"),
+        )
+    )
+
+
+def _hash_edges(spark, sf_dir):
+    """The 30-node events hash-graph (same derivation as
+    graph_triangles / SQL_HASH_EDGES), canonical u<v orientation."""
+    ev = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    a = F.col("user_id") % 30
+    b = (F.col("user_id") * 7 + F.col("event_id")) % 30
+    return (
+        ev.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )

@@ -3743,3 +3743,111 @@ def events_interval_merge(spark, sf_dir):
         F.max("e").alias("end_s"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "basket_brand_affinity",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+    marg AS (SELECT p_brand, count(*) AS cnt FROM ob GROUP BY p_brand),
+    co AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS co_cnt
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, co_cnt,
+           co_cnt * n.n_orders * 1000000 // (ma.cnt * mb.cnt) AS lift_ppm
+    FROM co, n
+    JOIN marg ma ON co.brand_a = ma.p_brand
+    JOIN marg mb ON co.brand_b = mb.p_brand
+    WHERE co_cnt >= 20
+    """,
+)
+def basket_brand_affinity(spark, sf_dir):
+    """Market-basket co-occurrence ("frequently bought together"):
+    brand pairs appearing in the same order, with LIFT in exact
+    integer ppm (co·N·10^6 div (cnt_a·cnt_b) — lift > 1e6 means the
+    pair co-occurs more than independence predicts). Plan: the
+    (order, brand) incidence table is built once with a BROADCAST
+    part-dim join + distinct; the pair join self-joins incidence on
+    the order key, so candidate volume is Σ_o |brands(o)|² — bounded
+    by basket size squared, never |orders|²; marginals and the order
+    count ride as broadcasts. The a<b guard halves the pairs and
+    kills mirror duplicates at the source, the same canonical-
+    orientation trick as triangle enumeration."""
+    t = T(spark, sf_dir, "lineitem", "part")
+    li, p = t["lineitem"].df, t["part"].df
+    ob = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = ob.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    marg = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = ob.alias("a"), ob.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("co_cnt"))
+        .filter(F.col("co_cnt") >= 20)
+    )
+    ma = marg.select(F.col("p_brand").alias("brand_a"), F.col("cnt").alias("ca"))
+    mb = marg.select(F.col("p_brand").alias("brand_b"), F.col("cnt").alias("cb"))
+    return (
+        co.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .select(
+            "brand_a", "brand_b", "co_cnt",
+            F.expr("co_cnt * n_orders * 1000000 div (ca * cb)").alias("lift_ppm"),
+        )
+    )
+
+
+@query(
+    "dq_join_explosion_audit",
+    oracle="""
+    WITH k AS (
+      SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(c * c) AS BIGINT) AS total_pairs,
+           count(*) AS n_keys,
+           CAST(max(c * c) AS BIGINT) AS max_key_pairs,
+           count(*) FILTER (c * c > 100) AS n_hot_keys
+    FROM k
+    """,
+)
+def dq_join_explosion_audit(spark, sf_dir):
+    """Join-cardinality audit WITHOUT running the join: the output
+    size of a self-join on l_partkey is exactly Σ_k c(k)² — computed
+    from the per-key count table (one hash-agg + one constant-width
+    fold), never by materializing the pairs. This is the pre-flight
+    check before any M:N join at 100 TB: total blow-up, the single
+    worst key (the one that lands in one task and decides the
+    stage's tail latency), and how many keys exceed the
+    hot-threshold — the numbers that decide between a plain shuffle
+    join, AQE skew splitting, or salting. Same shape audits any
+    equi-join by computing per-key counts on each side and
+    Σ c_a(k)·c_b(k)."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"].df
+    k = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    cc = F.col("c") * F.col("c")
+    return k.agg(
+        F.sum(cc).cast("bigint").alias("total_pairs"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max(cc).cast("bigint").alias("max_key_pairs"),
+        F.count(F.when(cc > 100, 1)).alias("n_hot_keys"),
+    )
