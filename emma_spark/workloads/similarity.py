@@ -384,3 +384,76 @@ def embedding_negative_sample(spark, sf_dir):
         "anchor_id", "j", "neg_id", "neg_label",
         (F.col("neg_label") == F.col("anchor_label")).alias("is_false_negative"),
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS amax
+      FROM base
+    ),
+    coded AS (
+      SELECT vec_id, amax,
+             list_transform(v, x -> CAST(floor(x / amax * 127 + 0.5)
+                                         AS BIGINT)) AS codes,
+             v
+      FROM scaled WHERE amax > 0
+    )
+    SELECT vec_id,
+           floor(amax * 1000000 + 0.5) / 1000000 AS amax_q,
+           codes[1] AS code0,
+           len(list_filter(codes, c -> abs(c) = 127)) AS n_sat,
+           list_sum(list_transform(range(1, len(codes) + 1),
+             i -> CAST(floor((v[i] - codes[i] * amax / 127)
+                             * (v[i] - codes[i] * amax / 127)
+                             * 1000000000000 + 0.5) AS BIGINT))) AS sse_pq
+    FROM coded
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column —
+    the 4x index-compression step production vector stores apply
+    before ANN (SQ8): per-vector absolute-max scale, codes
+    floor(x/amax·127 + 0.5), saturation count, and the per-vector
+    reconstruction SSE. Entirely narrow array HOFs (transform /
+    array_max / aggregate) — codegen'd Column math, no UDF, no
+    shuffle; at 100 TB this runs as a map-only pass and writes codes
+    alongside the originals for the re-rank stage (quantized scan →
+    exact re-rank, the standard two-phase ANN serving shape). Error
+    terms are quantized to integer 1e-12 units BEFORE summing, so
+    the SSE is exact-integer and engine/order-independent (the qsum
+    rule applied elementwise)."""
+    from ..llm.similarity import as_double
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    v = as_double(F.col("embedding"))
+    d = emb.select("vec_id", v.alias("v")).withColumn(
+        "amax", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    ).filter(F.col("amax") > 0)
+    coded = d.withColumn(
+        "codes",
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / F.col("amax") * 127 + F.lit(0.5)).cast("bigint"),
+        ),
+    )
+    err_sq_c = F.expr(
+        "aggregate(zip_with(v, codes, (x, c) -> CAST(floor((x - c * amax / 127)"
+        " * (x - c * amax / 127) * 1000000000000 + 0.5) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, e) -> acc + e)"
+    )
+    return coded.select(
+        "vec_id",
+        (F.floor(F.col("amax") * 1000000 + F.lit(0.5)) / 1000000).alias("amax_q"),
+        F.element_at("codes", 1).alias("code0"),
+        F.size(F.filter(F.col("codes"), lambda c: F.abs(c) == 127)).cast(
+            "bigint"
+        ).alias("n_sat"),
+        err_sq_c.alias("sse_pq"),
+    )

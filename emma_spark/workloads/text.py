@@ -1030,3 +1030,52 @@ def text_bigram_score(spark, sf_dir):
             F.expr("sum(m * cond_ppm) div sum(m)").alias("avg_ppm"),
         )
     )
+
+
+_SCAN_KEYWORDS = ("error", "merge", "window", "spark")
+
+
+@query(
+    "text_keyword_scan",
+    oracle=f"""
+    WITH kw AS (SELECT unnest(['error', 'merge', 'window', 'spark']) AS keyword),
+    hits AS (
+      SELECT d.lang, kw.keyword,
+             (length(d.text) - length(replace(d.text, kw.keyword, '')))
+               // length(kw.keyword) AS occ
+      FROM documents d CROSS JOIN kw
+    )
+    SELECT lang, keyword,
+           CAST(sum(occ) AS BIGINT) AS n_occurrences,
+           count(*) FILTER (occ > 0) AS n_docs_hit
+    FROM hits GROUP BY lang, keyword
+    """,
+)
+def text_keyword_scan(spark, sf_dir):
+    """Corpus keyword scan — the policy/abuse-term audit every corpus
+    release runs (blocklist hits per language before filtering):
+    occurrence counts via pure length arithmetic
+    ((len - len(replace))/len(kw), exact integers — no regex engine
+    differences to reconcile), patterns applied as a BROADCAST
+    pattern table cross-joined into the scan (adding a pattern never
+    re-reads the corpus — one pass for the whole blocklist), then
+    one (lang, keyword) hash-agg with map-side partials. At 100 TB
+    this is the map-only scan it should be; for thousand-term lists
+    the same plan swaps the cross join for an Aho-Corasick
+    mapInPandas seam (documented, like the KenLM/decoder seams)."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    # literal pattern array, not createDataFrame: stays 100% JVM-side
+    # (a Python-RDD source would drag py4j into an otherwise codegen'd
+    # scan) and the explode of a 4-element literal is free per row
+    kw = F.explode(F.array(*[F.lit(k) for k in _SCAN_KEYWORDS])).alias("keyword")
+    hits = docs.select("lang", "text", kw).select(
+        "lang", "keyword",
+        F.expr(
+            "(length(text) - length(replace(text, keyword, '')))"
+            " div length(keyword)"
+        ).alias("occ"),
+    )
+    return hits.groupBy("lang", "keyword").agg(
+        F.sum("occ").cast("bigint").alias("n_occurrences"),
+        F.count(F.when(F.col("occ") > 0, 1)).alias("n_docs_hit"),
+    )
