@@ -298,3 +298,79 @@ def test_build_dict_no_unpartitioned_window(spark):
     rows = vocab.orderBy("term").collect()
     assert [r["index"] for r in rows] == list(range(len(rows)))
     assert rows == sorted(rows, key=lambda r: r["term"])
+
+
+def test_q5_broadcasts_dim_chain_no_cartesian(spark, registry):
+    """Q5: region->nation->supplier must collapse via broadcasts; the
+    only shuffle joins are the fact-side equi-joins."""
+    plan = _plan(registry["q5_local_supplier_volume"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_drift_profile_is_single_scan(spark, registry):
+    """Two-snapshot drift must be conditional aggregation over ONE
+    scan — not two filtered reads joined back."""
+    plan = _plan(registry["dq_drift_snapshots"].fn(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan[:500]
+    assert "Join" not in plan, plan[:500]
+
+
+def test_anomaly_window_is_partitioned(spark, registry):
+    """The trailing-stats window must be partitioned by event_type —
+    never a global (empty-partition-spec) ordered window."""
+    plan = _plan(registry["events_anomaly_zscore"].fn(spark, SF_DIR))
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        frag = plan[m.start():m.start() + 400]
+        assert "partitionBy" not in frag or "event_type" in frag, frag
+
+
+def test_paragraph_dedup_no_join_back_to_chunks(spark, registry):
+    """Winner docs come from key arithmetic; the only join is the slim
+    per-doc LEFT join of totals to kept-counts (one join total)."""
+    plan = _plan(registry["dedup_paragraph_exact"].fn(spark, SF_DIR))
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, f"expected exactly 1 join, plan has {n_joins}"
+
+
+def test_sparse_cosine_no_cartesian(spark, registry):
+    """The inverted-index pair join must be a hash/merge equi-join on
+    token — if it ever degrades to a cartesian the Σdf² bound is lost."""
+    plan = _plan(registry["text_sparse_cosine_pairs"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_score_model_broadcasts(spark, registry):
+    """The vocabulary-bounded model side of the scoring join must
+    broadcast — per-doc bigrams never shuffle against it."""
+    plan = _plan(registry["text_bigram_score"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:600]
+
+
+def test_quantize_int8_is_map_only(spark, registry):
+    """SQ8 quantization must stay a narrow map-only pass: no exchange,
+    no join, no window."""
+    plan = _plan(registry["embedding_quantize_int8"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan and "Join" not in plan and "Window" not in plan
+
+
+def test_keyword_scan_no_python_source(spark, registry):
+    """The pattern table must be JVM literals — a Python-RDD source
+    (ExistingRDD via applySchemaToPythonRDD) would add py4j startup to
+    every scan."""
+    plan = _plan(registry["text_keyword_scan"].fn(spark, SF_DIR))
+    assert "ExistingRDD" not in plan, plan[:500]
+    assert "BatchEvalPython" not in plan
+
+
+def test_cc_twophase_equals_propagation(spark, registry):
+    """Star contraction and min-label propagation must produce the
+    identical component labeling."""
+    a = sorted(map(tuple, registry["graph_cc_twophase"].fn(spark, SF_DIR).collect()))
+    b = sorted(
+        map(tuple, registry["graph_connected_components"].fn(spark, SF_DIR).collect())
+    )
+    assert a == b
