@@ -3851,3 +3851,34 @@ def dq_join_explosion_audit(spark, sf_dir):
         F.max(cc).cast("bigint").alias("max_key_pairs"),
         F.count(F.when(cc > 100, 1)).alias("n_hot_keys"),
     )
+
+
+@query(
+    "events_heatmap_hour_dow",
+    oracle="""
+    SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+           (epoch_us(ts) // 3600000000) % 24 AS hour,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_heatmap_hour_dow(spark, sf_dir):
+    """Activity heatmap (day-of-week x hour-of-day) — the usage-
+    pattern matrix behind every ops dashboard. Calendar arithmetic is
+    PURE integer math on epoch-microseconds (dow = (epoch_day + 4)
+    mod 7, anchored on 1970-01-01 being a Thursday; hour = epoch-hour
+    mod 24) — no engine calendar functions, whose week-start and
+    timezone conventions differ between engines (Spark dayofweek is
+    1-based Sunday-first, DuckDB 0-based — the exact class of silent
+    mismatch this corpus avoids by construction). One hash-agg to a
+    7x24-bounded result; distinct-user counts partial-aggregate per
+    cell."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    return e.groupBy(
+        F.expr("(unix_micros(ts) div 86400000000 + 4) % 7").alias("dow"),
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

@@ -1079,3 +1079,46 @@ def text_keyword_scan(spark, sf_dir):
         F.sum("occ").cast("bigint").alias("n_occurrences"),
         F.count(F.when(F.col("occ") > 0, 1)).alias("n_docs_hit"),
     )
+
+
+@query(
+    "text_clean_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean,
+           length(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS n_clean_chars,
+           length(text) - length(replace(replace(lower(text), 'a', ''),
+                                         'e', '')) AS n_ae
+    FROM documents WHERE doc_id % 11 = 0
+    """,
+)
+def text_clean_normalize(spark, sf_dir):
+    """Text normalization/cleaning — the first pass of every corpus
+    pipeline: lowercase, strip non-alphanumerics to spaces, collapse
+    whitespace runs, trim; plus a letter-frequency probe via exact
+    length arithmetic. Pure Column regexps (identical character-class
+    semantics in Java regex and RE2 for these patterns — classes with
+    shorthand escapes like \\s are where the engines diverge, so the
+    patterns here stay explicit), map-only, no shuffle. Unicode NFC/
+    NFKC folding is the documented external seam (ICU via a pandas
+    UDF — Spark has no built-in normalizer), same pattern as the
+    KenLM/decoder seams; the dataflow is unchanged when it lands."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +", " ",
+        )
+    )
+    n_ae = F.length("text") - F.length(
+        F.replace(F.replace(F.lower(F.col("text")), F.lit("a"), F.lit("")),
+                  F.lit("e"), F.lit(""))
+    )
+    return docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        clean.alias("clean"),
+        F.length(clean).cast("bigint").alias("n_clean_chars"),
+        n_ae.cast("bigint").alias("n_ae"),
+    )
