@@ -587,3 +587,98 @@ def _hash_edges(spark, sf_dir):
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+
+
+def _hits_iter_sql(h_prev: str, a_out: str, h_out: str) -> str:
+    """One HITS round: raw authority = in-sum of hubs, L1-normalized to
+    1e9 total (HUGEINT multiply before the integral divide), then raw
+    hub = out-sum of normalized authorities, normalized the same way."""
+    return f"""
+    {a_out}_raw AS (
+      SELECT n.id, coalesce(s.c, 0) AS ar FROM hits_nodes n LEFT JOIN (
+        SELECT e.dst AS id, sum(h.v) AS c
+        FROM hits_edges e JOIN {h_prev} h ON e.src = h.id GROUP BY e.dst
+      ) s ON n.id = s.id
+    ),
+    {a_out} AS (
+      SELECT id, CAST(ar::HUGEINT * 1000000000
+                      // (SELECT sum(ar) FROM {a_out}_raw) AS BIGINT) AS v
+      FROM {a_out}_raw
+    ),
+    {h_out}_raw AS (
+      SELECT n.id, coalesce(s.c, 0) AS hr FROM hits_nodes n LEFT JOIN (
+        SELECT e.src AS id, sum(a.v) AS c
+        FROM hits_edges e JOIN {a_out} a ON e.dst = a.id GROUP BY e.src
+      ) s ON n.id = s.id
+    ),
+    {h_out} AS (
+      SELECT id, CAST(hr::HUGEINT * 1000000000
+                      // (SELECT sum(hr) FROM {h_out}_raw) AS BIGINT) AS v
+      FROM {h_out}_raw
+    )"""
+
+
+@query(
+    "graph_hits",
+    oracle=f"""
+    WITH hits_nodes AS (SELECT n_nationkey AS id FROM nation),
+    hits_edges AS (
+      SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+      UNION ALL
+      SELECT n_nationkey, (6 * n_nationkey + 1) % 25 FROM nation
+    ),
+    h0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS v FROM hits_nodes),
+    {_hits_iter_sql('h0', 'a1', 'h1')},
+    {_hits_iter_sql('h1', 'a2', 'h2')}
+    SELECT n.id, a2.v AS auth, h2.v AS hub
+    FROM hits_nodes n JOIN a2 ON n.id = a2.id JOIN h2 ON n.id = h2.id
+    """,
+)
+def graph_hits(spark, sf_dir):
+    """HITS hub/authority scoring (Kleinberg) — the mutually-recursive
+    companion to PageRank: authority = in-sum of hub scores, hub =
+    out-sum of authority scores, two rounds. Scores live as INTEGER
+    billionths with L1 normalization (score·10^9 integral-div total;
+    the product runs in DECIMAL(38,0) because raw·10^9 exceeds a
+    bigint) — the same quantized-iteration rule as graph_pagerank, so
+    both engines produce bit-identical fixpoints; L2 normalization
+    (classic HITS) would hang every score on a libm sqrt. Each
+    half-round is one edge-join + one hash-agg + a 1-row total
+    broadcast; the driver loop only sequences rounds — per-round data
+    never visits the driver. Same 25-node two-out-degree ring graph
+    as pagerank."""
+    n = io.read_parquet(spark, f"{sf_dir}/nation.parquet").df
+    k = F.col("n_nationkey")
+    nodes = n.select(k.alias("id"))
+    edges = (
+        n.select(k.alias("src"), ((k + 1) % 25).alias("dst"))
+        .unionByName(n.select(k.alias("src"), ((6 * k + 1) % 25).alias("dst")))
+        .cache()
+    )
+
+    def half_round(scores, join_on: str, out_key: str):
+        raw = (
+            edges.join(scores.withColumnRenamed("id", join_on), join_on)
+            .groupBy(F.col(out_key).alias("id"))
+            .agg(F.sum("v").alias("c"))
+        )
+        raw = nodes.join(raw, "id", "left").select(
+            "id", F.coalesce("c", F.lit(0)).alias("raw")
+        )
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "id",
+            F.expr(
+                "CAST(CAST(raw AS DECIMAL(38,0)) * 1000000000 div tot AS BIGINT)"
+            ).alias("v"),
+        )
+
+    h = nodes.select("id", F.lit(1000000000).cast("bigint").alias("v"))
+    for _ in range(2):
+        a = half_round(h, "src", "dst")   # authority from hubs
+        h = half_round(a, "dst", "src")   # hub from authorities
+    return (
+        nodes.join(a.withColumnRenamed("v", "auth"), "id")
+        .join(h.withColumnRenamed("v", "hub"), "id")
+        .select("id", "auth", "hub")
+    )
