@@ -675,8 +675,12 @@ def graph_hits(spark, sf_dir):
 
     h = nodes.select("id", F.lit(1000000000).cast("bigint").alias("v"))
     for _ in range(2):
-        a = half_round(h, "src", "dst")   # authority from hubs
-        h = half_round(a, "dst", "src")   # hub from authorities
+        # truncate lineage each half-round (the fixpoint auto-cache
+        # policy, plans/iterate): otherwise every total-broadcast
+        # subquery re-derives the whole previous round and the final
+        # plan grows multiplicatively
+        a = half_round(h, "src", "dst").localCheckpoint(eager=True)
+        h = half_round(a, "dst", "src").localCheckpoint(eager=True)
     return (
         nodes.join(a.withColumnRenamed("v", "auth"), "id")
         .join(h.withColumnRenamed("v", "hub"), "id")
