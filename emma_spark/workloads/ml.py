@@ -698,3 +698,120 @@ def ml_knn_classify(spark, sf_dir):
         "query_id", "true_label", "pred_label", "votes",
         (F.col("pred_label") == F.col("true_label")).alias("correct"),
     )
+
+
+@query(
+    "ml_decision_stump",
+    oracle="""
+    WITH pts AS (
+      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+             t.i AS dim,
+             CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS v_c
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS t(i)
+    ),
+    mm AS (
+      SELECT dim, min(v_c) AS lo, max(v_c) AS hi FROM pts GROUP BY dim
+    ),
+    binned AS (
+      SELECT p.dim, (p.v_c - mm.lo) * 16 // (mm.hi - mm.lo + 1) AS bin,
+             mm.lo, mm.hi,
+             sum(p.y) AS n_pos, count(*) AS n_tot
+      FROM pts p JOIN mm ON p.dim = mm.dim
+      GROUP BY 1, 2, 3, 4
+    ),
+    tot AS (SELECT sum(n_pos) AS all_pos, sum(n_tot) AS all_tot FROM binned
+            WHERE dim = 1),
+    cum AS (
+      SELECT dim, bin, lo, hi,
+             sum(n_pos) OVER pw AS cum_pos,
+             sum(n_tot) OVER pw AS cum_tot
+      FROM binned
+      WINDOW pw AS (PARTITION BY dim ORDER BY bin ROWS UNBOUNDED PRECEDING)
+    ),
+    scored AS (
+      SELECT dim, bin,
+             lo + ((bin + 1) * (hi - lo + 1)) // 16 AS thr_c,
+             least(cum_pos, cum_tot - cum_pos)
+               + least(t.all_pos - cum_pos,
+                       (t.all_tot - cum_tot) - (t.all_pos - cum_pos)) AS err
+      FROM cum, tot t
+    )
+    SELECT min_by(dim, err * 4096 + dim * 64 + bin) AS best_dim,
+           min_by(bin, err * 4096 + dim * 64 + bin) AS best_bin,
+           min_by(thr_c, err * 4096 + dim * 64 + bin) AS thr_c,
+           min(err) AS best_err
+    FROM scored
+    """,
+)
+def ml_decision_stump(spark, sf_dir):
+    """Decision-stump training (1-level tree) by HISTOGRAM split
+    finding — the inner loop of every distributed GBDT (XGBoost/
+    LightGBM hist mode), as pure dataflow: quantize each feature to
+    integer 1e-6 units, 16 equi-width bins per feature (exact integer
+    bin arithmetic, as sketch_quantile_bins), per-(feature, bin)
+    label-count hash-agg, cumulative counts over the ≤16-bin window
+    PARTITIONED by feature, misclassification error of every
+    candidate split in pure integer math, global argmin via one
+    min_by with a composite key (err·4096 + dim·64 + bin — err
+    dominates, deterministic dim/bin tie-break). Scale: candidate
+    stats are (features × bins) cells regardless of row count —
+    the reason hist-mode GBDT scales — and the only data-sized ops
+    are the dim-explode (narrow) and one hash-agg with map-side
+    partials. Binary target y = label < 5."""
+    from ..llm.similarity import as_double
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    pts = emb.select(
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+        F.posexplode(as_double(F.col("embedding"))).alias("i0", "v"),
+    ).select(
+        "y",
+        (F.col("i0") + 1).alias("dim"),
+        F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("bigint").alias("v_c"),
+    )
+    mm = pts.groupBy("dim").agg(F.min("v_c").alias("lo"), F.max("v_c").alias("hi"))
+    binned = (
+        pts.join(F.broadcast(mm), "dim")
+        .groupBy(
+            "dim",
+            F.expr("(v_c - lo) * 16 div (hi - lo + 1)").alias("bin"),
+            "lo", "hi",
+        )
+        .agg(F.sum("y").alias("n_pos"), F.count(F.lit(1)).alias("n_tot"))
+    )
+    from pyspark.sql import Window
+
+    tot = binned.filter(F.col("dim") == 1).agg(
+        F.sum("n_pos").alias("all_pos"), F.sum("n_tot").alias("all_tot")
+    )
+    pw = (
+        Window.partitionBy("dim")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.select(
+        "dim", "bin", "lo", "hi",
+        F.sum("n_pos").over(pw).alias("cum_pos"),
+        F.sum("n_tot").over(pw).alias("cum_tot"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "dim", "bin",
+        F.expr("lo + ((bin + 1) * (hi - lo + 1)) div 16").alias("thr_c"),
+        (
+            F.least(F.col("cum_pos"), F.col("cum_tot") - F.col("cum_pos"))
+            + F.least(
+                F.col("all_pos") - F.col("cum_pos"),
+                (F.col("all_tot") - F.col("cum_tot"))
+                - (F.col("all_pos") - F.col("cum_pos")),
+            )
+        ).alias("err"),
+    )
+    key = F.col("err") * 4096 + F.col("dim") * 64 + F.col("bin")
+    return scored.agg(
+        F.min_by("dim", key).alias("best_dim"),
+        F.min_by("bin", key).alias("best_bin"),
+        F.min_by("thr_c", key).alias("thr_c"),
+        F.min("err").alias("best_err"),
+    )

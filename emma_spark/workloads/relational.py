@@ -3882,3 +3882,49 @@ def events_heatmap_hour_dow(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    marg AS (SELECT prev_type, sum(cnt) AS n FROM pairs GROUP BY prev_type)
+    SELECT p.prev_type, p.next_type, p.cnt,
+           p.cnt * 1000000 // m.n AS prob_ppm
+    FROM pairs p JOIN marg m ON p.prev_type = m.prev_type
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over user event sequences
+    — the behavioral model behind next-action prediction and funnel
+    drop-off analysis: P(next | prev) for every event-type pair, as
+    exact integer ppm (cnt·10^6 integral-div row marginal). The
+    sequence adjacency comes from ONE lag window PARTITIONED by user
+    (per-user ordering is the parallelism unit — nothing global,
+    same discipline as sessionize), then two hash-aggs over the
+    |types|²-bounded pair space; the conditional join is
+    broadcast-sized forever. Deterministic tie-break: lag ordered by
+    (ts, event_id) so same-timestamp events can't reorder between
+    engines."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    marg = pairs.groupBy("prev_type").agg(F.sum("cnt").alias("n"))
+    return pairs.join(F.broadcast(marg), "prev_type").select(
+        "prev_type", "next_type", "cnt",
+        F.expr("cnt * 1000000 div n").alias("prob_ppm"),
+    )
