@@ -147,3 +147,106 @@ def test_hll_partition_invariance_and_sanity(spark, data):
     assert est[0] == est[1], est
     n = len(data)
     assert 0.3 * n <= est[0] <= 3.0 * n + 400, (est[0], n)
+
+
+iv_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500)),  # (user, start)
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(data=iv_rows)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_merge_islands_match_python_oracle(spark, data):
+    """The gaps-and-islands plan (events_interval_merge's shape) must
+    produce exactly the maximal overlap-merged intervals a sequential
+    sweep produces, for ANY interval multiset."""
+    from pyspark.sql import Window
+
+    width = 50
+    rows_ = [
+        {"user_id": u, "s": s, "e": s + width, "event_id": i}
+        for i, (u, s) in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows_, "user_id int, s int, e int, event_id int")
+    w_prev = (
+        Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    marked = df.select(
+        "user_id", "s", "e", "event_id",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("ni"),
+    )
+    w_run = (
+        Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    got = {
+        (r["user_id"], r["lo"], r["hi"], r["n"])
+        for r in marked.select(
+            "user_id", "s", "e", F.sum("ni").over(w_run).alias("island")
+        )
+        .groupBy("user_id", "island")
+        .agg(F.min("s").alias("lo"), F.max("e").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    # sequential sweep oracle
+    want = set()
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, s) in enumerate(data):
+        by_user.setdefault(u, []).append((s, i))
+    for u, ivs in by_user.items():
+        ivs.sort()
+        lo, hi, n = None, None, 0
+        for s, _ in ivs:
+            if lo is None:
+                lo, hi, n = s, s + width, 1
+            elif s <= hi:
+                hi, n = max(hi, s + width), n + 1
+            else:
+                want.add((u, lo, hi, n))
+                lo, hi, n = s, s + width, 1
+        want.add((u, lo, hi, n))
+    assert got == want
+
+
+vec_rows = st.lists(
+    st.lists(st.floats(-2.0, 2.0, allow_nan=False, width=32),
+             min_size=4, max_size=4),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(data=vec_rows)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_int8_quantization_error_bound(spark, data):
+    """SQ8 codes must reconstruct within half a quantization step:
+    |x - code·amax/127| ≤ amax/254 (+ float slack) for every element,
+    and codes stay in [-127, 127]."""
+    rows_ = [{"vec_id": i, "v": [float(x) for x in v]} for i, v in enumerate(data)]
+    df = spark.createDataFrame(rows_, "vec_id long, v array<double>")
+    d = df.withColumn(
+        "amax", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    ).filter(F.col("amax") > 0)
+    coded = d.withColumn(
+        "codes",
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / F.col("amax") * 127 + F.lit(0.5)).cast("bigint"),
+        ),
+    ).collect()
+    for r in coded:
+        amax = r["amax"]
+        for x, c in zip(r["v"], r["codes"]):
+            assert -127 <= c <= 127
+            assert abs(x - c * amax / 127) <= amax / 254 + 1e-9
