@@ -532,6 +532,10 @@ class DataBag:
         interchange format; overwrite mode like the other sinks)."""
         self._df.write.mode("overwrite").options(**options).json(path)
 
+    def write_orc(self, path: str, **options) -> None:
+        """ORC columnar sink (overwrite mode, like the other sinks)."""
+        self._df.write.mode("overwrite").options(**options).orc(path)
+
     def write_parquet(self, path: str, partition_by: Sequence[str] | None = None, **options) -> None:
         w = self._df.write.mode("overwrite").options(**options)
         if partition_by:

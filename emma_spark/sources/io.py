@@ -228,6 +228,21 @@ def read_jsonl(
     return DataBag(reader.json(path))
 
 
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataBag:
+    """ORC columnar source — the other splittable columnar format a
+    Spark shop inherits from Hive-era lakes. Same pushdown/pruning
+    properties as parquet (PushedFilters/ReadSchema reach the scan);
+    schema optional (ORC files are self-describing, no inference
+    scan). No reference analog (io/csv, io/parquet only); added for
+    lake interop like read_jsonl."""
+    reader = spark.read
+    if schema is not None:
+        if isinstance(schema, type):
+            schema = schema_of(schema)
+        reader = reader.schema(schema)
+    return DataBag(reader.orc(path))
+
+
 def read_parquet(spark: SparkSession, path: str, schema=None) -> DataBag:
     """(``api/DataBag.scala:427``; ``SparkDataset.scala:185-193``).
     Column pruning + predicate pushdown reach the scan via Catalyst —

@@ -3928,3 +3928,106 @@ def events_markov_transitions(spark, sf_dir):
         "prev_type", "next_type", "cnt",
         F.expr("cnt * 1000000 div n").alias("prob_ppm"),
     )
+
+
+@query(
+    "orc_roundtrip_agg",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           sum(floor(c_acctbal * 100 + 0.5)) AS bal_c,
+           count(DISTINCT c_nationkey) AS n_nations
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def orc_roundtrip_agg(spark, sf_dir):
+    """ORC sink + source round-trip (io.read_orc/DataBag.write_orc):
+    customer written to ORC and read back, then aggregated — the hash
+    match against the ORIGINAL parquet proves the columnar codec
+    round-trips rows, doubles and keys losslessly (the same proof
+    shape as csv_roundtrip_agg and jsonl_roundtrip_agg, completing
+    the text/columnar sink matrix). ORC keeps parquet's scan
+    properties — predicate pushdown, column pruning, splittable
+    stripes — so swapping formats never changes a plan's scale
+    behavior, only its encoding."""
+    import tempfile
+
+    c = T(spark, sf_dir, "customer")["customer"]
+    path = tempfile.mkdtemp(prefix="emma_orc_rt_") + "/customer"
+    c.write_orc(path)
+    back = io.read_orc(spark, path)
+    return back.df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))).alias("bal_c"),
+        F.count_distinct("c_nationkey").alias("n_nations"),
+    )
+
+
+@query(
+    "null_semantics_surface",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS p,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderpriority END AS pr
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT count(*) AS n_rows,
+           count(p) AS n_p,
+           count(*) FILTER (p IS NULL) AS n_null_p,
+           count(*) FILTER (p IS NOT DISTINCT FROM NULL) AS n_nsafe_null,
+           count(*) FILTER (pr IS NOT DISTINCT FROM '1-URGENT') AS n_urgent_nsafe,
+           count(*) FILTER (coalesce(pr, 'MISSING') = 'MISSING') AS n_coalesced,
+           count(*) FILTER (nullif(pr, '1-URGENT') IS NULL AND pr IS NOT NULL)
+             AS n_nullified,
+           CAST(sum(floor(coalesce(p, 0) * 100 + 0.5)) AS BIGINT) AS sum_c,
+           count(*) FILTER ((p > 100000) IS NULL) AS n_unknown_cmp
+    FROM t
+    """,
+)
+def null_semantics_surface(spark, sf_dir):
+    """Three-valued-logic surface: the NULL behaviors that silently
+    differ between engines if an implementation is careless —
+    count(col) vs count(*), null-safe equality (Spark ``<=>`` ≡ SQL
+    IS NOT DISTINCT FROM), coalesce/nullif, aggregate null-skipping,
+    and comparisons evaluating to UNKNOWN (neither TRUE nor FALSE).
+    The reference models optionality as Scala Option fields
+    (SURVEY §1.2); this engine maps Option to nullable columns, so
+    SQL null semantics ARE the Option semantics and must be exact.
+    Pure single-scan conditional aggregation."""
+    o = T(spark, sf_dir, "orders")["orders"].df
+    t = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("p"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pr"),
+    )
+    unknown_cmp = F.col("p") > 100000
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("p").alias("n_p"),
+        F.count(F.when(F.col("p").isNull(), 1)).alias("n_null_p"),
+        F.count(F.when(F.col("p").eqNullSafe(F.lit(None)), 1)).alias(
+            "n_nsafe_null"
+        ),
+        F.count(F.when(F.col("pr").eqNullSafe("1-URGENT"), 1)).alias(
+            "n_urgent_nsafe"
+        ),
+        F.count(
+            F.when(F.coalesce("pr", F.lit("MISSING")) == "MISSING", 1)
+        ).alias("n_coalesced"),
+        F.count(
+            F.when(
+                F.nullif("pr", F.lit("1-URGENT")).isNull()
+                & F.col("pr").isNotNull(),
+                1,
+            )
+        ).alias("n_nullified"),
+        F.sum(F.floor(F.coalesce("p", F.lit(0)) * 100 + F.lit(0.5)))
+        .cast("bigint")
+        .alias("sum_c"),
+        F.count(F.when(unknown_cmp.isNull(), 1)).alias("n_unknown_cmp"),
+    )
