@@ -117,9 +117,25 @@ _PRIORITY = [
     # round) + both sketch probes (hash slicing changed) + the
     # iterative-graph representative. Everything else carries green
     # r1-r4 rows and rotates out, still swept by
-    # tools/diffcheck.py --vanilla each round; the remaining r5-late
-    # queries (chunk dedup, SCD2 lookup, observed metrics, z-order,
-    # mixture allocation, grouped quantile bins) queue for r6.
+    # tools/diffcheck.py --vanilla each round. QUEUED FOR THE R6
+    # WINDOW (never driver-checked; all local-green at sf0.01+sf0.1):
+    # the 6 r5-mid additions (multimodal_chunk_dedup,
+    # scd2_point_in_time_lookup, dq_observed_ingest,
+    # layout_zorder_clustering, text_mixture_allocation,
+    # sketch_quantile_bins_grouped) plus the r5-continuation batch:
+    # q5_local_supplier_volume, dq_drift_snapshots,
+    # events_retention_cohorts, events_anomaly_zscore,
+    # graph_cc_twophase, dedup_paragraph_exact, text_chunk_windows,
+    # text_sparse_cosine_pairs, text_winsorize_p90, ml_knn_classify,
+    # embedding_negative_sample, jsonl_roundtrip_agg,
+    # events_interval_merge, multimodal_shard_plan, text_bigram_score,
+    # stream_cdc_merge_snapshot, graph_jaccard_neighbors,
+    # basket_brand_affinity, dq_join_explosion_audit,
+    # embedding_quantize_int8, text_keyword_scan,
+    # events_heatmap_hour_dow, text_clean_normalize, graph_hits,
+    # events_markov_transitions, ml_decision_stump, orc_roundtrip_agg,
+    # null_semantics_surface, text_bpe_apply (r5-late). Rotation
+    # recipe unchanged: reds -> never-checked -> changed -> keepers.
     "stream_watermark_append",
     "sketch_countmin_tokens", "sketch_bloom_membership",
     "graph_pagerank",
