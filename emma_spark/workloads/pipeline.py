@@ -55,3 +55,86 @@ def pipeline_corpus_curation(spark, sf_dir):
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     curated = P.curate(docs, min_tokens=5, min_alpha=0.5)
     return P.corpus_stats(curated, by="lang")
+
+
+_FP = sql_md5_long(r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')")
+
+_INC_ORACLE = f"""
+WITH corpus AS (
+  SELECT {_FP} AS fp FROM documents WHERE doc_id % 4 != 0
+),
+batch AS (
+  SELECT doc_id, lang, {_FP} AS fp,
+         len({SQL_TOKS}) >= 5 AS gated
+  FROM documents WHERE doc_id % 4 = 0
+),
+keeper AS (
+  SELECT fp, min(doc_id) AS kd FROM batch WHERE gated GROUP BY fp
+),
+flags AS (
+  SELECT b.doc_id, b.lang, b.gated,
+         b.gated AND k.kd = b.doc_id AS self_kept,
+         b.gated AND k.kd = b.doc_id
+           AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+           AS is_new
+  FROM batch b LEFT JOIN keeper k ON b.fp = k.fp
+)
+SELECT lang,
+       count(*) AS n_arrived,
+       count(*) FILTER (gated) AS n_gated,
+       count(*) FILTER (self_kept) AS n_self_kept,
+       count(*) FILTER (is_new) AS n_new
+FROM flags GROUP BY lang
+"""
+
+
+@query("pipeline_incremental_update", oracle=_INC_ORACLE)
+def pipeline_incremental_update(spark, sf_dir):
+    """INCREMENTAL corpus ingestion — the production counterpart of
+    pipeline_corpus_curation's full recompute: an arriving batch
+    (doc_id % 4 = 0 simulates the delta) is quality-gated,
+    self-deduped, then anti-joined against the EXISTING corpus's
+    fingerprint set, so only genuinely new content survives; the
+    funnel report (arrived → gated → self-kept → new) is what the
+    ingest dashboard shows per batch. Scale: the existing corpus
+    contributes ONLY its 56-bit fingerprint column (at 100 TB that
+    fingerprint table is ~1% of corpus bytes and lives pre-computed
+    next to it — this query derives it inline because the harness has
+    no side state); both dedup joins hash-partition on fp; everything
+    else is narrow flag arithmetic folded in ONE conditional agg.
+    Batch-boundary determinism: keeper = min doc_id per fingerprint,
+    the same keeper rule as dedup_exact."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    from ..llm import text as X
+
+    fp = X.fingerprint(F.col("text"))
+    corpus_fp = (
+        docs.filter(F.col("doc_id") % 4 != 0).select(fp.alias("fp")).distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "lang", fp.alias("fp"),
+        (F.size(X.tokens(F.col("text"))) >= 5).alias("gated"),
+    )
+    keeper = (
+        batch.filter("gated").groupBy("fp").agg(F.min("doc_id").alias("kd"))
+    )
+    in_corpus = corpus_fp.withColumn("hit", F.lit(1))
+    flags = (
+        batch.join(keeper, "fp", "left")
+        .join(in_corpus, "fp", "left")
+        .select(
+            "lang", "gated",
+            (F.col("gated") & (F.col("kd") == F.col("doc_id"))).alias("self_kept"),
+            (
+                F.col("gated")
+                & (F.col("kd") == F.col("doc_id"))
+                & F.col("hit").isNull()
+            ).alias("is_new"),
+        )
+    )
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_arrived"),
+        F.count(F.when(F.col("gated"), 1)).alias("n_gated"),
+        F.count(F.when(F.col("self_kept"), 1)).alias("n_self_kept"),
+        F.count(F.when(F.col("is_new"), 1)).alias("n_new"),
+    )
