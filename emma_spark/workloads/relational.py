@@ -4031,3 +4031,122 @@ def null_semantics_surface(spark, sf_dir):
         .alias("sum_c"),
         F.count(F.when(unknown_cmp.isNull(), 1)).alias("n_unknown_cmp"),
     )
+
+
+@query(
+    "events_user_ltv_decay",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+             (19753 - epoch_us(ts) // 86400000000) // 7 AS w
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(value_c // (1 << w)) AS BIGINT) AS decayed_value_c,
+           CAST(sum(value_c) AS BIGINT) AS raw_value_c
+    FROM d GROUP BY user_id
+    """,
+)
+def events_user_ltv_decay(spark, sf_dir):
+    """Recency-decayed engagement value per user (the LTV/churn-risk
+    score): each event's value is halved for every week of age at the
+    observation point (2024-01-31, epoch day 19753) — EXACT integer
+    half-life decay (value_c div 2^weeks, a bit shift) instead of
+    float exp(-λt), so the score is bit-stable across engines and
+    reruns while keeping the economically-meaningful geometric decay.
+    ONE hash-agg; the decay is narrow arithmetic on the scan. The
+    standard float-decay variant differs only in the per-row
+    expression — the plan is identical."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    d = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("value_c"),
+        F.expr("(19753 - unix_micros(ts) div 86400000000) div 7").alias("w"),
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.expr("value_c div (1 << w)")).cast("bigint").alias(
+            "decayed_value_c"
+        ),
+        F.sum("value_c").cast("bigint").alias("raw_value_c"),
+    )
+
+
+@query(
+    "orders_lorenz_curve",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey,
+             CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    mm AS (SELECT min(rev_c) AS lo, max(rev_c) AS hi,
+                  count(*) AS n_cust, sum(rev_c) AS total_rev FROM pc),
+    binned AS (
+      SELECT (pc.rev_c - mm.lo) * 64 // (mm.hi - mm.lo + 1) AS bin,
+             count(*) AS n_cust_bin, sum(pc.rev_c) AS rev_bin
+      FROM pc, mm GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin,
+             sum(n_cust_bin) OVER w AS cum_cust,
+             sum(rev_bin) OVER w AS cum_rev
+      FROM binned
+      WINDOW w AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT bin,
+           CAST(cum_cust * 1000000 // mm.n_cust AS BIGINT) AS cum_cust_ppm,
+           CAST(cum_rev::HUGEINT * 1000000 // mm.total_rev AS BIGINT)
+             AS cum_rev_ppm
+    FROM cum, mm
+    """,
+)
+def orders_lorenz_curve(spark, sf_dir):
+    """Revenue-concentration (Lorenz/Pareto) curve WITHOUT a global
+    sort: per-customer revenue is folded into a 64-cell equi-width
+    VALUE HISTOGRAM (exact integer bin arithmetic, as
+    sketch_quantile_bins), and the concentration curve — 'the top x%%
+    of customers produce y%% of revenue' — is read off the ≤64-row
+    descending cumulative. The textbook Lorenz construction sorts
+    every customer (one-task global sort, the scale-killer); the
+    histogram version is one per-customer hash-agg + one ≤64-cell agg
+    + a bounded window, with resolution = one bin width. Shares in
+    exact integer ppm (HUGEINT/DECIMAL product before the integral
+    divide — cum_rev·10^6 overflows a bigint at sf ≥ 0.1)."""
+    from pyspark.sql import Window
+
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    pc = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    mm = pc.agg(
+        F.min("rev_c").alias("lo"), F.max("rev_c").alias("hi"),
+        F.count(F.lit(1)).alias("n_cust"), F.sum("rev_c").alias("total_rev"),
+    )
+    binned = (
+        pc.crossJoin(F.broadcast(mm))
+        .groupBy(F.expr("(rev_c - lo) * 64 div (hi - lo + 1)").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_cust_bin"), F.sum("rev_c").alias("rev_bin"))
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = binned.select(
+        "bin",
+        F.sum("n_cust_bin").over(w).alias("cum_cust"),
+        F.sum("rev_bin").over(w).alias("cum_rev"),
+    )
+    return cum.crossJoin(F.broadcast(mm)).select(
+        "bin",
+        F.expr("CAST(cum_cust * 1000000 div n_cust AS BIGINT)").alias(
+            "cum_cust_ppm"
+        ),
+        F.expr(
+            "CAST(CAST(cum_rev AS DECIMAL(38,0)) * 1000000 div total_rev"
+            " AS BIGINT)"
+        ).alias("cum_rev_ppm"),
+    )
