@@ -1122,3 +1122,65 @@ def text_clean_normalize(spark, sf_dir):
         F.length(clean).cast("bigint").alias("n_clean_chars"),
         n_ae.cast("bigint").alias("n_ae"),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_TOKS} AS toks FROM documents WHERE doc_id % 5 = 0
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      FROM w, unnest(range(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 3
+    ),
+    dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+    SELECT sh.doc_id,
+           count(*) AS n_grams,
+           count(*) FILTER (dfreq.df = 1) AS n_unique,
+           count(*) FILTER (dfreq.df = 1) * 1000000 // count(*) AS novelty_ppm
+    FROM sh JOIN dfreq ON sh.g = dfreq.g
+    GROUP BY sh.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Document novelty scoring: the fraction of a document's distinct
+    word trigrams that appear NOWHERE else in the corpus (df = 1), in
+    exact ppm — high novelty marks fresh content, low novelty marks
+    boilerplate/templated text; the diversity signal data-mixing and
+    memorization-risk audits use next to dedup. Plan: distinct
+    (doc, trigram) pairs (narrow HOF construction + one distinct
+    shuffle), trigram document-frequency hash-agg, then ONE join of
+    the pair table to the df table on the trigram key and a per-doc
+    conditional agg — candidate volume is linear in corpus trigrams,
+    never pairwise (contrast dedup_ngram_jaccard, which needs
+    pair-level evidence and pays for banding). Corpus sparsified
+    (doc_id %% 5) so df=1 trigrams exist at every SF against the
+    31-word synthetic vocabulary."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    w = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 3)
+    sh = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("df") == 1, 1)).alias("n_unique"),
+            F.expr(
+                "count(CASE WHEN df = 1 THEN 1 END) * 1000000 div count(1)"
+            ).alias("novelty_ppm"),
+        )
+    )
