@@ -4150,3 +4150,114 @@ def orders_lorenz_curve(spark, sf_dir):
             " AS BIGINT)"
         ).alias("cum_rev_ppm"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH err AS (
+      SELECT event_id AS eid, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'error'
+    ),
+    clk AS (
+      SELECT event_id AS cid, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+      SELECT e.eid, e.user_id,
+             c.cid, abs(e.t - c.t) AS adist
+      FROM err e JOIN clk c
+        ON e.user_id = c.user_id
+       AND c.t BETWEEN e.t - 1800000000 AND e.t + 1800000000
+    )
+    SELECT eid, user_id,
+           min_by(cid, adist * 1000000 + cid) AS nearest_click,
+           min(adist) // 1000000 AS dist_s
+    FROM cand GROUP BY eid, user_id
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """NEAREST-direction as-of join — completing the as-of family
+    (backward: asof_join_purchases; forward: asof_forward_conversion;
+    nearest: this): each error event finds the closest click of the
+    same user within ±30 min, whichever side it lies on — sensor
+    fusion / log correlation semantics. Candidates come from the
+    user-key equi-join with the tolerance as a residual range
+    predicate (per-user volume bounded by events-per-window, never
+    cross-user); the nearest pick is ONE min_by hash-agg with the
+    widened composite key (|Δt|·10^6 + click id — microsecond
+    distances can tie, the id slot makes the winner deterministic),
+    no window, no sort. DuckDB replays the same composite-key pick."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"), "user_id",
+        F.unix_micros("ts").alias("t_e"),
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("t_c"),
+    )
+    tol = 1800 * 1000000
+    cand = err.join(
+        clk,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("t_c") >= F.col("t_e") - tol)
+        & (F.col("t_c") <= F.col("t_e") + tol),
+    ).select(
+        "eid", "user_id", "cid",
+        F.abs(F.col("t_e") - F.col("t_c")).alias("adist"),
+    )
+    return cand.groupBy("eid", "user_id").agg(
+        F.min_by("cid", F.col("adist") * 1000000 + F.col("cid")).alias(
+            "nearest_click"
+        ),
+        F.expr("min(adist) div 1000000").alias("dist_s"),
+    )
+
+
+@query(
+    "events_sliding_batch_counts",
+    oracle="""
+    WITH ws AS (
+      SELECT event_type, t.w AS win_start, count(*) AS n
+      FROM (
+        SELECT event_type,
+               epoch_us(ts) // 1000000 AS s,
+               ((epoch_us(ts) // 1000000 - 3600) // 1800 + 1) AS w0
+        FROM events
+      ) e,
+      unnest([e.w0, e.w0 + 1]) AS t(w)
+      WHERE t.w * 1800 <= e.s AND e.s < t.w * 1800 + 3600
+      GROUP BY 1, 2
+    )
+    SELECT event_type, win_start * 1800 AS win_start_s, n FROM ws
+    """,
+)
+def events_sliding_batch_counts(spark, sf_dir):
+    """BATCH sliding-window aggregation (1 h windows sliding every
+    30 min) via explode-to-windows — the batch twin of
+    stream_sliding_counts and the pattern behind backfilling any
+    streaming sliding metric from historical data: each event emits
+    one row per window that covers it (size/slide = 2, a bounded
+    literal explode — no window function, no self-join, no range
+    join), then one (window, key) hash-agg with map-side partials.
+    Window ids are pure integer division on epoch-seconds, so both
+    engines enumerate identical windows; the guard predicate drops
+    the one candidate that doesn't actually cover early-in-window
+    events."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    base = e.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("s"),
+        F.expr("(unix_micros(ts) div 1000000 - 3600) div 1800 + 1").alias("w0"),
+    )
+    ex = base.select(
+        "event_type", "s",
+        F.explode(F.array(F.col("w0"), F.col("w0") + 1)).alias("w"),
+    ).filter(
+        (F.col("w") * 1800 <= F.col("s")) & (F.col("s") < F.col("w") * 1800 + 3600)
+    )
+    return ex.groupBy(
+        "event_type", (F.col("w") * 1800).alias("win_start_s")
+    ).agg(F.count(F.lit(1)).alias("n"))
