@@ -4039,7 +4039,7 @@ def null_semantics_surface(spark, sf_dir):
     WITH d AS (
       SELECT user_id,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
-             (19753 - epoch_us(ts) // 86400000000) // 7 AS w
+             least((19753 - epoch_us(ts) // 86400000000) // 7, 62) AS w
       FROM events
     )
     SELECT user_id,
@@ -4055,7 +4055,9 @@ def events_user_ltv_decay(spark, sf_dir):
     observation point (2024-01-31, epoch day 19753) — EXACT integer
     half-life decay (value_c div 2^weeks, a bit shift) instead of
     float exp(-λt), so the score is bit-stable across engines and
-    reruns while keeping the economically-meaningful geometric decay.
+    reruns while keeping the economically-meaningful geometric decay
+    (shift capped at 62 — beyond that the value is 0 anyway and an
+    uncapped shift would overflow on multi-year corpora).
     ONE hash-agg; the decay is narrow arithmetic on the scan. The
     standard float-decay variant differs only in the per-row
     expression — the plan is identical."""
@@ -4063,7 +4065,9 @@ def events_user_ltv_decay(spark, sf_dir):
     d = e.select(
         "user_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("value_c"),
-        F.expr("(19753 - unix_micros(ts) div 86400000000) div 7").alias("w"),
+        F.expr(
+            "least((19753 - unix_micros(ts) div 86400000000) div 7, 62)"
+        ).alias("w"),
     )
     return d.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -4171,7 +4175,7 @@ def orders_lorenz_curve(spark, sf_dir):
        AND c.t BETWEEN e.t - 1800000000 AND e.t + 1800000000
     )
     SELECT eid, user_id,
-           min_by(cid, adist * 1000000 + cid) AS nearest_click,
+           min_by(cid, adist::HUGEINT * 1000000000000 + cid) AS nearest_click,
            min(adist) // 1000000 AS dist_s
     FROM cand GROUP BY eid, user_id
     """,
@@ -4208,10 +4212,11 @@ def join_asof_nearest(spark, sf_dir):
         "eid", "user_id", "cid",
         F.abs(F.col("t_e") - F.col("t_c")).alias("adist"),
     )
+    okey = F.col("adist").cast("decimal(38,0)") * F.lit(1000000000000) + F.col(
+        "cid"
+    )
     return cand.groupBy("eid", "user_id").agg(
-        F.min_by("cid", F.col("adist") * 1000000 + F.col("cid")).alias(
-            "nearest_click"
-        ),
+        F.min_by("cid", okey).alias("nearest_click"),
         F.expr("min(adist) div 1000000").alias("dist_s"),
     )
 
