@@ -275,9 +275,11 @@ def sketch_kmv_distinct(spark, sf_dir):
              array_to_string(toks[(i*4+1):(i*4+4)], ' ') AS chunk
       FROM w, unnest(generate_series(0, greatest((len(toks)+3)//4 - 1, 0))) AS t(i)
     ),
-    win AS (SELECT chunk, min(doc_id * 1000000 + chunk_idx) AS wk
+    win AS (SELECT chunk, min(doc_id::HUGEINT * 1000000000000 + chunk_idx)
+              AS wk
             FROM ch GROUP BY chunk),
-    kept AS (SELECT wk // 1000000 AS doc_id, count(*) AS n_kept
+    kept AS (SELECT CAST(wk // 1000000000000 AS BIGINT) AS doc_id,
+                    count(*) AS n_kept
              FROM win GROUP BY 1),
     tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
     SELECT t.doc_id, t.n_chunks, coalesce(k.n_kept, 0) AS n_kept
@@ -294,8 +296,9 @@ def dedup_paragraph_exact(spark, sf_dir):
     split/slice/array_join before anything wide); dedup is ONE
     hash-shuffle of (chunk -> min composite key) with map-side
     partial min; the winner's doc is recovered ARITHMETICALLY from
-    the composite key (doc_id*10^6 + chunk_idx, id slot wider than
-    any chunk count — the widened-slot rule), so there is NO join
+    the composite key (doc_id·10^12 + chunk_idx in DECIMAL(38,0) —
+    the position slot stays wider than any realistic chunk count per
+    document, the widened-slot rule), so there is NO join
     back to the exploded chunk table, just a tiny per-doc count agg
     LEFT-joined to the per-doc totals. At 100 TB: explode factor is
     bounded (~tokens/4 rows per doc), both aggs are map-side
@@ -312,10 +315,13 @@ def dedup_paragraph_exact(spark, sf_dir):
     )
     ex = d.select("doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk"))
     win = ex.groupBy("chunk").agg(
-        F.min(F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("wk")
+        F.min(
+            F.col("doc_id").cast("decimal(38,0)") * F.lit(1000000000000)
+            + F.col("chunk_idx")
+        ).alias("wk")
     )
     kept = (
-        win.select(F.expr("wk div 1000000").alias("doc_id"))
+        win.select(F.expr("CAST(wk div 1000000000000 AS BIGINT)").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )

@@ -3599,9 +3599,10 @@ def events_retention_cohorts(spark, sf_dir):
                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
     )
     SELECT event_type, day, cnt,
-           (7 * cnt - s) * (7 * cnt - s) AS z2_num,
-           7 * s2 - s * s AS z2_den,
-           (7 * cnt - s) * (7 * cnt - s) > 4 * (7 * s2 - s * s) AS is_anomaly
+           CAST((7 * cnt - s)::HUGEINT * (7 * cnt - s) AS BIGINT) AS z2_num,
+           CAST(7::HUGEINT * s2 - s::HUGEINT * s AS BIGINT) AS z2_den,
+           (7 * cnt - s)::HUGEINT * (7 * cnt - s)
+             > 4 * (7::HUGEINT * s2 - s::HUGEINT * s) AS is_anomaly
     FROM w WHERE n = 7
     """,
 )
@@ -3632,12 +3633,15 @@ def events_anomaly_zscore(spark, sf_dir):
         F.sum("cnt").over(pw).alias("s"),
         F.sum(F.col("cnt") * F.col("cnt")).over(pw).alias("s2"),
     ).filter(F.col("n") == 7)
-    dev = 7 * F.col("cnt") - F.col("s")
-    den = 7 * F.col("s2") - F.col("s") * F.col("s")
+    dev = (7 * F.col("cnt") - F.col("s")).cast("decimal(38,0)")
+    den = (
+        F.lit(7).cast("decimal(38,0)") * F.col("s2")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
     return w.select(
         "event_type", "day", "cnt",
-        (dev * dev).alias("z2_num"),
-        den.alias("z2_den"),
+        (dev * dev).cast("bigint").alias("z2_num"),
+        den.cast("bigint").alias("z2_den"),
         (dev * dev > 4 * den).alias("is_anomaly"),
     )
 
@@ -3761,7 +3765,8 @@ def events_interval_merge(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT brand_a, brand_b, co_cnt,
-           co_cnt * n.n_orders * 1000000 // (ma.cnt * mb.cnt) AS lift_ppm
+           CAST(co_cnt::HUGEINT * n.n_orders * 1000000
+                // (ma.cnt::HUGEINT * mb.cnt) AS BIGINT) AS lift_ppm
     FROM co, n
     JOIN marg ma ON co.brand_a = ma.p_brand
     JOIN marg mb ON co.brand_b = mb.p_brand
@@ -3812,7 +3817,10 @@ def basket_brand_affinity(spark, sf_dir):
         .join(F.broadcast(mb), "brand_b")
         .select(
             "brand_a", "brand_b", "co_cnt",
-            F.expr("co_cnt * n_orders * 1000000 div (ca * cb)").alias("lift_ppm"),
+            F.expr(
+                "CAST(CAST(co_cnt AS DECIMAL(38,0)) * n_orders * 1000000"
+                " div (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
     )
 
@@ -3821,7 +3829,7 @@ def basket_brand_affinity(spark, sf_dir):
     "dq_join_explosion_audit",
     oracle="""
     WITH k AS (
-      SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey
+      SELECT l_partkey, count(*)::HUGEINT AS c FROM lineitem GROUP BY l_partkey
     )
     SELECT CAST(sum(c * c) AS BIGINT) AS total_pairs,
            count(*) AS n_keys,
@@ -3843,7 +3851,9 @@ def dq_join_explosion_audit(spark, sf_dir):
     equi-join by computing per-key counts on each side and
     Σ c_a(k)·c_b(k)."""
     li = T(spark, sf_dir, "lineitem")["lineitem"].df
-    k = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    k = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
     cc = F.col("c") * F.col("c")
     return k.agg(
         F.sum(cc).cast("bigint").alias("total_pairs"),
@@ -3899,7 +3909,7 @@ def events_heatmap_hour_dow(spark, sf_dir):
     ),
     marg AS (SELECT prev_type, sum(cnt) AS n FROM pairs GROUP BY prev_type)
     SELECT p.prev_type, p.next_type, p.cnt,
-           p.cnt * 1000000 // m.n AS prob_ppm
+           CAST(p.cnt::HUGEINT * 1000000 // m.n AS BIGINT) AS prob_ppm
     FROM pairs p JOIN marg m ON p.prev_type = m.prev_type
     """,
 )
@@ -3926,7 +3936,9 @@ def events_markov_transitions(spark, sf_dir):
     marg = pairs.groupBy("prev_type").agg(F.sum("cnt").alias("n"))
     return pairs.join(F.broadcast(marg), "prev_type").select(
         "prev_type", "next_type", "cnt",
-        F.expr("cnt * 1000000 div n").alias("prob_ppm"),
+        F.expr(
+            "CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"
+        ).alias("prob_ppm"),
     )
 
 

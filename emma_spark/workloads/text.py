@@ -974,7 +974,8 @@ def text_winsorize_p90(spark, sf_dir):
     ), tot AS (
       SELECT w1, sum(cnt) AS n_w1 FROM cnts GROUP BY w1
     ), model AS (
-      SELECT c.w1, c.w2, c.cnt * 1000000 // t.n_w1 AS cond_ppm
+      SELECT c.w1, c.w2,
+             CAST(c.cnt::HUGEINT * 1000000 // t.n_w1 AS BIGINT) AS cond_ppm
       FROM cnts c JOIN tot t ON c.w1 = t.w1
     )
     SELECT db.doc_id, sum(db.m) AS n_bigrams,
@@ -1020,7 +1021,10 @@ def text_bigram_score(spark, sf_dir):
     cnts = db.groupBy("w1", "w2").agg(F.sum("m").alias("cnt"))
     tot = cnts.groupBy("w1").agg(F.sum("cnt").alias("n_w1"))
     model = cnts.join(tot, "w1").select(
-        "w1", "w2", F.expr("cnt * 1000000 div n_w1").alias("cond_ppm")
+        "w1", "w2",
+        F.expr(
+            "CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 div n_w1 AS BIGINT)"
+        ).alias("cond_ppm"),
     )
     return (
         db.join(F.broadcast(model), ["w1", "w2"])
