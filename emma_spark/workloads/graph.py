@@ -686,3 +686,81 @@ def graph_hits(spark, sf_dir):
         .join(h.withColumnRenamed("v", "hub"), "id")
         .select("id", "auth", "hub")
     )
+
+
+@query(
+    "graph_modularity",
+    oracle=f"""
+    WITH RECURSIVE e AS ({SQL_CHAIN_EDGES}),
+    ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    nodes AS (SELECT DISTINCT src AS id FROM ue),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT ue.dst, reach.comp FROM reach JOIN ue ON reach.id = ue.src
+    ),
+    lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+    m AS (SELECT count(*) AS m FROM e),
+    intra AS (
+      SELECT la.comp, count(*) AS e_c
+      FROM e JOIN lab la ON e.src = la.id JOIN lab lb ON e.dst = lb.id
+      WHERE la.comp = lb.comp GROUP BY la.comp
+    ),
+    deg AS (
+      SELECT lab.comp, count(*) AS d_c
+      FROM ue JOIN lab ON ue.src = lab.id GROUP BY lab.comp
+    )
+    SELECT CAST(sum(4 * m.m * coalesce(i.e_c, 0) - d.d_c * d.d_c) AS BIGINT)
+             AS q_num,
+           CAST(4 * m.m * m.m AS BIGINT) AS q_den
+    FROM deg d LEFT JOIN intra i ON d.comp = i.comp CROSS JOIN m
+    GROUP BY m.m
+    """,
+)
+def graph_modularity(spark, sf_dir):
+    """Newman modularity of a graph partition as an EXACT RATIONAL:
+    Q = Σ_c (e_c/m − (d_c/2m)²) evaluated as Q·4m² = Σ_c (4·m·e_c −
+    d_c²) — all integers, no float division, so the community-quality
+    score every label-propagation/Louvain pipeline optimizes is
+    bit-stable across engines (float modularity differs in the last
+    ulp per summation order, which flips hill-climbing decisions).
+    Partition = connected components (the chain graph's 5 components
+    — every edge intra, Q = 1 − Σ(d_c/2m)²). Plan: two broadcast-
+    sized label joins onto the edge list, two tiny per-community
+    aggs, one scalar fold. At 100 TB the label table is the big side
+    and both joins hash-partition on node id."""
+    e0 = _chain_edges(spark, sf_dir).df
+    lab = graph_connected_components(spark, sf_dir)
+    ue = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = e0.agg(F.count(F.lit(1)).alias("m"))
+    la = lab.select(F.col("id").alias("src"), F.col("comp").alias("ca"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("comp").alias("cb"))
+    intra = (
+        e0.join(la, "src").join(lb, "dst")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("comp"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = (
+        ue.join(la, "src")
+        .groupBy(F.col("ca").alias("comp"))
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    per_c = deg.join(intra, "comp", "left").select(
+        "comp", F.coalesce("e_c", F.lit(0)).alias("e_c"), "d_c"
+    )
+    return (
+        per_c.crossJoin(F.broadcast(m))
+        .groupBy("m")
+        .agg(
+            F.sum(
+                4 * F.col("m") * F.col("e_c") - F.col("d_c") * F.col("d_c")
+            ).cast("bigint").alias("q_num"),
+        )
+        .select(
+            "q_num",
+            (4 * F.col("m") * F.col("m")).cast("bigint").alias("q_den"),
+        )
+    )

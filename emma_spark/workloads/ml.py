@@ -815,3 +815,95 @@ def ml_decision_stump(spark, sf_dir):
         F.min_by("thr_c", key).alias("thr_c"),
         F.min("err").alias("best_err"),
     )
+
+
+@query(
+    "ml_auc_exact",
+    oracle="""
+    WITH pts AS (
+      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS sc
+      FROM embeddings
+    ),
+    mm AS (SELECT min(sc) AS lo, max(sc) AS hi FROM pts),
+    binned AS (
+      SELECT (p.sc - mm.lo) * 256 // (mm.hi - mm.lo + 1) AS bin,
+             sum(p.y) AS pos_b, count(*) - sum(p.y) AS neg_b
+      FROM pts p, mm GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, pos_b, neg_b,
+             coalesce(sum(pos_b) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_pos_before
+      FROM binned
+    ),
+    tot AS (SELECT sum(pos_b) AS p, sum(neg_b) AS n FROM binned)
+    SELECT CAST(sum(neg_b * (2 * cum_pos_before + pos_b)) AS BIGINT)
+             AS auc_num,
+           CAST(2 * t.p * t.n AS BIGINT) AS auc_den,
+           floor(sum(neg_b * (2 * cum_pos_before + pos_b)) * 1.0
+                 / (2 * t.p * t.n) * 1000000 + 0.5) / 1000000 AS auc
+    FROM cum, tot t GROUP BY t.p, t.n
+    """,
+)
+def ml_auc_exact(spark, sf_dir):
+    """ROC-AUC as an EXACT RATIONAL via the score histogram — the
+    pairs-won formulation (AUC·2PN = Σ_b neg_b·(2·cum_pos_< + pos_b),
+    ties at bin granularity count half) — no per-row rank window, no
+    global sort: the classic rank-based AUC sorts every prediction
+    (one-task bottleneck at 100 TB of scores); the histogram version
+    is one (bin) hash-agg to ≤256 cells + a bounded cumulative, the
+    same trade every large-scale eval framework makes, and the result
+    is bit-stable integers (float AUC accumulations differ per
+    summation order). Score = first embedding component in integer
+    1e-6 units standing in for a model score; truth y = label < 5.
+    The AUC-vs-threshold-sweep equivalence is the textbook one; bin
+    resolution bounds the tie coarsening exactly like
+    sketch_quantile_bins bounds quantile error."""
+    from pyspark.sql import Window
+
+    from ..llm.similarity import as_double
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    pts = emb.select(
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+        F.floor(as_double(F.col("embedding"))[0] * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("sc"),
+    )
+    mm = pts.agg(F.min("sc").alias("lo"), F.max("sc").alias("hi"))
+    binned = (
+        pts.crossJoin(F.broadcast(mm))
+        .groupBy(F.expr("(sc - lo) * 256 div (hi - lo + 1)").alias("bin"))
+        .agg(
+            F.sum("y").alias("pos_b"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("neg_b"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = binned.select(
+        "bin", "pos_b", "neg_b",
+        F.coalesce(F.sum("pos_b").over(w), F.lit(0)).alias("cum_pos_before"),
+    )
+    tot = binned.agg(F.sum("pos_b").alias("p"), F.sum("neg_b").alias("n"))
+    num = F.sum(
+        F.col("neg_b") * (2 * F.col("cum_pos_before") + F.col("pos_b"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("p", "n")
+        .agg(num.cast("bigint").alias("auc_num"))
+        .select(
+            "auc_num",
+            (2 * F.col("p") * F.col("n")).cast("bigint").alias("auc_den"),
+            (
+                F.floor(
+                    F.col("auc_num") / (2 * F.col("p") * F.col("n")) * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("auc"),
+        )
+    )
