@@ -832,26 +832,27 @@ def ml_decision_stump(spark, sf_dir):
              sum(p.y) AS pos_b, count(*) - sum(p.y) AS neg_b
       FROM pts p, mm GROUP BY 1
     ),
+    tot AS (SELECT sum(pos_b) AS p, sum(neg_b) AS n FROM binned),
     cum AS (
       SELECT bin, pos_b, neg_b,
-             coalesce(sum(pos_b) OVER (ORDER BY bin
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum_pos_before
-      FROM binned
-    ),
-    tot AS (SELECT sum(pos_b) AS p, sum(neg_b) AS n FROM binned)
-    SELECT CAST(sum(neg_b * (2 * cum_pos_before + pos_b)) AS BIGINT)
+             t.p - coalesce(sum(pos_b) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+               AS pos_above
+      FROM binned, tot t
+    )
+    SELECT CAST(sum(neg_b * (2 * pos_above + pos_b)) AS BIGINT)
              AS auc_num,
            CAST(2 * t.p * t.n AS BIGINT) AS auc_den,
-           floor(sum(neg_b * (2 * cum_pos_before + pos_b)) * 1.0
+           floor(sum(neg_b * (2 * pos_above + pos_b)) * 1.0
                  / (2 * t.p * t.n) * 1000000 + 0.5) / 1000000 AS auc
     FROM cum, tot t GROUP BY t.p, t.n
     """,
 )
 def ml_auc_exact(spark, sf_dir):
     """ROC-AUC as an EXACT RATIONAL via the score histogram — the
-    pairs-won formulation (AUC·2PN = Σ_b neg_b·(2·cum_pos_< + pos_b),
-    ties at bin granularity count half) — no per-row rank window, no
+    pairs-won formulation (AUC·2PN = Σ_b neg_b·(2·pos_above_b +
+    pos_b): for each negative, positives in strictly higher bins win,
+    same-bin ties count half) — no per-row rank window, no
     global sort: the classic rank-based AUC sorts every prediction
     (one-task bottleneck at 100 TB of scores); the histogram version
     is one (bin) hash-agg to ≤256 cells + a bounded cumulative, the
@@ -882,18 +883,19 @@ def ml_auc_exact(spark, sf_dir):
             (F.count(F.lit(1)) - F.sum("y")).alias("neg_b"),
         )
     )
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
-    cum = binned.select(
-        "bin", "pos_b", "neg_b",
-        F.coalesce(F.sum("pos_b").over(w), F.lit(0)).alias("cum_pos_before"),
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     tot = binned.agg(F.sum("pos_b").alias("p"), F.sum("neg_b").alias("n"))
-    num = F.sum(
-        F.col("neg_b") * (2 * F.col("cum_pos_before") + F.col("pos_b"))
+    cum = binned.crossJoin(F.broadcast(tot)).select(
+        "bin", "pos_b", "neg_b", "p", "n",
+        (F.col("p") - F.coalesce(F.sum("pos_b").over(w), F.lit(0))).alias(
+            "pos_above"
+        ),
     )
+    num = F.sum(F.col("neg_b") * (2 * F.col("pos_above") + F.col("pos_b")))
     return (
-        cum.crossJoin(F.broadcast(tot))
-        .groupBy("p", "n")
+        cum.groupBy("p", "n")
         .agg(num.cast("bigint").alias("auc_num"))
         .select(
             "auc_num",

@@ -250,3 +250,51 @@ def test_int8_quantization_error_bound(spark, data):
         for x, c in zip(r["v"], r["codes"]):
             assert -127 <= c <= 127
             assert abs(x - c * amax / 127) <= amax / 254 + 1e-9
+
+
+auc_rows = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(-50, 50)),  # (y, score)
+    min_size=4,
+    max_size=40,
+).filter(lambda d: any(y == 1 for y, _ in d) and any(y == 0 for y, _ in d))
+
+
+@given(data=auc_rows)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_histogram_auc_equals_pairwise_auc_at_full_resolution(spark, data):
+    """With bin resolution >= score range the histogram pairs-won AUC
+    must equal brute-force pairwise AUC (ties count half) exactly —
+    the formula check, independent of any SQL oracle."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [{"y": y, "sc": s} for y, s in data], "y int, sc long"
+    )
+    mm = df.agg(F.min("sc").alias("lo"), F.max("sc").alias("hi"))
+    span = 101  # >= score range, so every distinct score is its own bin
+    binned = (
+        df.crossJoin(F.broadcast(mm))
+        .groupBy(F.expr(f"(sc - lo) * {span} div (hi - lo + 1)").alias("bin"))
+        .agg(F.sum("y").alias("pos_b"),
+             (F.count(F.lit(1)) - F.sum("y")).alias("neg_b"))
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = binned.agg(F.sum("pos_b").alias("p"))
+    row = (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "pos_b", "neg_b",
+            (F.col("p") - F.sum("pos_b").over(w)).alias("pab"),
+        )
+        .agg(F.sum(F.col("neg_b") * (2 * F.col("pab") + F.col("pos_b"))).alias("num"))
+        .collect()[0]
+    )
+    pos = [s for y, s in data if y == 1]
+    neg = [s for y, s in data if y == 0]
+    want = sum(2 for p_ in pos for n_ in neg if p_ > n_) + sum(
+        1 for p_ in pos for n_ in neg if p_ == n_
+    )
+    assert row["num"] == want
