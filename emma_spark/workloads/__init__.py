@@ -134,8 +134,12 @@ _PRIORITY = [
     # embedding_quantize_int8, text_keyword_scan,
     # events_heatmap_hour_dow, text_clean_normalize, graph_hits,
     # events_markov_transitions, ml_decision_stump, orc_roundtrip_agg,
-    # null_semantics_surface, text_bpe_apply (r5-late). Rotation
-    # recipe unchanged: reds -> never-checked -> changed -> keepers.
+    # null_semantics_surface, pipeline_incremental_update,
+    # events_user_ltv_decay, orders_lorenz_curve, text_ngram_novelty,
+    # join_asof_nearest, events_sliding_batch_counts,
+    # graph_modularity, ml_auc_exact, text_bpe_apply (r5-late).
+    # Rotation recipe unchanged: reds -> never-checked -> changed ->
+    # keepers; with ~40 queued, r6 and r7 windows are already full.
     "stream_watermark_append",
     "sketch_countmin_tokens", "sketch_bloom_membership",
     "graph_pagerank",
