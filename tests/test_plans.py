@@ -374,3 +374,30 @@ def test_cc_twophase_equals_propagation(spark, registry):
         map(tuple, registry["graph_connected_components"].fn(spark, SF_DIR).collect())
     )
     assert a == b
+
+
+def test_sliding_batch_no_window_function(spark, registry):
+    """Batch sliding windows come from the bounded explode — the plan
+    must contain no window function and no join."""
+    plan = _plan(registry["events_sliding_batch_counts"].fn(spark, SF_DIR))
+    assert "Window" not in plan and "Join" not in plan, plan[:500]
+
+
+def test_markov_conditional_join_broadcasts(spark, registry):
+    """The |types|-row marginal side must broadcast."""
+    plan = _plan(registry["events_markov_transitions"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:600]
+
+
+def test_auc_no_rank_window_over_rows(spark, registry):
+    """AUC must come off the histogram — no per-row rank/sort, the
+    only window runs over the <=256-bin table."""
+    plan = _plan(registry["ml_auc_exact"].fn(spark, SF_DIR))
+    assert "row_number" not in plan and "rank(" not in plan, plan[:600]
+
+
+def test_asof_nearest_no_cartesian(spark, registry):
+    """Tolerance as-of candidates must come from the user-key equi-join
+    (range predicate residual), never a cartesian."""
+    plan = _plan(registry["join_asof_nearest"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
