@@ -4278,3 +4278,71 @@ def events_sliding_batch_counts(spark, sf_dir):
     return ex.groupBy(
         "event_type", (F.col("w") * 1800).alias("win_start_s")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "udf_cogroup_reconcile",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS event_value_c
+      FROM events WHERE user_id < 40 GROUP BY user_id
+    ),
+    cu AS (
+      SELECT c_custkey % 40 AS user_id,
+             count(*) AS n_accounts,
+             CAST(sum(floor(c_acctbal * 100 + 0.5)) AS BIGINT) AS acct_c
+      FROM customer WHERE c_custkey % 40 < 40 GROUP BY c_custkey % 40
+    )
+    SELECT coalesce(ev.user_id, cu.user_id) AS user_id,
+           coalesce(ev.n_events, 0) AS n_events,
+           coalesce(cu.n_accounts, 0) AS n_accounts,
+           coalesce(ev.event_value_c, 0) - coalesce(cu.acct_c, 0) AS delta_c
+    FROM ev FULL OUTER JOIN cu ON ev.user_id = cu.user_id
+    """,
+)
+def udf_cogroup_reconcile(spark, sf_dir):
+    """COGROUP grouped-map surface — the last pandas-UDF shape in the
+    API matrix (scalar: udf_arrow_scalar; grouped agg: py_fold;
+    grouped map: fold_histogram_pandas_udaf; table function:
+    udtf_expand_props; THIS: two-sided grouped map): both relations
+    are hash-partitioned on the key and each key's TWO pandas frames
+    arrive in one Python call — the reconciliation/alignment seam for
+    logic SQL can't express (per-key sequence alignment, custom
+    matching). Arrow-batched like every Python seam here; both sides
+    shuffle once on the key, which is exactly a full-outer-join
+    exchange. THIS demo logic (counts + exact-cent delta per key) IS
+    SQL-expressible — deliberately, so the cogroup machinery itself
+    is oracle-checked; swap the body for genuinely imperative
+    alignment and the dataflow is unchanged."""
+    import pandas as pd
+
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    c = T(spark, sf_dir, "customer")["customer"].df
+    ev = e.filter(F.col("user_id") < 40).select(
+        "user_id", F.floor(F.col("value") * 100 + F.lit(0.5)).alias("v_c")
+    )
+    cu = c.select((F.col("c_custkey") % 40).alias("user_id"),
+                  F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).alias("b_c"))
+
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = int(left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0])
+        ev_sum = int(left["v_c"].sum()) if len(left) else 0
+        ac_sum = int(right["b_c"].sum()) if len(right) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [len(left)],
+                "n_accounts": [len(right)],
+                "delta_c": [ev_sum - ac_sum],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(cu.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id bigint, n_events bigint, n_accounts bigint, delta_c bigint",
+        )
+    )
