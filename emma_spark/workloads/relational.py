@@ -4346,3 +4346,55 @@ def udf_cogroup_reconcile(spark, sf_dir):
             "user_id bigint, n_events bigint, n_accounts bigint, delta_c bigint",
         )
     )
+
+
+@query(
+    "parquet_schema_evolution",
+    oracle="""
+    WITH old AS (
+      SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 13
+    ),
+    new AS (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      WHERE n_nationkey >= 13
+    )
+    SELECT coalesce(u.n_regionkey, -1) AS region, count(*) AS n,
+           CAST(sum(u.n_nationkey) AS BIGINT) AS key_sum
+    FROM (
+      SELECT n_nationkey, n_name, NULL::INTEGER AS n_regionkey FROM old
+      UNION ALL
+      SELECT n_nationkey, n_name, n_regionkey FROM new
+    ) u
+    GROUP BY 1
+    """,
+)
+def parquet_schema_evolution(spark, sf_dir):
+    """Schema evolution on a parquet directory — the lake reality that
+    old files lack columns newer files carry: two batches are written
+    with DIFFERENT schemas (the second adds n_regionkey), read back as
+    one table with ``mergeSchema``, and rows from pre-evolution files
+    surface the new column as NULL (coalesced to a sentinel in the
+    report). At 100 TB this is why ingestion never rewrites history:
+    the merged read is per-file-schema reconciliation at scan time,
+    no data movement. mergeSchema costs a footer read per file — on
+    curated lakes pin the canonical schema instead (read_parquet's
+    explicit-schema path) and keep mergeSchema for discovery."""
+    import tempfile
+
+    n = T(spark, sf_dir, "nation")["nation"].df
+    base = tempfile.mkdtemp(prefix="emma_schevo_")
+    n.filter(F.col("n_nationkey") < 13).select(
+        "n_nationkey", "n_name"
+    ).write.mode("overwrite").parquet(f"{base}/b1")
+    n.filter(F.col("n_nationkey") >= 13).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").parquet(f"{base}/b2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{base}/b1", f"{base}/b2"
+    )
+    return merged.groupBy(
+        F.coalesce("n_regionkey", F.lit(-1)).alias("region")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+    )

@@ -56,7 +56,7 @@ def text_quality(spark, sf_dir):
     return docs.select("doc_id", *[c.alias(n) for n, c in metrics.items()])
 
 
-def _lang_sql() -> str:
+def _lang_expr() -> str:
     counts = {
         lang: f"len(list_filter({SQL_TOKS}, t -> t IN ({', '.join(repr(w) for w in words)})))"
         for lang, words in X.STOPWORDS.items()
@@ -69,7 +69,11 @@ def _lang_sql() -> str:
             f"CASE WHEN {counts[lang]} > 0 AND {counts[lang]} >= greatest({others}) "
             f"THEN '{lang}' ELSE {expr} END"
         )
-    return f"SELECT doc_id, {expr} AS lang_guess FROM documents"
+    return expr
+
+
+def _lang_sql() -> str:
+    return f"SELECT doc_id, {_lang_expr()} AS lang_guess FROM documents"
 
 
 @query("text_lang_id", oracle=_lang_sql())
@@ -1188,3 +1192,27 @@ def text_ngram_novelty(spark, sf_dir):
             ).alias("novelty_ppm"),
         )
     )
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+    SELECT lang AS true_lang, {_lang_expr()} AS guessed,
+           count(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def text_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix — the QA query behind any
+    classifier in the pipeline (how often does the stopword heuristic
+    confuse es with fr?): documents grouped by (labeled lang, guessed
+    lang). One hash-agg over the narrow classification pass; the
+    matrix is |langs|²-bounded forever. The classifier is the SAME
+    cascade text_lang_id ships (llm/text.lang_id), so this query also
+    regression-pins its decision boundary — a silent cascade change
+    shows up as moved matrix mass, not just different per-doc rows."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    return docs.groupBy(
+        F.col("lang").alias("true_lang"),
+        X.lang_id(F.col("text")).alias("guessed"),
+    ).agg(F.count(F.lit(1)).alias("n"))
