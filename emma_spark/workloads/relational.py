@@ -4398,3 +4398,95 @@ def parquet_schema_evolution(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("n_nationkey").cast("bigint").alias("key_sum"),
     )
+
+
+@query(
+    "variant_ops_surface",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           count(*) FILTER (json_extract(props, '$.missing') IS NULL)
+             AS n_missing,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+    FROM events WHERE event_id % 13 = 0
+    GROUP BY event_type
+    """,
+)
+def variant_ops_surface(spark, sf_dir):
+    """VARIANT type surface (Spark 4's native semi-structured type):
+    props parsed ONCE into a binary variant column (``parse_json``),
+    then typed path extraction (``variant_get``), missing-path probing
+    (``try_variant_get`` → NULL, never an error), and aggregation over
+    the extracted values. Versus from_json-with-schema (the
+    json_extract_fields query): variant needs NO declared schema, keeps
+    the full document, and its binary encoding makes repeated path
+    reads cheap — the right default for heterogeneous event/metadata
+    blobs at ingestion; project hot paths into real columns when the
+    schema stabilizes. The oracle reads the same paths with DuckDB's
+    JSON functions — extraction semantics, not encoding, is the
+    contract."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    v = e.filter(F.col("event_id") % 13 == 0).select(
+        "event_type", F.parse_json("props").alias("pv")
+    )
+    k = F.variant_get(F.col("pv"), "$.k", "bigint")
+    missing = F.try_variant_get(F.col("pv"), "$.missing", "string")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("bigint").alias("k_sum"),
+        F.count(F.when(missing.isNull(), 1)).alias("n_missing"),
+        F.max(k).alias("k_max"),
+    )
+
+
+@query(
+    "events_session_window_builtin",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id
+      FROM events WHERE user_id < 20
+    ),
+    marked AS (
+      SELECT user_id, t,
+             CASE WHEN t >= coalesce(max(t + 1800000000) OVER (
+                    PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+      FROM iv
+    ),
+    grp AS (
+      SELECT user_id, t,
+             sum(ni) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    )
+    SELECT user_id, min(t) AS start_us, max(t) + 1800000000 AS end_us,
+           count(*) AS n_events
+    FROM grp GROUP BY user_id, sess
+    """,
+)
+def events_session_window_builtin(spark, sf_dir):
+    """The BUILT-IN ``session_window`` aggregation (dynamic-gap session
+    merging inside the engine, one groupBy — usable identically in
+    batch and streaming) next to the repo's manual lag-based
+    sessionize (events_sessionize): windows [t, t+30 min) merge while
+    they OVERLAP, so an exactly-30-minute gap starts a NEW session —
+    note the >= in the oracle's island test; the lag-based variant's
+    ``diff > gap`` convention would merge that boundary case. Exposing
+    both pins the subtle semantic difference instead of letting it
+    lurk. Oracle replays the merge as gaps-and-islands on epoch
+    microseconds."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    s = (
+        e.filter(F.col("user_id") < 20)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return s.select(
+        "user_id",
+        F.unix_micros("session_window.start").alias("start_us"),
+        F.unix_micros("session_window.end").alias("end_us"),
+        "n_events",
+    )
