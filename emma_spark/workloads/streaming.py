@@ -646,3 +646,14 @@ def stream_cdc_merge_snapshot(spark, sf_dir):
     out = out.localCheckpoint(eager=True)  # detach from the temp dir
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# NOTE: Spark 4's transformWithStateInPandas (the successor to
+# applyInPandasWithState) was evaluated and works API-wise, but its
+# state-server protocol requires google.protobuf, which this
+# container's python env does not provide (and installs are out of
+# scope) — the run crashes with STREAMING_PYTHON_RUNNER_
+# INITIALIZATION_FAILURE/ImportError. Arbitrary keyed state stays on
+# applyInPandasWithState (stream_keyed_state_counts,
+# stream_state_ttl_closed); swap to the new API is mechanical when
+# the dependency exists.
