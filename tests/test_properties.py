@@ -298,3 +298,72 @@ def test_histogram_auc_equals_pairwise_auc_at_full_resolution(spark, data):
         1 for p_ in pos for n_ in neg if p_ == n_
     )
     assert row["num"] == want
+
+
+stump_rows = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 15), st.integers(0, 15)),
+    min_size=2,
+    max_size=25,
+)
+
+
+@given(data=stump_rows)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_histogram_stump_matches_exhaustive_split_search(spark, data):
+    """At full bin resolution (bins >= value range) the histogram
+    stump's best error must equal brute-force exhaustive split search
+    over both features — the ml_decision_stump formula, checked
+    independently of any SQL oracle."""
+    from pyspark.sql import Window
+
+    B = 16
+    rows_ = [
+        {"y": y, "dim": d, "v_c": v}
+        for y, f1, f2 in data
+        for d, v in ((1, f1), (2, f2))
+    ]
+    df = spark.createDataFrame(rows_, "y int, dim int, v_c long")
+    mm = df.groupBy("dim").agg(F.min("v_c").alias("lo"), F.max("v_c").alias("hi"))
+    binned = (
+        df.join(F.broadcast(mm), "dim")
+        .groupBy("dim", F.expr(f"(v_c - lo) * {B} div (hi - lo + 1)").alias("bin"))
+        .agg(F.sum("y").alias("pos"), F.count(F.lit(1)).alias("tot"))
+    )
+    tot = binned.filter(F.col("dim") == 1).agg(
+        F.sum("pos").alias("ap"), F.sum("tot").alias("at")
+    )
+    pw = (
+        Window.partitionBy("dim").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.select(
+        "dim", "bin",
+        F.sum("pos").over(pw).alias("cp"), F.sum("tot").over(pw).alias("ct"),
+    )
+    err = (
+        F.least(F.col("cp"), F.col("ct") - F.col("cp"))
+        + F.least(
+            F.col("ap") - F.col("cp"),
+            (F.col("at") - F.col("ct")) - (F.col("ap") - F.col("cp")),
+        )
+    )
+    best = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(F.min(err).alias("best_err"))
+        .collect()[0]["best_err"]
+    )
+
+    # exhaustive oracle: every (feature, threshold) split, plus the
+    # degenerate all-left split (the top bin), majority on each side
+    ys = [y for y, _, _ in data]
+    feats = {1: [f1 for _, f1, _ in data], 2: [f2 for _, _, f2 in data]}
+    want = None
+    for d in (1, 2):
+        for thr in range(0, 17):  # split: v <= thr-ish; cover all cuts
+            left = [y for y, v in zip(ys, feats[d]) if v <= thr]
+            right = [y for y, v in zip(ys, feats[d]) if v > thr]
+            e = (min(sum(left), len(left) - sum(left))
+                 + min(sum(right), len(right) - sum(right)))
+            want = e if want is None else min(want, e)
+    assert best == want
