@@ -909,3 +909,208 @@ def ml_auc_exact(spark, sf_dir):
             ).alias("auc"),
         )
     )
+
+
+def _stump_sql(pts: str, out: str) -> str:
+    """One weighted-stump round as SQL CTE fragments: from points
+    ``{pts}(vec_id, y, dim, v_c, wt)`` derive ``{out}`` = the 1-row
+    best stump (dim, bin, per-dim lo/hi, side labels)."""
+    return f"""
+    {out}_mm AS (
+      SELECT dim, min(v_c) AS lo, max(v_c) AS hi FROM {pts} GROUP BY dim
+    ),
+    {out}_b AS (
+      SELECT p.dim, (p.v_c - m.lo) * 16 // (m.hi - m.lo + 1) AS bin,
+             m.lo, m.hi,
+             sum(p.wt * p.y) AS pos_w, sum(p.wt) AS tot_w
+      FROM {pts} p JOIN {out}_mm m ON p.dim = m.dim
+      GROUP BY 1, 2, 3, 4
+    ),
+    {out}_t AS (
+      SELECT sum(pos_w) AS ap, sum(tot_w) AS at FROM {out}_b WHERE dim = 1
+    ),
+    {out}_c AS (
+      SELECT dim, bin, lo, hi,
+             sum(pos_w) OVER pw AS cp, sum(tot_w) OVER pw AS ct
+      FROM {out}_b
+      WINDOW pw AS (PARTITION BY dim ORDER BY bin ROWS UNBOUNDED PRECEDING)
+    ),
+    {out}_s AS (
+      SELECT dim, bin, lo, hi,
+             least(cp, ct - cp) + least(t.ap - cp, (t.at - ct) - (t.ap - cp))
+               AS werr,
+             CASE WHEN 2 * cp > ct THEN 1 ELSE 0 END AS left_lab,
+             CASE WHEN 2 * (t.ap - cp) > (t.at - ct) THEN 1 ELSE 0 END
+               AS right_lab,
+             t.at AS tot_wt
+      FROM {out}_c, {out}_t t
+    ),
+    {out} AS (
+      SELECT min_by(dim, werr::HUGEINT * 4096 + dim * 64 + bin) AS dim,
+             min_by(bin, werr::HUGEINT * 4096 + dim * 64 + bin) AS bin,
+             min_by(lo, werr::HUGEINT * 4096 + dim * 64 + bin) AS lo,
+             min_by(hi, werr::HUGEINT * 4096 + dim * 64 + bin) AS hi,
+             min_by(left_lab, werr::HUGEINT * 4096 + dim * 64 + bin)
+               AS left_lab,
+             min_by(right_lab, werr::HUGEINT * 4096 + dim * 64 + bin)
+               AS right_lab,
+             min(werr) AS werr,
+             min_by(tot_wt, werr::HUGEINT * 4096 + dim * 64 + bin) AS tot_wt
+      FROM {out}_s
+    )"""
+
+
+def _weighted_stump(pts):
+    """Spark twin of _stump_sql: pts(vec_id, y, dim, v_c, wt) -> 1-row
+    best weighted stump."""
+    from pyspark.sql import Window
+
+    mm = pts.groupBy("dim").agg(F.min("v_c").alias("lo"), F.max("v_c").alias("hi"))
+    b = (
+        pts.join(F.broadcast(mm), "dim")
+        .groupBy("dim", F.expr("(v_c - lo) * 16 div (hi - lo + 1)").alias("bin"),
+                 "lo", "hi")
+        .agg(F.sum(F.col("wt") * F.col("y")).alias("pos_w"),
+             F.sum("wt").alias("tot_w"))
+    )
+    t = b.filter(F.col("dim") == 1).agg(
+        F.sum("pos_w").alias("ap"), F.sum("tot_w").alias("at")
+    )
+    pw = (
+        Window.partitionBy("dim").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = b.select(
+        "dim", "bin", "lo", "hi",
+        F.sum("pos_w").over(pw).alias("cp"), F.sum("tot_w").over(pw).alias("ct"),
+    )
+    s = c.crossJoin(F.broadcast(t)).select(
+        "dim", "bin", "lo", "hi",
+        (
+            F.least(F.col("cp"), F.col("ct") - F.col("cp"))
+            + F.least(F.col("ap") - F.col("cp"),
+                      (F.col("at") - F.col("ct")) - (F.col("ap") - F.col("cp")))
+        ).alias("werr"),
+        F.when(2 * F.col("cp") > F.col("ct"), 1).otherwise(0).alias("left_lab"),
+        F.when(
+            2 * (F.col("ap") - F.col("cp")) > (F.col("at") - F.col("ct")), 1
+        ).otherwise(0).alias("right_lab"),
+        F.col("at").alias("tot_wt"),
+    )
+    key = (
+        F.col("werr").cast("decimal(38,0)") * 4096
+        + F.col("dim") * 64 + F.col("bin")
+    )
+    return s.agg(
+        F.min_by("dim", key).alias("dim"),
+        F.min_by("bin", key).alias("bin"),
+        F.min_by("lo", key).alias("lo"),
+        F.min_by("hi", key).alias("hi"),
+        F.min_by("left_lab", key).alias("left_lab"),
+        F.min_by("right_lab", key).alias("right_lab"),
+        F.min("werr").alias("werr"),
+        F.min_by("tot_wt", key).alias("tot_wt"),
+    )
+
+
+@query(
+    "ml_boosted_stumps",
+    oracle=f"""
+    WITH pts1 AS (
+      SELECT e.vec_id, CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+             t.i AS dim,
+             CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS v_c,
+             CAST(1 AS BIGINT) AS wt
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS t(i)
+    ),
+    {_stump_sql('pts1', 'st1')},
+    pred1 AS (
+      SELECT p.vec_id, p.y,
+             CASE WHEN (p.v_c - s.lo) * 16 // (s.hi - s.lo + 1) <= s.bin
+                  THEN s.left_lab ELSE s.right_lab END AS pred
+      FROM pts1 p, st1 s WHERE p.dim = s.dim
+    ),
+    w2 AS (
+      SELECT vec_id, CASE WHEN pred = y THEN 1 ELSE 3 END AS wt2 FROM pred1
+    ),
+    pts2 AS (
+      SELECT p.vec_id, p.y, p.dim, p.v_c, CAST(w2.wt2 AS BIGINT) AS wt
+      FROM pts1 p JOIN w2 ON p.vec_id = w2.vec_id
+    ),
+    {_stump_sql('pts2', 'st2')}
+    SELECT 1 AS round, dim AS best_dim, bin AS best_bin, left_lab,
+           right_lab, CAST(werr AS BIGINT) AS werr,
+           CAST(tot_wt AS BIGINT) AS tot_wt
+    FROM st1
+    UNION ALL
+    SELECT 2, dim, bin, left_lab, right_lab, CAST(werr AS BIGINT),
+           CAST(tot_wt AS BIGINT)
+    FROM st2
+    """,
+)
+def ml_boosted_stumps(spark, sf_dir):
+    """TWO-ROUND BOOSTING over histogram stumps — the actual
+    AdaBoost/GBDT outer loop as dataflow, not just one split: round 1
+    trains the unweighted stump (ml_decision_stump's machinery,
+    refactored into the reusable weighted finder); every training row
+    is then classified by that stump ARITHMETICALLY (its bin vs the
+    broadcast 1-row model — no model object, no UDF) and misclassified
+    rows get integer weight 3; round 2 trains on the reweighted bag,
+    provably concentrating on the hard examples. Exact integer weights
+    (floats would make the argmin engine-dependent) — the reweighting
+    ratio is the integer shadow of AdaBoost's exp(α). Scale: each
+    round = the stump's (features × bins) histogram agg; the
+    inter-round model transfer is a 1-row broadcast; per-row weights
+    live in the data, partitioned with it. Rounds sequence on the
+    driver exactly like the reference's iterative algorithms
+    (SURVEY §2.8)."""
+    from ..llm.similarity import as_double
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    pts1 = emb.select(
+        "vec_id",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+        F.posexplode(as_double(F.col("embedding"))).alias("i0", "v"),
+    ).select(
+        "vec_id", "y",
+        (F.col("i0") + 1).alias("dim"),
+        F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("bigint").alias("v_c"),
+        F.lit(1).cast("bigint").alias("wt"),
+    )
+    st1 = _weighted_stump(pts1)
+    s1 = F.broadcast(st1.select(
+        F.col("dim").alias("s_dim"), F.col("bin").alias("s_bin"),
+        F.col("lo").alias("s_lo"), F.col("hi").alias("s_hi"),
+        F.col("left_lab").alias("s_left"), F.col("right_lab").alias("s_right"),
+    ))
+    pred1 = (
+        pts1.join(s1, F.col("dim") == F.col("s_dim"))
+        .select(
+            "vec_id", "y",
+            F.when(
+                F.expr("(v_c - s_lo) * 16 div (s_hi - s_lo + 1)") <= F.col("s_bin"),
+                F.col("s_left"),
+            ).otherwise(F.col("s_right")).alias("pred"),
+        )
+    )
+    w2 = pred1.select(
+        "vec_id",
+        F.when(F.col("pred") == F.col("y"), 1).otherwise(3)
+        .cast("bigint")
+        .alias("wt2"),
+    )
+    pts2 = pts1.drop("wt").join(w2, "vec_id").withColumnRenamed("wt2", "wt")
+    st2 = _weighted_stump(pts2)
+
+    def shape(st, rnd):
+        return st.select(
+            F.lit(rnd).alias("round"),
+            F.col("dim").alias("best_dim"), F.col("bin").alias("best_bin"),
+            "left_lab", "right_lab",
+            F.col("werr").cast("bigint").alias("werr"),
+            F.col("tot_wt").cast("bigint").alias("tot_wt"),
+        )
+
+    return shape(st1, 1).unionByName(shape(st2, 2))

@@ -4490,3 +4490,59 @@ def events_session_window_builtin(spark, sf_dir):
         F.unix_micros("session_window.end").alias("end_us"),
         "n_events",
     )
+
+
+@query(
+    "events_feature_store_pit",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             count(*) OVER pw AS n_prior,
+             coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER pw, 0)
+               AS value_c_prior,
+             count(*) FILTER (event_type = 'error') OVER pw AS n_prior_errors
+      FROM events
+      WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS label_id, user_id, n_prior, value_c_prior,
+           n_prior_errors
+    FROM seq WHERE event_type = 'purchase'
+    """,
+)
+def events_feature_store_pit(spark, sf_dir):
+    """Point-in-time-correct feature extraction — the temporal-leakage
+    guard every training pipeline needs: for each label event (a
+    purchase), features are computed over STRICTLY PRIOR events of
+    the same user (rows-between … and 1 preceding), so no information
+    from at-or-after the label time leaks into its features; a plain
+    groupBy join would silently train on the future. One
+    user-partitioned ordered window (per-key sequences, the
+    parallelism unit at any scale), deterministic (ts, event_id)
+    ordering, exact cents. The two-table variant of the same
+    discipline is scd2_point_in_time_lookup (dimension-as-of) /
+    asof_join_purchases (event-as-of); this is the self-history
+    variant that feeds feature stores."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    pw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "user_id", "event_id", "event_type",
+        F.count(F.lit(1)).over(pw).alias("n_prior"),
+        F.coalesce(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).over(pw),
+            F.lit(0),
+        ).alias("value_c_prior"),
+        F.count(F.when(F.col("event_type") == "error", 1)).over(pw).alias(
+            "n_prior_errors"
+        ),
+    )
+    return seq.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_id"), "user_id", "n_prior",
+        "value_c_prior", "n_prior_errors",
+    )
