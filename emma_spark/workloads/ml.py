@@ -1114,3 +1114,55 @@ def ml_boosted_stumps(spark, sf_dir):
         )
 
     return shape(st1, 1).unionByName(shape(st2, 2))
+
+
+@query(
+    "ml_calibration_bins",
+    oracle="""
+    WITH pts AS (
+      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS sc
+      FROM embeddings
+    ),
+    mm AS (SELECT min(sc) AS lo, max(sc) AS hi FROM pts)
+    SELECT (p.sc - mm.lo) * 10 // (mm.hi - mm.lo + 1) AS bin,
+           count(*) AS n,
+           CAST(sum(p.y) AS BIGINT) AS n_pos,
+           CAST(sum(p.y)::HUGEINT * 1000000 // count(*) AS BIGINT)
+             AS pos_rate_ppm
+    FROM pts p, mm GROUP BY 1
+    """,
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Calibration / reliability table — the third leg of the eval
+    family (threshold-free ranking: ml_auc_exact; point accuracy:
+    ml_eval_scores; THIS: score-vs-outcome agreement): predictions
+    bucketed into 10 score deciles, each reporting its observed
+    positive rate in exact ppm — a calibrated model's rate tracks its
+    bin's score level, and the gap drives Platt/isotonic recalibration
+    decisions. One histogram hash-agg (10 cells regardless of row
+    count) + broadcast min/max; rates as integer rationals, so the
+    reliability table replays bit-for-bit."""
+    from ..llm.similarity import as_double
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    pts = emb.select(
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+        F.floor(as_double(F.col("embedding"))[0] * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("sc"),
+    )
+    mm = pts.agg(F.min("sc").alias("lo"), F.max("sc").alias("hi"))
+    return (
+        pts.crossJoin(F.broadcast(mm))
+        .groupBy(F.expr("(sc - lo) * 10 div (hi - lo + 1)").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.expr(
+                "CAST(CAST(sum(y) AS DECIMAL(38,0)) * 1000000 div count(1)"
+                " AS BIGINT)"
+            ).alias("pos_rate_ppm"),
+        )
+    )
