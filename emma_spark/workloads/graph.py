@@ -764,3 +764,53 @@ def graph_modularity(spark, sf_dir):
             (4 * F.col("m") * F.col("m")).cast("bigint").alias("q_den"),
         )
     )
+
+
+@query(
+    "sql_recursive_cte_closure",
+    oracle=f"""
+    WITH RECURSIVE e AS ({SQL_CHAIN_EDGES}),
+    tc(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src
+    )
+    SELECT src, dst FROM tc
+    """,
+)
+def sql_recursive_cte_closure(spark, sf_dir):
+    """Transitive closure via WITH RECURSIVE in SPARK SQL itself —
+    Spark 4 ships engine-native recursive CTEs, so the reference's
+    do-while iteration (SURVEY §2.8) now has THREE renderings here:
+    the driver-loop fixpoint (graph_transitive_closure, with explicit
+    per-round checkpointing), the O(log n) star contraction
+    (graph_cc_twophase), and this — the same recursion handed to
+    Catalyst, which plans each expansion step and unions to a
+    fixpoint inside one query. The SQL text is essentially the DuckDB
+    oracle's, making this the strongest cross-engine parity statement
+    in the registry. Driver loops remain the right tool when rounds
+    need checkpoint/persist control; the CTE is the concise form for
+    set-semantics reachability. Spark's recursion currently accepts
+    UNION ALL only (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) — on this
+    ACYCLIC chain every pair is produced by exactly one path, so
+    UNION ALL + a final DISTINCT is equivalent; on cyclic graphs the
+    UNION-ALL form would not terminate and the driver-loop fixpoint
+    (with its distinct() per round) remains the general tool."""
+    import uuid as _uuid
+
+    n = io.read_parquet(spark, f"{sf_dir}/nation.parquet").df
+    view = f"rc_nation_{_uuid.uuid4().hex[:8]}"
+    n.createOrReplaceTempView(view)
+    return spark.sql(f"""
+      WITH RECURSIVE e AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS src,
+               CAST(n_nationkey + 1 AS BIGINT) AS dst
+        FROM {view} WHERE n_nationkey % 5 != 4
+      ),
+      tc(src, dst) AS (
+        SELECT src, dst FROM e
+        UNION ALL
+        SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src
+      )
+      SELECT DISTINCT src, dst FROM tc
+    """)

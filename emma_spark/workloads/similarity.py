@@ -457,3 +457,81 @@ def embedding_quantize_int8(spark, sf_dir):
         ).alias("n_sat"),
         err_sq_c.alias("sse_pq"),
     )
+
+
+@query(
+    "embedding_pq_codes",
+    oracle="""
+    WITH cb AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE))
+               AS cv
+      FROM embeddings WHERE vec_id < 4
+    ),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings WHERE vec_id % 29 = 0
+    ),
+    dists AS (
+      SELECT v.vec_id, t.sub, cb.cid,
+             CAST(floor(list_sum(list_transform(range(1, 9),
+               i -> (vv[t.sub * 8 + i] - cv[t.sub * 8 + i])
+                    * (vv[t.sub * 8 + i] - cv[t.sub * 8 + i])))
+               * 1000000000 + 0.5) AS BIGINT) AS dq
+      FROM v CROSS JOIN cb, unnest(generate_series(0, 7)) AS t(sub)
+    )
+    SELECT vec_id, sub,
+           min_by(cid, dq * 8 + cid) AS code,
+           min(dq) AS dist_q
+    FROM dists GROUP BY vec_id, sub
+    """,
+)
+def embedding_pq_codes(spark, sf_dir):
+    """Product-quantization (PQ) code assignment — the ANN compression
+    step beyond SQ8 (embedding_quantize_int8): the 64-dim vector
+    splits into 8 subspaces of 8 dims, each encoded as the id of its
+    nearest codebook centroid, turning 256 float bytes into 8 code
+    bytes for the IVF-PQ serving shape. The codebook here is 4 fixed
+    corpus rows (the trained-quantizer convention of
+    ann_ivf_trained); assignment is pure HOF arithmetic — slice, L2
+    in a sequential fold (identical IEEE order both engines),
+    distance quantized to integer 1e-9 units, argmin via the widened
+    min_by key (dq·8 + cid: deterministic under exact ties). Plan:
+    one narrow pass over vectors x (8 subspaces × 4 centroids)
+    literal comparisons — map-only but for the final (vec, sub)
+    hash-agg; at 100 TB this is a scan-shaped encode, codebook
+    broadcast."""
+    from ..llm.similarity import as_double
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    cb = F.broadcast(
+        emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("cv")
+        )
+    )
+    v = emb.filter(F.col("vec_id") % 29 == 0).select(
+        "vec_id", as_double(F.col("embedding")).alias("vv")
+    )
+    dists = (
+        v.crossJoin(cb)
+        .select(
+            "vec_id", "cid", "vv", "cv",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub"),
+        )
+        .select(
+            "vec_id", "sub", "cid",
+            F.floor(
+                F.expr(
+                    "aggregate(transform(sequence(1, 8),"
+                    " i -> (vv[sub * 8 + i - 1] - cv[sub * 8 + i - 1])"
+                    "      * (vv[sub * 8 + i - 1] - cv[sub * 8 + i - 1])),"
+                    " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+                )
+                * 1000000000
+                + F.lit(0.5)
+            ).cast("bigint").alias("dq"),
+        )
+    )
+    return dists.groupBy("vec_id", "sub").agg(
+        F.min_by("cid", F.col("dq") * 8 + F.col("cid")).alias("code"),
+        F.min("dq").alias("dist_q"),
+    )
