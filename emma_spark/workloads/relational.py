@@ -4546,3 +4546,57 @@ def events_feature_store_pit(spark, sf_dir):
         F.col("event_id").alias("label_id"), "user_id", "n_prior",
         "value_c_prior", "n_prior_errors",
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_partkey->part' AS fk, count(*) AS n_rows,
+           count(*) FILTER (p.p_partkey IS NULL) AS n_orphans
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders', count(*),
+           count(*) FILTER (o.o_orderkey IS NULL)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', count(*),
+           count(*) FILTER (c.c_custkey IS NULL)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def dq_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit — the constraint check a lake must
+    run itself (no engine-enforced FKs in parquet land): orphan counts
+    for the three core FK relationships, each as one LEFT join with a
+    null-probe count. Plan: the dimension sides (part, customer,
+    orders-as-dim) broadcast when small or hash-join on the key when
+    not — either way one pass per relationship, and a real deployment
+    runs the three probes over the SAME fact scan (Spark reuses the
+    cached scan across the union branches). Zero orphans is the
+    expected result on this corpus — the query's value is the shape;
+    its alerting form filters n_orphans > 0."""
+    t = T(spark, sf_dir, "lineitem", "orders", "customer", "part")
+    li, o = t["lineitem"].df, t["orders"].df
+    c, p = t["customer"].df, t["part"].df
+
+    def probe(fact, dim, fk, pk, label):
+        d = dim.select(F.col(pk).alias("__pk"))
+        return (
+            fact.join(d, fact[fk] == F.col("__pk"), "left")
+            .agg(
+                F.lit(label).alias("fk"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col("__pk").isNull(), 1)).alias("n_orphans"),
+            )
+        )
+
+    return (
+        probe(li, p, "l_partkey", "p_partkey", "lineitem.l_partkey->part")
+        .unionByName(
+            probe(li, o, "l_orderkey", "o_orderkey",
+                  "lineitem.l_orderkey->orders")
+        )
+        .unionByName(
+            probe(o, c, "o_custkey", "c_custkey", "orders.o_custkey->customer")
+        )
+    )

@@ -1216,3 +1216,67 @@ def text_lang_confusion(spark, sf_dir):
         F.col("lang").alias("true_lang"),
         X.lang_id(F.col("text")).alias("guessed"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "text_rouge1_recall",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id // 2 AS pair_id, doc_id % 2 AS side,
+             list_distinct({SQL_TOKS}) AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    ref AS (SELECT pair_id, unnest(toks) AS tok FROM t WHERE side = 0),
+    cand AS (SELECT pair_id, unnest(toks) AS tok FROM t WHERE side = 1),
+    ov AS (
+      SELECT r.pair_id, count(*) AS n_overlap
+      FROM ref r JOIN cand c ON r.pair_id = c.pair_id AND r.tok = c.tok
+      GROUP BY r.pair_id
+    ),
+    rn AS (SELECT pair_id, count(*) AS n_ref FROM ref GROUP BY pair_id)
+    SELECT rn.pair_id, rn.n_ref, coalesce(ov.n_overlap, 0) AS n_overlap,
+           coalesce(ov.n_overlap, 0) * 1000000 // rn.n_ref AS rouge1_ppm
+    FROM rn LEFT JOIN ov ON rn.pair_id = ov.pair_id
+    """,
+)
+def text_rouge1_recall(spark, sf_dir):
+    """ROUGE-1 recall at corpus scale — the summarization/generation
+    eval that scores each candidate against its reference by distinct
+    unigram overlap (|cand ∩ ref| / |ref|, exact ppm): adjacent doc
+    pairs (2k = reference, 2k+1 = candidate) stand in for the
+    (reference, generation) pairs an eval run produces. Plan: one
+    narrow distinct-unigram pass, an equi-join on (pair, token) —
+    overlap WITHOUT materializing token sets per pair in one row —
+    and two bounded aggs; candidates with zero overlap survive via
+    the LEFT join (an inner join would silently drop the worst
+    generations — the eval-pipeline bug this query's shape guards
+    against). ROUGE-2 is the same plan over the bigram arrays
+    (text_bigram_lm's zip construction)."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    t = docs.filter(F.col("doc_id") < 200).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        F.array_distinct(X.tokens(F.col("text"))).alias("toks"),
+    )
+    ref = t.filter(F.col("side") == 0).select(
+        "pair_id", F.explode("toks").alias("tok")
+    )
+    cand = t.filter(F.col("side") == 1).select(
+        F.col("pair_id").alias("c_pair"), F.explode("toks").alias("c_tok")
+    )
+    ov = (
+        ref.join(
+            cand,
+            (F.col("pair_id") == F.col("c_pair")) & (F.col("tok") == F.col("c_tok")),
+        )
+        .groupBy("pair_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    rn = ref.groupBy("pair_id").agg(F.count(F.lit(1)).alias("n_ref"))
+    return rn.join(ov, "pair_id", "left").select(
+        "pair_id", "n_ref",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        F.expr(
+            "coalesce(n_overlap, 0) * 1000000 div n_ref"
+        ).alias("rouge1_ppm"),
+    )
