@@ -535,3 +535,124 @@ def embedding_pq_codes(spark, sf_dir):
         F.min_by("cid", F.col("dq") * 8 + F.col("cid")).alias("code"),
         F.min("dq").alias("dist_q"),
     )
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle="""
+    WITH cb AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE))
+               AS cv
+      FROM embeddings WHERE vec_id < 4
+    ),
+    corp AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id, sub, min_by(cid, dq * 8 + cid) AS code FROM (
+        SELECT corp.vec_id, t.sub, cb.cid,
+               CAST(floor(list_sum(list_transform(range(1, 9),
+                 i -> (vv[t.sub * 8 + i] - cv[t.sub * 8 + i])
+                      * (vv[t.sub * 8 + i] - cv[t.sub * 8 + i])))
+                 * 1000000000 + 0.5) AS BIGINT) AS dq
+        FROM corp CROSS JOIN cb, unnest(generate_series(0, 7)) AS t(sub)
+      ) GROUP BY vec_id, sub
+    ),
+    q AS (SELECT vec_id AS qid, vv AS qv FROM corp WHERE vec_id < 5),
+    adc AS (
+      SELECT q.qid, t.sub, cb.cid,
+             CAST(floor(list_sum(list_transform(range(1, 9),
+               i -> (qv[t.sub * 8 + i] - cv[t.sub * 8 + i])
+                    * (qv[t.sub * 8 + i] - cv[t.sub * 8 + i])))
+               * 1000000000 + 0.5) AS BIGINT) AS dq
+      FROM q CROSS JOIN cb, unnest(generate_series(0, 7)) AS t(sub)
+    ),
+    scored AS (
+      SELECT adc.qid, codes.vec_id AS neighbor_id, sum(adc.dq) AS adist
+      FROM codes JOIN adc ON codes.sub = adc.sub AND codes.code = adc.cid
+      WHERE codes.vec_id != adc.qid
+      GROUP BY 1, 2
+    )
+    SELECT qid AS query_id, neighbor_id, adist, rk AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY adist, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance (ADC) top-k — the full IVF-PQ serving
+    shape's scoring half: the corpus is stored ONLY as 8 one-byte
+    codes per vector (embedding_pq_codes), each query precomputes a
+    (subspace × centroid) distance lookup table (8×4 integer cells,
+    broadcast), and a candidate's approximate distance is the SUM of
+    8 table lookups — no float math ever touches the corpus at query
+    time, which is why PQ scans serve billion-vector indexes from
+    RAM. Here the lookup is an equi-join of the exploded code table
+    against the broadcast ADC table + one (query, vec) hash-agg +
+    per-query top-k window; distances are integer-quantized per
+    subspace BEFORE summing (exact, order-free). Recall against
+    brute force is what the re-rank stage recovers in production;
+    this query is the approximate scan itself, oracle-replayed
+    bit-for-bit."""
+    from ..llm.similarity import as_double
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    dbl = emb.select("vec_id", as_double(F.col("embedding")).alias("vv"))
+    cb = F.broadcast(
+        dbl.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("cid"), F.col("vv").alias("cv")
+        )
+    )
+    sub_dq = (
+        "CAST(floor(aggregate(transform(sequence(1, 8),"
+        " i -> ({a}[sub * 8 + i - 1] - {b}[sub * 8 + i - 1])"
+        "      * ({a}[sub * 8 + i - 1] - {b}[sub * 8 + i - 1])),"
+        " CAST(0.0 AS DOUBLE), (a, x) -> a + x) * 1000000000 + 0.5)"
+        " AS BIGINT)"
+    )
+    codes = (
+        dbl.crossJoin(cb)
+        .select(
+            "vec_id", "cid", "vv", "cv",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub"),
+        )
+        .select(
+            "vec_id", "sub", "cid",
+            F.expr(sub_dq.format(a="vv", b="cv")).alias("dq"),
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by("cid", F.col("dq") * 8 + F.col("cid")).alias("code"))
+    )
+    q = dbl.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("vv").alias("qv")
+    )
+    adc = (
+        q.crossJoin(cb)
+        .select(
+            "qid", "cid", "qv", "cv",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub"),
+        )
+        .select(
+            "qid", "sub", "cid",
+            F.expr(sub_dq.format(a="qv", b="cv")).alias("dq"),
+        )
+    )
+    scored = (
+        codes.join(
+            F.broadcast(adc),
+            (codes["sub"] == adc["sub"]) & (codes["code"] == adc["cid"]),
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy(F.col("qid").alias("query_id"),
+                 F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dq").alias("adist"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
