@@ -4600,3 +4600,147 @@ def dq_referential_integrity(spark, sf_dir):
             probe(o, c, "o_custkey", "c_custkey", "orders.o_custkey->customer")
         )
     )
+
+
+@query(
+    "dq_uniqueness_audit",
+    oracle="""
+    SELECT 'orders.o_orderkey' AS key_col, count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           count(*) - count(DISTINCT o_orderkey) AS n_dup_rows
+    FROM orders
+    UNION ALL
+    SELECT 'customer.c_custkey', count(*), count(DISTINCT c_custkey),
+           count(*) - count(DISTINCT c_custkey)
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)', count(*),
+           count(DISTINCT l_orderkey * 10000 + l_linenumber),
+           count(*) - count(DISTINCT l_orderkey * 10000 + l_linenumber)
+    FROM lineitem
+    """,
+)
+def dq_uniqueness_audit(spark, sf_dir):
+    """Primary-key uniqueness audit — the other half of constraint
+    checking next to dq_referential_integrity (parquet enforces
+    neither): row count vs distinct key count per declared key,
+    including a COMPOSITE key folded into one comparable value
+    (orderkey·10^4 + linenumber — the slot exceeds the 7-line max per
+    order, the widened-slot rule again). One count-distinct agg per
+    table; at 100 TB swap exact count(distinct) for the portable HLL
+    (sketch_hll_distinct) when an approximate uniqueness signal is
+    enough — the plan shape is identical."""
+    t = T(spark, sf_dir, "orders", "customer", "lineitem")
+    o, c, li = t["orders"].df, t["customer"].df, t["lineitem"].df
+
+    def probe(df, key_col, label):
+        return df.agg(
+            F.lit(label).alias("key_col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(key_col).alias("n_distinct"),
+            (F.count(F.lit(1)) - F.count_distinct(key_col)).alias("n_dup_rows"),
+        )
+
+    return (
+        probe(o, F.col("o_orderkey"), "orders.o_orderkey")
+        .unionByName(probe(c, F.col("c_custkey"), "customer.c_custkey"))
+        .unionByName(
+            probe(
+                li,
+                F.col("l_orderkey") * 10000 + F.col("l_linenumber"),
+                "lineitem.(l_orderkey,l_linenumber)",
+            )
+        )
+    )
+
+
+@query(
+    "events_bot_detection",
+    oracle="""
+    WITH pm AS (
+      SELECT user_id, epoch_us(ts) // 60000000 AS minute, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           max(n) AS peak_per_minute,
+           count(*) AS active_minutes,
+           CAST(sum(n) AS BIGINT) AS total_events,
+           max(n) >= 5 AS flagged
+    FROM pm GROUP BY user_id
+    """,
+)
+def events_bot_detection(spark, sf_dir):
+    """Rate-based bot/abuse heuristic: per-user peak events-per-minute
+    against a superhuman threshold — the first-line abuse filter every
+    event pipeline runs before engagement stats trust the data. TWO
+    stacked hash-aggs, both map-side-combinable: (user, minute) cells
+    then per-user peak/total — no windows, no sorting, and the
+    minute-cell table is what a streaming variant maintains as state
+    (stream_tumbling_counts' shape keyed by user). Pure integer
+    epoch-minute bucketing."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    pm = e.groupBy(
+        "user_id", F.expr("unix_micros(ts) div 60000000").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return pm.groupBy("user_id").agg(
+        F.max("n").alias("peak_per_minute"),
+        F.count(F.lit(1)).alias("active_minutes"),
+        F.sum("n").cast("bigint").alias("total_events"),
+        (F.max("n") >= 5).alias("flagged"),
+    )
+
+
+@query(
+    "orders_yoy_growth",
+    oracle="""
+    WITH m AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             EXTRACT(month FROM o_orderdate) AS mo,
+             count(*) AS n,
+             CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, n, rev_c,
+           lag(rev_c) OVER (PARTITION BY mo ORDER BY yr) AS rev_c_prev_year,
+           CASE WHEN lag(rev_c) OVER (PARTITION BY mo ORDER BY yr) > 0
+                THEN CAST(rev_c::HUGEINT * 1000000
+                          // lag(rev_c) OVER (PARTITION BY mo ORDER BY yr)
+                          AS BIGINT)
+           END AS yoy_ppm
+    FROM m
+    """,
+)
+def orders_yoy_growth(spark, sf_dir):
+    """Year-over-year growth by calendar month — the seasonality-aware
+    trend table (compare each month to the SAME month last year, not
+    the previous month): monthly revenue cells, then a lag window
+    PARTITIONED BY month-of-year over the handful of years. The
+    windowed relation is years x months (calendar-bounded — the
+    events_anomaly_zscore discipline); growth as exact integer ppm
+    with the HUGEINT product rule; first-year months yield NULL
+    rather than a fake 100%. EXTRACT(year/month) agrees between
+    engines on civil-date fields (unlike week/dow numbering — see
+    events_heatmap_hour_dow for the arithmetic alternative)."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    m = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+        .cast("bigint")
+        .alias("rev_c"),
+    )
+    w = Window.partitionBy("mo").orderBy("yr")
+    prev = F.lag("rev_c").over(w)
+    return m.select(
+        "yr", "mo", "n", "rev_c",
+        prev.alias("rev_c_prev_year"),
+        F.when(
+            prev > 0,
+            F.expr(
+                "CAST(CAST(rev_c AS DECIMAL(38,0)) * 1000000"
+                " div (lag(rev_c) OVER (PARTITION BY mo ORDER BY yr))"
+                " AS BIGINT)"
+            ),
+        ).alias("yoy_ppm"),
+    )
