@@ -1166,3 +1166,93 @@ def ml_calibration_bins(spark, sf_dir):
             ).alias("pos_rate_ppm"),
         )
     )
+
+
+@query(
+    "ml_feature_importance_stumps",
+    oracle="""
+    WITH pts AS (
+      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+             t.i AS dim,
+             CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS v_c
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS t(i)
+    ),
+    mm AS (SELECT dim, min(v_c) AS lo, max(v_c) AS hi FROM pts GROUP BY dim),
+    binned AS (
+      SELECT p.dim, (p.v_c - mm.lo) * 16 // (mm.hi - mm.lo + 1) AS bin,
+             sum(p.y) AS pos_b, count(*) AS tot_b
+      FROM pts p JOIN mm ON p.dim = mm.dim GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(pos_b) AS ap, sum(tot_b) AS at FROM binned
+            WHERE dim = 1),
+    cum AS (
+      SELECT dim, bin,
+             sum(pos_b) OVER pw AS cp, sum(tot_b) OVER pw AS ct
+      FROM binned
+      WINDOW pw AS (PARTITION BY dim ORDER BY bin ROWS UNBOUNDED PRECEDING)
+    ),
+    per_dim AS (
+      SELECT dim,
+             min(least(cp, ct - cp)
+                 + least(t.ap - cp, (t.at - ct) - (t.ap - cp))) AS best_err
+      FROM cum, tot t GROUP BY dim
+    )
+    SELECT dim, best_err FROM per_dim
+    ORDER BY best_err, dim LIMIT 10
+    """,
+)
+def ml_feature_importance_stumps(spark, sf_dir):
+    """Filter-method feature selection: EVERY feature's best single-
+    split misclassification error (the stump search kept per-dim
+    instead of argmin'd globally), top-10 most separable features
+    reported — the screening pass run before training on thousands of
+    raw features. Identical candidate-stat machinery as
+    ml_decision_stump ((features x bins) cells, bounded windows, all
+    integer); the report is a TakeOrdered(10), never a global sort.
+    Scale: importance for 10^4 features costs ONE pass — the
+    histogram table just gets 10^4 x 16 cells, still broadcast-sized."""
+    from pyspark.sql import Window
+
+    from ..llm.similarity import as_double
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    pts = emb.select(
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+        F.posexplode(as_double(F.col("embedding"))).alias("i0", "v"),
+    ).select(
+        "y", (F.col("i0") + 1).alias("dim"),
+        F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("bigint").alias("v_c"),
+    )
+    mm = pts.groupBy("dim").agg(F.min("v_c").alias("lo"), F.max("v_c").alias("hi"))
+    binned = (
+        pts.join(F.broadcast(mm), "dim")
+        .groupBy("dim", F.expr("(v_c - lo) * 16 div (hi - lo + 1)").alias("bin"))
+        .agg(F.sum("y").alias("pos_b"), F.count(F.lit(1)).alias("tot_b"))
+    )
+    tot = binned.filter(F.col("dim") == 1).agg(
+        F.sum("pos_b").alias("ap"), F.sum("tot_b").alias("at")
+    )
+    pw = (
+        Window.partitionBy("dim").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.select(
+        "dim", "bin",
+        F.sum("pos_b").over(pw).alias("cp"), F.sum("tot_b").over(pw).alias("ct"),
+    )
+    err = (
+        F.least(F.col("cp"), F.col("ct") - F.col("cp"))
+        + F.least(
+            F.col("ap") - F.col("cp"),
+            (F.col("at") - F.col("ct")) - (F.col("ap") - F.col("cp")),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("dim")
+        .agg(F.min(err).alias("best_err"))
+        .orderBy("best_err", "dim")
+        .limit(10)
+    )

@@ -4744,3 +4744,56 @@ def orders_yoy_growth(spark, sf_dir):
             ),
         ).alias("yoy_ppm"),
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             epoch_us(ts) // 86400000000 AS day,
+             (epoch_us(ts) // 86400000000 - 19723) // 7 AS wk
+      FROM events
+    ),
+    dau AS (SELECT wk, day, count(DISTINCT user_id) AS dau
+            FROM d GROUP BY wk, day),
+    wau AS (SELECT wk, count(DISTINCT user_id) AS wau FROM d GROUP BY wk)
+    SELECT w.wk AS week, w.wau,
+           CAST(sum(dau.dau) AS BIGINT) AS dau_sum,
+           count(*) AS n_days,
+           CAST(sum(dau.dau)::HUGEINT * 1000000 // (count(*) * w.wau)
+                AS BIGINT) AS stickiness_ppm
+    FROM wau w JOIN dau ON w.wk = dau.wk
+    GROUP BY w.wk, w.wau
+    """,
+)
+def events_dau_wau_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per week — the engagement-depth ratio
+    (average daily actives over weekly actives; 10^6 ppm = every
+    active user active every day): two distinct-count aggs over the
+    SAME (user, day, week) projection — both hash-partition on
+    compatible keys — joined on the week. Weeks/days by exact epoch
+    division (19723 = 2024-01-01, as events_retention_cohorts).
+    Partial-day weeks normalize by their actual day count instead of
+    a hardcoded 7 — the month boundary would otherwise read as an
+    engagement crash."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    d = e.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("(unix_micros(ts) div 86400000000 - 19723) div 7").alias("wk"),
+    )
+    dau = d.groupBy("wk", "day").agg(F.count_distinct("user_id").alias("dau"))
+    wau = d.groupBy("wk").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        wau.join(dau, "wk")
+        .groupBy(F.col("wk").alias("week"), "wau")
+        .agg(
+            F.sum("dau").cast("bigint").alias("dau_sum"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr(
+                "CAST(CAST(sum(dau) AS DECIMAL(38,0)) * 1000000"
+                " div (count(1) * wau) AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+    )
