@@ -656,3 +656,58 @@ def ann_pq_adc_topk(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+@query(
+    "embedding_semdedup_prune",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    keep AS (
+      SELECT label, min(vec_id) AS rep_id FROM base GROUP BY label
+    ),
+    rep AS (
+      SELECT k.label, k.rep_id, b.v AS rv
+      FROM keep k JOIN base b ON k.rep_id = b.vec_id
+    )
+    SELECT b.vec_id, b.label, r.rep_id,
+           floor(({sql_cos('b.v', 'r.rv')}) * 10000 + 0.5) / 10000 AS sim,
+           b.vec_id != r.rep_id
+             AND floor(({sql_cos('b.v', 'r.rv')}) * 10000 + 0.5) / 10000
+                 >= 0.55 AS pruned
+    FROM base b JOIN rep r ON b.label = r.label
+    """,
+)
+def embedding_semdedup_prune(spark, sf_dir):
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): within
+    each cluster (labels stand in for the k-means clusters the paper
+    uses), items too close to the cluster's kept representative are
+    PRUNED — the semantic-level dedup that removes re-phrasings exact
+    and MinHash dedup can't see. Plan: one representative per cluster
+    (min-id keeper, the dedup_exact rule), representatives joined
+    back BROADCAST (|clusters| rows), per-member cosine in codegen,
+    threshold flag — cost is one scan + one cluster-key join:
+    LINEAR, because members compare only against their cluster rep,
+    never pairwise (the paper's trick, same Σ|bucket| vs Σ|bucket|²
+    economics as the LSH paths). Threshold 0.55 keeps a nonzero
+    pruned set on the synthetic clusters; sims 4dp-quantized for the
+    cross-engine compare."""
+    from ..llm.similarity import as_double, cosine, _rd
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    base = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    keep = base.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
+    rep = F.broadcast(
+        keep.join(
+            base.select(F.col("vec_id").alias("rep_id"), F.col("v").alias("rv")),
+            "rep_id",
+        )
+    )
+    sim = _rd(cosine(F.col("v"), F.col("rv")), 4)
+    return base.join(rep, "label").select(
+        "vec_id", "label", "rep_id", sim.alias("sim"),
+        ((F.col("vec_id") != F.col("rep_id")) & (sim >= 0.55)).alias("pruned"),
+    )
