@@ -1280,3 +1280,115 @@ def text_rouge1_recall(spark, sf_dir):
             "coalesce(n_overlap, 0) * 1000000 div n_ref"
         ).alias("rouge1_ppm"),
     )
+
+
+@query(
+    "text_dsir_importance",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             {sql_md5_long("b[1] || ' ' || b[2]")} % 64 AS bucket
+      FROM (
+        SELECT doc_id, lang,
+               unnest([[toks[i], toks[i + 1]] FOR i IN range(1, len(toks))])
+                 AS b
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    raw AS (
+      SELECT bucket, count(*) AS c FROM bg GROUP BY bucket
+    ),
+    tgt AS (
+      SELECT bucket, count(*) AS c FROM bg WHERE lang = 'en' GROUP BY bucket
+    ),
+    tot AS (
+      SELECT (SELECT sum(c) FROM raw) AS tr, (SELECT sum(c) FROM tgt) AS tt
+    ),
+    rates AS (
+      SELECT r.bucket,
+             CAST(coalesce(g.c, 0)::HUGEINT * 1000000 // tot.tt AS BIGINT)
+               - CAST(r.c::HUGEINT * 1000000 // tot.tr AS BIGINT) AS dppm
+      FROM raw r LEFT JOIN tgt g ON r.bucket = g.bucket, tot
+    ),
+    per_doc AS (
+      SELECT bg.doc_id, bg.bucket, count(*) AS m FROM bg GROUP BY 1, 2
+    )
+    SELECT p.doc_id,
+           CAST(sum(p.m) AS BIGINT) AS n_features,
+           CAST(sum(p.m * r.dppm) AS BIGINT) AS weight
+    FROM per_doc p JOIN rates r ON p.bucket = r.bucket
+    WHERE p.doc_id % 3 = 0
+    GROUP BY p.doc_id
+    """,
+)
+def text_dsir_importance(spark, sf_dir):
+    """DSIR-style importance weighting (Xie et al. 2023, linearized):
+    documents are scored by how much their HASHED-BIGRAM feature mass
+    sits in buckets over-represented in the TARGET distribution
+    (lang='en' here stands in for 'looks like Wikipedia') vs the raw
+    corpus — the data-selection weights that bias pretraining
+    sampling toward target-like text. The paper's log-likelihood
+    ratio is linearized to Σ m_b·(p_target − p_raw) in exact ppm
+    (log is not bit-portable across libms; the ORDERING of documents
+    — all selection uses — is preserved for the dominant terms and
+    every quantity stays an exact integer). Plan: one bigram-hash
+    pass; the two 64-bucket distributions are broadcast-sized
+    forever; per-doc scoring is one hash-agg + a broadcast join —
+    corpus-linear, the paper's own scalability argument."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    toks = X.tokens(F.col("text"))
+    n = F.size(toks)
+    pairs = docs.select(
+        "doc_id", "lang", toks.alias("tk"), n.alias("n")
+    ).filter(F.col("n") >= 2)
+    bg = pairs.select(
+        "doc_id", "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.col("n") - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, F.col("n") - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id", "lang",
+        (X.md5_long(F.concat_ws(" ", F.col("b.w1"), F.col("b.w2"))) % 64).alias(
+            "bucket"
+        ),
+    )
+    raw = bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = bg.filter(F.col("lang") == "en").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    tot = raw.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt.agg(F.sum("ct").alias("tt"))
+    )
+    rates = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.expr(
+                    "CAST(CAST(coalesce(ct, 0) AS DECIMAL(38,0)) * 1000000"
+                    " div tt AS BIGINT)"
+                )
+                - F.expr("CAST(CAST(cr AS DECIMAL(38,0)) * 1000000 div tr AS BIGINT)")
+            ).alias("dppm"),
+        )
+    )
+    per_doc = (
+        bg.filter(F.col("doc_id") % 3 == 0)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        per_doc.join(F.broadcast(rates), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_features"),
+            F.sum(F.col("m") * F.col("dppm")).cast("bigint").alias("weight"),
+        )
+    )
