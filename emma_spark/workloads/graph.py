@@ -814,3 +814,86 @@ def sql_recursive_cte_closure(spark, sf_dir):
       )
       SELECT DISTINCT src, dst FROM tc
     """)
+
+
+def _walk_step_sql(prev: str, out: str, step: int) -> str:
+    """One deterministic walk step: from {prev}(start, cur) pick the
+    next neighbor by md5(start, step, cur) mod degree."""
+    return f"""
+    {out} AS (
+      SELECT p.start, nb.dst AS cur
+      FROM {prev} p
+      JOIN wdeg d ON p.cur = d.u
+      JOIN wnbr nb ON p.cur = nb.u
+       AND nb.rk = CAST(concat('0x', substr(md5(
+             'wk|' || p.start || '|' || {step} || '|' || p.cur), 1, 14))
+             AS BIGINT) % d.deg
+    )"""
+
+
+@query(
+    "graph_random_walks",
+    oracle=f"""
+    WITH e AS ({SQL_HASH_EDGES}),
+    ue AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    wnbr AS (
+      SELECT u, v AS dst,
+             row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rk
+      FROM ue
+    ),
+    wdeg AS (SELECT u, count(*) AS deg FROM ue GROUP BY u),
+    w0 AS (SELECT u AS start, u AS cur FROM wdeg),
+    {_walk_step_sql('w0', 'w1', 1)},
+    {_walk_step_sql('w1', 'w2', 2)},
+    {_walk_step_sql('w2', 'w3', 3)},
+    {_walk_step_sql('w3', 'w4', 4)}
+    SELECT w0.start, w1.cur AS s1, w2.cur AS s2, w3.cur AS s3, w4.cur AS s4
+    FROM w0 JOIN w1 ON w0.start = w1.start JOIN w2 ON w0.start = w2.start
+    JOIN w3 ON w0.start = w3.start JOIN w4 ON w0.start = w4.start
+    """,
+)
+def graph_random_walks(spark, sf_dir):
+    """DETERMINISTIC random walks (DeepWalk/node2vec corpus prep): one
+    4-step walk per start node, where step t from node u follows the
+    neighbor at position md5(start, t, u) mod degree(u) — hash-driven
+    'randomness', so the walk corpus is bit-identical on any engine,
+    partitioning, or rerun (the exponential-clock sampling rule
+    applied to graph traversal; RNG-seeded walks are neither
+    replayable cross-engine nor auditable). Plan: neighbor lists get
+    stable positions ONCE (rank over adjacency — per-node, bounded by
+    degree); each step is one equi-join picking exactly one neighbor
+    per walk — T steps = T joins on the walk frontier, the frontier
+    never grows (1 row per start). At 100 TB the frontier join
+    hash-partitions on the current node; walk count scales by adding
+    (start, walk_id) seeds, not rounds. Feeds skip-gram embedding
+    training exactly like sentence corpora feed word2vec."""
+    from pyspark.sql import Window
+
+    e = _hash_edges(spark, sf_dir)
+    ue = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    wn = Window.partitionBy("u").orderBy("v")
+    nbr = ue.select(
+        "u", F.col("v").alias("dst"), (F.row_number().over(wn) - 1).alias("rk")
+    )
+    deg = ue.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    walks = deg.select(F.col("u").alias("start"), F.col("u").alias("cur"))
+    outs = []
+    for step in range(1, 5):
+        pick = F.expr(
+            "CAST(conv(substring(md5(concat('wk', '|', CAST(start AS STRING),"
+            f" '|', '{step}', '|', CAST(cur AS STRING))), 1, 14), 16, 10)"
+            " AS BIGINT)"
+        )
+        walks = (
+            walks.join(deg.withColumnRenamed("u", "cur"), "cur")
+            .join(nbr.withColumnRenamed("u", "cur"), "cur")
+            .filter(F.col("rk") == pick % F.col("deg"))
+            .select("start", F.col("dst").alias("cur"))
+        )
+        outs.append(walks.withColumnRenamed("cur", f"s{step}"))
+    out = outs[0]
+    for i, o in enumerate(outs[1:], start=2):
+        out = out.join(o, "start")
+    return out

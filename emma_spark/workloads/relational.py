@@ -4850,3 +4850,45 @@ def events_concurrency_sweepline(spark, sf_dir):
     return pm.select(
         "minute", "net", F.sum("net").over(w).cast("bigint").alias("open_sessions")
     )
+
+
+@query(
+    "events_path_analysis",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+           count(*) AS n
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, step1, step2, step3 LIMIT 10
+    """,
+)
+def events_path_analysis(spark, sf_dir):
+    """Top user paths (3-step event sequences) — the navigation-flow
+    query behind every product-analytics 'paths' view: per-user
+    time-ordered trigrams of event types, counted and top-10'd. One
+    lag window (two offsets share a single window spec — one sort per
+    user partition, the sessionize discipline), a hash-agg over the
+    |types|³-bounded path space, and a TakeOrdered(10) report — no
+    global sort, no self-joins (the naive 3-way sequence join pays
+    two shuffles and an explosion; lag pays zero extra). Deterministic
+    (ts, event_id) ordering."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("step3"),
+        F.lag("event_type", 1).over(w).alias("step2"),
+        F.lag("event_type", 2).over(w).alias("step1"),
+    ).filter(F.col("step1").isNotNull())
+    return (
+        seq.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(10)
+    )
