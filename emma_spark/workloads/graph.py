@@ -897,3 +897,68 @@ def graph_random_walks(spark, sf_dir):
     for i, o in enumerate(outs[1:], start=2):
         out = out.join(o, "start")
     return out
+
+
+@query(
+    "graph_walk_skipgram_pairs",
+    oracle=f"""
+    WITH e AS ({SQL_HASH_EDGES}),
+    ue AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    wnbr AS (
+      SELECT u, v AS dst,
+             row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rk
+      FROM ue
+    ),
+    wdeg AS (SELECT u, count(*) AS deg FROM ue GROUP BY u),
+    w0 AS (SELECT u AS start, u AS cur FROM wdeg),
+    {_walk_step_sql('w0', 'w1', 1)},
+    {_walk_step_sql('w1', 'w2', 2)},
+    {_walk_step_sql('w2', 'w3', 3)},
+    {_walk_step_sql('w3', 'w4', 4)},
+    seqs AS (
+      SELECT w0.start, [w0.start, w1.cur, w2.cur, w3.cur, w4.cur] AS walk
+      FROM w0 JOIN w1 ON w0.start = w1.start JOIN w2 ON w0.start = w2.start
+      JOIN w3 ON w0.start = w3.start JOIN w4 ON w0.start = w4.start
+    ),
+    pairs AS (
+      SELECT walk[i] AS center, walk[j] AS context
+      FROM seqs, unnest(generate_series(1, 5)) AS a(i),
+                 unnest(generate_series(1, 5)) AS b(j)
+      WHERE abs(i - j) BETWEEN 1 AND 2
+    )
+    SELECT center, context, count(*) AS n FROM pairs GROUP BY 1, 2
+    """,
+)
+def graph_walk_skipgram_pairs(spark, sf_dir):
+    """Skip-gram training pairs from the deterministic walk corpus —
+    the step between graph_random_walks and an embedding trainer
+    (DeepWalk = walks + word2vec): every walk position emits its
+    neighbors within window 2 as (center, context) pairs, counted for
+    the sampling table. The pair explosion is a BOUNDED literal
+    (walk_len × 2·window rows per walk — narrow), the count is one
+    hash-agg over the node×node-bounded pair space. Walks are the
+    hash-driven deterministic ones, so the full pipeline
+    walk→pairs→counts replays bit-for-bit on any engine — auditable
+    training data all the way down."""
+    walks = graph_random_walks(spark, sf_dir)
+    seq = walks.select(
+        F.array("start", "s1", "s2", "s3", "s4").alias("walk")
+    )
+    ex = seq.select(
+        "walk",
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("i"),
+    ).select(
+        "walk", "i",
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("j"),
+    ).filter(
+        (F.abs(F.col("i") - F.col("j")) >= 1)
+        & (F.abs(F.col("i") - F.col("j")) <= 2)
+    )
+    return (
+        ex.select(
+            F.element_at("walk", F.col("i")).alias("center"),
+            F.element_at("walk", F.col("j")).alias("context"),
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -657,3 +657,59 @@ def stream_cdc_merge_snapshot(spark, sf_dir):
 # applyInPandasWithState (stream_keyed_state_counts,
 # stream_state_ttl_closed); swap to the new API is mechanical when
 # the dependency exists.
+
+
+@query(
+    "stream_session_window_agg",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id
+      FROM events WHERE user_id < 12
+    ),
+    marked AS (
+      SELECT user_id, t,
+             CASE WHEN t >= coalesce(max(t + 1800000000) OVER (
+                    PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+      FROM iv
+    ),
+    grp AS (
+      SELECT user_id, t,
+             sum(ni) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    )
+    SELECT user_id, min(t) AS start_us, max(t) + 1800000000 AS end_us,
+           count(*) AS n_events
+    FROM grp GROUP BY user_id, sess
+    """,
+)
+def stream_session_window_agg(spark, sf_dir):
+    """session_window as a STREAMING aggregation — the engine-native
+    dynamic-gap session merge running in Structured Streaming (the
+    batch twin is events_session_window_builtin; SAME oracle modulo
+    the user slice, which is the point: the session semantics are
+    mode-invariant). Complete-mode drain so every merged session in
+    state is emitted; in production a watermark finalizes and evicts
+    closed sessions instead (the stream_watermark_append pattern) —
+    session state per key merges adjacent windows inside the state
+    store, the one streaming aggregation whose state SHRINKS as
+    windows merge."""
+    staged = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = S.read_stream_parquet(spark, staged, schema).filter(
+        F.col("user_id") < 12
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"stream_sw_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, output_mode="complete", state_partitions=4)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_window.start").alias("start_us"),
+        F.unix_micros("session_window.end").alias("end_us"),
+        "n_events",
+    )

@@ -1392,3 +1392,91 @@ def text_dsir_importance(spark, sf_dir):
             F.sum(F.col("m") * F.col("dppm")).cast("bigint").alias("weight"),
         )
     )
+
+
+@query(
+    "text_domain_cap_sketch",
+    oracle="""
+    WITH pc AS (SELECT source, n_chars AS c FROM documents),
+    mm AS (
+      SELECT source, min(c) AS lo, max(c) AS hi, count(*) AS n
+      FROM pc GROUP BY source
+    ),
+    binned AS (
+      SELECT pc.source, (pc.c - mm.lo) * 32 // (mm.hi - mm.lo + 1) AS bin,
+             count(*) AS cnt
+      FROM pc JOIN mm ON pc.source = mm.source GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, bin,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM binned
+    ),
+    thr AS (
+      SELECT c.source,
+             mm.lo + ((min(c.bin) + 1) * (mm.hi - mm.lo + 1)) // 32 AS cutoff
+      FROM cum c JOIN mm ON c.source = mm.source
+      WHERE c.cum >= (mm.n * 75 + 99) // 100
+      GROUP BY c.source, mm.lo, mm.hi
+    )
+    SELECT d.source, t.cutoff, count(*) AS n_total,
+           count(*) FILTER (d.n_chars >= t.cutoff) AS n_kept
+    FROM documents d JOIN thr t ON d.source = t.source
+    GROUP BY d.source, t.cutoff
+    """,
+)
+def text_domain_cap_sketch(spark, sf_dir):
+    """SKETCH-ASSISTED per-domain capping — the scale answer to
+    'keep only each domain's best documents': the naive top-k-per-
+    domain is a rank window over every domain's full document list
+    (a per-domain sort whose partitions are corpus-sized for giant
+    domains); instead, each domain's p75 quality cutoff is read off
+    the per-group BINNED histogram (sketch_quantile_bins_grouped
+    arithmetic — ≤32 cells per domain, nothing proportional to
+    domain size), broadcast back, and the cap becomes a stateless
+    FILTER. Quality = n_chars here; swap any integer quality score
+    (text_bigram_score, token counts) without changing the plan.
+    The sketch-as-planning-primitive composition: estimate the
+    threshold cheap, apply it as a scan predicate — constant memory,
+    no sort, domains processed independently."""
+    from pyspark.sql import Window
+
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    pc = docs.select("source", F.col("n_chars").alias("c"))
+    mm = pc.groupBy("source").agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("c").alias("n")
+    )
+    binned = (
+        pc.join(F.broadcast(mm), "source")
+        .groupBy(
+            "source", "lo", "hi", "n",
+            F.expr("CAST((c - lo) * 32 div (hi - lo + 1) AS INT)").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.withColumn("cum", F.sum("cnt").over(w))
+    thr = (
+        cum.filter(F.col("cum") >= F.expr("(n * 75 + 99) div 100"))
+        .groupBy("source", "lo", "hi")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "source",
+            F.expr("lo + ((bin + 1) * (hi - lo + 1)) div 32").alias("cutoff"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(thr), "source")
+        .groupBy("source", "cutoff")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("n_chars") >= F.col("cutoff"), 1)).alias(
+                "n_kept"
+            ),
+        )
+    )
