@@ -4892,3 +4892,65 @@ def events_path_analysis(spark, sf_dir):
         .orderBy(F.desc("n"), "step1", "step2", "step3")
         .limit(10)
     )
+
+
+@query(
+    "events_ab_test_lift",
+    oracle="""
+    WITH arms AS (
+      SELECT CAST(concat('0x', substr(md5('ab' || '|'
+                   || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) % 2
+               AS arm,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT
+      count(*) FILTER (arm = 0) AS n_a,
+      count(*) FILTER (arm = 1) AS n_b,
+      CAST(sum(v_c) FILTER (arm = 0) AS BIGINT) AS sum_a_c,
+      CAST(sum(v_c) FILTER (arm = 1) AS BIGINT) AS sum_b_c,
+      CAST(sum(v_c) FILTER (arm = 1)::HUGEINT
+           * count(*) FILTER (arm = 0) * 1000000
+           // (sum(v_c) FILTER (arm = 0)::HUGEINT
+               * count(*) FILTER (arm = 1)) AS BIGINT) AS lift_ppm
+    FROM arms
+    """,
+)
+def events_ab_test_lift(spark, sf_dir):
+    """A/B experiment readout: users hash-split into two arms (md5 —
+    the DETERMINISTIC bucketing real experiment platforms use, so a
+    user's arm is stable across sessions, engines and reruns; RNG
+    assignment is none of those), purchase value compared as a
+    mean-ratio lift in exact ppm (sum_b·n_a·10^6 div (sum_a·n_b) —
+    the ratio of per-event means as one integer rational, HUGEINT
+    product rule). ONE conditional aggregation over the filtered
+    scan; the synthetic split shows ~0 lift by construction — the
+    null-experiment calibration check every platform runs before
+    trusting its pipeline with real experiments. Significance testing
+    adds the anomaly-zscore integer variance machinery over the same
+    partials."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    arms = e.filter(F.col("event_type") == "purchase").select(
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat('ab', '|',"
+                " CAST(user_id AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+            )
+            % 2
+        ).alias("arm"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_c"),
+    )
+    a0 = F.col("arm") == 0
+    a1 = F.col("arm") == 1
+    return arms.agg(
+        F.count(F.when(a0, 1)).alias("n_a"),
+        F.count(F.when(a1, 1)).alias("n_b"),
+        F.sum(F.when(a0, F.col("v_c"))).cast("bigint").alias("sum_a_c"),
+        F.sum(F.when(a1, F.col("v_c"))).cast("bigint").alias("sum_b_c"),
+        F.expr(
+            "CAST(CAST(sum(CASE WHEN arm = 1 THEN v_c END) AS DECIMAL(38,0))"
+            " * count(CASE WHEN arm = 0 THEN 1 END) * 1000000"
+            " div (CAST(sum(CASE WHEN arm = 0 THEN v_c END) AS DECIMAL(38,0))"
+            "      * count(CASE WHEN arm = 1 THEN 1 END)) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )

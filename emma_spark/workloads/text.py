@@ -1480,3 +1480,55 @@ def text_domain_cap_sketch(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "text_epoch_shuffle_plan",
+    oracle=f"""
+    WITH assign AS (
+      SELECT t.epoch, d.doc_id,
+             {sql_md5_long("'ep' || CAST(t.epoch AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)")}
+               % 8 AS batch,
+             len({SQL_TOKS}) AS n_toks
+      FROM documents d, unnest([0, 1]) AS t(epoch)
+    )
+    SELECT epoch, batch, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc
+    FROM assign GROUP BY epoch, batch
+    """,
+)
+def text_epoch_shuffle_plan(spark, sf_dir):
+    """Reproducible epoch shuffling — the dataloader-order plan
+    deterministic pretraining needs (resume a crashed run at epoch 3,
+    batch 1041, and see the SAME documents): each (epoch, doc) hashes
+    to a batch bucket via md5, so the order varies BETWEEN epochs
+    (the training-dynamics requirement) while every epoch's
+    assignment replays exactly (the reproducibility requirement) —
+    RNG shuffles give you one or the other. Per-epoch-batch manifest
+    (doc count, token budget, first doc) in one hash-agg; the
+    token-exact packing WITHIN a batch is pack_sequences, and
+    contiguous storage layout is multimodal_shard_plan — this query
+    is the ordering layer above both."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    assign = docs.select(
+        "doc_id",
+        F.size(X.tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
+    ).select(
+        "epoch", "doc_id", "n_toks",
+        (
+            X.md5_long(
+                F.concat(
+                    F.lit("ep"), F.col("epoch").cast("string"),
+                    F.lit("|"), F.col("doc_id").cast("string"),
+                )
+            )
+            % 8
+        ).alias("batch"),
+    )
+    return assign.groupBy("epoch", "batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
