@@ -1532,3 +1532,110 @@ def text_epoch_shuffle_plan(spark, sf_dir):
         F.sum("n_toks").cast("bigint").alias("n_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+_BF_DECON_M, _BF_DECON_K = 4096, 3
+
+
+def _bf_decon_pos(j_expr: str, key_expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('bf', '|', {key_expr})), "
+        f"1 + 10 * ({j_expr}), 10)) AS BIGINT) % {_BF_DECON_M}"
+    )
+
+
+@query(
+    "text_decontaminate_bloom",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {SQL_TOKS} AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest([array_to_string(tk[i:i+2], ' ')
+                     FOR i IN range(1, len(tk) - 1)]) AS g
+      FROM toks WHERE len(tk) >= 3
+    ),
+    js AS (SELECT unnest([0, 1, 2]) AS j),
+    bloom AS (
+      SELECT DISTINCT {_bf_decon_pos("j.j", "g")} AS pos
+      FROM grams, js j WHERE source = 'src0'
+    ),
+    train AS (SELECT DISTINCT doc_id, g FROM grams WHERE source != 'src0'),
+    probe AS (
+      SELECT t.doc_id, t.g, count(b.pos) AS nhit
+      FROM train t CROSS JOIN js j
+      LEFT JOIN bloom b ON b.pos = {_bf_decon_pos("j.j", "t.g")}
+      GROUP BY t.doc_id, t.g
+    )
+    SELECT doc_id, count(*) AS n_grams,
+           count(*) FILTER (nhit = {_BF_DECON_K}) AS n_maybe_contaminated,
+           count(*) FILTER (nhit = {_BF_DECON_K}) * 4
+             >= count(*) AS flagged
+    FROM probe GROUP BY doc_id
+    """,
+)
+def text_decontaminate_bloom(spark, sf_dir):
+    """Benchmark decontamination via a BLOOM FILTER of eval trigrams —
+    the memory-scaled variant of text_decontaminate's exact broadcast
+    set: at 100 TB the eval suite's distinct n-grams can outgrow a
+    comfortable broadcast, but their Bloom position table is m rows
+    (here 4096) REGARDLESS of eval size, with strictly one-sided
+    error — no false negatives (contamination never slips through;
+    the Bloom guarantee that matters here), a tunable false-positive
+    rate that only over-flags (cheap to verify exactly afterwards on
+    the tiny flagged subset — candidate→verify, the LSH discipline).
+    The filter is the portable md5-position bloom (llm/sketches —
+    relational, broadcastable, SQL-replayable), so the oracle replays
+    membership bit-for-bit. Flag rule: >=25% of a doc's distinct
+    word trigrams maybe-present in the eval set."""
+    from ..llm import sketches as SK
+
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    toks = docs.select("doc_id", "source", X.tokens(F.col("text")).alias("tk"))
+    grams = toks.filter(F.size("tk") >= 3).select(
+        "doc_id", "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 2),"
+                " i -> concat_ws(' ', slice(tk, i, 3)))"
+            )
+        ).alias("g"),
+    )
+    bloom = SK.bloom_build(
+        grams.filter(F.col("source") == "src0").select("g"),
+        "g", m=_BF_DECON_M, k=_BF_DECON_K,
+    )
+    train = (
+        grams.filter(F.col("source") != "src0").select("doc_id", "g").distinct()
+    )
+    # per-(doc, gram) probe: bloom_contains groups by the key alone, so
+    # inline the same position join keeping the doc association
+    hexh = F.md5(F.encode(F.concat(F.lit("bf"), F.lit("|"), F.col("g")), "utf-8"))
+    pos = [
+        (
+            F.conv(F.substring(hexh, 1 + 10 * j, 10), 16, 10).cast("bigint")
+            % _BF_DECON_M
+        ).alias("pos")
+        for j in range(_BF_DECON_K)
+    ]
+    exploded = train.select(
+        "doc_id", "g", F.explode(F.array(*pos)).alias("pos")
+    )
+    probed = (
+        exploded.join(
+            F.broadcast(bloom.withColumn("__set", F.lit(1))), ["pos"], "left"
+        )
+        .groupBy("doc_id", "g")
+        .agg((F.count("__set") == _BF_DECON_K).alias("maybe_present"))
+    )
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.when(F.col("maybe_present"), 1)).alias(
+            "n_maybe_contaminated"
+        ),
+        (
+            F.count(F.when(F.col("maybe_present"), 1)) * 4
+            >= F.count(F.lit(1))
+        ).alias("flagged"),
+    )
