@@ -247,3 +247,77 @@ def multimodal_shard_plan(spark, sf_dir):
             F.max("id").alias("last_id"),
         )
     )
+
+
+@query(
+    "multimodal_magic_router",
+    oracle="""
+    WITH blobs AS (
+      SELECT id,
+             CASE id % 4
+               WHEN 0 THEN concat('PNGX', 'payload', CAST(id AS VARCHAR))
+               WHEN 1 THEN concat('RIFF', 'wavdata', CAST(id AS VARCHAR))
+               WHEN 2 THEN concat('JFIF', 'jpegdata', CAST(id AS VARCHAR))
+               ELSE concat('{"meta":', CAST(id AS VARCHAR), '}')
+             END AS s
+      FROM range(400) t(id)
+    ),
+    routed AS (
+      SELECT id, octet_length(s::BLOB) AS n_bytes,
+             CASE
+               WHEN substr(s, 1, 4) = 'PNGX' THEN 'image/png'
+               WHEN substr(s, 1, 4) = 'JFIF' THEN 'image/jpeg'
+               WHEN substr(s, 1, 4) = 'RIFF' THEN 'audio/riff'
+               WHEN substr(s, 1, 1) = '{' THEN 'application/json'
+               ELSE 'unknown'
+             END AS mime
+      FROM blobs
+    )
+    SELECT mime, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+    FROM routed GROUP BY mime
+    """,
+)
+def multimodal_magic_router(spark, sf_dir):
+    """Modality routing by MAGIC BYTES — the first thing a multimodal
+    ingest does with an opaque blob column: sniff the header signature
+    and route each blob to its decoder path, trusting bytes over file
+    extensions (which lie). Pure BINARY-column ops — substring on
+    binary compares raw bytes, no decode, no UDF — so routing 100 TB
+    of blobs is a map-only scan; partition the write by the routed
+    mime and every downstream decoder reads only its own files.
+    Deterministic synthetic blobs carry ASCII stand-ins for the real
+    signatures (\\x89PNG, \\xFF\\xD8 JPEG SOI, RIFF) purely so the
+    differential oracle stays printable (DuckDB 1.0 lacks substr on
+    BLOB, so the oracle routes on the pre-encoding string — same
+    semantics); Spark routes on the BINARY column itself, the plan a
+    real ingest runs."""
+    blobs = spark.range(400).select(
+        "id",
+        F.encode(
+            F.when(F.col("id") % 4 == 0,
+                   F.concat(F.lit("PNGXpayload"), F.col("id").cast("string")))
+            .when(F.col("id") % 4 == 1,
+                  F.concat(F.lit("RIFFwavdata"), F.col("id").cast("string")))
+            .when(F.col("id") % 4 == 2,
+                  F.concat(F.lit("JFIFjpegdata"), F.col("id").cast("string")))
+            .otherwise(F.concat(F.lit('{"meta":'),
+                                F.col("id").cast("string"), F.lit("}"))),
+            "UTF-8",
+        ).alias("blob"),
+    )
+    def magic(sig: str, n: int):
+        return F.expr(f"substring(blob, 1, {n})") == F.encode(F.lit(sig), "UTF-8")
+    mime = (
+        F.when(magic("PNGX", 4), "image/png")
+        .when(magic("JFIF", 4), "image/jpeg")
+        .when(magic("RIFF", 4), "audio/riff")
+        .when(magic("{", 1), "application/json")
+        .otherwise("unknown")
+    )
+    return (
+        blobs.select(mime.alias("mime"),
+                     F.octet_length("blob").alias("n_bytes"))
+        .groupBy("mime")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_bytes").cast("bigint").alias("total_bytes"))
+    )
