@@ -4954,3 +4954,83 @@ def events_ab_test_lift(spark, sf_dir):
             "      * count(CASE WHEN arm = 1 THEN 1 END)) AS BIGINT)"
         ).alias("lift_ppm"),
     )
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    first_seen AS (SELECT user_id, min(day) AS d0 FROM d GROUP BY user_id)
+    SELECT d.day,
+           count(*) FILTER (d.day = f.d0) AS new_user_events,
+           count(*) FILTER (d.day > f.d0) AS returning_events,
+           count(DISTINCT d.user_id) FILTER (d.day = f.d0) AS new_users,
+           count(DISTINCT d.user_id) FILTER (d.day > f.d0) AS returning_users
+    FROM d JOIN first_seen f ON d.user_id = f.user_id
+    GROUP BY d.day
+    """,
+)
+def events_new_vs_returning(spark, sf_dir):
+    """New-vs-returning split per day — the top-of-dashboard growth
+    decomposition (is today's traffic acquisition or retention?):
+    each event classifies against its user's FIRST-SEEN day, then one
+    conditional agg per day. Plan: the first-seen table and the event
+    stream co-partition on user_id (one exchange pair, AQE-reusable),
+    the day report is calendar-bounded. The first-seen side is
+    exactly what an incremental pipeline maintains as a keyed
+    snapshot (stream_cdc_merge_snapshot's min-fold instead of
+    last-write-wins) — this query is its batch derivation."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    d = e.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    first_seen = d.groupBy("user_id").agg(F.min("day").alias("d0"))
+    j = d.join(first_seen, "user_id")
+    is_new = F.col("day") == F.col("d0")
+    is_ret = F.col("day") > F.col("d0")
+    return j.groupBy("day").agg(
+        F.count(F.when(is_new, 1)).alias("new_user_events"),
+        F.count(F.when(is_ret, 1)).alias("returning_events"),
+        F.count_distinct(F.when(is_new, F.col("user_id"))).alias("new_users"),
+        F.count_distinct(F.when(is_ret, F.col("user_id"))).alias(
+            "returning_users"
+        ),
+    )
+
+
+@query(
+    "supplier_sourcing_risk",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers,
+             count(*) AS n_lines
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT n_suppliers, count(*) AS n_parts,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines
+    FROM ps GROUP BY n_suppliers
+    """,
+)
+def supplier_sourcing_risk(spark, sf_dir):
+    """Supply-chain sourcing-risk histogram: how many parts depend on
+    exactly one supplier (the single-point-of-failure list every
+    procurement review starts with), two, three… — a distinct-count
+    per part folded into a distribution. Two stacked hash-aggs; the
+    second's key space is bounded by the max supplier fan-out. The
+    drill-down variant filters n_suppliers = 1 before the second agg
+    and joins part names back BROADCAST; at 100 TB swap the exact
+    distinct for the grouped HLL when the histogram feeds a dashboard
+    rather than a procurement action."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"].df
+    ps = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return ps.groupBy("n_suppliers").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+    )

@@ -711,3 +711,89 @@ def embedding_semdedup_prune(spark, sf_dir):
         "vec_id", "label", "rep_id", sim.alias("sim"),
         ((F.col("vec_id") != F.col("rep_id")) & (sim >= 0.55)).alias("pruned"),
     )
+
+
+@query(
+    "embedding_outlier_zscore",
+    oracle="""
+    WITH pos AS (
+      SELECT e.vec_id, e.label, t.i AS dim,
+             CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS v_c
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS t(i)
+    ),
+    cent AS (
+      SELECT label, dim, sum(v_c) // count(*) AS c_q FROM pos
+      GROUP BY label, dim
+    ),
+    dist AS (
+      SELECT p.vec_id, p.label,
+             sum((p.v_c - c.c_q) * (p.v_c - c.c_q)) // 100000000 AS d_s
+      FROM pos p JOIN cent c ON p.label = c.label AND p.dim = c.dim
+      GROUP BY p.vec_id, p.label
+    ),
+    stats AS (
+      SELECT label, count(*) AS n, sum(d_s) AS s,
+             sum(d_s::HUGEINT * d_s) AS s2
+      FROM dist GROUP BY label
+    )
+    SELECT d.vec_id, d.label, d.d_s,
+           (st.n::HUGEINT * d.d_s - st.s)
+             * (st.n::HUGEINT * d.d_s - st.s)
+             > 4 * (st.n::HUGEINT * st.s2 - st.s::HUGEINT * st.s)
+             AS is_outlier
+    FROM dist d JOIN stats st ON d.label = st.label
+    WHERE d.vec_id % 17 = 0
+    """,
+)
+def embedding_outlier_zscore(spark, sf_dir):
+    """Embedding-space outlier detection — the QA pass that catches
+    mis-embedded or mislabeled rows before they poison retrieval or
+    training: each vector's squared distance to its cluster centroid
+    is z-tested against the cluster's distance distribution, all in
+    EXACT integers (the events_anomaly_zscore algebra: (n·d − s)² >
+    4(n·s² − s²), DECIMAL/HUGEINT products; distances rescaled by
+    10⁸ so squared sums stay in range at any corpus size —
+    documented precision trade, irrelevant at z=2 resolution).
+    Plan: centroids are one (label, dim) hash-agg (bounded —
+    embedding_centroids' shape) joined back; distances one
+    per-vector agg; stats per label broadcast. Flagged rows go to
+    human review or auto-requeue for re-embedding."""
+    from ..llm.similarity import as_double
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    pos = emb.select(
+        "vec_id", "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("i0", "v"),
+    ).select(
+        "vec_id", "label",
+        (F.col("i0") + 1).alias("dim"),
+        F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("bigint").alias("v_c"),
+    )
+    cent = pos.groupBy("label", "dim").agg(
+        F.expr("sum(v_c) div count(1)").alias("c_q")
+    )
+    dist = (
+        pos.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.expr(
+                "sum((v_c - c_q) * (v_c - c_q)) div 100000000"
+            ).alias("d_s")
+        )
+    )
+    stats = dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d_s").alias("s"),
+        F.sum(F.col("d_s").cast("decimal(38,0)") * F.col("d_s")).alias("s2"),
+    )
+    j = dist.join(F.broadcast(stats), "label")
+    dev = F.col("n").cast("decimal(38,0)") * F.col("d_s") - F.col("s")
+    den = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
+    return j.filter(F.col("vec_id") % 17 == 0).select(
+        "vec_id", "label", "d_s", (dev * dev > 4 * den).alias("is_outlier")
+    )
