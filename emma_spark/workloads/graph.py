@@ -962,3 +962,80 @@ def graph_walk_skipgram_pairs(spark, sf_dir):
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _wpr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.id, CAST(6000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT)
+               AS pr
+      FROM wpr_nodes n LEFT JOIN (
+        SELECT e.dst AS id, sum((p.pr * e.w) // d.wt) AS c
+        FROM wpr_edges e JOIN {prev} p ON e.src = p.id
+        JOIN wpr_deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) s ON n.id = s.id
+    )"""
+
+
+@query(
+    "graph_pagerank_weighted",
+    oracle=f"""
+    WITH wpr_base AS (
+      SELECT user_id % 30 AS src, (user_id * 7 + event_id) % 30 AS dst
+      FROM events
+      WHERE user_id % 30 != (user_id * 7 + event_id) % 30
+    ),
+    wpr_edges AS (
+      SELECT src, dst, count(*) AS w FROM wpr_base GROUP BY src, dst
+    ),
+    wpr_deg AS (SELECT src, sum(w) AS wt FROM wpr_edges GROUP BY src),
+    wpr_nodes AS (
+      SELECT DISTINCT src AS id FROM wpr_base
+      UNION SELECT DISTINCT dst FROM wpr_base
+    ),
+    wpr0 AS (SELECT id, CAST(40000000000 AS BIGINT) AS pr FROM wpr_nodes),
+    {_wpr_iter_sql('wpr0', 'wpr1')},
+    {_wpr_iter_sql('wpr1', 'wpr2')}
+    SELECT id, pr FROM wpr2
+    """,
+)
+def graph_pagerank_weighted(spark, sf_dir):
+    """WEIGHTED PageRank — rank flows proportional to edge weight
+    (here: interaction multiplicity in the events hash-graph, kept
+    instead of distinct-ed away) rather than splitting equally across
+    out-edges: flow(u→v) = pr(u)·w(u,v) div Σw(u,·), the affinity-
+    weighted variant recommendation and trust graphs actually run.
+    Same quantized-integer iteration contract as graph_pagerank
+    (integral div, bit-identical fixpoints; pr·w stays under 2⁶³ by
+    the scaling budget — at web scale the pr unit scales down with
+    max weight, same knob as the HITS DECIMAL promotion). Two
+    unrolled rounds; per round one edge join + hash-agg; the weighted
+    out-degree table is the only addition over the uniform variant."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    a = (F.col("user_id") % 30).alias("src")
+    b = ((F.col("user_id") * 7 + F.col("event_id")) % 30).alias("dst")
+    base = e.select(a, b).filter(F.col("src") != F.col("dst"))
+    edges = base.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")).cache()
+    deg = edges.groupBy("src").agg(F.sum("w").alias("wt"))
+    nodes = (
+        base.select(F.col("src").alias("id"))
+        .unionByName(base.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    pr = nodes.select("id", F.lit(40000000000).cast("bigint").alias("pr"))
+    for _ in range(2):
+        flow = (
+            edges.join(pr.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.expr("(pr * w) div wt")).alias("c"))
+        )
+        pr = nodes.join(flow, "id", "left").select(
+            "id",
+            (
+                F.lit(6000000000)
+                + F.expr("(85 * coalesce(c, 0)) div 100")
+            ).cast("bigint").alias("pr"),
+        ).localCheckpoint(eager=True)
+    return pr

@@ -1256,3 +1256,105 @@ def ml_feature_importance_stumps(spark, sf_dir):
         .orderBy("best_err", "dim")
         .limit(10)
     )
+
+
+@query(
+    "ml_threshold_sweep_f1",
+    oracle="""
+    WITH pts AS (
+      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS sc
+      FROM embeddings
+    ),
+    mm AS (SELECT min(sc) AS lo, max(sc) AS hi FROM pts),
+    binned AS (
+      SELECT (p.sc - mm.lo) * 32 // (mm.hi - mm.lo + 1) AS bin,
+             sum(p.y) AS pos_b, count(*) - sum(p.y) AS neg_b
+      FROM pts p, mm GROUP BY 1
+    ),
+    tot AS (SELECT sum(pos_b) AS ap, sum(neg_b) AS an FROM binned),
+    cum AS (
+      SELECT bin,
+             t.ap - sum(pos_b) OVER w AS tp,
+             t.an - sum(neg_b) OVER w AS fp,
+             sum(pos_b) OVER w AS fn
+      FROM binned, tot t
+      WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+    ),
+    scored AS (
+      SELECT bin, tp, fp, fn,
+             CAST(2 * tp::HUGEINT * 1000000 // (2 * tp + fp + fn) AS BIGINT)
+               AS f1_ppm
+      FROM cum WHERE tp + fp > 0 AND 2 * tp + fp + fn > 0
+    )
+    SELECT max_by(bin, f1_ppm * 64 - bin) AS best_bin,
+           max(f1_ppm) AS best_f1_ppm,
+           max_by(tp, f1_ppm * 64 - bin) AS tp,
+           max_by(fp, f1_ppm * 64 - bin) AS fp,
+           max_by(fn, f1_ppm * 64 - bin) AS fn
+    FROM scored
+    """,
+)
+def ml_threshold_sweep_f1(spark, sf_dir):
+    """Operating-point selection: F1 across EVERY candidate threshold
+    in one pass — completing the eval family (ranking: ml_auc_exact;
+    calibration: ml_calibration_bins; THIS: where to actually cut).
+    'Predict positive above bin b' gives TP/FP/FN for all 32 cutoffs
+    from ONE histogram + bounded cumulative (no per-threshold rescan
+    — the sweep that costs 32 scans done naively); F1 in exact ppm
+    (2TP·10⁶ div (2TP+FP+FN), HUGEINT product), argmax via the
+    widened max_by key (f1·64 − bin: best F1, ties to the LOWEST bin
+    = higher recall at equal F1, stated explicitly instead of left
+    to sort luck)."""
+    from pyspark.sql import Window
+
+    from ..llm.similarity import as_double
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    pts = emb.select(
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+        F.floor(as_double(F.col("embedding"))[0] * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("sc"),
+    )
+    mm = pts.agg(F.min("sc").alias("lo"), F.max("sc").alias("hi"))
+    binned = (
+        pts.crossJoin(F.broadcast(mm))
+        .groupBy(F.expr("(sc - lo) * 32 div (hi - lo + 1)").alias("bin"))
+        .agg(
+            F.sum("y").alias("pos_b"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("neg_b"),
+        )
+    )
+    tot = binned.agg(F.sum("pos_b").alias("ap"), F.sum("neg_b").alias("an"))
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            (F.col("ap") - F.sum("pos_b").over(w)).alias("tp"),
+            (F.col("an") - F.sum("neg_b").over(w)).alias("fp"),
+            F.sum("pos_b").over(w).alias("fn"),
+        )
+    )
+    scored = cum.filter(
+        (F.col("tp") + F.col("fp") > 0)
+        & (2 * F.col("tp") + F.col("fp") + F.col("fn") > 0)
+    ).select(
+        "bin", "tp", "fp", "fn",
+        F.expr(
+            "CAST(2 * CAST(tp AS DECIMAL(38,0)) * 1000000"
+            " div (2 * tp + fp + fn) AS BIGINT)"
+        ).alias("f1_ppm"),
+    )
+    key = F.col("f1_ppm") * 64 - F.col("bin")
+    return scored.agg(
+        F.max_by("bin", key).alias("best_bin"),
+        F.max("f1_ppm").alias("best_f1_ppm"),
+        F.max_by("tp", key).alias("tp"),
+        F.max_by("fp", key).alias("fp"),
+        F.max_by("fn", key).alias("fn"),
+    )
