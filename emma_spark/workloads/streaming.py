@@ -713,3 +713,53 @@ def stream_session_window_agg(spark, sf_dir):
         F.unix_micros("session_window.end").alias("end_us"),
         "n_events",
     )
+
+
+@query(
+    "stream_sliding_watermark_append",
+    oracle="""
+    WITH ws AS (
+      SELECT event_type, t.w AS win, count(*) AS n
+      FROM (
+        SELECT event_type,
+               epoch_us(ts) // 1000000 AS s,
+               ((epoch_us(ts) // 1000000 - 3600) // 1800 + 1) AS w0
+        FROM events
+      ) e,
+      unnest([e.w0, e.w0 + 1]) AS t(w)
+      WHERE t.w * 1800 <= e.s AND e.s < t.w * 1800 + 3600
+      GROUP BY 1, 2
+    )
+    SELECT event_type, win * 1800 AS win_start_s, n FROM ws
+    WHERE (win * 1800 + 3600)::BIGINT * 1000000
+          < (SELECT max(epoch_us(ts)) - 2460000000::BIGINT FROM events)
+    """,
+)
+def stream_sliding_watermark_append(spark, sf_dir):
+    """SLIDING windows + watermark + APPEND — the production config
+    for overlapping-window metrics on an unbounded stream (each
+    event lives in size/slide windows of state; the watermark
+    finalizes and EVICTS each window once event time passes its end
+    + delay, emitting it exactly once): 1 h windows sliding every
+    30 min, 41-minute delay (deliberately slide-misaligned, the
+    stream_watermark_append boundary trick). The availableNow drain
+    + no-data batch flushes exactly the windows with
+    end < max(ts) − delay — the oracle's HAVING twin over the batch
+    explode-to-windows construction (events_sliding_batch_counts),
+    closing the loop: batch backfill and streaming emission of the
+    SAME sliding metric, one oracle apart."""
+    staged = _stage_events(spark, sf_dir)
+    stream = S.read_stream_parquet(
+        spark, staged, spark.read.parquet(staged).schema
+    )
+    wm = S.with_watermark(stream, "ts", "41 minutes")
+    agg = S.sliding(wm, "ts", "1 hour", "30 minutes", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = f"stream_slw_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, output_mode="append", state_partitions=4)
+    return spark.table(name).select(
+        "event_type",
+        F.unix_seconds(F.col("window.start")).alias("win_start_s"),
+        "n",
+    )
