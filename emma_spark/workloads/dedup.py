@@ -329,3 +329,103 @@ def dedup_paragraph_exact(spark, sf_dir):
     return tot.join(kept, "doc_id", "left").select(
         "doc_id", "n_chunks", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
     )
+
+
+@query(
+    "dedup_prefix_jaccard_exact",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct({sql_shingles(10)}) AS sh
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    idx AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+      FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(sh)::BIGINT AS n FROM d)
+    SELECT doc_a, doc_b, inter,
+           (sa.n + sb.n - inter)::BIGINT AS un,
+           floor(inter::DOUBLE / (sa.n + sb.n - inter) * 10000 + 0.5) / 10000
+             AS jacc
+    FROM pairs
+    JOIN sz sa ON pairs.doc_a = sa.doc_id
+    JOIN sz sb ON pairs.doc_b = sb.doc_id
+    WHERE 10 * inter >= 7 * (sa.n + sb.n - inter)
+    """,
+)
+def dedup_prefix_jaccard_exact(spark, sf_dir):
+    """EXACT set-similarity join (Jaccard >= 0.7 on 10-char shingle
+    sets) via AllPairs/PPJoin prefix filtering — the LOSSLESS
+    candidate-generation alternative to MinHash banding
+    (dedup_ngram_jaccard): LSH candidates miss true pairs with
+    probability (1-t^r)^b > 0, the prefix filter provably misses
+    none. Ordering the universe by ascending document frequency and
+    keeping only each set's first ``n - ceil(t*n) + 1`` tokens, any
+    two sets with Jaccard >= t MUST share a prefix token (Chaudhuri
+    et al., ICDE'06; Xiao et al. WWW'08 — public algorithm), so the
+    candidate join runs on the RAREST tokens: bucket sizes follow
+    the low tail of the df distribution, Sigma_t df_prefix(t)^2 <<
+    Sigma_t df(t)^2 of the naive inverted-index join (the oracle,
+    which computes the same answer quadratically and thereby proves
+    losslessness differentially).
+
+    Plan at 100 TB: shingling is narrow array HOFs; the df table is
+    one hash-agg; the doc->(token, pos) ranking window is PARTITIONED
+    by doc (bounded per-doc cardinality, never global); the candidate
+    self-join shuffles only prefix tokens (ascending-df order =
+    smallest buckets); verification attaches the two shingle arrays
+    by id equi-join and intersects per pair — integer threshold
+    compare 10*inter >= 7*union, no float until the final display
+    quantization. Reference parity: the reference has no set-
+    similarity join at all; this is LLM-pipeline surface (SURVEY
+    brief: n-gram Jaccard dedup), upgraded from approximate to exact."""
+    from pyspark.sql import Window
+
+    from ..llm import text as X
+
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    d = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            F.array_distinct(X.char_ngrams(F.col("text"), n=10)).alias("sh"),
+        )
+    )
+    ex = d.select("doc_id", F.size("sh").cast("bigint").alias("n"),
+                  F.explode("sh").alias("s"))
+    df_tab = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # prefix length for t = 0.7: n - ceil(0.7 n) + 1, exact integers
+    plen = F.col("n") - F.expr("(7 * n + 9) div 10") + F.lit(1)
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        ex.join(df_tab, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= plen)
+        .select("doc_id", "s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    verified = (
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", inter.alias("inter"),
+            (F.size("sh_a") + F.size("sh_b")).cast("bigint").alias("szs"),
+        )
+        .select(
+            "doc_a", "doc_b", "inter",
+            (F.col("szs") - F.col("inter")).alias("un"),
+        )
+        .filter(F.lit(10) * F.col("inter") >= F.lit(7) * F.col("un"))
+    )
+    jacc = F.floor(F.col("inter") / F.col("un") * 10000 + F.lit(0.5)) / 10000
+    return verified.select("doc_a", "doc_b", "inter", "un", jacc.alias("jacc"))

@@ -5034,3 +5034,132 @@ def supplier_sourcing_risk(spark, sf_dir):
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("n_lines").cast("bigint").alias("n_lines"),
     )
+
+
+@query(
+    "orders_rfm_segmentation",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey AS ck,
+             max(CAST(o_orderdate AS DATE)) AS last_d,
+             count(*)::BIGINT AS f_cnt,
+             CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS m_cents
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    m AS (
+      SELECT ck, date_diff('day', last_d, maxd)::BIGINT AS r_days, f_cnt,
+             m_cents, m_cents // 10000 AS m_bin
+      FROM c, mx
+    ),
+    n AS (SELECT count(*)::BIGINT AS n FROM m),
+    rq AS (
+      SELECT min(CASE WHEN 4*cum >= 1*n THEN v END) AS q1,
+             min(CASE WHEN 4*cum >= 2*n THEN v END) AS q2,
+             min(CASE WHEN 4*cum >= 3*n THEN v END) AS q3
+      FROM (SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+            FROM (SELECT r_days AS v, count(*) AS cnt FROM m GROUP BY 1)), n
+    ),
+    fq AS (
+      SELECT min(CASE WHEN 4*cum >= 1*n THEN v END) AS q1,
+             min(CASE WHEN 4*cum >= 2*n THEN v END) AS q2,
+             min(CASE WHEN 4*cum >= 3*n THEN v END) AS q3
+      FROM (SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+            FROM (SELECT f_cnt AS v, count(*) AS cnt FROM m GROUP BY 1)), n
+    ),
+    mq AS (
+      SELECT min(CASE WHEN 4*cum >= 1*n THEN v END) AS q1,
+             min(CASE WHEN 4*cum >= 2*n THEN v END) AS q2,
+             min(CASE WHEN 4*cum >= 3*n THEN v END) AS q3
+      FROM (SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+            FROM (SELECT m_bin AS v, count(*) AS cnt FROM m GROUP BY 1)), n
+    )
+    SELECT
+      (1 + CAST(m.r_days > rq.q1 AS INT) + CAST(m.r_days > rq.q2 AS INT)
+         + CAST(m.r_days > rq.q3 AS INT)) AS r_score,
+      (1 + CAST(m.f_cnt > fq.q1 AS INT) + CAST(m.f_cnt > fq.q2 AS INT)
+         + CAST(m.f_cnt > fq.q3 AS INT)) AS f_score,
+      (1 + CAST(m.m_bin > mq.q1 AS INT) + CAST(m.m_bin > mq.q2 AS INT)
+         + CAST(m.m_bin > mq.q3 AS INT)) AS m_score,
+      count(*)::BIGINT AS n_customers,
+      sum(m.m_cents)::BIGINT AS seg_revenue_cents
+    FROM m, rq, fq, mq
+    GROUP BY 1, 2, 3
+    """,
+)
+def orders_rfm_segmentation(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic CRM cube — with quartile thresholds read from
+    DOMAIN-BOUNDED VALUE HISTOGRAMS instead of the textbook
+    ``ntile(4) OVER (ORDER BY metric)``, which is a one-task global
+    sort over every customer (the scale-killer this repo's window
+    discipline bans). Recency is an integer day count (bounded by the
+    corpus date span), frequency a small int, and monetary is
+    quantized to $100 bins for thresholding — so each quartile
+    boundary comes from a cumsum over a histogram whose size is the
+    metric's DOMAIN, not the customer count. ceil-rank semantics
+    (4*cum >= k*n) match percentile_disc on both engines; scores
+    compare the SAME binned value against the binned thresholds, so
+    the result is engine-exact. Plan: one per-customer hash-agg; three
+    tiny histogram aggs; three single-row broadcast joins; one final
+    segment hash-agg. Money stays in exact integer cents throughout."""
+    orders = io.fan_out(io.read_parquet(spark, f"{sf_dir}/orders.parquet").df)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    c = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).alias("f_cnt"),
+        F.sum(cents).alias("m_cents"),
+    )
+    mx = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    m = c.crossJoin(F.broadcast(mx)).select(
+        "ck",
+        F.datediff("maxd", "last_d").cast("bigint").alias("r_days"),
+        "f_cnt", "m_cents",
+        F.expr("m_cents div 10000").alias("m_bin"),
+    )
+    n = m.agg(F.count(F.lit(1)).alias("n"))
+
+    def _quartiles(col: str):
+        """(q1, q2, q3) single-row DF from the value histogram of
+        ``col`` — cumsum window over the bounded value domain only."""
+        h = m.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = h.select("v", F.sum("cnt").over(w).alias("cum"))
+        return (
+            cum.crossJoin(F.broadcast(n))
+            .agg(
+                F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("v"))).alias("q1"),
+                F.min(F.when(4 * F.col("cum") >= 2 * F.col("n"), F.col("v"))).alias("q2"),
+                F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("v"))).alias("q3"),
+            )
+        )
+
+    rq = _quartiles("r_days").select(
+        F.col("q1").alias("rq1"), F.col("q2").alias("rq2"), F.col("q3").alias("rq3"))
+    fq = _quartiles("f_cnt").select(
+        F.col("q1").alias("fq1"), F.col("q2").alias("fq2"), F.col("q3").alias("fq3"))
+    mq = _quartiles("m_bin").select(
+        F.col("q1").alias("mq1"), F.col("q2").alias("mq2"), F.col("q3").alias("mq3"))
+
+    def _score(v, q1, q2, q3):
+        return (
+            F.lit(1)
+            + (F.col(v) > F.col(q1)).cast("int")
+            + (F.col(v) > F.col(q2)).cast("int")
+            + (F.col(v) > F.col(q3)).cast("int")
+        )
+
+    return (
+        m.crossJoin(F.broadcast(rq))
+        .crossJoin(F.broadcast(fq))
+        .crossJoin(F.broadcast(mq))
+        .groupBy(
+            _score("r_days", "rq1", "rq2", "rq3").alias("r_score"),
+            _score("f_cnt", "fq1", "fq2", "fq3").alias("f_score"),
+            _score("m_bin", "mq1", "mq2", "mq3").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("m_cents").alias("seg_revenue_cents"),
+        )
+    )

@@ -1639,3 +1639,72 @@ def text_decontaminate_bloom(spark, sf_dir):
             >= F.count(F.lit(1))
         ).alias("flagged"),
     )
+
+
+@query(
+    "text_char_diversity",
+    oracle="""
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    x AS (
+      SELECT doc_id, t,
+             list_filter(list_distinct(string_split(t, '')), c -> c != '')
+               AS dc
+      FROM d
+    )
+    SELECT doc_id,
+           length(t)::BIGINT AS n_chars,
+           len(dc)::BIGINT AS n_distinct,
+           CASE WHEN length(t) = 0 THEN 0
+                ELSE CAST(
+                  ((length(t)::HUGEINT * length(t)
+                    - coalesce(list_sum(list_transform(dc,
+                        c -> (length(t) - length(replace(t, c, '')))::HUGEINT
+                           * (length(t) - length(replace(t, c, ''))))), 0))
+                   * 1000000) // (length(t)::HUGEINT * length(t)) AS BIGINT)
+           END AS simpson_ppm
+    FROM x
+    """,
+)
+def text_char_diversity(spark, sf_dir):
+    """Character-diversity quality signal: Simpson/Gini diversity
+    1 - Sigma p_c^2 (the probability two random characters differ) in
+    exact parts-per-million — the LOG-FREE alternative to character
+    entropy. Gibberish and mass-repeated boilerplate (''''''' , aaaa,
+    template spam) score near 0 diversity; natural text sits high —
+    same filtering power as the entropy heuristic without a single
+    transcendental: ``log`` is NOT required correctly-rounded by IEEE
+    754, so cross-engine entropy can differ in the last ulp and flip
+    a quantized hash, while this is integer arithmetic end to end
+    (HUGEINT/DECIMAL products before the integral divide, the repo's
+    overflow rule). Plan: pure per-row array HOFs — distinct-char set
+    (bounded by the alphabet), per-char counts via length(replace())
+    subtraction (no char-row explode), squared-sum fold — a NARROW
+    map with zero shuffles, the shape you want for a 100 TB quality
+    gate applied before anything wide."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    t = F.lower(F.col("text"))
+    d = docs.select("doc_id", t.alias("t")).withColumn(
+        "dc", F.filter(F.array_distinct(F.split(F.col("t"), "")), lambda c: c != "")
+    )
+    ln = F.length("t").cast("decimal(38,0)")
+    cnt = lambda c: (F.length("t") - F.length(F.replace(F.col("t"), c))).cast("decimal(38,0)")
+    sumsq = F.aggregate(
+        F.transform(F.col("dc"), lambda c: cnt(c) * cnt(c)),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x,
+    )
+    simpson = F.expr(
+        "CAST(((CAST(length(t) AS DECIMAL(38,0)) * length(t) - __sumsq) * 1000000)"
+        " div (CAST(length(t) AS DECIMAL(38,0)) * length(t)) AS BIGINT)"
+    )
+    return (
+        d.withColumn("__sumsq", sumsq)
+        .select(
+            "doc_id",
+            F.length("t").cast("bigint").alias("n_chars"),
+            F.size("dc").cast("bigint").alias("n_distinct"),
+            F.when(F.length("t") == 0, F.lit(0).cast("bigint"))
+            .otherwise(simpson)
+            .alias("simpson_ppm"),
+        )
+    )
