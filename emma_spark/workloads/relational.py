@@ -5163,3 +5163,147 @@ def orders_rfm_segmentation(spark, sf_dir):
             F.sum("m_cents").alias("seg_revenue_cents"),
         )
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS revenue_cents,
+           count(*)::BIGINT AS n
+    FROM lineitem WHERE l_quantity < 10
+    GROUP BY l_returnflag
+    """,
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """The lowest-level Python seam: ``mapInArrow`` — raw
+    pyarrow.RecordBatch in, RecordBatch out, no pandas conversion at
+    all (one copy cheaper than mapInPandas; the seam you use when the
+    Python side is itself Arrow-native, e.g. a tokenizer or decoder
+    lib consuming Arrow buffers). Completes the Python-boundary
+    matrix: arrow scalar UDF / pandas UDAF / mapInPandas /
+    applyInPandas / cogroup / UDTF / mapInArrow. The batch fn is
+    pyarrow.compute end to end (vectorized C++, never a Python row
+    loop); revenue is quantized to exact integer cents INSIDE the
+    batch so the JVM-side re-aggregation is order-independent. Plan:
+    narrow filter BEFORE the Arrow exchange (a Python map barrier
+    blocks predicate pushdown, so the plan puts the selective gate
+    first), then one hash-agg over the seam's slim two-column output."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def rev_batches(it):
+        for b in it:
+            ext = b.column("l_extendedprice")
+            disc = b.column("l_discount")
+            rev = pc.cast(
+                pc.floor(
+                    pc.add(
+                        pc.multiply(
+                            pc.multiply(ext, pc.subtract(pa.scalar(1.0), disc)),
+                            pa.scalar(100.0),
+                        ),
+                        pa.scalar(0.5),
+                    )
+                ),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_returnflag"), rev], ["l_returnflag", "rev_c"]
+            )
+
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    slim = li.df.filter(F.col("l_quantity") < 10).select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    mapped = slim.mapInArrow(rev_batches, "l_returnflag string, rev_c bigint")
+    return mapped.groupBy("l_returnflag").agg(
+        F.sum("rev_c").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "events_point_in_interval",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM gaps
+    ), iv AS (
+      SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+      FROM sess GROUP BY 1, 2
+    ), p AS (SELECT ts FROM events WHERE event_type = 'purchase')
+    SELECT iv.user_id, iv.session_id, count(p.ts)::BIGINT AS n_purchases
+    FROM iv LEFT JOIN p ON p.ts >= iv.s AND p.ts <= iv.e
+    GROUP BY 1, 2
+    """,
+)
+def events_point_in_interval(spark, sf_dir):
+    """Point-in-interval join WITHOUT a nested-loop: how many purchase
+    events (site-wide) fall inside each user session's time span. A
+    raw ``p.ts BETWEEN s.start AND s.end`` join has no equi-key, so
+    Spark plans BroadcastNestedLoopJoin — quadratic and
+    single-stream at scale. The GRID-BUCKET strategy restores a hash
+    join: quantize time into fixed 1-hour buckets, EXPLODE each
+    interval to the buckets it covers (bounded by the 30-min-gap
+    session definition), tag each point with its single bucket, and
+    equi-join on bucket with the exact range predicate as residual —
+    each (interval, point) pair meets on exactly one bucket (the
+    point's), so no dedup pass is needed. This is the standard
+    interval-index decomposition (same trick as the IP-geolocation
+    range lookup); bucket width trades explode factor against bucket
+    selectivity. Empty sessions are restored by a left join to the
+    interval table, mirroring the oracle's LEFT range join. One
+    user-key shuffle builds sessions; the join shuffles on bucket —
+    uniform by construction (time buckets)."""
+    e = T(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    iv = (
+        e.df.withColumn("new_session", new_sess)
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    ivb = iv.withColumn(
+        "b",
+        F.explode(
+            F.sequence(
+                F.expr("CAST(s AS LONG) div 3600"), F.expr("CAST(e AS LONG) div 3600")
+            )
+        ),
+    )
+    p = (
+        e.df.filter(F.col("event_type") == "purchase")
+        .select(F.col("ts").alias("pts"))
+        .withColumn("pb", F.expr("CAST(pts AS LONG) div 3600"))
+    )
+    matched = (
+        ivb.join(
+            p,
+            (F.col("pb") == F.col("b"))
+            & (F.col("pts") >= F.col("s"))
+            & (F.col("pts") <= F.col("e")),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return iv.join(matched, ["user_id", "session_id"], "left").select(
+        "user_id", "session_id", F.coalesce("n", F.lit(0)).alias("n_purchases")
+    )

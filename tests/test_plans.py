@@ -401,3 +401,39 @@ def test_asof_nearest_no_cartesian(spark, registry):
     (range predicate residual), never a cartesian."""
     plan = _plan(registry["join_asof_nearest"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_point_in_interval_is_hash_join_not_bnlj(spark, registry):
+    """The grid-bucket decomposition must turn the range join into a
+    hash equi-join — a raw BETWEEN join would plan BNLJ (quadratic)."""
+    plan = _plan(registry["events_point_in_interval"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_jaccard_no_cartesian_and_partitioned_ranking(spark, registry):
+    """Prefix-filter candidates meet on a token equi-join; the doc-id
+    ranking window must stay partitioned (never a global sort)."""
+    plan = _plan(registry["dedup_prefix_jaccard_exact"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_map_in_arrow_seam_filters_before_python(spark, registry):
+    """mapInArrow is an opaque barrier: the selective filter must sit
+    below it (pushdown can't cross a Python map), and the seam must be
+    Arrow (never BatchEvalPython)."""
+    plan = _plan(registry["udf_map_in_arrow"].fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan[:500]
+    # the quantity gate reaches the parquet scan below the seam
+    scan = plan[plan.index("PushedFilters"):][:250]
+    assert "l_quantity" in scan, scan
+
+
+def test_rfm_thresholds_broadcast_histogram_windows_bounded(spark, registry):
+    """RFM quartiles come from bounded value histograms broadcast back;
+    the plan must not sort the full customer table (no global ntile)."""
+    plan = _plan(registry["orders_rfm_segmentation"].fn(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "ntile" not in plan.lower()
