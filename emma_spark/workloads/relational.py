@@ -5307,3 +5307,104 @@ def events_point_in_interval(spark, sf_dir):
     return iv.join(matched, ["user_id", "session_id"], "left").select(
         "user_id", "session_id", F.coalesce("n", F.lit(0)).alias("n_purchases")
     )
+
+
+@query(
+    "events_resample_linear",
+    oracle="""
+    WITH ue AS (
+      SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS v_c
+      FROM events WHERE user_id % 29 = 1
+      GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+      FROM ue GROUP BY user_id
+    ), grid AS (
+      SELECT s.user_id, t.b AS bucket
+      FROM spans s, unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS t(b)
+    ), j AS (
+      SELECT g.user_id, g.bucket, ue.v_c,
+             CAST(epoch(g.bucket) AS BIGINT) // 3600 AS t
+      FROM grid g LEFT JOIN ue ON g.user_id = ue.user_id AND g.bucket = ue.bucket
+    ), f AS (
+      SELECT user_id, bucket, v_c, t,
+             last_value(v_c IGNORE NULLS) OVER wp AS v0,
+             last_value(CASE WHEN v_c IS NOT NULL THEN t END IGNORE NULLS)
+               OVER wp AS t0,
+             first_value(v_c IGNORE NULLS) OVER wf AS v1,
+             first_value(CASE WHEN v_c IS NOT NULL THEN t END IGNORE NULLS)
+               OVER wf AS t1
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket,
+           CASE WHEN v_c IS NOT NULL THEN v_c
+                ELSE (v0 * (t1 - t) + v1 * (t - t0)) // (t1 - t0)
+           END AS interp_c,
+           v_c IS NOT NULL AS observed
+    FROM f
+    """,
+)
+def events_resample_linear(spark, sf_dir):
+    """Resampling with LINEAR interpolation — the companion to
+    events_resample_ffill for continuous signals (sensor values,
+    spend rates) where carrying the last observation forward biases
+    downstream features. Same scale shape: hourly pre-agg, per-user
+    [min, max] grid densify (rows ∝ span), then BOTH bracketing
+    observations via two PARTITIONED windows (last-non-null
+    preceding, first-non-null following — grid endpoints are observed
+    by construction, so the brackets always exist). The interpolation
+    is the weighted mean (v0*(t1-t) + v1*(t-t0)) div (t1-t0) in
+    integer 10^-4 units — the rearrangement keeps the numerator
+    NON-NEGATIVE, where truncating (Spark ``div``) and flooring
+    (DuckDB ``//``) integral division agree, so the result is
+    engine-exact with zero float ops (the repo's integral-divide
+    rule)."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    ue = (
+        e.filter(F.col("user_id") % 29 == 1)
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")).alias("v_c")
+        )
+    )
+    spans = ue.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("bucket"),
+    )
+    j = grid.join(ue, ["user_id", "bucket"], "left").withColumn(
+        "t", F.expr("CAST(bucket AS LONG) div 3600")
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("v_c").isNotNull(), F.col("t"))
+    f = (
+        j.withColumn("v0", F.last("v_c", ignorenulls=True).over(wp))
+        .withColumn("t0", F.last(t_obs, ignorenulls=True).over(wp))
+        .withColumn("v1", F.first("v_c", ignorenulls=True).over(wf))
+        .withColumn("t1", F.first(t_obs, ignorenulls=True).over(wf))
+    )
+    interp = F.expr("(v0 * (t1 - t) + v1 * (t - t0)) div (t1 - t0)")
+    return f.select(
+        "user_id", "bucket",
+        F.when(F.col("v_c").isNotNull(), F.col("v_c")).otherwise(interp)
+          .alias("interp_c"),
+        F.col("v_c").isNotNull().alias("observed"),
+    )

@@ -1708,3 +1708,62 @@ def text_char_diversity(spark, sf_dir):
             .alias("simpson_ppm"),
         )
     )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=r"""
+    WITH staged AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-0' || CAST(doc_id % 10000 AS VARCHAR)
+               AS t
+      FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT
+             AS n_emails,
+           len(regexp_extract_all(t, '555-[0-9]{1,5}'))::BIGINT AS n_phones,
+           length(regexp_replace(regexp_replace(t,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               '555-[0-9]{1,5}', '<PHONE>', 'g'))::BIGINT AS scrubbed_len
+    FROM staged
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction — the regex scrub every shared training corpus
+    runs before release (emails, phone patterns -> typed placeholder
+    tokens), with per-document match counts for the removal audit
+    table. The corpus is synthetic, so the PII is STAGED
+    deterministically from doc_id (both engines stage the identical
+    string) — the op under test is the scrub itself: JVM-side
+    ``regexp_extract_all``/``regexp_replace`` Column exprs (zero
+    Python, zero shuffle, fully codegen'd narrow map — at 100 TB this
+    runs at scan speed before anything wide). The regex subset used
+    (character classes, +, {m,n} bounds) parses identically in Java
+    and RE2/DuckDB. Real deployments extend PATTERNS with locale
+    rules (SSN, IBAN, street addresses) — same plan shape, more
+    alternation."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    phone = r"555-[0-9]{1,5}"
+    staged = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-0"),
+            (F.col("doc_id") % 10000).cast("string"),
+        ).alias("t"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return staged.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(email), F.lit(0)))
+          .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(phone), F.lit(0)))
+          .cast("bigint").alias("n_phones"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+    )
