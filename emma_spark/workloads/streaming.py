@@ -763,3 +763,70 @@ def stream_sliding_watermark_append(spark, sf_dir):
         F.unix_seconds(F.col("window.start")).alias("win_start_s"),
         "n",
     )
+
+
+@query(
+    "stream_stream_left_outer_join",
+    oracle="""
+    WITH p AS (SELECT event_id AS pid, user_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS cid, user_id AS c_user, ts AS c_ts
+               FROM events WHERE event_type = 'click')
+    SELECT p.pid, p.user_id, c.cid
+    FROM p LEFT JOIN c
+      ON p.user_id = c.c_user
+     AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
+    WHERE c.cid IS NOT NULL
+       OR p.p_ts < (SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+            (SELECT max(ts) FROM events WHERE event_type = 'click'))
+          - INTERVAL 97 MINUTE)
+    """,
+)
+def stream_stream_left_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join — the outer-emission
+    semantics the inner variant (stream_stream_interval_join) can't
+    show: a purchase with NO click in its preceding hour emits a
+    null-extended row, but only once the engine can PROVE no match is
+    coming — i.e. when the join watermark passes the purchase's last
+    admissible click time (c_ts <= p_ts, so eviction at watermark >
+    p_ts). Matched rows emit on arrival; null rows emit from state
+    eviction during the availableNow drain's no-data batch. The
+    watermark that drives eviction is subtler than max(ts) - delay:
+    Catalyst pushes each side's event_type filter BELOW its
+    EventTimeWatermark operator, so each watermark node tracks the
+    max event time OF ITS OWN SIDE, and the query watermark is their
+    MIN (multipleWatermarkPolicy=min, the default) — i.e.
+    least(max purchase ts, max click ts) - 97 min (empirically
+    verified via StreamingQueryProgress.eventTime per batch). The
+    batch oracle encodes exactly that contract: the full left
+    interval join, minus unmatched purchases at or above that final
+    watermark (97 min is hour-misaligned so the boundary compare
+    cannot tie), which are still held in state when the drain stops — the part of the answer an unbounded stream has not yet
+    earned the right to emit. State is bounded on both sides by
+    watermark + interval, the production requirement for an unbounded
+    join."""
+    staged = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    p = (
+        S.with_watermark(S.read_stream_parquet(spark, staged, schema), "ts", "97 minutes")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts"))
+    )
+    c = (
+        S.with_watermark(S.read_stream_parquet(spark, staged, schema), "ts", "97 minutes")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("cid"), F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.expr("p_ts - interval 1 hour"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    )
+    name = f"stream_ssloj_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(j.select("pid", "user_id", "cid"), name,
+                    output_mode="append", state_partitions=4)
+    return spark.table(name)
