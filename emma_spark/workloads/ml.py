@@ -1358,3 +1358,128 @@ def ml_threshold_sweep_f1(spark, sf_dir):
         F.max_by("fp", key).alias("fp"),
         F.max_by("fn", key).alias("fn"),
     )
+
+
+@query(
+    "ml_gridsearch_ridge",
+    oracle="""
+    WITH r AS (
+      SELECT (l_orderkey * 7 + l_linenumber) % 3 AS fold,
+             CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT) AS xq,
+             CAST(floor(l_extendedprice / 1000 * 10000 + 0.5) AS BIGINT) AS yq
+      FROM lineitem
+    ),
+    fs AS (
+      SELECT fold, count(*)::HUGEINT AS n,
+             sum(xq::HUGEINT) AS sx, sum(yq::HUGEINT) AS sy,
+             sum(xq::HUGEINT * xq) AS sxx, sum(xq::HUGEINT * yq) AS sxy
+      FROM r GROUP BY fold
+    ),
+    tot AS (SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+                   sum(sxx) AS sxx, sum(sxy) AS sxy FROM fs),
+    lams AS (SELECT CAST(unnest([0.0, 10.0, 1000.0]) AS DOUBLE) AS lam),
+    tr AS (
+      SELECT f.fold, l.lam,
+             CAST(t.n - f.n AS DOUBLE) AS nt,
+             CAST(t.sx - f.sx AS DOUBLE) / 10000 AS sx,
+             CAST(t.sy - f.sy AS DOUBLE) / 10000 AS sy,
+             CAST(t.sxx - f.sxx AS DOUBLE) / 100000000 AS sxx,
+             CAST(t.sxy - f.sxy AS DOUBLE) / 100000000 AS sxy
+      FROM fs f, tot t, lams l
+    ),
+    b AS (
+      SELECT fold, lam,
+             (sxy * (nt + lam) - sx * sy)
+               / ((sxx + lam) * (nt + lam) - sx * sx) AS b1,
+             (sy * (sxx + lam) - sx * sxy)
+               / ((sxx + lam) * (nt + lam) - sx * sx) AS b0
+      FROM tr
+    ),
+    ev AS (
+      SELECT r.fold, b.lam,
+             (CAST(r.yq AS DOUBLE) / 10000
+              - (b.b0 + b.b1 * (CAST(r.xq AS DOUBLE) / 10000))) AS res
+      FROM r JOIN b ON r.fold = b.fold
+    )
+    SELECT fold, lam, count(*)::BIGINT AS n_eval,
+           floor(sum(floor(res * res * 10000 + 0.5)) / 10000
+                 / count(*) * 1000000 + 0.5) / 1000000 AS mse
+    FROM ev GROUP BY 1, 2
+    """,
+)
+def ml_gridsearch_ridge(spark, sf_dir):
+    """Hyperparameter GRID SEARCH as pure dataflow: 3-fold
+    cross-validated ridge regression (price ~ quantity, closed form)
+    over a lambda grid — the model-selection loop every training
+    pipeline runs, with NO per-cell re-scan of the data. The trick is
+    algebraic leave-one-fold-out: closed-form ridge needs only the
+    sufficient statistics (n, Sx, Sy, Sxx, Sxy), which are additive —
+    so ONE scan computes per-fold sums, each training set's sums are
+    total minus held-out fold (exact integer subtraction), and the
+    (fold x lambda) model grid materializes from a 3-row x 3-lambda
+    broadcast cross join. The 2x2 normal equations solve via Cramer's
+    rule in doubles whose every op (add/mul/div — all IEEE
+    correctly-rounded) appears in the SAME order in the oracle, so
+    betas are bit-identical; sufficient statistics are quantized
+    integers (DECIMAL/HUGEINT sums), and held-out MSE uses the
+    order-independent qsum pattern. Scale: scan + one 3-key hash-agg
+    + a 9-row broadcast back for eval — adding 10x more lambdas or
+    folds changes only the tiny grid, never the scan count (contrast
+    with naive grid search: k*|grid| full passes)."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    r = li.select(
+        F.expr("(l_orderkey * 7 + l_linenumber) % 3").alias("fold"),
+        F.expr("CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)").alias("xq"),
+        F.expr("CAST(floor(l_extendedprice / 1000 * 10000 + 0.5) AS BIGINT)").alias("yq"),
+    )
+    dec = "decimal(38,0)"
+    fs = r.groupBy("fold").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("xq").cast(dec)).alias("sx"),
+        F.sum(F.col("yq").cast(dec)).alias("sy"),
+        F.sum(F.col("xq").cast(dec) * F.col("xq")).alias("sxx"),
+        F.sum(F.col("xq").cast(dec) * F.col("yq")).alias("sxy"),
+    )
+    tot = fs.agg(
+        F.sum("n").alias("tn"), F.sum("sx").alias("tsx"), F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"), F.sum("sxy").alias("tsxy"),
+    )
+    lams = spark.range(1).select(
+        F.explode(F.array(F.lit(0.0), F.lit(10.0), F.lit(1000.0))).alias("lam")
+    )
+    tr = (
+        fs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(lams))
+        .select(
+            "fold", "lam",
+            F.expr("CAST(tn - n AS DOUBLE)").alias("nt"),
+            F.expr("CAST(tsx - sx AS DOUBLE) / 10000").alias("sx"),
+            F.expr("CAST(tsy - sy AS DOUBLE) / 10000").alias("sy"),
+            F.expr("CAST(tsxx - sxx AS DOUBLE) / 100000000").alias("sxx"),
+            F.expr("CAST(tsxy - sxy AS DOUBLE) / 100000000").alias("sxy"),
+        )
+    )
+    b = tr.select(
+        "fold", "lam",
+        F.expr(
+            "(sxy * (nt + lam) - sx * sy)"
+            " / ((sxx + lam) * (nt + lam) - sx * sx)"
+        ).alias("b1"),
+        F.expr(
+            "(sy * (sxx + lam) - sx * sxy)"
+            " / ((sxx + lam) * (nt + lam) - sx * sx)"
+        ).alias("b0"),
+    )
+    ev = r.join(F.broadcast(b), "fold").select(
+        "fold", "lam",
+        F.expr(
+            "(CAST(yq AS DOUBLE) / 10000 - (b0 + b1 * (CAST(xq AS DOUBLE) / 10000)))"
+        ).alias("res"),
+    )
+    return ev.groupBy("fold", "lam").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.expr(
+            "floor(sum(floor(res * res * 10000 + 0.5)) / 10000"
+            " / count(*) * 1000000 + 0.5) / 1000000"
+        ).alias("mse"),
+    )
