@@ -367,3 +367,80 @@ def test_histogram_stump_matches_exhaustive_split_search(spark, data):
                  + min(sum(right), len(right) - sum(right)))
             want = e if want is None else min(want, e)
     assert best == want
+
+
+# ----------------------------------------------------------------------
+# prefix-filter losslessness (pure-Python mirror of the r5 algorithm)
+# ----------------------------------------------------------------------
+_setlists = st.lists(
+    st.frozensets(st.integers(0, 25), min_size=1, max_size=12),
+    min_size=2, max_size=15,
+)
+
+
+@given(sets=_setlists)
+@settings(max_examples=60, deadline=None)
+def test_prefix_filter_never_misses_a_jaccard_pair(sets):
+    """The candidate-generation invariant dedup_prefix_jaccard_exact
+    relies on: with tokens ordered by ascending global df (ties by
+    token) and prefix length n - ceil(t*n) + 1, every pair with
+    Jaccard >= t shares at least one prefix token. Brute-force check
+    of the math on random universes — this is the property that makes
+    the Spark plan EXACT rather than approximate."""
+    t_num, t_den = 7, 10  # t = 0.7, same integer arithmetic as the query
+    from collections import Counter
+
+    df = Counter()
+    for s in sets:
+        for tok in s:
+            df[tok] += 1
+
+    def prefix(s):
+        ordered = sorted(s, key=lambda tok: (df[tok], tok))
+        n = len(s)
+        plen = n - (t_num * n + t_den - 1) // t_den + 1
+        return set(ordered[:plen])
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(a & b)
+            union = len(a | b)
+            if t_den * inter >= t_num * union:  # Jaccard >= t
+                assert prefix(a) & prefix(b), (
+                    f"prefix filter missed pair {sorted(a)} / {sorted(b)} "
+                    f"(jaccard {inter}/{union})"
+                )
+
+
+# ----------------------------------------------------------------------
+# linear interpolation invariants (events_resample_linear arithmetic)
+# ----------------------------------------------------------------------
+_obs = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 10**6)),
+    min_size=2, max_size=10, unique_by=lambda x: x[0],
+)
+
+
+@given(obs=_obs)
+@settings(max_examples=60, deadline=None)
+def test_linear_interp_weighted_form_is_bounded_and_exact_at_knots(obs):
+    """The integer weighted-mean rearrangement
+    (v0*(t1-t) + v1*(t-t0)) div (t1-t0) used by events_resample_linear:
+    (a) reproduces the observation exactly at knots, (b) stays within
+    [min(v0,v1), max(v0,v1)] between knots (no overshoot), and (c) the
+    non-negative numerator makes floor and truncating division agree —
+    the exact property that lets Spark `div` mirror DuckDB `//`."""
+    pts = sorted(obs)
+    for k in range(len(pts) - 1):
+        (t0, v0), (t1, v1) = pts[k], pts[k + 1]
+        for t in range(t0, t1 + 1):
+            num = v0 * (t1 - t) + v1 * (t - t0)
+            assert num >= 0
+            interp = num // (t1 - t0)
+            trunc = int(num / (t1 - t0)) if num < 2**52 else num // (t1 - t0)
+            assert interp == trunc  # floor == truncate for non-negative
+            if t == t0:
+                assert interp == v0
+            lo, hi = min(v0, v1), max(v0, v1)
+            assert lo <= interp <= hi
