@@ -1483,3 +1483,71 @@ def ml_gridsearch_ridge(spark, sf_dir):
             " / count(*) * 1000000 + 0.5) / 1000000"
         ).alias("mse"),
     )
+
+
+@query(
+    "ml_target_encoding_loo",
+    oracle="""
+    WITH g AS (
+      SELECT count(*)::HUGEINT AS gn,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::HUGEINT AS gp
+      FROM orders
+    ),
+    cat AS (
+      SELECT o_orderpriority AS category, count(*)::HUGEINT AS n,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::HUGEINT AS pos
+      FROM orders GROUP BY 1
+    )
+    SELECT category, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+           CAST(1000000 * (pos * (n - 1) * gn + n * 10 * gp)
+                // (n * (n + 9) * gn) AS BIGINT) AS avg_loo_ppm,
+           CAST(1000000 * ((pos - 1) * gn + 10 * gp)
+                // ((n + 9) * gn) AS BIGINT) AS enc_pos_ppm,
+           CAST(1000000 * (pos * gn + 10 * gp)
+                // ((n + 9) * gn) AS BIGINT) AS enc_neg_ppm
+    FROM cat, g
+    """,
+)
+def ml_target_encoding_loo(spark, sf_dir):
+    """LEAVE-ONE-OUT target encoding — the leakage-safe categorical
+    feature every tabular training pipeline wants: encode category c for row
+    i as the smoothed target mean of c EXCLUDING row i,
+    enc_i = (pos_c - y_i + m*prior) / (n_c - 1 + m), m=10. The naive
+    implementation joins every row back to its category stats; this
+    one needs NO per-row pass at all — with y binary, the encoding
+    takes exactly two values per category (y_i=1 / y_i=0), and the
+    per-category MEAN of the LOO encodings collapses algebraically:
+    sum_i (pos - y_i) = pos*(n-1), so avg = (pos*(n-1)*gn + n*m*gp) /
+    (n*(n-1+m)*gn) with the global prior gp/gn kept as an exact
+    rational. One scan, one small hash-agg, one single-row broadcast;
+    everything in exact integer ppm (HUGEINT/DECIMAL products before
+    the integral divide). Scale: output is |categories| rows — the
+    encoder table you then broadcast-join onto the training scan."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    dec = "decimal(38,0)"
+    g = o.agg(
+        F.count(F.lit(1)).cast(dec).alias("gn"),
+        F.sum(y).cast(dec).alias("gp"),
+    )
+    cat = o.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(y).cast(dec).alias("pos"),
+    )
+    return cat.crossJoin(F.broadcast(g)).select(
+        "category",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.expr(
+            "CAST(1000000 * (pos * (n - 1) * gn + n * 10 * gp)"
+            " div (n * (n + 9) * gn) AS BIGINT)"
+        ).alias("avg_loo_ppm"),
+        F.expr(
+            "CAST(1000000 * ((pos - 1) * gn + 10 * gp)"
+            " div ((n + 9) * gn) AS BIGINT)"
+        ).alias("enc_pos_ppm"),
+        F.expr(
+            "CAST(1000000 * (pos * gn + 10 * gp)"
+            " div ((n + 9) * gn) AS BIGINT)"
+        ).alias("enc_neg_ppm"),
+    )

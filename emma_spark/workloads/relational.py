@@ -5408,3 +5408,65 @@ def events_resample_linear(spark, sf_dir):
           .alias("interp_c"),
         F.col("v_c").isNotNull().alias("observed"),
     )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, ts)) AS BIGINT) // 86400
+               AS day, count(*)::HUGEINT AS cnt
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    tot AS (SELECT sum(cnt) AS tot, count(*)::HUGEINT AS nd FROM d),
+    cum AS (
+      SELECT day, cnt,
+             sum(cnt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS c,
+             row_number() OVER (ORDER BY day) AS k
+      FROM d
+    )
+    SELECT CAST(day AS BIGINT) AS day, CAST(cnt AS BIGINT) AS cnt,
+           CAST(nd * c - k * tot AS BIGINT) AS s_scaled,
+           (abs(nd * c - k * tot) = (SELECT max(abs(nd2.nd * c2.c - c2.k * nd2.tot))
+                                     FROM cum c2, tot nd2)) AS is_peak
+    FROM cum, tot
+    """,
+)
+def events_changepoint_cusum(spark, sf_dir):
+    """CUSUM change-point detection on the daily error-event rate —
+    the monitoring primitive that flags WHEN a metric's level shifted:
+    S_k = sum_{d<=k} cnt_d - k * mean is maximal in |.| at the change
+    point. The mean is kept as the exact rational tot/n_days by
+    scaling everything by n_days (S_scaled = n*cumsum - k*tot — exact
+    integers, no division anywhere), so peak selection is an integer
+    argmax. The cumulative window runs over the DAILY aggregate — a
+    DOMAIN-BOUNDED relation (days in the corpus span), never the raw
+    event stream, per the repo's window discipline; the raw scan is
+    one filtered hash-agg. Output: the daily CUSUM trajectory with the
+    peak day(s) flagged."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    dec = "decimal(38,0)"
+    d = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.expr("CAST(CAST(date_trunc('day', ts) AS LONG) AS DECIMAL(38,0))"
+                        " div 86400").alias("day"))
+        .agg(F.count(F.lit(1)).cast(dec).alias("cnt"))
+    )
+    tot = d.agg(F.sum("cnt").alias("tot"), F.count(F.lit(1)).cast(dec).alias("nd"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = d.select(
+        "day", "cnt",
+        F.sum("cnt").over(w).alias("c"),
+        F.row_number().over(Window.orderBy("day")).cast(dec).alias("k"),
+    ).crossJoin(F.broadcast(tot))
+    s = (F.col("nd") * F.col("c") - F.col("k") * F.col("tot"))
+    scored = cum.select(
+        "day", "cnt", s.alias("s_raw"), F.abs(s).alias("s_abs")
+    )
+    peak = scored.agg(F.max("s_abs").alias("mx"))
+    return scored.crossJoin(F.broadcast(peak)).select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("s_raw").cast("bigint").alias("s_scaled"),
+        (F.col("s_abs") == F.col("mx")).alias("is_peak"),
+    )
