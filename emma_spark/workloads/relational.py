@@ -5470,3 +5470,38 @@ def events_changepoint_cusum(spark, sf_dir):
         F.col("s_raw").cast("bigint").alias("s_scaled"),
         (F.col("s_abs") == F.col("mx")).alias("is_peak"),
     )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name AS nation, t.s_name, t.bal_c
+FROM nation n,
+LATERAL (
+  SELECT s_name,
+         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM supplier
+  WHERE s_nationkey = n.n_nationkey
+  ORDER BY bal_c DESC, s_name
+  LIMIT 2
+) AS t
+"""
+
+
+@query("sql_lateral_topk", oracle=_LATERAL_SQL)
+def sql_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery — the per-row dependent subplan
+    surface (Spark 3.2+/4 `LATERAL`, distinct from the UDTF LATERAL
+    VIEW in udtf_expand_props): for every nation, the two
+    highest-balance suppliers. ONE SQL TEXT, TWO ENGINES — the oracle
+    is the identical string on DuckDB. Catalyst decorrelates the
+    lateral into a ranked window/join under the hood rather than
+    executing it per outer row, which is exactly the rewrite you'd
+    hand-write at scale (this repo's window_topn_per_group); the
+    deterministic ORDER BY tie-break (bal DESC, name) makes LIMIT 2
+    stable across engines and partitionings. Balances compare in
+    exact integer cents."""
+    from ..core import sql as bag_sql
+
+    t = T(spark, sf_dir, "nation", "supplier")
+    return bag_sql(
+        spark, _LATERAL_SQL, nation=t["nation"], supplier=t["supplier"]
+    ).df
