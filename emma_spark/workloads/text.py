@@ -1767,3 +1767,76 @@ def text_pii_scrub(spark, sf_dir):
           .cast("bigint").alias("n_phones"),
         F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
     )
+
+
+@query(
+    "pipeline_dpo_pairs",
+    oracle="""
+    WITH sc AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::HUGEINT
+               AS score,
+             doc_id // 2 AS pair_id
+      FROM documents
+    ),
+    p AS (
+      SELECT pair_id,
+             sum(doc_id)::HUGEINT AS sid, sum(score) AS ssc,
+             max(score * 1000000000000
+                 + (1000000000000 - 1 - doc_id)) AS mx
+      FROM sc GROUP BY pair_id HAVING count(*) = 2
+    )
+    SELECT CAST(pair_id AS BIGINT) AS pair_id,
+           CAST(999999999999 - (mx % 1000000000000) AS BIGINT) AS chosen_id,
+           CAST(sid - (999999999999 - (mx % 1000000000000)) AS BIGINT)
+             AS rejected_id,
+           CAST((mx // 1000000000000) * 2 - ssc AS BIGINT) AS gap
+    FROM p
+    WHERE (mx // 1000000000000) * 2 - ssc >= 20
+    """,
+)
+def pipeline_dpo_pairs(spark, sf_dir):
+    """Preference-pair (DPO/RLHF reward-data) preparation: adjacent
+    documents (pair_id = doc_id div 2) become a (chosen, rejected)
+    pair by quality score — here alpha-character count, the stand-in
+    for a reward-model score — keeping only pairs whose score gap is
+    decisive (>= 20). The shape every preference-tuning corpus build
+    needs: pair construction, winner selection with DETERMINISTIC
+    tie-breaking (higher score, then LOWER doc_id — encoded in one
+    widened-slot integer key score*10^12 + (10^12-1-doc_id), the
+    slot wider than any realistic id), and a gap filter. ONE
+    hash-shuffle total: both pair members, their ids, scores, winner
+    AND loser are recovered ARITHMETICALLY from (max key, sum id,
+    sum score) — no self-join of evens to odds, no join back
+    (rejected = sums minus chosen; gap = 2*chosen_score - sum_score).
+    Exact DECIMAL/HUGEINT integers end to end."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    dec = "decimal(38,0)"
+    sc = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast(dec)
+          .alias("score"),
+        F.expr("doc_id div 2").alias("pair_id"),
+    )
+    S = "1000000000000"
+    p = (
+        sc.groupBy("pair_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("doc_id").cast(dec)).alias("sid"),
+            F.sum("score").alias("ssc"),
+            F.max(F.expr(f"score * {S} + ({S} - 1 - doc_id)")).alias("mx"),
+        )
+        .filter(F.col("n") == 2)
+    )
+    chosen_id = F.expr(f"999999999999 - (mx % {S})")
+    gap = F.expr(f"(mx div {S}) * 2 - ssc")
+    return (
+        p.select(
+            F.col("pair_id").cast("bigint").alias("pair_id"),
+            chosen_id.cast("bigint").alias("chosen_id"),
+            (F.col("sid") - chosen_id).cast("bigint").alias("rejected_id"),
+            gap.cast("bigint").alias("gap"),
+        )
+        .filter(F.col("gap") >= 20)
+    )
