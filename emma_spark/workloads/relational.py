@@ -5505,3 +5505,187 @@ def sql_lateral_topk(spark, sf_dir):
     return bag_sql(
         spark, _LATERAL_SQL, nation=t["nation"], supplier=t["supplier"]
     ).df
+
+
+@query(
+    "orders_survival_hazard",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS f,
+             max(CAST(o_orderdate AS DATE)) AS l
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS m FROM orders),
+    t AS (
+      SELECT date_diff('day', f, l) // 30 AS bin,
+             CASE WHEN l < m - INTERVAL 90 DAY THEN 1 ELSE 0 END AS churn
+      FROM c, mx
+    ),
+    b AS (SELECT bin, count(*)::HUGEINT AS n, sum(churn)::HUGEINT AS d
+          FROM t GROUP BY bin),
+    s AS (SELECT bin, d,
+                 sum(n) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+                   AS at_risk
+          FROM b)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d_churn,
+           CAST(d * 1000000 // at_risk AS BIGINT) AS hazard_ppm
+    FROM s
+    """,
+)
+def orders_survival_hazard(spark, sf_dir):
+    """Customer-churn LIFE TABLE (the discrete Kaplan-Meier
+    ingredients): tenure = days between first and last order, binned
+    to 30 days; a customer counts as a churn EVENT only if their last
+    order predates the corpus horizon by more than the 90-day quiet
+    window (otherwise right-censored — still at risk). Per bin: the
+    at-risk count (suffix cumsum over tenure bins — a DOMAIN-BOUNDED
+    window, bins ∝ corpus date span, never customer count), churn
+    events, and the discrete hazard d/n in exact integer ppm. The
+    survival curve S(t) = Π(1-h_b) is a cumulative PRODUCT — floats
+    on any engine — so the oracle-checked output is the exact life
+    table it derives from. One customer hash-agg + one tiny bin agg."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    dec = "decimal(38,0)"
+    c = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("f"),
+        F.max(F.col("o_orderdate").cast("date")).alias("l"),
+    )
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("m"))
+    t = c.crossJoin(F.broadcast(mx)).select(
+        F.expr("datediff(l, f) div 30").alias("bin"),
+        F.when(F.col("l") < F.date_sub(F.col("m"), 90), 1).otherwise(0).alias("churn"),
+    )
+    b = t.groupBy("bin").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"), F.sum("churn").cast(dec).alias("d")
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    s = b.select("bin", "d", F.sum("n").over(w).alias("at_risk"))
+    return s.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("d_churn"),
+        F.expr("CAST(d * 1000000 div at_risk AS BIGINT)").alias("hazard_ppm"),
+    )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    WITH rk AS (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS r
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY r) AS top_keys,
+           count(*)::BIGINT AS n
+    FROM rk WHERE r <= 3
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_listagg_ordered(spark, sf_dir):
+    """Ordered string aggregation — Spark 4's ``listagg(...) WITHIN
+    GROUP (ORDER BY ...)`` (ANSI 2016), mirrored by DuckDB's
+    ``string_agg(... ORDER BY ...)``: the top-3 order keys per
+    priority class, concatenated in rank order. String agg is only
+    deterministic WITH an explicit within-group order and a
+    deterministic rank tie-break (price DESC, then key) — the
+    unordered variant is a cross-engine hash-mismatch by
+    construction, which is why the repo's surface pins the ordered
+    form. The rank window is partitioned (per-priority); the listagg
+    input is pre-pruned to ≤ 3 rows per group."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    rk = o.select(
+        "o_orderpriority", "o_orderkey", F.row_number().over(w).alias("r")
+    ).filter(F.col("r") <= 3)
+    return rk.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(CAST(o_orderkey AS STRING), ',') WITHIN GROUP (ORDER BY r)"
+        ).alias("top_keys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "orders_duplicate_invoice_detect",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    )
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           a.o_custkey,
+           abs(a.price_c - b.price_c)::BIGINT AS price_diff_c,
+           abs(date_diff('day', a.d, b.d))::BIGINT AS day_gap
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(a.price_c - b.price_c) <= 50000
+     AND abs(date_diff('day', a.d, b.d)) <= 365
+    """,
+)
+def orders_duplicate_invoice_detect(spark, sf_dir):
+    """Duplicate-invoice detection — the finance-ops fuzzy rule: two
+    orders from the SAME customer with amounts within $500 of each
+    other, placed within a year, are suspected double-billing. The
+    tolerance match on a CONTINUOUS value is the value-space analog
+    of events_point_in_interval's grid trick: bucket amounts into
+    fixed $1000 cells, probe each row against its own cell and both
+    NEIGHBORS (explode to [pb-1, pb, pb+1] on one side only — each
+    true pair meets in exactly ONE bucket, the other row's, so no
+    dedup pass), and evaluate the exact |diff| <= $500 residual
+    inside the hash join. A raw |a.price - b.price| <= tol condition
+    has no equi-key and would BNLJ; with the composite
+    (custkey, bucket) key the candidates are Sigma|block|^2 over tiny
+    per-customer cells. The oracle computes the same answer with the
+    direct (quadratic-per-customer) join — losslessness of the
+    +/-1-bucket cover is differential-tested by construction. Exact
+    integer cents and day arithmetic end to end."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df.select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+          .alias("price_c"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("key_a"), F.col("o_custkey").alias("cust_a"),
+        F.col("price_c").alias("pc_a"), F.col("d").alias("d_a"),
+        F.expr("price_c div 100000").alias("pb_a"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("key_b"), F.col("o_custkey").alias("cust_b"),
+        F.col("price_c").alias("pc_b"), F.col("d").alias("d_b"),
+        F.explode(
+            F.array(
+                F.expr("price_c div 100000 - 1"),
+                F.expr("price_c div 100000"),
+                F.expr("price_c div 100000 + 1"),
+            )
+        ).alias("pb_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cust_a") == F.col("cust_b"))
+            & (F.col("pb_a") == F.col("pb_b"))
+            & (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("pc_a") - F.col("pc_b")) <= 50000)
+            & (F.abs(F.datediff(F.col("d_b"), F.col("d_a"))) <= 365),
+        )
+        .select(
+            "key_a", "key_b",
+            F.col("cust_a").alias("o_custkey"),
+            F.abs(F.col("pc_a") - F.col("pc_b")).cast("bigint")
+              .alias("price_diff_c"),
+            F.abs(F.datediff(F.col("d_b"), F.col("d_a"))).cast("bigint")
+              .alias("day_gap"),
+        )
+    )
