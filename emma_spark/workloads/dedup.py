@@ -381,51 +381,103 @@ def dedup_prefix_jaccard_exact(spark, sf_dir):
     quantization. Reference parity: the reference has no set-
     similarity join at all; this is LLM-pipeline surface (SURVEY
     brief: n-gram Jaccard dedup), upgraded from approximate to exact."""
-    from pyspark.sql import Window
-
-    from ..llm import text as X
-
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
-    d = (
-        docs.filter(F.col("doc_id") % 3 == 0)
-        .select(
-            "doc_id",
-            F.array_distinct(X.char_ngrams(F.col("text"), n=10)).alias("sh"),
-        )
-    )
-    ex = d.select("doc_id", F.size("sh").cast("bigint").alias("n"),
-                  F.explode("sh").alias("s"))
-    df_tab = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    # prefix length for t = 0.7: n - ceil(0.7 n) + 1, exact integers
-    plen = F.col("n") - F.expr("(7 * n + 9) div 10") + F.lit(1)
-    w = Window.partitionBy("doc_id").orderBy("df", "s")
-    prefix = (
-        ex.join(df_tab, "s")
-        .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= plen)
-        .select("doc_id", "s")
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cands = (
-        a.join(b, (F.col("a.s") == F.col("b.s"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
-    verified = (
-        cands.join(sa, "doc_a").join(sb, "doc_b")
-        .select(
-            "doc_a", "doc_b", inter.alias("inter"),
-            (F.size("sh_a") + F.size("sh_b")).cast("bigint").alias("szs"),
-        )
-        .select(
-            "doc_a", "doc_b", "inter",
-            (F.col("szs") - F.col("inter")).alias("un"),
-        )
-        .filter(F.lit(10) * F.col("inter") >= F.lit(7) * F.col("un"))
+    pairs = D.prefix_jaccard_pairs(
+        docs.filter(F.col("doc_id") % 3 == 0), n=10, t_num=7, t_den=10
     )
     jacc = F.floor(F.col("inter") / F.col("un") * 10000 + F.lit(0.5)) / 10000
-    return verified.select("doc_a", "doc_b", "inter", "un", jacc.alias("jacc"))
+    return pairs.select("doc_a", "doc_b", "inter", "un", jacc.alias("jacc"))
+
+
+@query(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+    WITH dsub AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+    sh AS (
+      SELECT doc_id, list_distinct({sql_shingles(10)}) AS s FROM dsub
+    ),
+    idx AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+    ov AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      FROM idx a JOIN idx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    exact_p AS (
+      SELECT a, b FROM ov
+      JOIN sz sa ON ov.a = sa.doc_id JOIN sz sb ON ov.b = sb.doc_id
+      WHERE 10 * inter >= 7 * (sa.n + sb.n - inter)
+    ),
+    sig AS ({_sig_sql(src="(SELECT * FROM documents WHERE doc_id % 3 = 0)", shingle=10)}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+       AND ((l.mh0 = r.mh0 AND l.mh1 = r.mh1) OR (l.mh2 = r.mh2 AND l.mh3 = r.mh3))
+    ),
+    ver AS (
+      SELECT cand.a, cand.b
+      FROM cand JOIN sh l ON cand.a = l.doc_id JOIN sh r ON cand.b = r.doc_id
+      WHERE 10 * len(list_intersect(l.s, r.s))
+            >= 7 * (len(l.s) + len(r.s) - len(list_intersect(l.s, r.s)))
+    )
+    SELECT (SELECT count(*) FROM exact_p)::BIGINT AS n_exact,
+           (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+           (SELECT count(*) FROM ver)::BIGINT AS n_verified,
+           CAST(CASE WHEN (SELECT count(*) FROM exact_p) = 0 THEN NULL
+                ELSE (SELECT count(*) FROM ver)::HUGEINT * 1000000
+                     // (SELECT count(*) FROM exact_p) END AS BIGINT)
+             AS recall_ppm
+    """,
+)
+def dedup_lsh_recall_eval(spark, sf_dir):
+    """Candidate-generation QUALITY evaluation — the harness every
+    approximate dedup deployment needs before trusting LSH at 100 TB:
+    ground truth is the LOSSLESS prefix-filter join
+    (prefix_jaccard_pairs, Jaccard >= 0.7 on 10-char shingles);
+    the system under test is MinHash banding (4 hashes, 2 bands) over
+    the SAME shingle universe with exact verification. Verified LSH
+    pairs are by construction a SUBSET of the truth (same exact
+    criterion, candidates only), so precision is 1 and the metric is
+    RECALL = verified/exact in exact ppm — the empirical
+    1-(1-t^r)^b. Also reports the raw candidate count (the cost side
+    of the tradeoff: bands buy recall with bucket-collision volume).
+    Scale: truth via df-ascending prefix buckets, candidates via
+    banding buckets — both Σ|bucket|²; three single-row aggs
+    broadcast-joined. The oracle replays BOTH algorithms end to end."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    sub = docs.filter(F.col("doc_id") % 3 == 0)
+    exact = D.prefix_jaccard_pairs(sub, n=10, t_num=7, t_den=10)
+    sigs = D.minhash_signature(sub, shingle=10)
+    cand = D.lsh_candidate_pairs(sigs)
+    from ..llm.text import char_ngrams
+
+    base = sub.select(
+        "doc_id", F.array_distinct(char_ngrams(F.col("text"), n=10)).alias("sh")
+    )
+    ver = (
+        cand.join(base.select(F.col("doc_id").alias("a"),
+                              F.col("sh").alias("sh_a")), "a")
+        .join(base.select(F.col("doc_id").alias("b"),
+                          F.col("sh").alias("sh_b")), "b")
+        .filter(
+            F.lit(10) * F.size(F.array_intersect("sh_a", "sh_b"))
+            >= F.lit(7) * (F.size("sh_a") + F.size("sh_b")
+                           - F.size(F.array_intersect("sh_a", "sh_b")))
+        )
+    )
+    ne = exact.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nv = ver.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_verified"))
+    return (
+        ne.crossJoin(nc).crossJoin(nv)
+        .select(
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_verified").cast("bigint").alias("n_verified"),
+            F.when(F.col("n_exact") == 0, F.lit(None).cast("bigint"))
+            .otherwise(F.expr(
+                "CAST(n_verified * 1000000 div n_exact AS BIGINT)"
+            ))
+            .alias("recall_ppm"),
+        )
+    )
