@@ -5689,3 +5689,125 @@ def orders_duplicate_invoice_detect(spark, sf_dir):
               .alias("day_gap"),
         )
     )
+
+
+@query(
+    "events_cuped_adjusted_lift",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(concat('0x', substr(md5('cuped' || '|'
+                   || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) % 2 AS arm,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS x_c,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS y_c
+      FROM events GROUP BY user_id
+    ),
+    st AS (
+      SELECT count(*)::HUGEINT AS n, sum(x_c)::HUGEINT AS sx,
+             sum(y_c)::HUGEINT AS sy,
+             sum(x_c::HUGEINT * y_c) AS sxy, sum(x_c::HUGEINT * x_c) AS sxx
+      FROM u
+    ),
+    th AS (
+      SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+      FROM st
+    ),
+    adj AS (
+      SELECT arm, y_c,
+             CAST(y_c AS DOUBLE) - theta * (CAST(x_c AS DOUBLE) - mean_x)
+               AS yadj
+      FROM u, th
+    )
+    SELECT
+      count(*) FILTER (arm = 0)::BIGINT AS n_a,
+      count(*) FILTER (arm = 1)::BIGINT AS n_b,
+      floor((CAST(sum(y_c) FILTER (arm = 1) AS DOUBLE)
+               / CAST(count(*) FILTER (arm = 1) AS DOUBLE)
+             - CAST(sum(y_c) FILTER (arm = 0) AS DOUBLE)
+               / CAST(count(*) FILTER (arm = 0) AS DOUBLE)) * 10000 + 0.5)
+        / 10000 AS raw_lift_c,
+      floor((sum(floor(yadj * 100 + 0.5)) FILTER (arm = 1) / 100
+               / CAST(count(*) FILTER (arm = 1) AS DOUBLE)
+             - sum(floor(yadj * 100 + 0.5)) FILTER (arm = 0) / 100
+               / CAST(count(*) FILTER (arm = 0) AS DOUBLE)) * 10000 + 0.5)
+        / 10000 AS cuped_lift_c,
+      floor(any_value(theta) * 1000000 + 0.5) / 1000000 AS theta_q
+    FROM adj, th
+    """,
+)
+def events_cuped_adjusted_lift(spark, sf_dir):
+    """CUPED variance reduction (Deng et al., WSDM'13 — the standard
+    experiment-platform technique): the post-period per-user metric is
+    adjusted by its pre-period covariate, Y' = Y - theta(X - mean X)
+    with theta = cov(X,Y)/var(X) POOLED across arms (pooling keeps the
+    adjustment unbiased for the treatment effect), then the arm
+    difference is read off the adjusted means — same expectation as
+    the raw lift, strictly smaller variance when pre and post
+    correlate. Everything flows from ONE per-user aggregation:
+    (arm, X, Y) with deterministic md5 arm hashing; theta comes from
+    exact HUGEINT/DECIMAL moment sums pushed through Cramer-style
+    double algebra with the oracle mirroring every op in order; the
+    adjusted means use the order-independent qsum pattern. The
+    synthetic split is a null experiment — both lifts ≈ 0 — which is
+    precisely the calibration run platforms use to validate the
+    CUPED plumbing before real experiments."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    dec = "decimal(38,0)"
+    v_c = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    u = e.groupBy("user_id").agg(
+        F.expr(
+            "CAST(conv(substring(md5(concat('cuped', '|',"
+            " CAST(user_id AS STRING))), 1, 14), 16, 10) AS BIGINT) % 2"
+        ).alias("arm"),
+        F.expr(
+            f"sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN {v_c} ELSE 0 END)"
+        ).alias("x_c"),
+        F.expr(
+            f"sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN {v_c} ELSE 0 END)"
+        ).alias("y_c"),
+    ).select("arm", "x_c", "y_c")
+    st = u.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x_c").cast(dec)).alias("sx"),
+        F.sum(F.col("y_c").cast(dec)).alias("sy"),
+        F.sum(F.col("x_c").cast(dec) * F.col("y_c")).alias("sxy"),
+        F.sum(F.col("x_c").cast(dec) * F.col("x_c")).alias("sxx"),
+    )
+    th = st.select(
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)"
+        ).alias("theta"),
+        F.expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").alias("mean_x"),
+    )
+    adj = u.crossJoin(F.broadcast(th)).select(
+        "arm", "y_c",
+        F.expr(
+            "CAST(y_c AS DOUBLE) - theta * (CAST(x_c AS DOUBLE) - mean_x)"
+        ).alias("yadj"),
+        "theta",
+    )
+    return adj.agg(
+        F.expr("CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT)").alias("n_a"),
+        F.expr("CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT)").alias("n_b"),
+        F.expr(
+            "floor((CAST(sum(CASE WHEN arm = 1 THEN y_c END) AS DOUBLE)"
+            " / CAST(count(CASE WHEN arm = 1 THEN 1 END) AS DOUBLE)"
+            " - CAST(sum(CASE WHEN arm = 0 THEN y_c END) AS DOUBLE)"
+            " / CAST(count(CASE WHEN arm = 0 THEN 1 END) AS DOUBLE)) * 10000 + 0.5)"
+            " / 10000"
+        ).alias("raw_lift_c"),
+        F.expr(
+            "floor((sum(CASE WHEN arm = 1 THEN floor(yadj * 100 + 0.5) END) / 100"
+            " / CAST(count(CASE WHEN arm = 1 THEN 1 END) AS DOUBLE)"
+            " - sum(CASE WHEN arm = 0 THEN floor(yadj * 100 + 0.5) END) / 100"
+            " / CAST(count(CASE WHEN arm = 0 THEN 1 END) AS DOUBLE)) * 10000 + 0.5)"
+            " / 10000"
+        ).alias("cuped_lift_c"),
+        F.expr("floor(any_value(theta) * 1000000 + 0.5) / 1000000").alias("theta_q"),
+    )
