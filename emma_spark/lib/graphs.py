@@ -149,3 +149,48 @@ def triangles(edges: DataFrame) -> DataFrame:
         .select("x", "y", "z")
     )
     return out
+
+
+def personalized_page_rank_int(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seed: int,
+    iters: int = 3,
+    damping: float = 0.85,
+    unit: int = 10**12,
+) -> DataFrame:
+    """PERSONALIZED PageRank (random walk with restart to ONE seed
+    node) under the same exact-integer contract as page_rank_int: the
+    teleport mass (1-d) goes entirely to the seed instead of being
+    spread uniformly, and the walk starts AT the seed (pr_0 = unit at
+    seed, 0 elsewhere), so the stationary mass ranks nodes by
+    PROXIMITY to the seed — the similarity/recommendation variant of
+    PageRank (Jeh & Widom, WWW'03). Same quantized-d100 rule, same
+    div-based integer flow, bit-identical on any engine; an SQL
+    oracle unrolls the iterations. At scale the per-iteration plan is
+    unchanged from uniform PageRank (one join + one hash-agg); only
+    the teleport vector differs."""
+    d100 = round(damping * 100)
+    teleport = unit - d100 * unit // 100
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+    pr = nodes.select(
+        F.col("id"),
+        F.when(F.col("id") == seed, F.lit(unit)).otherwise(F.lit(0))
+          .cast("bigint").alias("pr"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["id"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("id"), F.expr("pr div __d").alias("__c"))
+            .groupBy("id")
+            .agg(F.sum("__c").alias("__c"))
+        )
+        pr = nodes.join(contrib, "id", "left").select(
+            F.col("id"),
+            (
+                F.when(F.col("id") == seed, F.lit(teleport)).otherwise(F.lit(0))
+                + F.expr(f"({d100} * coalesce(__c, 0)) div 100")
+            ).cast("bigint").alias("pr"),
+        )
+    return pr

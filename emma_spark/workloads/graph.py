@@ -1039,3 +1039,59 @@ def graph_pagerank_weighted(spark, sf_dir):
             ).cast("bigint").alias("pr"),
         ).localCheckpoint(eager=True)
     return pr
+
+
+def _ppr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.id, CAST((CASE WHEN n.id = 0 THEN 150000000000 ELSE 0 END)
+                        + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS pr
+      FROM ppr_nodes n LEFT JOIN (
+        SELECT e.dst AS id, sum(p.pr // d.d) AS c
+        FROM ppr_edges e JOIN {prev} p ON e.src = p.id
+        JOIN ppr_deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) s ON n.id = s.id
+    )"""
+
+
+@query(
+    "graph_ppr_seed",
+    oracle=f"""
+    WITH ppr_nodes AS (SELECT n_nationkey AS id FROM nation),
+    ppr_edges AS (
+      SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+      UNION ALL
+      SELECT n_nationkey, (6 * n_nationkey + 1) % 25 FROM nation
+    ),
+    ppr_deg AS (SELECT src, count(*) AS d FROM ppr_edges GROUP BY src),
+    ppr0 AS (
+      SELECT id, CAST(CASE WHEN id = 0 THEN 1000000000000 ELSE 0 END AS BIGINT)
+               AS pr
+      FROM ppr_nodes
+    ),
+    {_ppr_iter_sql('ppr0', 'ppr1')},
+    {_ppr_iter_sql('ppr1', 'ppr2')},
+    {_ppr_iter_sql('ppr2', 'ppr3')}
+    SELECT id, pr FROM ppr3
+    """,
+)
+def graph_ppr_seed(spark, sf_dir):
+    """Personalized PageRank from seed node 0 (random walk with
+    restart — Jeh & Widom, WWW'03) over the deterministic 25-node
+    functional graph: completes the PageRank family (uniform /
+    edge-weighted / personalized) under the repo's exact-integer
+    iteration contract (lib/graphs.personalized_page_rank_int). The
+    mass concentrates around the seed's out-neighborhood — the
+    similarity ranking used for related-item recommendation — and the
+    oracle unrolls the same three integer iterations, so the result
+    is bit-identical by construction."""
+    from ..lib.graphs import personalized_page_rank_int
+
+    n = io.read_parquet(spark, f"{sf_dir}/nation.parquet").df
+    nodes = n.select(F.col("n_nationkey").alias("id"))
+    k = F.col("n_nationkey")
+    edges = n.select(k.alias("src"), ((k + 1) % 25).alias("dst")).unionByName(
+        n.select(k.alias("src"), ((k * 6 + 1) % 25).alias("dst"))
+    )
+    return personalized_page_rank_int(edges, nodes, seed=0, iters=3)

@@ -5811,3 +5811,65 @@ def events_cuped_adjusted_lift(spark, sf_dir):
         ).alias("cuped_lift_c"),
         F.expr("floor(any_value(theta) * 1000000 + 0.5) / 1000000").alias("theta_q"),
     )
+
+
+@query(
+    "orders_ses_level_fold",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mo,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT o_orderpriority,
+             list(rev_c ORDER BY mo) AS xs,
+             count(*)::BIGINT AS n_months
+      FROM m GROUP BY 1
+    )
+    SELECT o_orderpriority, n_months,
+           CAST(list_reduce(xs, (acc, x) -> (3 * x + 7 * acc) // 10)
+                AS BIGINT) AS ses_level_c,
+           CAST(xs[n_months] AS BIGINT) AS last_month_c
+    FROM arr
+    """,
+)
+def orders_ses_level_fold(spark, sf_dir):
+    """Simple exponential smoothing (alpha = 0.3) of monthly revenue —
+    a SEQUENTIAL recursion (s_k = alpha*x_k + (1-alpha)*s_{k-1}) that
+    has no windowed/associative form, computed as an ARRAY FOLD over
+    the bounded month dimension: per group, collect the ~80 monthly
+    totals into one ordered array (sort_array over (month, x) structs
+    — collect_list alone is partition-order nondeterministic) and run
+    the recursion with ``aggregate`` / ``list_reduce``. The pattern
+    generalizes: any small sequential tail of a large aggregation
+    (ETS state, cumulative products, Horner evaluation) rides the
+    same fold WITHOUT a driver loop or UDF, because the sequential
+    part is DOMAIN-BOUNDED even when the scan is 100 TB. The
+    recursion stays in exact integers by re-quantizing each step
+    ((3x + 7s) div 10 — truncation, both operands non-negative so
+    Spark div == DuckDB //); the big scan is one month hash-agg."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    m = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")
+          .alias("mo"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+          .alias("rev_c")
+    )
+    arr = m.groupBy("o_orderpriority").agg(
+        F.expr("transform(sort_array(collect_list(struct(mo, rev_c))), s -> s.rev_c)")
+          .alias("xs"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    return arr.select(
+        "o_orderpriority", "n_months",
+        F.expr(
+            "CAST(aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),"
+            " (acc, x) -> (3 * x + 7 * acc) div 10) AS BIGINT)"
+        ).alias("ses_level_c"),
+        F.expr("CAST(element_at(xs, CAST(n_months AS INT)) AS BIGINT)")
+          .alias("last_month_c"),
+    )
