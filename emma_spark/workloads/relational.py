@@ -5873,3 +5873,154 @@ def orders_ses_level_fold(spark, sf_dir):
         F.expr("CAST(element_at(xs, CAST(n_months AS INT)) AS BIGINT)")
           .alias("last_month_c"),
     )
+
+
+@query(
+    "events_conversion_delay",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS st FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN s ON s.user_id = e.user_id
+       AND e.ts > s.st AND e.ts <= s.st + INTERVAL 24 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    d AS (
+      SELECT (CAST(epoch(p.pt) AS BIGINT) - CAST(epoch(s.st) AS BIGINT)) // 60
+               AS m
+      FROM p JOIN s ON p.user_id = s.user_id
+    ),
+    h AS (SELECT m, count(*) AS cnt FROM d GROUP BY 1),
+    cum AS (SELECT m, sum(cnt) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS c
+            FROM h),
+    n AS (SELECT count(*)::BIGINT AS nn FROM d),
+    ns AS (SELECT count(*)::BIGINT AS sn FROM s)
+    SELECT sn AS n_signups, nn AS n_converted,
+           CAST(nn::HUGEINT * 1000000 // sn AS BIGINT) AS conv_ppm,
+           (SELECT min(m) FROM cum, n WHERE 2 * c >= nn)
+             AS median_delay_min,
+           (SELECT min(m) FROM cum, n WHERE 10 * c >= 9 * nn)
+             AS p90_delay_min
+    FROM n, ns
+    """,
+)
+def events_conversion_delay(spark, sf_dir):
+    """Time-CONSTRAINED conversion (first purchase within 24 h of a
+    user's first signup) with the delay distribution — the funnel
+    metric product teams actually track (events_funnel is the
+    unbounded ordered variant). Delay quantiles come from a VALUE
+    HISTOGRAM over minutes (domain bounded by the 1440-minute window
+    — the winsorize/RFM discipline: cumsum windows only over bounded
+    domains, never a per-user global sort), with ceil-rank selection
+    matching percentile_disc on both engines. Two user-keyed aggs
+    reusing one partitioning + a <=1440-row histogram; conversion
+    rate as an exact integer ppm rational."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("st"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter((F.col("ts") > F.col("st"))
+                & (F.col("ts") <= F.col("st") + F.expr("interval 24 hours")))
+        .groupBy("user_id").agg(F.min("ts").alias("pt"))
+    )
+    d = p.join(s, "user_id").select(
+        F.expr("(CAST(pt AS LONG) - CAST(st AS LONG)) div 60").alias("m")
+    )
+    h = d.groupBy("m").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select("m", F.sum("cnt").over(w).alias("c"))
+    n = d.agg(F.count(F.lit(1)).alias("nn"))
+    ns = s.agg(F.count(F.lit(1)).alias("sn"))
+    q = cum.crossJoin(F.broadcast(n)).agg(
+        F.min(F.when(2 * F.col("c") >= F.col("nn"), F.col("m")))
+          .alias("median_delay_min"),
+        F.min(F.when(10 * F.col("c") >= 9 * F.col("nn"), F.col("m")))
+          .alias("p90_delay_min"),
+    )
+    return (
+        ns.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(q))
+        .select(
+            F.col("sn").alias("n_signups"),
+            F.col("nn").alias("n_converted"),
+            F.expr(
+                "CAST(CAST(nn AS DECIMAL(38,0)) * 1000000 div sn AS BIGINT)"
+            ).alias("conv_ppm"),
+            "median_delay_min", "p90_delay_min",
+        )
+    )
+
+
+@query(
+    "orders_price_volume_mix",
+    oracle="""
+    WITH y AS (
+      SELECT o_orderpriority AS pri,
+             CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+             count(*)::HUGEINT AS n,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::HUGEINT AS s
+      FROM orders
+      WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT a.pri, a.n AS n1, a.s AS s1, b.n AS n2, b.s AS s2
+      FROM y a JOIN y b ON a.pri = b.pri AND a.yr = 1996 AND b.yr = 1997
+    )
+    SELECT pri,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(s2 - s1 AS BIGINT) AS delta_c,
+           CAST((n2 - n1) * s1 // n1 AS BIGINT) AS volume_c,
+           CAST((n1 * s2) // n2 - s1 AS BIGINT) AS price_c,
+           CAST((s2 - s1) - ((n2 - n1) * s1 // n1)
+                - ((n1 * s2) // n2 - s1) AS BIGINT) AS mix_c
+    FROM w
+    """,
+)
+def orders_price_volume_mix(spark, sf_dir):
+    """Price-volume-mix DECOMPOSITION of the 1996→1997 revenue change
+    per priority class — the FP&A bridge chart: ΔR splits into a
+    volume effect ((n2-n1)·avg1), a price effect (n1·(avg2-avg1)) and
+    a mix/interaction residual. Exactness discipline: averages are
+    rationals, so the two primary effects are computed as single
+    floored HUGEINT/DECIMAL divisions ((n2-n1)·S1 div n1 and
+    n1·S2 div n2 - S1) and the interaction term is defined as the
+    RESIDUAL ΔR - volume - price — the decomposition reconciles to
+    the exact revenue delta by construction, the property finance
+    teams actually audit (floating-point bridges that don't sum to
+    the delta are a classic BI bug). One year-filtered hash-agg, one
+    tiny self-join on priority; signed integer division truncates
+    toward zero identically on both engines here because the oracle
+    uses the same // on HUGEINT."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    dec = "decimal(38,0)"
+    y = (
+        o.withColumn("yr", F.year(F.col("o_orderdate").cast("date")).cast("bigint"))
+        .filter(F.col("yr").isin(1996, 1997))
+        .groupBy(F.col("o_orderpriority").alias("pri"), "yr")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+              .cast(dec).alias("s"),
+        )
+    )
+    a = y.filter(F.col("yr") == 1996).select(
+        "pri", F.col("n").alias("n1"), F.col("s").alias("s1"))
+    b = y.filter(F.col("yr") == 1997).select(
+        "pri", F.col("n").alias("n2"), F.col("s").alias("s2"))
+    return a.join(b, "pri").select(
+        "pri",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        (F.col("s2") - F.col("s1")).cast("bigint").alias("delta_c"),
+        F.expr("CAST((n2 - n1) * s1 div n1 AS BIGINT)").alias("volume_c"),
+        F.expr("CAST((n1 * s2) div n2 - s1 AS BIGINT)").alias("price_c"),
+        F.expr(
+            "CAST((s2 - s1) - ((n2 - n1) * s1 div n1)"
+            " - ((n1 * s2) div n2 - s1) AS BIGINT)"
+        ).alias("mix_c"),
+    )
