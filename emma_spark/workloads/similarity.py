@@ -797,3 +797,79 @@ def embedding_outlier_zscore(spark, sf_dir):
     return j.filter(F.col("vec_id") % 17 == 0).select(
         "vec_id", "label", "d_s", (dev * dev > 4 * den).alias("is_outlier")
     )
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv FROM base),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY floor(({SQL_COS}) * 10000 + 0.5) / 10000 DESC,
+                          neighbor_id) AS rank
+        FROM q CROSS JOIN c WHERE query_id != neighbor_id
+      ) WHERE rank <= 3
+    ),
+    b AS (SELECT vec_id, v, {_bucket_sql('v', planes=6, dim=64)} AS bucket
+          FROM base),
+    qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+    cb AS (SELECT vec_id AS neighbor_id, v AS cv, bucket AS bucket_c FROM b),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY floor(({SQL_COS}) * 10000 + 0.5) / 10000 DESC,
+                          neighbor_id) AS rank
+        FROM qb JOIN cb ON bucket = bucket_c AND query_id != neighbor_id
+      ) WHERE rank <= 3
+    )
+    SELECT t.query_id,
+           count(a.neighbor_id)::BIGINT AS n_hits,
+           CAST(count(a.neighbor_id)::HUGEINT * 1000000 // 3 AS BIGINT)
+             AS recall_ppm
+    FROM truth t LEFT JOIN approx a
+      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+    GROUP BY t.query_id
+    """,
+)
+def ann_recall_eval(spark, sf_dir):
+    """ANN quality evaluation — recall@3 of the hyperplane-LSH index
+    against the exact brute-force ranking, PER QUERY: the number every
+    vector-search deployment must publish before trading exactness
+    for bucket-bounded cost (the ANN-benchmarks protocol, recast as
+    one dataflow). Both rankings are deterministic (4dp-quantized
+    cosine, id tie-breaks), so recall itself is exact and
+    oracle-checkable — the oracle replays BOTH the cross-join truth
+    and the bucketed approximation end to end. Plan: the truth side
+    is broadcast-queries x corpus (Q·N by design, the exact baseline);
+    the approx side is the bucket equi-join; the eval is one slim
+    left join on (query, neighbor) + a per-query count. Low recall
+    rows pinpoint exactly WHICH queries fall in sparse buckets —
+    the signal that drives plane-count/probe tuning."""
+    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = S.brute_force_topk(emb, queries, k=3).select("query_id", "neighbor_id")
+    approx = S.lsh_topk(emb, queries, k=3, planes=6, dim=64).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    return (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("an").alias("n_hits"))
+        .select(
+            "query_id",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.expr(
+                "CAST(CAST(n_hits AS DECIMAL(38,0)) * 1000000 div 3 AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )

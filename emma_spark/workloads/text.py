@@ -1840,3 +1840,71 @@ def pipeline_dpo_pairs(spark, sf_dir):
         )
         .filter(F.col("gap") >= 20)
     )
+
+
+def _mask_sql(i: str) -> str:
+    """SQL fragment: deterministic 15% mask decision for position i."""
+    return (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+        f"CAST({i} AS VARCHAR)), 1, 14)) AS BIGINT) % 100 < 15"
+    )
+
+
+@query(
+    "text_span_corruption_plan",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, len({SQL_TOKS})::BIGINT AS n FROM documents)
+    SELECT doc_id, n AS n_tokens,
+           len(list_filter(range(1, CAST(n + 1 AS BIGINT)),
+               i -> {_mask_sql('i')}))::BIGINT AS n_masked,
+           len(list_filter(range(1, CAST(n + 1 AS BIGINT)),
+               i -> ({_mask_sql('i')}) AND (i = 1 OR NOT ({_mask_sql('i - 1')}))
+               ))::BIGINT AS n_spans,
+           CASE WHEN n = 0 THEN 0
+                ELSE CAST(len(list_filter(range(1, CAST(n + 1 AS BIGINT)),
+                         i -> {_mask_sql('i')}))::HUGEINT * 1000000 // n
+                     AS BIGINT)
+           END AS corruption_ppm
+    FROM d
+    """,
+)
+def text_span_corruption_plan(spark, sf_dir):
+    """T5/UL2-style SPAN-CORRUPTION planning: decide deterministically
+    which token positions of each document get masked (15% rate) and
+    report the span structure (masked count, number of contiguous
+    spans, realized corruption rate in exact ppm) — the pass a
+    denoising-pretraining pipeline runs to budget sentinel tokens and
+    target lengths BEFORE writing shards. Mask decisions are
+    content-addressed (md5 of doc_id:position → %100 < 15), the
+    repo's reproducibility rule: any engine, any partitioning, any
+    rerun produces the identical mask — RNG masking is none of those.
+    Span starts are mask[i] AND NOT mask[i-1], evaluated with pure
+    array HOFs over the position range — a NARROW zero-shuffle map
+    (the mask plan rides the same scan as tokenization at 100 TB);
+    the oracle replays the identical md5 arithmetic per position."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+
+    def m(i: str) -> str:
+        return (
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+            f"CAST({i} AS STRING))), 1, 14), 16, 10) AS BIGINT) % 100 < 15"
+        )
+
+    d = docs.select(
+        "doc_id", X.token_count(F.col("text")).cast("bigint").alias("n")
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(filter(sequence(1, greatest(n, 1)), i -> i <= n AND ({m('i')}))) AS BIGINT)"
+        ).alias("n_masked"),
+        F.expr(
+            "CAST(size(filter(sequence(1, greatest(n, 1)),"
+            f" i -> i <= n AND ({m('i')}) AND (i = 1 OR NOT ({m('i - 1')})))) AS BIGINT)"
+        ).alias("n_spans"),
+        F.expr(
+            "CASE WHEN n = 0 THEN 0 ELSE CAST(CAST(size(filter(sequence(1, greatest(n, 1)),"
+            f" i -> i <= n AND ({m('i')}))) AS DECIMAL(38,0)) * 1000000 div n AS BIGINT) END"
+        ).alias("corruption_ppm"),
+    )
