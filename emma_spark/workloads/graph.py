@@ -1095,3 +1095,89 @@ def graph_ppr_seed(spark, sf_dir):
         n.select(k.alias("src"), ((k * 6 + 1) % 25).alias("dst"))
     )
     return personalized_page_rank_int(edges, nodes, seed=0, iters=3)
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH e0 AS (
+      SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+      UNION ALL
+      SELECT n_nationkey, (6 * n_nationkey + 1) % 25 FROM nation
+      UNION ALL
+      SELECT n_nationkey, (n_nationkey * n_nationkey + 3) % 25 FROM nation
+    ),
+    ue AS (
+      SELECT src, dst FROM e0 WHERE src != dst
+      UNION ALL
+      SELECT dst, src FROM e0 WHERE src != dst
+    ),
+    deg AS (SELECT src AS id, count(*)::HUGEINT AS d FROM ue GROUP BY 1),
+    j AS (
+      SELECT da.d AS x, db.d AS y
+      FROM ue JOIN deg da ON ue.src = da.id JOIN deg db ON ue.dst = db.id
+    ),
+    s AS (
+      SELECT count(*)::HUGEINT AS m, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM j
+    )
+    SELECT CAST(m AS BIGINT) AS n_edge_ends,
+           CAST(m * sxy - sx * sy AS BIGINT) AS cov_scaled,
+           floor(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                        * CAST(m * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5)
+             / 1000000 AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree ASSORTATIVITY (Newman 2002): the Pearson correlation of
+    endpoint degrees over all directed edge-ends — do hubs attach to
+    hubs (positive) or to leaves (negative)? Computed on a
+    deterministic 25-node graph (three functional edge families,
+    symmetrized) entirely from exact HUGEINT/DECIMAL moment sums; the
+    single float step is the final Pearson normalization, where both
+    engines divide the same exact integers and take one
+    correctly-rounded sqrt, then 1e-6 quantization — the same
+    exactness recipe as CUPED/gridsearch. Plan: one degree hash-agg,
+    two slim joins to attach endpoint degrees (at 100 TB these reuse
+    the edge partitioning), one moment agg. The scaled covariance is
+    also emitted raw (an exact integer) so the SIGN — the structural
+    claim — is hash-checked without any float at all."""
+    n = io.read_parquet(spark, f"{sf_dir}/nation.parquet").df
+    k = F.col("n_nationkey")
+    dec = "decimal(38,0)"
+    e0 = (
+        n.select(k.alias("src"), ((k + 1) % 25).alias("dst"))
+        .unionByName(n.select(k.alias("src"), ((k * 6 + 1) % 25).alias("dst")))
+        .unionByName(n.select(k.alias("src"), ((k * k + 3) % 25).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    ue = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = ue.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast(dec).alias("d")
+    )
+    j = (
+        ue.join(deg.select(F.col("id").alias("src"), F.col("d").alias("x")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("y")), "dst")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        F.col("m").cast("bigint").alias("n_edge_ends"),
+        F.expr("CAST(m * sxy - sx * sy AS BIGINT)").alias("cov_scaled"),
+        F.expr(
+            "floor(CAST(m * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)"
+            " * CAST(m * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5)"
+            " / 1000000"
+        ).alias("assortativity"),
+    )

@@ -6024,3 +6024,50 @@ def orders_price_volume_mix(spark, sf_dir):
             " - ((n1 * s2) div n2 - s1) AS BIGINT)"
         ).alias("mix_c"),
     )
+
+
+@query(
+    "window_value_range_band",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM orders WHERE o_orderkey % 17 = 0
+    )
+    SELECT o_orderkey, o_orderpriority, price_c,
+           count(*) OVER w::BIGINT AS n_band,
+           sum(price_c) OVER w::BIGINT AS band_sum_c
+    FROM o
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_c
+                 RANGE BETWEEN 1000000 PRECEDING AND 1000000 FOLLOWING)
+    """,
+)
+def window_value_range_band(spark, sf_dir):
+    """VALUE-based RANGE window frame — the third frame kind after
+    ROWS (physical offsets) and time-RANGE (window_rolling_30d):
+    for each order, the count and sum of SAME-PRIORITY orders priced
+    within ±$10,000 — peer-group pricing context. RANGE frames bound
+    by the ORDER BY VALUE (here exact integer cents, so the band
+    boundary can't wobble on float ties) make the frame
+    data-dependent: two equal prices share an identical frame
+    regardless of row order, which is what makes the result
+    deterministic without a tie-break. Partitioned by priority —
+    bounded per-partition sort, no global window; the %17 sparsify
+    keeps the O(rows·band) oracle honest at every SF."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df.filter(
+        F.col("o_orderkey") % 17 == 0
+    ).select(
+        "o_orderkey", "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+          .alias("price_c"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("price_c")
+        .rangeBetween(-1000000, 1000000)
+    )
+    return o.select(
+        "o_orderkey", "o_orderpriority", "price_c",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_band"),
+        F.sum("price_c").over(w).cast("bigint").alias("band_sum_c"),
+    )
