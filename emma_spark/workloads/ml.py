@@ -1551,3 +1551,133 @@ def ml_target_encoding_loo(spark, sf_dir):
             " div ((n + 9) * gn) AS BIGINT)"
         ).alias("enc_neg_ppm"),
     )
+
+
+@query(
+    "ml_learning_curve",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(concat('0x', substr(md5('lc' || '|'
+                   || CAST(l_orderkey AS VARCHAR) || ':'
+                   || CAST(l_linenumber AS VARCHAR)), 1, 14)) AS BIGINT) % 10
+               AS decile,
+             CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT) AS xq,
+             CAST(floor(l_extendedprice / 1000 * 10000 + 0.5) AS BIGINT) AS yq
+      FROM lineitem
+    ),
+    ds AS (
+      SELECT decile, count(*)::HUGEINT AS n,
+             sum(xq::HUGEINT) AS sx, sum(yq::HUGEINT) AS sy,
+             sum(xq::HUGEINT * xq) AS sxx, sum(xq::HUGEINT * yq) AS sxy
+      FROM r GROUP BY decile
+    ),
+    fr AS (SELECT CAST(unnest([1, 3, 5, 10]) AS BIGINT) AS k),
+    cs AS (
+      SELECT fr.k,
+             sum(ds.n) AS n, sum(ds.sx) AS sx, sum(ds.sy) AS sy,
+             sum(ds.sxx) AS sxx, sum(ds.sxy) AS sxy
+      FROM fr JOIN ds ON ds.decile < fr.k
+      GROUP BY fr.k
+    ),
+    u AS (
+      SELECT k, CAST(n AS BIGINT) AS n_train, CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) / 10000 AS sxd,
+             CAST(sy AS DOUBLE) / 10000 AS syd,
+             CAST(sxx AS DOUBLE) / 100000000 AS sxxd,
+             CAST(sxy AS DOUBLE) / 100000000 AS sxyd
+      FROM cs
+    ),
+    b AS (
+      SELECT k, n_train,
+             (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS b1,
+             (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd)
+               / nd AS b0
+      FROM u
+    ),
+    ev AS (
+      SELECT b.k, b.n_train,
+             (CAST(r.yq AS DOUBLE) / 10000
+              - (b.b0 + b.b1 * (CAST(r.xq AS DOUBLE) / 10000))) AS res
+      FROM r JOIN b ON 1 = 1
+    )
+    SELECT k, n_train,
+           floor(sum(floor(res * res * 10000 + 0.5)) / 10000
+                 / count(*) * 1000000 + 0.5) / 1000000 AS mse_full
+    FROM ev GROUP BY k, n_train
+    """,
+)
+def ml_learning_curve(spark, sf_dir):
+    """LEARNING CURVE from one scan: closed-form OLS (price ~
+    quantity) trained on NESTED hash-sampled fractions (10%, 30%,
+    50%, 100% — md5 decile < k, so each training set contains the
+    smaller ones, the proper learning-curve protocol) and evaluated
+    on the full corpus. Like ml_gridsearch_ridge, no per-fraction
+    re-scan: sufficient statistics per md5 decile are summed into
+    each fraction's stats by a tiny decile<k join — the cumulative
+    version of the leave-one-fold-out trick. Betas via the same
+    op-order-mirrored double algebra; evaluation broadcasts the
+    4-row model table; MSE qsum'd. The curve's shape (marginal error
+    vs data volume) is THE capacity-planning readout for paying for
+    more training data — here it is flat, the closed-form model
+    saturates instantly, which is itself the calibration check."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    dec = "decimal(38,0)"
+    r = li.select(
+        F.expr(
+            "CAST(conv(substring(md5(concat('lc', '|',"
+            " CAST(l_orderkey AS STRING), ':',"
+            " CAST(l_linenumber AS STRING))), 1, 14), 16, 10) AS BIGINT) % 10"
+        ).alias("decile"),
+        F.expr("CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)").alias("xq"),
+        F.expr("CAST(floor(l_extendedprice / 1000 * 10000 + 0.5) AS BIGINT)")
+          .alias("yq"),
+    )
+    ds = r.groupBy("decile").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("xq").cast(dec)).alias("sx"),
+        F.sum(F.col("yq").cast(dec)).alias("sy"),
+        F.sum(F.col("xq").cast(dec) * F.col("xq")).alias("sxx"),
+        F.sum(F.col("xq").cast(dec) * F.col("yq")).alias("sxy"),
+    )
+    fr = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (1, 3, 5, 10)])).alias("k")
+    )
+    cs = (
+        F.broadcast(fr).crossJoin(ds)
+        .filter(F.col("decile") < F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum("n").alias("n"), F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"), F.sum("sxx").alias("sxx"),
+            F.sum("sxy").alias("sxy"),
+        )
+    )
+    u = cs.select(
+        "k",
+        F.col("n").cast("bigint").alias("n_train"),
+        F.expr("CAST(n AS DOUBLE)").alias("nd"),
+        F.expr("CAST(sx AS DOUBLE) / 10000").alias("sxd"),
+        F.expr("CAST(sy AS DOUBLE) / 10000").alias("syd"),
+        F.expr("CAST(sxx AS DOUBLE) / 100000000").alias("sxxd"),
+        F.expr("CAST(sxy AS DOUBLE) / 100000000").alias("sxyd"),
+    )
+    b = u.select(
+        "k", "n_train",
+        F.expr("(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)").alias("b1"),
+        F.expr(
+            "(syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd)"
+            " / nd"
+        ).alias("b0"),
+    )
+    ev = r.crossJoin(F.broadcast(b)).select(
+        "k", "n_train",
+        F.expr(
+            "(CAST(yq AS DOUBLE) / 10000 - (b0 + b1 * (CAST(xq AS DOUBLE) / 10000)))"
+        ).alias("res"),
+    )
+    return ev.groupBy("k", "n_train").agg(
+        F.expr(
+            "floor(sum(floor(res * res * 10000 + 0.5)) / 10000"
+            " / count(*) * 1000000 + 0.5) / 1000000"
+        ).alias("mse_full"),
+    )
