@@ -6071,3 +6071,56 @@ def window_value_range_band(spark, sf_dir):
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_band"),
         F.sum("price_c").over(w).cast("bigint").alias("band_sum_c"),
     )
+
+
+@query(
+    "events_gap_histogram",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000
+               - epoch_us(lag(ts) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id)) // 1000000
+               AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CASE WHEN gap_s <= 0 THEN -1
+                ELSE length(bin(gap_s))::BIGINT - 1 END AS log2_bucket,
+           count(*)::BIGINT AS n,
+           min(gap_s)::BIGINT AS min_gap_s,
+           max(gap_s)::BIGINT AS max_gap_s
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_gap_histogram(spark, sf_dir):
+    """Inter-arrival-time distribution on LOG2 buckets — the
+    burstiness profile (bot bursts vs human pacing vs batch-ingest
+    spikes live in different octaves): per (user, type), consecutive
+    gaps in seconds, bucketed by floor(log2(gap)). The bucket is
+    computed as length(bin(gap)) - 1 — integer bit-length, EXACT on
+    both engines — never floor(log2(x)): log2 is a transcendental
+    whose last-ulp rounding may differ across libm implementations
+    and flip a boundary value (4095 vs 4096) into the wrong bucket,
+    the same reason text_char_diversity uses Simpson instead of
+    entropy. Equal-gap ties (gap 0 within one timestamp) get the -1
+    sentinel bucket. One partitioned lag window + one small hash-agg;
+    output is |types| x ~25 octaves."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+          .alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return g.groupBy(
+        "event_type",
+        F.when(F.col("gap_s") <= 0, F.lit(-1))
+         .otherwise(F.length(F.bin(F.col("gap_s"))).cast("bigint") - 1)
+         .alias("log2_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("gap_s").cast("bigint").alias("min_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+    )
