@@ -830,3 +830,57 @@ def stream_stream_left_outer_join(spark, sf_dir):
     S.run_to_memory(j.select("pid", "user_id", "cid"), name,
                     output_mode="append", state_partitions=4)
     return spark.table(name)
+
+
+@query(
+    "stream_chained_window_aggs",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL 1 DAY, h) AS day_start, event_type,
+           sum(n)::BIGINT AS n_events, count(*)::BIGINT AS n_hours
+    FROM hourly
+    GROUP BY 1, 2
+    HAVING time_bucket(INTERVAL 1 DAY, h) + INTERVAL 1 DAY
+           < (SELECT max(ts) - INTERVAL 37 MINUTE FROM events)
+    """,
+)
+def stream_chained_window_aggs(spark, sf_dir):
+    """CHAINED stateful operators in ONE streaming query (Spark
+    3.4+'s multiple-stateful-operator support): an hourly
+    windowed count per event type feeds a SECOND windowed aggregation
+    that rolls the finalized hourly rows up to days — the
+    pre-aggregation cascade (hour→day→month) that previously required
+    writing the intermediate stream to storage and running a second
+    query. Both operators run in append mode off one watermark:
+    the hourly window emits when the watermark passes its end, the
+    daily window when it passes the DAY end, so the drained result is
+    exactly the daily rollup of complete days older than
+    max(ts) - 37 min — the oracle's HAVING clause. n_hours counts the
+    finalized hourly windows inside each day (24 for interior days —
+    the completeness audit). State stays bounded at both levels;
+    window(window, ...) consumes the first operator's WINDOW STRUCT
+    so the event-time watermark column propagates — passing
+    window.start instead drops the watermark tag and append mode is
+    rejected (the documented chaining contract)."""
+    staged = _stage_events(spark, sf_dir)
+    stream = S.read_stream_parquet(spark, staged, spark.read.parquet(staged).schema)
+    wm = S.with_watermark(stream, "ts", "37 minutes")
+    hourly = S.tumbling(wm, "ts", "1 hour", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.col("window"), "1 day").alias("dwin"), "event_type"
+        )
+        .agg(F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_hours"))
+    )
+    name = f"stream_chain_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(daily, name, output_mode="append", state_partitions=4)
+    return spark.table(name).select(
+        F.col("dwin.start").alias("day_start"), "event_type",
+        "n_events", "n_hours",
+    )
