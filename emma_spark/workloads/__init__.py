@@ -140,6 +140,20 @@ _PRIORITY = [
     # graph_modularity, ml_auc_exact, text_bpe_apply (r5-late).
     # Rotation recipe unchanged: reds -> never-checked -> changed ->
     # keepers; with ~40 queued, r6 and r7 windows are already full.
+    # SECOND-CONTINUATION additions (registry 238 -> 267, all
+    # dual/tri-SF local-green, queued behind the list above):
+    # dedup_prefix_jaccard_exact, dedup_lsh_recall_eval,
+    # orders_rfm_segmentation, text_char_diversity, udf_map_in_arrow,
+    # events_point_in_interval, events_resample_linear, text_pii_scrub,
+    # stream_stream_left_outer_join, ml_gridsearch_ridge,
+    # ml_target_encoding_loo, events_changepoint_cusum,
+    # sql_lateral_topk, pipeline_dpo_pairs, orders_survival_hazard,
+    # agg_listagg_ordered, orders_duplicate_invoice_detect,
+    # events_cuped_adjusted_lift, orders_ses_level_fold,
+    # graph_ppr_seed, events_conversion_delay, orders_price_volume_mix,
+    # text_span_corruption_plan, ann_recall_eval,
+    # window_value_range_band, graph_assortativity, ml_learning_curve,
+    # events_gap_histogram, stream_chained_window_aggs.
     "stream_watermark_append",
     "sketch_countmin_tokens", "sketch_bloom_membership",
     "graph_pagerank",
