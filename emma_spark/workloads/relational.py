@@ -6124,3 +6124,49 @@ def events_gap_histogram(spark, sf_dir):
         F.min("gap_s").cast("bigint").alias("min_gap_s"),
         F.max("gap_s").cast("bigint").alias("max_gap_s"),
     )
+
+
+@query(
+    "events_bitmap_dau",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(epoch_us(time_bucket(INTERVAL 1 DAY, ts)) // 86400000000
+               AS BIGINT) AS day,
+             user_id // 63 AS block,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS bits
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT day,
+           sum(bit_count(bits))::BIGINT AS dau,
+           count(*)::BIGINT AS n_blocks
+    FROM b GROUP BY day
+    """,
+)
+def events_bitmap_dau(spark, sf_dir):
+    """Daily active users via BITMAP aggregation — the roaring-bitmap
+    pattern as pure dataflow: user ids bucket into 63-bit blocks
+    (id div 63), each (day, block) ORs one-hot bits into a single
+    BIGINT, and DAU is the sum of popcounts. Two exact integer
+    aggregations — bit_or has a map-side partial like any other agg,
+    and the intermediate state is ONE LONG per (day, block) instead
+    of a hash set of user ids: for N users the distinct-count state
+    collapses from O(users·8B) to O(users/63·8B), the reason bitmap
+    indexes beat count(distinct) on dense id spaces (sparse spaces →
+    HLL, sketch_hll_distinct). 63 bits not 64: 1<<63 would be the
+    BIGINT sign bit — ANSI Spark rejects the overflow. Exactly equal
+    to count(distinct user_id) by construction; shifts/popcounts are
+    engine-exact."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    b = e.groupBy(
+        F.expr("CAST(CAST(date_trunc('day', ts) AS LONG) div 86400 AS BIGINT)")
+          .alias("day"),
+        F.expr("user_id div 63").alias("block"),
+    ).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))")
+          .alias("bits")
+    )
+    return b.groupBy("day").agg(
+        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("dau"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )

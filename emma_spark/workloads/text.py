@@ -1908,3 +1908,55 @@ def text_span_corruption_plan(spark, sf_dir):
             f" i -> i <= n AND ({m('i')}))) AS DECIMAL(38,0)) * 1000000 div n AS BIGINT) END"
         ).alias("corruption_ppm"),
     )
+
+
+SQL_BPE_TOKS = (
+    r"list_filter(regexp_split_to_array(regexp_replace(lower(text), "
+    r"'([0-9]+|[^\sa-z0-9]+)', ' \1 ', 'g'), '\s+'), t -> t != '')"
+)
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(len({SQL_TOKS}))::BIGINT AS ws_tokens,
+           sum(len({SQL_BPE_TOKS}))::BIGINT AS sub_tokens,
+           CAST(sum(len({SQL_BPE_TOKS}))::HUGEINT * 1000000
+                // sum(len({SQL_TOKS})) AS BIGINT) AS fertility_ppm,
+           CAST(sum(length(text))::HUGEINT * 1000000
+                // sum(len({SQL_BPE_TOKS})) AS BIGINT) AS chars_per_tok_ppm
+    FROM documents GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY audit per language — sub-word tokens per
+    whitespace word, the metric that decides whether a tokenizer
+    under-serves a language (high fertility = more tokens per word =
+    fewer words per context window and higher serving cost; the
+    standard multilingual-tokenizer evaluation). Uses the repo's
+    deterministic sub-word stand-in (llm/text.bpe_ish_tokens — letter/
+    digit/punct boundary splits; a real BPE slots in behind the same
+    seam) against whitespace words, plus chars-per-token — both as
+    exact integer ppm rationals from ONE scan, token counting in
+    narrow array HOFs with a per-language hash-agg. zh showing ~1
+    fertility with few whitespace words while chars/token collapses
+    is exactly the CJK signature this audit exists to surface."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    d = docs.select(
+        "lang",
+        F.size(X.tokens(F.col("text"))).cast("bigint").alias("ws"),
+        F.size(X.bpe_ish_tokens(F.col("text"))).cast("bigint").alias("sub"),
+        F.length("text").cast("bigint").alias("nc"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("sub").alias("sub_tokens"),
+        F.expr(
+            "CAST(CAST(sum(sub) AS DECIMAL(38,0)) * 1000000 div sum(ws) AS BIGINT)"
+        ).alias("fertility_ppm"),
+        F.expr(
+            "CAST(CAST(sum(nc) AS DECIMAL(38,0)) * 1000000 div sum(sub) AS BIGINT)"
+        ).alias("chars_per_tok_ppm"),
+    )
