@@ -6170,3 +6170,51 @@ def events_bitmap_dau(spark, sf_dir):
         F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("dau"),
         F.count(F.lit(1)).alias("n_blocks"),
     )
+
+
+@query(
+    "csv_gzip_read_agg",
+    oracle="""
+    SELECT o_orderstatus, count(*)::BIGINT AS n,
+           CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS total_c
+    FROM orders WHERE o_orderkey % 11 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def csv_gzip_read_agg(spark, sf_dir):
+    """Compressed-text ingestion: a gzip CSV staged through Python's
+    gzip (simulating the landing files upstream systems drop), read
+    by extension-triggered codec inference, aggregated, and
+    hash-matched against the original parquet — proving the codec +
+    parse chain loses nothing. The SCALE caveat this query exists to
+    document: gzip is NOT SPLITTABLE — one .gz file = one task no
+    matter its size, so a 100 GB landing file serializes an entire
+    executor; production landing zones shard into many ~128 MB .gz
+    files (restoring parallelism file-wise — exactly what the
+    executor-side sharded write here produces: one gz member per
+    partition), or use a splittable codec/container (bzip2, or
+    parquet/ORC with internal zstd) for anything one file large.
+    Spark decompresses by extension with no config; the
+    explicit-schema contract from read_csv applies unchanged."""
+    import tempfile
+
+    o = T(spark, sf_dir, "orders")["orders"].df.filter(
+        F.col("o_orderkey") % 11 == 0
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="emma_csvgz_") + "/orders"
+    # executor-side sharded .csv.gz write — one gz member per
+    # partition, the landing-zone layout that keeps file-wise
+    # parallelism despite gzip's unsplittability
+    o.write.mode("overwrite").option("header", True).option(
+        "compression", "gzip"
+    ).csv(path)
+    back = io.read_csv(
+        spark, path,
+        schema="o_orderkey bigint, o_orderstatus string, o_totalprice double",
+        header=True,
+    )
+    return back.df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+          .alias("total_c"),
+    )
