@@ -481,3 +481,100 @@ def dedup_lsh_recall_eval(spark, sf_dir):
             .alias("recall_ppm"),
         )
     )
+
+
+@query(
+    "pipeline_split_leakage_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(concat('0x', substr(md5('split' || '|'
+                  || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 10 < 8
+               AS is_train
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    sh AS (SELECT doc_id, is_train, list_distinct({sql_shingles(10)}) AS s
+           FROM d),
+    idx AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+    ov AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      FROM idx a JOIN idx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT ov.a, ov.b, sa.is_train AS ta, sb.is_train AS tb
+      FROM ov
+      JOIN sh sa ON ov.a = sa.doc_id JOIN sh sb ON ov.b = sb.doc_id
+      WHERE 10 * inter >= 7 * (len(sa.s) + len(sb.s) - inter)
+    )
+    SELECT (SELECT count(*) FROM d WHERE is_train)::BIGINT AS n_train,
+           (SELECT count(*) FROM d WHERE NOT is_train)::BIGINT AS n_eval,
+           (SELECT count(*) FROM pairs)::BIGINT AS n_neardup_pairs,
+           (SELECT count(*) FROM pairs WHERE ta != tb)::BIGINT
+             AS n_cross_split,
+           CAST(CASE WHEN (SELECT count(*) FROM d WHERE NOT is_train) = 0
+                THEN 0
+                ELSE (SELECT count(DISTINCT CASE WHEN NOT ta THEN a
+                                   WHEN NOT tb THEN b END)
+                      FROM pairs WHERE ta != tb)::HUGEINT * 1000000
+                  // (SELECT count(*) FROM d WHERE NOT is_train)
+           END AS BIGINT) AS eval_contaminated_ppm
+    FROM (SELECT 1)
+    """,
+)
+def pipeline_split_leakage_audit(spark, sf_dir):
+    """Train/eval SPLIT LEAKAGE audit — the check every training
+    pipeline must pass before reporting eval numbers: after a
+    deterministic 80/20 hash split (md5, never RNG — the split must
+    replay), how many NEAR-DUPLICATE pairs (exact Jaccard >= 0.7 via
+    the lossless prefix filter) CROSS the split boundary, and what
+    fraction of eval docs are thereby contaminated (an eval doc with
+    a near-twin in train inflates measured quality — the leakage
+    text_decontaminate catches for n-gram overlap, here at
+    whole-document similarity). Exact-duplicate leakage is impossible
+    by construction (identical text => identical shingle set => the
+    pair appears here with Jaccard 1). Plan: the prefix-filter join
+    (rarest-token candidates) + two slim flag joins + counting;
+    contamination as exact integer ppm. The oracle replays the split
+    hash and the full quadratic truth."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    sub = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "is_train",
+        F.expr(
+            "CAST(conv(substring(md5(concat('split', '|',"
+            " CAST(doc_id AS STRING))), 1, 14), 16, 10) AS BIGINT) % 10 < 8"
+        ),
+    )
+    pairs = D.prefix_jaccard_pairs(sub, n=10, t_num=7, t_den=10)
+    flags = sub.select("doc_id", "is_train")
+    tagged = (
+        pairs.join(flags.select(F.col("doc_id").alias("doc_a"),
+                                F.col("is_train").alias("ta")), "doc_a")
+        .join(flags.select(F.col("doc_id").alias("doc_b"),
+                           F.col("is_train").alias("tb")), "doc_b")
+    )
+    counts = sub.agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("is_train"), 0).otherwise(1)).alias("n_eval"),
+    )
+    pair_stats = tagged.agg(
+        F.count(F.lit(1)).alias("n_neardup_pairs"),
+        F.sum(F.when(F.col("ta") != F.col("tb"), 1).otherwise(0))
+          .alias("n_cross_split"),
+        F.countDistinct(
+            F.when(F.col("ta") != F.col("tb"),
+                   F.when(~F.col("ta"), F.col("doc_a"))
+                    .otherwise(F.col("doc_b")))
+        ).alias("n_eval_contaminated"),
+    )
+    return counts.crossJoin(F.broadcast(pair_stats)).select(
+        F.col("n_train").cast("bigint").alias("n_train"),
+        F.col("n_eval").cast("bigint").alias("n_eval"),
+        F.col("n_neardup_pairs").cast("bigint").alias("n_neardup_pairs"),
+        F.col("n_cross_split").cast("bigint").alias("n_cross_split"),
+        F.expr(
+            "CAST(CASE WHEN n_eval = 0 THEN 0 ELSE"
+            " CAST(n_eval_contaminated AS DECIMAL(38,0)) * 1000000 div n_eval"
+            " END AS BIGINT)"
+        ).alias("eval_contaminated_ppm"),
+    )
