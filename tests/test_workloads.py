@@ -34,3 +34,53 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_bitmap_dau_equals_count_distinct(spark):
+    """events_bitmap_dau's popcount-of-OR must equal the direct
+    count(distinct user_id) per day — an independent in-engine
+    cross-check of the bitmap encoding (the oracle only proves both
+    engines agree on the SAME encoding)."""
+    from pyspark.sql import functions as F
+
+    from emma_spark.sources import io as eio
+
+    df = REGISTRY["events_bitmap_dau"].fn(spark, SF_DIR)
+    e = eio.read_parquet(spark, f"{SF_DIR}/events.parquet").df
+    direct = e.groupBy(
+        F.expr("CAST(CAST(date_trunc('day', ts) AS LONG) div 86400 AS BIGINT)")
+          .alias("day")
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    got = {r["day"]: r["dau"] for r in df.collect()}
+    want = {r["day"]: r["dau"] for r in direct.collect()}
+    assert got == want
+
+
+def test_ses_fold_matches_python_recursion(spark):
+    """orders_ses_level_fold's array fold must equal the literal
+    sequential recursion run in Python over the same monthly series."""
+    from pyspark.sql import functions as F
+
+    from emma_spark.sources import io as eio
+
+    df = REGISTRY["orders_ses_level_fold"].fn(spark, SF_DIR)
+    got = {r["o_orderpriority"]: r["ses_level_c"] for r in df.collect()}
+    o = eio.read_parquet(spark, f"{SF_DIR}/orders.parquet").df
+    m = (
+        o.groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("mo"),
+        )
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                   .cast("bigint")).alias("rev_c"))
+        .collect()
+    )
+    series: dict = {}
+    for r in m:
+        series.setdefault(r["o_orderpriority"], []).append((r["mo"], r["rev_c"]))
+    for pri, xs in series.items():
+        vals = [v for _, v in sorted(xs)]
+        s = vals[0]
+        for x in vals[1:]:
+            s = (3 * x + 7 * s) // 10
+        assert got[pri] == s, pri
