@@ -6218,3 +6218,47 @@ def csv_gzip_read_agg(spark, sf_dir):
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
           .alias("total_c"),
     )
+
+
+@query(
+    "pyds_custom_source_agg",
+    oracle="""
+    WITH r AS (SELECT unnest(range(20000)) AS id),
+    s AS (
+      SELECT id,
+             CAST(concat('0x', substr(md5('synth|' || CAST(id AS VARCHAR)),
+                  1, 14)) AS BIGINT) AS h
+      FROM r
+    )
+    SELECT h % 7 AS g, count(*)::BIGINT AS n,
+           sum(h % 10000)::BIGINT AS vc_sum,
+           min(id)::BIGINT AS min_id, max(id)::BIGINT AS max_id
+    FROM s GROUP BY 1
+    """,
+)
+def pyds_custom_source_agg(spark, sf_dir):
+    """Spark 4 PYTHON DATA SOURCE surface (sources/pyds.py): a custom
+    connector registered with ``spark.dataSource.register`` and read
+    through the normal ``spark.read.format(...)`` path — the seam for
+    systems without a built-in connector. The source declares its
+    parallelism via ``partitions()`` (each id slice = one task — on a
+    real cluster the read fans out across executors exactly like a
+    parquet scan) and generates deterministic md5-derived content, so
+    the CONNECTOR is differentially tested: the oracle regenerates
+    the identical table from ``range()`` with the same md5 math, no
+    files involved. The aggregation downstream is ordinary JVM
+    dataflow — the Python boundary ends at the scan."""
+    from ..sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("emma_synth")
+        .option("n", "20000").option("parts", "8")
+        .load()
+    )
+    return df.groupBy((F.col("h") % 7).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("vc_sum"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )

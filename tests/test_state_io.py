@@ -327,3 +327,21 @@ def test_jsonl_malformed_permissive(spark, tmp_path):
         key=lambda v: (v is None, v),
     )
     assert got == [1, 3, None]
+
+
+def test_python_datasource_pushdown_shrinks_generated_range(spark):
+    """The custom Python data source must consume id-range filters in
+    pushFilters (generating [5000, 6000) only) and still produce the
+    exact rows — the connector-level pushdown contract."""
+    from pyspark.sql import functions as F
+
+    from emma_spark.sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("emma_synth")
+        .option("n", "20000").option("parts", "8").load()
+    )
+    sub = df.filter((F.col("id") >= 5000) & (F.col("id") < 6000))
+    assert sub.count() == 1000
+    assert sub.agg(F.sum("id")).collect()[0][0] == sum(range(5000, 6000))
