@@ -104,3 +104,74 @@ def register(spark) -> None:
     ``spark.sql.python.filterPushdown.enabled``, default false)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(build())
+
+
+def build_stream():
+    """Construct the (by-value picklable) STREAMING DataSource class —
+    Spark 4's SimpleDataSourceStreamReader contract: initialOffset /
+    read(start) -> (rows, nextOffset) / readBetweenOffsets for
+    exactly-once REPLAY after failure, with offsets checkpointed by
+    the engine. The generator is the same md5 table as the batch
+    source, so drained output is oracle-checkable.
+
+    availableNow on a simple stream reader drains the data PREFETCHED
+    at trigger time (one read() call) — so a bounded full drain either
+    sizes `batch` >= n (the registered query) or re-runs the query
+    against the SAME checkpointLocation until the offset stops
+    advancing (the restart-resume pytest — which is exactly the
+    incremental-ingest deployment pattern: each scheduled run picks up
+    where the last committed offset left off)."""
+    import hashlib
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    def gen(lo: int, hi: int):
+        # a LIST, not a generator: the prefetched batch is pickled to
+        # the executors by the simple-reader runtime
+        def row(rid: int):
+            h = int(hashlib.md5(f"synth|{rid}".encode()).hexdigest()[:14], 16)
+            return (rid, h, h % 10000)
+
+        return [row(rid) for rid in range(lo, hi)]
+
+    class SynthStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 5000))
+            self.batch = int(options.get("batch", 2000))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            if pos >= self.n:
+                return iter([]), {"pos": pos}
+            hi = min(pos + self.batch, self.n)
+            # iter(list): the runtime next()s the return value AND
+            # pickles the prefetched cache entry — a list iterator is
+            # both; a bare generator is neither picklable nor reusable
+            return iter(gen(pos, hi)), {"pos": hi}
+
+        def readBetweenOffsets(self, start, end):
+            # deterministic replay between committed offsets — the
+            # exactly-once recovery contract. Returns an ITERATOR:
+            # unlike read()'s picklable prefetch list, the replay path
+            # next()s the return value directly.
+            return iter(gen(start["pos"], end["pos"]))
+
+    class SynthStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "emma_synth_stream"
+
+        def schema(self) -> str:
+            return "id bigint, h bigint, vc bigint"
+
+        def simpleStreamReader(self, schema) -> SynthStreamReader:
+            return SynthStreamReader(self.options)
+
+    return SynthStreamSource
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(build_stream())

@@ -884,3 +884,44 @@ def stream_chained_window_aggs(spark, sf_dir):
         F.col("dwin.start").alias("day_start"), "event_type",
         "n_events", "n_hours",
     )
+
+
+@query(
+    "pyds_stream_source_counts",
+    oracle="""
+    WITH r AS (SELECT unnest(range(20000)) AS id),
+    s AS (
+      SELECT id,
+             CAST(concat('0x', substr(md5('synth|' || CAST(id AS VARCHAR)),
+                  1, 14)) AS BIGINT) AS h
+      FROM r
+    )
+    SELECT h % 5 AS g, count(*)::BIGINT AS n, sum(h % 10000)::BIGINT AS vc_sum
+    FROM s GROUP BY 1
+    """,
+)
+def pyds_stream_source_counts(spark, sf_dir):
+    """CUSTOM STREAMING SOURCE (Spark 4 SimpleDataSourceStreamReader,
+    sources/pyds.build_stream): a Python-defined stream with
+    engine-checkpointed offsets and a deterministic replay contract
+    (readBetweenOffsets — the exactly-once recovery path), read
+    through readStream and drained into a streaming aggregation. The
+    md5-generated content lets the SQL oracle replay the entire
+    stream with no files or state involved — the connector, the
+    offset bookkeeping, and the streaming agg are all under the
+    differential test. Multi-batch offset RESUME across restarts is
+    exercised separately in tests/test_streaming.py."""
+    from ..sources import pyds
+
+    pyds.register_stream(spark)
+    st = (
+        spark.readStream.format("emma_synth_stream")
+        .option("n", "20000").option("batch", "20000")
+        .load()
+    )
+    agg = st.groupBy((F.col("h") % 5).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vc_sum")
+    )
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, output_mode="complete", state_partitions=4)
+    return spark.table(name)
