@@ -6262,3 +6262,74 @@ def pyds_custom_source_agg(spark, sf_dir):
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+@query(
+    "events_rolling_wau_bitmap",
+    oracle="""
+    WITH b AS (
+      SELECT epoch_us(time_bucket(INTERVAL 1 DAY, ts)) // 86400000000 AS day,
+             user_id // 63 AS block,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS bits
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(day) AS lo, max(day) AS hi FROM b),
+    grid AS (
+      SELECT bl.block, d.day
+      FROM (SELECT DISTINCT block FROM b) bl,
+           (SELECT unnest(generate_series((SELECT lo FROM span),
+                                          (SELECT hi FROM span))) AS day) d
+    ),
+    g AS (
+      SELECT grid.block, grid.day, coalesce(b.bits, 0) AS bits
+      FROM grid LEFT JOIN b ON grid.block = b.block AND grid.day = b.day
+    ),
+    r AS (
+      SELECT block, day,
+             bit_or(bits) OVER (PARTITION BY block ORDER BY day
+                                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS rolled
+      FROM g
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           sum(bit_count(rolled))::BIGINT AS wau
+    FROM r GROUP BY day
+    """,
+)
+def events_rolling_wau_bitmap(spark, sf_dir):
+    """ROLLING DISTINCT — trailing-7-day active users per day — the
+    aggregation SQL cannot express efficiently (count(DISTINCT) over
+    a sliding frame is not decomposable: naive engines re-scan each
+    window). The bitmap algebra makes it one pass: per (day,
+    user-block) OR-bitmaps (events_bitmap_dau's encoding), the block
+    timeline densified over the corpus day span, a bit_or window
+    over the trailing 7 days per block (OR is associative — the
+    frame composes exactly where count-distinct can't), and popcounts
+    summed per day. State per block-day is ONE LONG; the window is
+    partitioned by block with a bounded day-range frame — nothing
+    global, nothing quadratic, exact (not a sketch). This is the
+    production shape for rolling MAU/WAU on dense id spaces; sparse
+    ids swap the bitmap for HLL registers (union is also
+    associative) at the cost of exactness."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    b = e.groupBy(
+        F.expr("CAST(CAST(date_trunc('day', ts) AS LONG) div 86400 AS BIGINT)")
+          .alias("day"),
+        F.expr("user_id div 63").alias("block"),
+    ).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))")
+          .alias("bits")
+    )
+    span = b.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    blocks = b.select("block").distinct()
+    grid = blocks.crossJoin(F.broadcast(span)).select(
+        "block", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    g = grid.join(b, ["block", "day"], "left").select(
+        "block", "day", F.coalesce("bits", F.lit(0)).alias("bits")
+    )
+    w = Window.partitionBy("block").orderBy("day").rangeBetween(-6, 0)
+    r = g.select("block", "day", F.expr("bit_or(bits)").over(w).alias("rolled"))
+    return r.groupBy("day").agg(
+        F.expr("CAST(sum(bit_count(rolled)) AS BIGINT)").alias("wau")
+    )

@@ -84,3 +84,28 @@ def test_ses_fold_matches_python_recursion(spark):
         for x in vals[1:]:
             s = (3 * x + 7 * s) // 10
         assert got[pri] == s, pri
+
+
+def test_rolling_wau_bitmap_equals_direct_distinct(spark):
+    """Trailing-7-day bitmap WAU must equal the direct (quadratic)
+    per-day count(distinct) over the trailing window."""
+    from pyspark.sql import functions as F
+
+    from emma_spark.sources import io as eio
+
+    df = REGISTRY["events_rolling_wau_bitmap"].fn(spark, SF_DIR)
+    got = {r["day"]: r["wau"] for r in df.collect()}
+    e = eio.read_parquet(spark, f"{SF_DIR}/events.parquet").df.select(
+        F.expr("CAST(CAST(date_trunc('day', ts) AS LONG) div 86400 AS BIGINT)")
+          .alias("day"),
+        "user_id",
+    ).collect()
+    by_day: dict = {}
+    for r in e:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    lo, hi = min(by_day), max(by_day)
+    for d in range(lo, hi + 1):
+        users = set()
+        for k in range(max(lo, d - 6), d + 1):
+            users |= by_day.get(k, set())
+        assert got[d] == len(users), d
