@@ -1362,6 +1362,7 @@ def ml_threshold_sweep_f1(spark, sf_dir):
 
 @query(
     "ml_gridsearch_ridge",
+    headline=True,
     oracle="""
     WITH r AS (
       SELECT (l_orderkey * 7 + l_linenumber) % 3 AS fold,

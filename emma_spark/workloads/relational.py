@@ -6128,6 +6128,7 @@ def events_gap_histogram(spark, sf_dir):
 
 @query(
     "events_bitmap_dau",
+    headline=True,
     oracle="""
     WITH b AS (
       SELECT CAST(epoch_us(time_bucket(INTERVAL 1 DAY, ts)) // 86400000000
