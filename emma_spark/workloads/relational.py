@@ -6334,3 +6334,217 @@ def events_rolling_wau_bitmap(spark, sf_dir):
     return r.groupBy("day").agg(
         F.expr("CAST(sum(bit_count(rolled)) AS BIGINT)").alias("wau")
     )
+
+
+@query(
+    "lineitem_ship_latency",
+    oracle="""
+    WITH l AS (
+      SELECT o.o_orderpriority AS pri,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(li.l_shipdate AS DATE)) AS lat
+      FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+    ),
+    h AS (SELECT pri, lat, count(*) AS cnt FROM l GROUP BY 1, 2),
+    tot AS (SELECT pri, sum(cnt) AS n FROM h GROUP BY pri),
+    cum AS (
+      SELECT pri, lat,
+             sum(cnt) OVER (PARTITION BY pri ORDER BY lat
+                            ROWS UNBOUNDED PRECEDING) AS c
+      FROM h
+    )
+    SELECT t.pri,
+           CAST(t.n AS BIGINT) AS n_lines,
+           (SELECT min(lat) FROM cum WHERE cum.pri = t.pri
+             AND 2 * c >= t.n)::BIGINT AS median_days,
+           (SELECT min(lat) FROM cum WHERE cum.pri = t.pri
+             AND 10 * c >= 9 * t.n)::BIGINT AS p90_days,
+           (SELECT max(lat) FROM cum WHERE cum.pri = t.pri)::BIGINT
+             AS max_days
+    FROM tot t
+    """,
+)
+def lineitem_ship_latency(spark, sf_dir):
+    """Order-to-ship latency SLA readout per priority class — the
+    fulfillment metric (are '1-URGENT' orders actually shipping
+    faster?): day-count latencies summarized as median/p90/max via
+    the per-group VALUE-HISTOGRAM quantile pattern (latency domain is
+    bounded by the corpus date span, so the cumsum window runs over
+    the histogram, never the fact table — the winsorize discipline).
+    One fact join (orderkey — at scale co-partitioned/bucketed with
+    lineitem), one histogram agg, ceil-rank selection matching
+    percentile_disc on both engines."""
+    t = io.load_tables(spark, sf_dir, "lineitem", "orders")
+    li, o = t["lineitem"].df, t["orders"].df
+    l = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(F.col("l_shipdate").cast("date"),
+                   F.col("o_orderdate").cast("date")).alias("lat"),
+    )
+    h = l.groupBy("pri", "lat").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = h.groupBy("pri").agg(F.sum("cnt").alias("n"))
+    w = Window.partitionBy("pri").orderBy("lat").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = h.select("pri", "lat", F.sum("cnt").over(w).alias("c"))
+    q = (
+        cum.join(F.broadcast(tot), "pri")
+        .groupBy("pri")
+        .agg(
+            F.min(F.when(2 * F.col("c") >= F.col("n"), F.col("lat")))
+              .alias("median_days"),
+            F.min(F.when(10 * F.col("c") >= 9 * F.col("n"), F.col("lat")))
+              .alias("p90_days"),
+            F.max("lat").alias("max_days"),
+        )
+    )
+    return (
+        tot.join(q, "pri")
+        .select(
+            "pri", F.col("n").cast("bigint").alias("n_lines"),
+            F.col("median_days").cast("bigint").alias("median_days"),
+            F.col("p90_days").cast("bigint").alias("p90_days"),
+            F.col("max_days").cast("bigint").alias("max_days"),
+        )
+    )
+
+
+_VIT_FOLD = """
+  aggregate(
+    transform(sequence(1, size(a)), i ->
+      CAST(shiftleft(CAST(1 AS BIGINT), i - 1) AS DECIMAL(38,0)) * E + a[i-1]),
+    gam * M * M,
+    (acc, y) ->
+      ((least(acc div (B*M*M), (acc % (B*M*M)) div (M*M)) + abs(y % E - lam0)) * B
+       + least(acc div (B*M*M) + gam, (acc % (B*M*M)) div (M*M)) + abs(y % E - lam1)) * M * M
+      + (CASE WHEN acc div (B*M*M) <= (acc % (B*M*M)) div (M*M)
+              THEN (acc % (M*M)) div M ELSE acc % M END) * M
+      + (CASE WHEN acc div (B*M*M) + gam <= (acc % (B*M*M)) div (M*M)
+              THEN (acc % (M*M)) div M ELSE acc % M END) + y div E
+  )"""
+
+_VIT_FOLD_DUCK = """
+  list_reduce(
+    list_prepend(gam * M * M,
+      list_transform(range(1, len(a)+1),
+        i -> (CAST(1 AS HUGEINT) << CAST(i - 1 AS INT)) * E + a[i])),
+    (acc, y) ->
+      ((least(acc // (B*M*M), (acc % (B*M*M)) // (M*M)) + abs(y % E - lam0)) * B
+       + least(acc // (B*M*M) + gam, (acc % (B*M*M)) // (M*M)) + abs(y % E - lam1)) * M * M
+      + (CASE WHEN acc // (B*M*M) <= (acc % (B*M*M)) // (M*M)
+              THEN (acc % (M*M)) // M ELSE acc % M END) * M
+      + (CASE WHEN acc // (B*M*M) + gam <= (acc % (B*M*M)) // (M*M)
+              THEN (acc % (M*M)) // M ELSE acc % M END) + y // E
+  )"""
+
+
+@query(
+    "events_burst_viterbi",
+    oracle=f"""
+    WITH d AS (
+      SELECT epoch_us(time_bucket(INTERVAL 1 DAY, ts)) // 86400000000 AS day,
+             count(*)::HUGEINT AS cnt
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    span AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    grid AS (
+      SELECT g.day, coalesce(d.cnt, 0) AS cnt
+      FROM (SELECT unnest(generate_series((SELECT lo FROM span),
+                                          (SELECT hi FROM span))) AS day) g
+      LEFT JOIN d ON g.day = d.day
+    ),
+    arr AS (
+      SELECT list(cnt ORDER BY day) AS a, count(*)::HUGEINT AS nd,
+             sum(cnt)::HUGEINT AS tot
+      FROM grid
+    ),
+    p AS (
+      SELECT a, nd, tot // nd AS lam0, 3 * (tot // nd) + 1 AS lam1,
+             (tot // nd) + 1 AS gam,
+             1073741824::HUGEINT AS B, 2147483648::HUGEINT AS M,
+             8589934592::HUGEINT AS E
+      FROM arr
+    ),
+    v AS (SELECT nd, lam0, {_VIT_FOLD_DUCK} AS r, B, M FROM p)
+    SELECT CAST(nd AS BIGINT) AS n_days, CAST(lam0 AS BIGINT) AS lam0,
+           CAST(least(r // (B*M*M), (r % (B*M*M)) // (M*M)) AS BIGINT)
+             AS total_cost,
+           CAST(CASE WHEN r // (B*M*M) <= (r % (B*M*M)) // (M*M)
+                THEN 0 ELSE 1 END AS BIGINT) AS final_state,
+           CAST(CASE WHEN r // (B*M*M) <= (r % (B*M*M)) // (M*M)
+                THEN (r % (M*M)) // M ELSE r % M END AS BIGINT) AS burst_mask,
+           bit_count(CAST(CASE WHEN r // (B*M*M) <= (r % (B*M*M)) // (M*M)
+                THEN (r % (M*M)) // M ELSE r % M END AS BIGINT))::BIGINT
+             AS n_burst_days
+    FROM v
+    """,
+)
+def events_burst_viterbi(spark, sf_dir):
+    """BURST DETECTION as an exact Viterbi DP (Kleinberg's two-state
+    burst automaton, SIGKDD'02, with L1 emission costs): daily error
+    counts are explained by a base state (rate lam0 = corpus mean) or
+    a burst state (3*lam0+1), with a transition penalty for entering
+    a burst; the minimum-cost state sequence marks WHICH days were
+    bursty — structurally stronger than per-day thresholding
+    (events_anomaly_zscore), because isolated blips don't pay the
+    entry penalty but sustained elevation does. The sequential DP
+    rides the repo's bounded-array-fold pattern (orders_ses_level_fold)
+    with one twist: the Viterbi state (two path costs + two
+    backpointer BITMASKS) is PACKED INTO A SINGLE 128-bit integer
+    (DECIMAL(38,0)/HUGEINT slots of 2^30/2^31) because a struct
+    accumulator evaluates with engine-specific field-update semantics
+    (DuckDB 1.0 updates struct_pack fields sequentially), while
+    integer div/mod slot extraction is unambiguous everywhere — the
+    widened-slot rule graduated into a full DP register file. Exact
+    integers end to end; both engines produce the identical packed
+    word, hash-checked. Day span must fit the 31-bit mask slot (the
+    corpus is 30 days; longer spans widen the slots or segment the
+    timeline)."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    dec = "decimal(38,0)"
+    d = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.expr("CAST(CAST(date_trunc('day', ts) AS LONG) div 86400"
+                        " AS BIGINT)").alias("day"))
+        .agg(F.count(F.lit(1)).cast(dec).alias("cnt"))
+    )
+    span = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = (
+        span.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+        .join(d, "day", "left")
+        .select("day", F.coalesce("cnt", F.lit(0).cast(dec)).alias("cnt"))
+    )
+    arr = grid.agg(
+        F.expr("transform(sort_array(collect_list(struct(day, cnt))), s -> s.cnt)")
+          .alias("a"),
+        F.count(F.lit(1)).cast(dec).alias("nd"),
+        F.sum("cnt").alias("tot"),
+    )
+    p = arr.select(
+        "a", "nd",
+        F.expr("tot div nd").alias("lam0"),
+        F.expr("3 * (tot div nd) + 1").alias("lam1"),
+        F.expr("(tot div nd) + 1").alias("gam"),
+        F.expr(f"CAST(1073741824 AS {dec})").alias("B"),
+        F.expr(f"CAST(2147483648 AS {dec})").alias("M"),
+        F.expr(f"CAST(8589934592 AS {dec})").alias("E"),
+    )
+    v = p.select("nd", "lam0", F.expr(_VIT_FOLD).alias("r"), "B", "M")
+    best_mask = (
+        "CASE WHEN r div (B*M*M) <= (r % (B*M*M)) div (M*M)"
+        " THEN (r % (M*M)) div M ELSE r % M END"
+    )
+    return v.select(
+        F.col("nd").cast("bigint").alias("n_days"),
+        F.col("lam0").cast("bigint").alias("lam0"),
+        F.expr(
+            "CAST(least(r div (B*M*M), (r % (B*M*M)) div (M*M)) AS BIGINT)"
+        ).alias("total_cost"),
+        F.expr(
+            "CAST(CASE WHEN r div (B*M*M) <= (r % (B*M*M)) div (M*M)"
+            " THEN 0 ELSE 1 END AS BIGINT)"
+        ).alias("final_state"),
+        F.expr(f"CAST({best_mask} AS BIGINT)").alias("burst_mask"),
+        F.expr(f"CAST(bit_count(CAST({best_mask} AS BIGINT)) AS BIGINT)")
+          .alias("n_burst_days"),
+    )

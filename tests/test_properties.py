@@ -444,3 +444,66 @@ def test_linear_interp_weighted_form_is_bounded_and_exact_at_knots(obs):
                 assert interp == v0
             lo, hi = min(v0, v1), max(v0, v1)
             assert lo <= interp <= hi
+
+
+# ----------------------------------------------------------------------
+# packed-integer Viterbi (events_burst_viterbi's DP register file)
+# ----------------------------------------------------------------------
+def _viterbi_reference(counts, lam0, lam1, gam):
+    """Plain two-state L1 Viterbi with explicit backpointer lists."""
+    INF = float("inf")
+    c0, c1 = 0, gam
+    p0, p1 = [], []
+    for i, c in enumerate(counts):
+        n0 = min(c0, c1) + abs(c - lam0)
+        n1 = min(c0 + gam, c1) + abs(c - lam1)
+        np0 = (p0 if c0 <= c1 else p1) + [0]
+        np1 = (p0 if c0 + gam <= c1 else p1) + [1]
+        c0, c1, p0, p1 = n0, n1, np0, np1
+    return (c0, p0) if c0 <= c1 else (c1, p1)
+
+
+def _viterbi_packed(counts, lam0, lam1, gam):
+    """The exact packed-integer recurrence both engines fold."""
+    B, M, E = 1 << 30, 1 << 31, 1 << 33
+    acc = gam * M * M
+    for i, c in enumerate(counts):
+        y = (1 << i) * E + c
+        a_c0 = acc // (B * M * M)
+        a_c1 = (acc % (B * M * M)) // (M * M)
+        a_m0 = (acc % (M * M)) // M
+        a_m1 = acc % M
+        yc = y % E
+        n_c0 = min(a_c0, a_c1) + abs(yc - lam0)
+        n_c1 = min(a_c0 + gam, a_c1) + abs(yc - lam1)
+        n_m0 = a_m0 if a_c0 <= a_c1 else a_m1
+        n_m1 = (a_m0 if a_c0 + gam <= a_c1 else a_m1) + (y // E)
+        acc = ((n_c0 * B + n_c1) * M + n_m0) * M + n_m1
+    c0 = acc // (B * M * M)
+    c1 = (acc % (B * M * M)) // (M * M)
+    m0 = (acc % (M * M)) // M
+    m1 = acc % M
+    return (c0, m0) if c0 <= c1 else (c1, m1)
+
+
+@given(
+    counts=st.lists(st.integers(0, 1000), min_size=1, max_size=31),
+    lam0=st.integers(0, 200),
+    mult=st.integers(2, 5),
+    gam=st.integers(1, 100),
+)
+@settings(max_examples=80, deadline=None)
+def test_packed_viterbi_equals_reference(counts, lam0, mult, gam):
+    """The 128-bit packed fold must reproduce the textbook Viterbi's
+    cost AND state sequence (as a bitmask) for random inputs — the
+    independent check that the slot arithmetic (div/mod extraction,
+    bit accumulation) encodes the DP faithfully. Cost ties can pick
+    different equal-cost PATHS in differently-structured
+    implementations, so the mask is compared only when the reference's
+    argmin chain is tie-free (mirroring both engines' shared rule)."""
+    lam1 = mult * lam0 + 1
+    cost_ref, path = _viterbi_reference(counts, lam0, lam1, gam)
+    mask_ref = sum(1 << i for i, s in enumerate(path) if s == 1)
+    cost_got, mask_got = _viterbi_packed(counts, lam0, lam1, gam)
+    assert cost_got == cost_ref
+    assert mask_got == mask_ref
