@@ -6548,3 +6548,93 @@ def events_burst_viterbi(spark, sf_dir):
         F.expr(f"CAST(bit_count(CAST({best_mask} AS BIGINT)) AS BIGINT)")
           .alias("n_burst_days"),
     )
+
+
+@query(
+    "orders_price_drift_chi2",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS pri,
+             CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 1000000 AS bin,
+             count(*)::HUGEINT AS c
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+      GROUP BY 1, 2, 3
+    ),
+    n AS (SELECT pri, yr, sum(c) AS n FROM b GROUP BY 1, 2),
+    w AS (
+      SELECT coalesce(a.pri, c.pri) AS pri, coalesce(a.bin, c.bin) AS bin,
+             coalesce(a.c, 0) AS c1, coalesce(c.c, 0) AS c2
+      FROM (SELECT * FROM b WHERE yr = 1996) a
+      FULL JOIN (SELECT * FROM b WHERE yr = 1997) c
+        ON a.pri = c.pri AND a.bin = c.bin
+    ),
+    r AS (
+      SELECT w.pri,
+             c1 * 1000000 // n1.n AS p, c2 * 1000000 // n2.n AS q
+      FROM w
+      JOIN n n1 ON w.pri = n1.pri AND n1.yr = 1996
+      JOIN n n2 ON w.pri = n2.pri AND n2.yr = 1997
+    )
+    SELECT pri,
+           count(*)::BIGINT AS n_bins,
+           CAST(sum((p - q) * (p - q) // (p + q + 1)) AS BIGINT) AS chi2_scaled
+    FROM r GROUP BY pri
+    """,
+)
+def orders_price_drift_chi2(spark, sf_dir):
+    """Distribution DRIFT between two periods (1996 vs 1997 order
+    values, $10k bins, per priority) as a symmetric chi-square
+    statistic over ppm-quantized bin rates — the log-free stand-in
+    for PSI (population stability index): PSI's (p-q)·ln(p/q) term
+    needs a transcendental that is not correctly-rounded across
+    engines, while Sigma (p-q)^2/(p+q) ranks drifting segments
+    identically and stays in exact integers (rates quantized to ppm
+    BEFORE the formula, the repo's rule). Empty bins on either side
+    are kept by the FULL join (drift often lives in bins one period
+    doesn't have); +1 in the denominator guards the 0/0 bin. The
+    monitoring readout every scoring pipeline schedules against its
+    training distribution. Two hash-aggs + one full outer join on
+    (priority, bin) — all domain-bounded."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    dec = "decimal(38,0)"
+    b = (
+        o.withColumn("yr", F.year(F.col("o_orderdate").cast("date")).cast("bigint"))
+        .filter(F.col("yr").isin(1996, 1997))
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"), "yr",
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 1000000")
+              .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast(dec).alias("c"))
+    )
+    n = b.groupBy("pri", "yr").agg(F.sum("c").alias("n"))
+    a = b.filter(F.col("yr") == 1996).select(
+        "pri", "bin", F.col("c").alias("c1"))
+    c = b.filter(F.col("yr") == 1997).select(
+        F.col("pri").alias("pri2"), F.col("bin").alias("bin2"),
+        F.col("c").alias("c2"))
+    w = (
+        a.join(c, (F.col("pri") == F.col("pri2")) & (F.col("bin") == F.col("bin2")),
+               "full")
+        .select(
+            F.coalesce("pri", "pri2").alias("pri"),
+            F.coalesce("bin", "bin2").alias("bin"),
+            F.coalesce("c1", F.lit(0).cast(dec)).alias("c1"),
+            F.coalesce("c2", F.lit(0).cast(dec)).alias("c2"),
+        )
+    )
+    n1 = n.filter(F.col("yr") == 1996).select("pri", F.col("n").alias("n1"))
+    n2 = n.filter(F.col("yr") == 1997).select("pri", F.col("n").alias("n2"))
+    r = (
+        w.join(F.broadcast(n1), "pri").join(F.broadcast(n2), "pri")
+        .select("pri",
+                F.expr("c1 * 1000000 div n1").alias("p"),
+                F.expr("c2 * 1000000 div n2").alias("q"))
+    )
+    return r.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.expr(
+            "CAST(sum((p - q) * (p - q) div (p + q + 1)) AS BIGINT)"
+        ).alias("chi2_scaled"),
+    )
