@@ -1960,3 +1960,89 @@ def text_tokenizer_fertility(spark, sf_dir):
             "CAST(CAST(sum(nc) AS DECIMAL(38,0)) * 1000000 div sum(sub) AS BIGINT)"
         ).alias("chars_per_tok_ppm"),
     )
+
+
+@query(
+    "text_pair_lcs_similarity",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id // 34 AS pid, ({SQL_TOKS})[1:40] AS ta
+      FROM documents WHERE doc_id % 34 = 0
+    ),
+    b AS (
+      SELECT doc_id // 34 AS pid, ({SQL_TOKS})[1:40] AS tb
+      FROM documents WHERE doc_id % 34 = 17
+    ),
+    p AS (SELECT a.pid, ta, tb FROM a JOIN b ON a.pid = b.pid),
+    l AS (
+      SELECT pid, len(ta)::BIGINT AS na, len(tb)::BIGINT AS nb,
+        list_reduce(
+          list_prepend(list_transform(range(0, len(tb)+1), x -> 0),
+            list_transform(range(1, len(ta)+1),
+                           i -> list_transform(range(0, len(tb)+1), x -> i))),
+          (row, cur) -> list_reduce(
+            list_prepend([0],
+              list_transform(range(1, len(tb)+1), j ->
+                [greatest(row[j+1],
+                          row[j] + CASE WHEN ta[cur[1]] = tb[j]
+                                   THEN 1 ELSE 0 END)])),
+            (acc, e) -> list_append(acc, greatest(e[1], acc[len(acc)]))
+          )
+        )[len(tb)+1]::BIGINT AS lcs_len
+      FROM p
+    )
+    SELECT pid, na, nb, lcs_len,
+           CAST(lcs_len * 1000000 // greatest(na, nb) AS BIGINT) AS lcs_ppm
+    FROM l
+    """,
+)
+def text_pair_lcs_similarity(spark, sf_dir):
+    """ORDER-SENSITIVE pair similarity: token-level LONGEST COMMON
+    SUBSEQUENCE between paired documents (first 40 tokens, the
+    documented cost cap) — what Jaccard/minhash can NOT measure (bags
+    ignore order: 'dog bites man'/'man bites dog' are Jaccard-1 but
+    LCS-distinct), the signal for template detection and
+    near-plagiarism with reordering. The O(na*nb) DP runs as a NESTED
+    array fold: the outer fold carries the DP ROW as the accumulator
+    (the row index rides in the element — lambdas see only (acc,
+    element)), the inner fold resolves the left-neighbor dependence
+    sequentially; the max(up, diag+match) two-term recurrence is the
+    known LCS equivalent that drops the explicit left term from the
+    candidate (left propagates via the inner running max). Completes
+    the DP-as-fold family (scalar SES -> packed-register Viterbi ->
+    array-state LCS); property-tested against a textbook Python LCS.
+    At scale this runs per CANDIDATE PAIR (bounded by blocking),
+    never all pairs; cost is capped by the token window."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    toks40 = lambda: F.expr("slice(filter(split(lower(text), '\\\\s+'), t -> t != ''), 1, 40)")
+    a = docs.filter(F.col("doc_id") % 34 == 0).select(
+        F.expr("doc_id div 34").alias("pid"), toks40().alias("ta"))
+    b = docs.filter(F.col("doc_id") % 34 == 17).select(
+        F.expr("doc_id div 34").alias("pid"), toks40().alias("tb"))
+    p = a.join(b, "pid")
+    l = p.select(
+        "pid",
+        F.size("ta").cast("bigint").alias("na"),
+        F.size("tb").cast("bigint").alias("nb"),
+        F.expr("""
+          CAST(element_at(
+            aggregate(
+              transform(sequence(1, size(ta)),
+                        i -> transform(sequence(0, size(tb)), x -> i)),
+              transform(sequence(0, size(tb)), x -> 0),
+              (row, cur) -> aggregate(
+                transform(sequence(1, size(tb)), j ->
+                  greatest(element_at(row, j + 1),
+                           element_at(row, j)
+                           + IF(element_at(ta, element_at(cur, 1))
+                                = element_at(tb, j), 1, 0))),
+                array(0),
+                (acc, e) -> concat(acc, array(greatest(e, element_at(acc, size(acc)))))
+              )
+            ), -1) AS BIGINT) AS lcs_len"""),
+    )
+    return l.select(
+        "pid", "na", "nb", "lcs_len",
+        F.expr("CAST(lcs_len * 1000000 div greatest(na, nb) AS BIGINT)")
+          .alias("lcs_ppm"),
+    )

@@ -507,3 +507,43 @@ def test_packed_viterbi_equals_reference(counts, lam0, mult, gam):
     cost_got, mask_got = _viterbi_packed(counts, lam0, lam1, gam)
     assert cost_got == cost_ref
     assert mask_got == mask_ref
+
+
+# ----------------------------------------------------------------------
+# nested-fold LCS (text_pair_lcs_similarity's recurrence)
+# ----------------------------------------------------------------------
+def _lcs_textbook(a, b):
+    dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            dp[i][j] = (
+                dp[i - 1][j - 1] + 1
+                if a[i - 1] == b[j - 1]
+                else max(dp[i - 1][j], dp[i][j - 1])
+            )
+    return dp[-1][-1]
+
+
+def _lcs_fold(a, b):
+    """The two-term fold recurrence both engines run: candidate =
+    max(up, diag + match), left-neighbor propagated by a running max."""
+    row = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        new = [0]
+        for j in range(1, len(b) + 1):
+            cand = max(row[j], row[j - 1] + (1 if a[i - 1] == b[j - 1] else 0))
+            new.append(max(cand, new[-1]))
+        row = new
+    return row[-1]
+
+
+@given(
+    a=st.lists(st.sampled_from("abcd"), max_size=12),
+    b=st.lists(st.sampled_from("abcd"), max_size=12),
+)
+@settings(max_examples=120, deadline=None)
+def test_lcs_fold_recurrence_equals_textbook(a, b):
+    """The dropped-left-term recurrence (running max resolves the left
+    dependence) must equal the classic three-term LCS DP on random
+    sequences — the identity the SQL fold relies on."""
+    assert _lcs_fold(a, b) == _lcs_textbook(a, b)
