@@ -1181,3 +1181,90 @@ def graph_assortativity(spark, sf_dir):
             " / 1000000"
         ).alias("assortativity"),
     )
+
+
+_SCC_EDGES = """
+      SELECT n_nationkey AS src,
+             CASE WHEN n_nationkey < 10 THEN (n_nationkey + 1) % 10
+                  WHEN n_nationkey < 20 THEN n_nationkey - 10
+                  WHEN n_nationkey = 20 THEN 21
+                  WHEN n_nationkey = 21 THEN 22
+                  WHEN n_nationkey = 22 THEN 20
+                  WHEN n_nationkey = 23 THEN 24
+                  ELSE 0 END AS dst
+      FROM nation
+"""
+
+
+@query(
+    "graph_scc_closure",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_SCC_EDGES}),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    tc(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src
+    ),
+    r AS (
+      -- DISTINCT over UNION ALL, not UNION: inside a WITH RECURSIVE
+      -- chain DuckDB 1.0 skips the dedup of a plain UNION in a
+      -- non-recursive sibling CTE (observed: 255 rows vs 242
+      -- distinct), silently inflating mutual-reach counts
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM tc
+        UNION ALL
+        SELECT id, id FROM nodes
+      )
+    )
+    SELECT a.src AS id, min(a.dst)::BIGINT AS scc_id,
+           count(*)::BIGINT AS scc_size
+    FROM r a JOIN r b ON a.src = b.dst AND a.dst = b.src
+    GROUP BY a.src
+    """,
+)
+def graph_scc_closure(spark, sf_dir):
+    """STRONGLY connected components of a directed graph — the
+    directed sibling of connected_components (which symmetrizes and
+    loses direction): u and v share an SCC iff each REACHES the
+    other, so SCC(u) = min over the intersection of u's forward
+    reachability with the reverse reachability (mutual-reach join of
+    the closure with its transpose), plus each node's own SCC size —
+    the condensation-DAG input for dependency analysis. The test
+    graph (nation keys) has a 10-cycle, a 3-cycle, feeder chains and
+    a bridge, so the answer exercises cycles of different sizes AND
+    singleton SCCs. Closure by path doubling (O(log d) fixpoint
+    rounds, localCheckpointed); the mutual-reach join is a
+    self-equi-join on the (src, dst)<->(dst, src) composite — a hash
+    join on the closure relation, no per-node BFS. Exact integer ids;
+    the oracle replays via recursive CTE."""
+    n = io.read_parquet(spark, f"{sf_dir}/nation.parquet").df
+    k = F.col("n_nationkey")
+    edges = n.select(
+        k.alias("src"),
+        F.when(k < 10, (k + 1) % 10)
+         .when(k < 20, k - 10)
+         .when(k == 20, F.lit(21))
+         .when(k == 21, F.lit(22))
+         .when(k == 22, F.lit(20))
+         .when(k == 23, F.lit(24))
+         .otherwise(F.lit(0))
+         .alias("dst"),
+    )
+    from ..lib.graphs import transitive_closure
+
+    tc = transitive_closure(edges, max_iter=10)
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    r = tc.unionByName(
+        nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    ).distinct()
+    a = r.alias("a")
+    b = r.select(F.col("src").alias("bsrc"), F.col("dst").alias("bdst"))
+    return (
+        a.join(b, (F.col("a.src") == F.col("bdst")) & (F.col("a.dst") == F.col("bsrc")))
+        .groupBy(F.col("a.src").alias("id"))
+        .agg(
+            F.min(F.col("a.dst")).cast("bigint").alias("scc_id"),
+            F.count(F.lit(1)).alias("scc_size"),
+        )
+    )
