@@ -1682,3 +1682,86 @@ def ml_learning_curve(spark, sf_dir):
             " / count(*) * 1000000 + 0.5) / 1000000"
         ).alias("mse_full"),
     )
+
+
+@query(
+    "ml_pinball_quantile_eval",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS pri,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders
+    ),
+    h AS (SELECT pri, y, count(*) AS cnt FROM o GROUP BY 1, 2),
+    tot AS (SELECT pri, sum(cnt) AS n FROM h GROUP BY pri),
+    cum AS (
+      SELECT pri, y, sum(cnt) OVER (PARTITION BY pri ORDER BY y
+                                    ROWS UNBOUNDED PRECEDING) AS c
+      FROM h
+    ),
+    q AS (
+      SELECT t.pri,
+             (SELECT min(y) FROM cum WHERE cum.pri = t.pri
+               AND 10 * c >= 9 * t.n) AS p90,
+             (SELECT min(y) FROM cum WHERE cum.pri = t.pri
+               AND 2 * c >= t.n) AS p50
+      FROM tot t
+    )
+    SELECT o.pri,
+           any_value(q.p90)::BIGINT AS p90_c,
+           sum(9 * greatest(o.y - q.p90, 0)
+               + greatest(q.p90 - o.y, 0))::BIGINT AS loss10_at_p90,
+           sum(9 * greatest(o.y - q.p50, 0)
+               + greatest(q.p50 - o.y, 0))::BIGINT AS loss10_at_p50
+    FROM o JOIN q ON o.pri = q.pri
+    GROUP BY o.pri
+    """,
+)
+def ml_pinball_quantile_eval(spark, sf_dir):
+    """Quantile-forecast evaluation with the PINBALL (quantile) loss —
+    the scoring rule that makes quantile claims falsifiable: for
+    tau = 0.9, loss = 0.9·(y-yhat)+ + 0.1·(yhat-y)+, minimized in
+    expectation EXACTLY by the true q90. Scaled by 10 into integers
+    (9/1 weights), with two constant predictors per priority — the
+    histogram-derived p90 and, as the built-in sanity check, the p50
+    (whose 0.9-pinball loss must come out HIGHER, which the resulting
+    table shows): the property every forecast-evaluation harness
+    should demonstrate on itself before scoring real models. Value
+    histogram + ceil-rank quantiles (the bounded-domain pattern), one
+    broadcast join back, exact integer cents throughout."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    from pyspark.sql import Window
+
+    h = o.groupBy("pri", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = h.groupBy("pri").agg(F.sum("cnt").alias("n"))
+    w = Window.partitionBy("pri").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = h.select("pri", "y", F.sum("cnt").over(w).alias("c"))
+    q = (
+        cum.join(F.broadcast(tot), "pri")
+        .groupBy("pri")
+        .agg(
+            F.min(F.when(10 * F.col("c") >= 9 * F.col("n"), F.col("y")))
+              .alias("p90"),
+            F.min(F.when(2 * F.col("c") >= F.col("n"), F.col("y"))).alias("p50"),
+        )
+    )
+    return (
+        o.join(F.broadcast(q), "pri")
+        .groupBy("pri")
+        .agg(
+            F.expr("CAST(any_value(p90) AS BIGINT)").alias("p90_c"),
+            F.expr(
+                "CAST(sum(9 * greatest(y - p90, 0) + greatest(p90 - y, 0))"
+                " AS BIGINT)"
+            ).alias("loss10_at_p90"),
+            F.expr(
+                "CAST(sum(9 * greatest(y - p50, 0) + greatest(p50 - y, 0))"
+                " AS BIGINT)"
+            ).alias("loss10_at_p50"),
+        )
+    )

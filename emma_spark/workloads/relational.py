@@ -6638,3 +6638,84 @@ def orders_price_drift_chi2(spark, sf_dir):
             "CAST(sum((p - q) * (p - q) div (p + q + 1)) AS BIGINT)"
         ).alias("chi2_scaled"),
     )
+
+
+@query(
+    "part_abc_xyz_matrix",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey AS pk,
+             CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT)
+               + 12 * CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS mo,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) AS rev_c,
+             sum(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+      SELECT pk, sum(rev_c)::HUGEINT AS rev,
+             count(*)::HUGEINT AS nm,
+             sum(qty)::HUGEINT AS sq, sum(qty * qty)::HUGEINT AS sqq
+      FROM pr GROUP BY pk
+    ),
+    tot AS (SELECT sum(rev) AS total_rev FROM per_part),
+    cls AS (
+      SELECT pk,
+             CASE WHEN rev * 100 >= (SELECT total_rev FROM tot) * 2 // 1000
+                  THEN 'A'
+                  WHEN rev * 100 >= (SELECT total_rev FROM tot) * 5 // 10000
+                  THEN 'B' ELSE 'C' END AS abc,
+             CASE WHEN nm * sqq - sq * sq <= (sq * sq) // 4 THEN 'X'
+                  WHEN nm * sqq - sq * sq <= (sq * sq) THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM per_part
+    )
+    SELECT abc, xyz, count(*)::BIGINT AS n_parts
+    FROM cls GROUP BY 1, 2
+    """,
+)
+def part_abc_xyz_matrix(spark, sf_dir):
+    """ABC-XYZ inventory segmentation — the supply-chain planning
+    matrix: parts classed by revenue IMPORTANCE (A ≥ 0.2% of total
+    revenue, B ≥ 0.05% — per-part share thresholds, exact HUGEINT
+    cross-multiplication, no global sort) x demand VARIABILITY from
+    the monthly-quantity coefficient of variation. CV thresholds
+    (0.5 / 1.0) are compared in SQUARED form — n·Σq² − (Σq)² vs
+    (Σq)²/4 and (Σq)² — so the classification needs no sqrt, no
+    division, no float: the variance identity as an integer
+    cross-multiplied inequality (the same move as the z-test
+    queries). One (part, month) pre-agg, one per-part agg, one
+    single-row broadcast; output is the 9-cell planning matrix."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    dec = "decimal(38,0)"
+    pr = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        (F.month(F.col("l_shipdate").cast("date")).cast("bigint")
+         + 12 * F.year(F.col("l_shipdate").cast("date")).cast("bigint"))
+          .alias("mo"),
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                      + F.lit(0.5)).cast("bigint")).alias("rev_c"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+    )
+    per_part = pr.groupBy("pk").agg(
+        F.sum("rev_c").cast(dec).alias("rev"),
+        F.count(F.lit(1)).cast(dec).alias("nm"),
+        F.sum("qty").cast(dec).alias("sq"),
+        F.sum(F.col("qty").cast(dec) * F.col("qty")).alias("sqq"),
+    )
+    tot = per_part.agg(F.sum("rev").alias("total_rev"))
+    cls = per_part.crossJoin(F.broadcast(tot)).select(
+        "pk",
+        F.expr(
+            "CASE WHEN rev * 100 >= total_rev * 2 div 1000 THEN 'A'"
+            " WHEN rev * 100 >= total_rev * 5 div 10000 THEN 'B'"
+            " ELSE 'C' END"
+        ).alias("abc"),
+        F.expr(
+            "CASE WHEN nm * sqq - sq * sq <= (sq * sq) div 4 THEN 'X'"
+            " WHEN nm * sqq - sq * sq <= (sq * sq) THEN 'Y'"
+            " ELSE 'Z' END"
+        ).alias("xyz"),
+    )
+    return cls.groupBy("abc", "xyz").agg(F.count(F.lit(1)).alias("n_parts"))
