@@ -6719,3 +6719,56 @@ def part_abc_xyz_matrix(spark, sf_dir):
         ).alias("xyz"),
     )
     return cls.groupBy("abc", "xyz").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+@query(
+    "lineitem_returns_pchart",
+    oracle="""
+    WITH w AS (
+      SELECT (CAST(epoch(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT)
+              // 86400) // 7 AS wk,
+             count(*)::HUGEINT AS n,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::HUGEINT AS r
+      FROM lineitem GROUP BY 1
+    ),
+    g AS (SELECT sum(n) AS tn, sum(r) AS tr FROM w)
+    SELECT CAST(wk AS BIGINT) AS wk, CAST(n AS BIGINT) AS n,
+           CAST(r AS BIGINT) AS r,
+           CAST(r * 1000000 // n AS BIGINT) AS rate_ppm,
+           ((r * tn - tr * n) * (r * tn - tr * n)
+             > 9 * n * tr * (tn - tr)) AS out_of_control
+    FROM w, g
+    """,
+)
+def lineitem_returns_pchart(spark, sf_dir):
+    """Statistical process control P-CHART on the weekly return rate:
+    a week is out-of-control when its rate leaves the 3-sigma binomial
+    band around the overall rate p = tr/tn — the quality-monitoring
+    primitive manufacturing and ops teams run on every defect stream.
+    The control test ((r/n − p)² > 9·p(1−p)/n) is evaluated entirely
+    in CROSS-MULTIPLIED integers — multiply both sides by n²·tn²:
+    (r·tn − tr·n)² > 9·n·tr·(tn−tr) — exact HUGEINT/DECIMAL products,
+    zero division or sqrt (the z-test integer rule). One weekly hash-agg +
+    a single-row broadcast; at 100 TB the weekly pre-agg IS the
+    chart."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    dec = "decimal(38,0)"
+    w = li.groupBy(
+        F.expr("(CAST(CAST(l_shipdate AS TIMESTAMP) AS LONG) div 86400) div 7")
+          .alias("wk")
+    ).agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).cast(dec)
+          .alias("r"),
+    )
+    g = w.agg(F.sum("n").alias("tn"), F.sum("r").alias("tr"))
+    return w.crossJoin(F.broadcast(g)).select(
+        F.col("wk").cast("bigint").alias("wk"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("r").cast("bigint").alias("r"),
+        F.expr("CAST(r * 1000000 div n AS BIGINT)").alias("rate_ppm"),
+        F.expr(
+            "(r * tn - tr * n) * (r * tn - tr * n)"
+            " > 9 * n * tr * (tn - tr)"
+        ).alias("out_of_control"),
+    )

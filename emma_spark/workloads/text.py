@@ -2046,3 +2046,91 @@ def text_pair_lcs_similarity(spark, sf_dir):
         F.expr("CAST(lcs_len * 1000000 div greatest(na, nb) AS BIGINT)")
           .alias("lcs_ppm"),
     )
+
+
+@query(
+    "text_length_outliers_mad",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, n_chars::BIGINT AS x FROM documents),
+    h AS (SELECT lang, x, count(*) AS cnt FROM d GROUP BY 1, 2),
+    tot AS (SELECT lang, sum(cnt) AS n FROM h GROUP BY lang),
+    med AS (
+      SELECT t.lang, (SELECT min(x) FROM (
+               SELECT x, sum(cnt) OVER (PARTITION BY lang ORDER BY x
+                                        ROWS UNBOUNDED PRECEDING) AS c
+               FROM h WHERE h.lang = t.lang) s
+             WHERE 2 * s.c >= t.n) AS m
+      FROM tot t
+    ),
+    dev AS (
+      SELECT d.lang, abs(d.x - med.m) AS ax
+      FROM d JOIN med ON d.lang = med.lang
+    ),
+    dh AS (SELECT lang, ax, count(*) AS cnt FROM dev GROUP BY 1, 2),
+    mad AS (
+      SELECT t.lang, (SELECT min(ax) FROM (
+               SELECT ax, sum(cnt) OVER (PARTITION BY lang ORDER BY ax
+                                         ROWS UNBOUNDED PRECEDING) AS c
+               FROM dh WHERE dh.lang = t.lang) s
+             WHERE 2 * s.c >= t.n) AS md
+      FROM tot t
+    )
+    SELECT d.lang, med.m::BIGINT AS median_len, mad.md::BIGINT AS mad,
+           count(*) FILTER (abs(d.x - med.m) * 10
+                            > 35 * greatest(mad.md, 1))::BIGINT AS n_outliers,
+           count(*)::BIGINT AS n_docs
+    FROM d JOIN med ON d.lang = med.lang JOIN mad ON d.lang = mad.lang
+    GROUP BY d.lang, med.m, mad.md
+    """,
+)
+def text_length_outliers_mad(spark, sf_dir):
+    """ROBUST outlier detection on document lengths: median absolute
+    deviation (MAD) instead of mean/stddev — a handful of mega-
+    documents inflate the stddev until they hide themselves (the
+    masking problem); the median/MAD pair has a 50% breakdown point.
+    A document is flagged when |x − median| > 3.5·MAD (Iglewicz-
+    Hoaglin's modified z-score cutoff, cross-multiplied by 10 into
+    exact integers; max(MAD,1) guards degenerate half-constant
+    groups). TWO value-histogram median passes (lengths, then
+    absolute deviations) — both windows over the bounded length
+    domain per language, the repo's quantile discipline — then one
+    counting pass. The robust sibling of embedding_outlier_zscore."""
+    from pyspark.sql import Window
+
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    d = docs.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("x"))
+
+    def _median(df, col, out):
+        h = df.groupBy("lang", F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt"))
+        tot = h.groupBy("lang").agg(F.sum("cnt").alias("n"))
+        w = Window.partitionBy("lang").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, 0)
+        cum = h.select("lang", "v", F.sum("cnt").over(w).alias("c"))
+        return (
+            cum.join(F.broadcast(tot), "lang")
+            .groupBy("lang")
+            .agg(F.min(F.when(2 * F.col("c") >= F.col("n"), F.col("v")))
+                   .alias(out))
+        )
+
+    med = _median(d, "x", "m")
+    dev = d.join(F.broadcast(med), "lang").select(
+        "lang", F.abs(F.col("x") - F.col("m")).alias("ax"))
+    mad = _median(dev, "ax", "md")
+    return (
+        d.join(F.broadcast(med), "lang").join(F.broadcast(mad), "lang")
+        .groupBy("lang", "m", "md")
+        .agg(
+            F.sum(F.when(F.abs(F.col("x") - F.col("m")) * 10
+                         > 35 * F.greatest(F.col("md"), F.lit(1)), 1)
+                   .otherwise(0)).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "lang", F.col("m").cast("bigint").alias("median_len"),
+            F.col("md").cast("bigint").alias("mad"),
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+            "n_docs",
+        )
+    )
