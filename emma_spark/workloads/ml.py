@@ -1765,3 +1765,70 @@ def ml_pinball_quantile_eval(spark, sf_dir):
             ).alias("loss10_at_p50"),
         )
     )
+
+
+@query(
+    "ml_grouped_ols_slopes",
+    oracle="""
+    WITH j AS (
+      SELECT p.p_brand AS brand,
+             CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT) AS x,
+             CAST(l.l_quantity AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    s AS (
+      SELECT brand, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+             sum(y)::HUGEINT AS sy, sum(x * x)::HUGEINT AS sxx,
+             sum(x::HUGEINT * y) AS sxy
+      FROM j GROUP BY brand
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS slope_q,
+           floor((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS intercept_q
+    FROM s
+    """,
+)
+def ml_grouped_ols_slopes(spark, sf_dir):
+    """MANY-MODELS regression: an OLS fit (quantity ~ discount points)
+    PER BRAND in one aggregation — the 'grouped closed-form models'
+    pattern that replaces a per-group sklearn loop: sufficient
+    statistics per group from a single hash-agg (map-side combinable),
+    then the slope/intercept algebra on each group's row. Scaling
+    from 25 brands to 25 million model groups changes nothing in the
+    plan — that is the point (contrast with applyInPandas-per-group
+    fitting, which ships every group's rows into Python). Exact
+    HUGEINT/DECIMAL sums; the one double division per group is
+    op-order mirrored and 1e-6 quantized; discount pre-quantized to
+    integer points so Sxx is exact."""
+    t = io.load_tables(spark, sf_dir, "lineitem", "part")
+    li, p = t["lineitem"].df, t["part"].df
+    dec = "decimal(38,0)"
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    s = j.groupBy("brand").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        "brand", F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5) / 1000000"
+        ).alias("slope_q"),
+        F.expr(
+            "floor((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000"
+        ).alias("intercept_q"),
+    )
