@@ -873,3 +873,61 @@ def ann_recall_eval(spark, sf_dir):
             ).alias("recall_ppm"),
         )
     )
+
+
+@query(
+    "embedding_dim_variance_audit",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor((embedding::DOUBLE[])[i] * 10000 + 0.5) AS BIGINT)
+               AS vq
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    s AS (
+      SELECT dim, count(*)::HUGEINT AS n, sum(vq)::HUGEINT AS sv,
+             sum(vq * vq)::HUGEINT AS svv
+      FROM e GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(sv // n AS BIGINT) AS mean_q4,
+           CAST((n * svv - sv * sv) // (n * n) AS BIGINT) AS var_q8,
+           ((n * svv - sv * sv) // (n * n)) < 10000 AS is_low_variance
+    FROM s
+    """,
+)
+def embedding_dim_variance_audit(spark, sf_dir):
+    """Embedding-space health audit: per-DIMENSION mean and variance
+    across the corpus — dead dimensions (variance ~ 0) waste index
+    space and signal a collapsed or truncated encoder; dominant
+    dimensions distort cosine geometry (the anisotropy problem).
+    Values quantized to 1e-4 units (vq), so the moments are exact
+    integers: var in q8 units via the n·Σv² − (Σv)² identity with
+    HUGEINT/DECIMAL products and one integral divide — the same
+    transcendental-free moment rule as the z-test family. The
+    low-variance flag (< 1e-4 in value² units) is an integer compare.
+    Plan: posexplode to (dim, value) — 64 rows per vector, the
+    columnar layout every per-dim statistic shares — one 64-group
+    hash-agg with map-side partials; nothing global, nothing
+    collected. Output is 64 rows regardless of corpus size."""
+    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
+    dec = "decimal(38,0)"
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "dim",
+        F.floor(F.col("v").cast("double") * 10000 + F.lit(0.5)).cast(dec)
+          .alias("vq"),
+    )
+    s = e.groupBy("dim").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("vq").alias("sv"),
+        F.sum(F.col("vq") * F.col("vq")).alias("svv"),
+    )
+    return s.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.expr("CAST(sv div n AS BIGINT)").alias("mean_q4"),
+        F.expr("CAST((n * svv - sv * sv) div (n * n) AS BIGINT)").alias("var_q8"),
+        F.expr("((n * svv - sv * sv) div (n * n)) < 10000")
+          .alias("is_low_variance"),
+    )
