@@ -138,3 +138,77 @@ def pipeline_incremental_update(spark, sf_dir):
         F.count(F.when(F.col("self_kept"), 1)).alias("n_self_kept"),
         F.count(F.when(F.col("is_new"), 1)).alias("n_new"),
     )
+
+
+@query(
+    "pipeline_dataset_fingerprint",
+    oracle="""
+    WITH d AS (
+      SELECT 'documents' AS tbl, count(*)::HUGEINT AS n,
+             sum(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                  || text), 1, 14)) AS BIGINT) AS HUGEINT)) AS fp
+      FROM documents
+      UNION ALL
+      SELECT 'orders', count(*)::HUGEINT,
+             sum(CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)
+                  || '|' || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+                  || '|' || o_orderstatus), 1, 14)) AS BIGINT) AS HUGEINT))
+      FROM orders
+      UNION ALL
+      SELECT 'embeddings', count(*)::HUGEINT,
+             sum(CAST(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR) || '|'
+                  || CAST(len(embedding) AS VARCHAR)), 1, 14)) AS BIGINT) AS HUGEINT))
+      FROM embeddings
+    )
+    SELECT tbl, CAST(n AS BIGINT) AS n_rows,
+           CAST(fp % 9223372036854775783 AS BIGINT) AS fingerprint
+    FROM d
+    """,
+)
+def pipeline_dataset_fingerprint(spark, sf_dir):
+    """Dataset FINGERPRINTING for reproducibility manifests (the DVC /
+    lakeFS primitive): each input table reduces to (row_count,
+    content_fingerprint) where the fingerprint is the SUM of per-row
+    md5 hashes over the row's semantic content, reduced mod the
+    largest 63-bit prime — summation is commutative, so the
+    fingerprint is independent of partitioning, task order, engine,
+    and file layout (an XOR or sorted-concat scheme would also work;
+    sum keeps it one map-side-combinable agg). Two runs disagree on a
+    fingerprint ⟺ some row's content changed — the cheap precondition
+    check before reusing cached downstream artifacts, and the exact
+    lineage stamp a training-run manifest should record next to the
+    config hash. Doubles enter the hash only through the repo's
+    canonical quantization (cents), never raw float repr. One narrow
+    scan + single-row agg per table."""
+    t = io.load_tables(spark, sf_dir, "documents", "orders", "embeddings")
+    dec = "decimal(38,0)"
+    P = "9223372036854775783"
+
+    def fp(df, expr_sql, name):
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(
+                F.expr(
+                    "CAST(conv(substring(md5(" + expr_sql + "), 1, 14), 16, 10)"
+                    f" AS {dec})"
+                )
+            ).alias("fp"),
+        )
+
+    d = fp(t["documents"].df,
+           "concat(CAST(doc_id AS STRING), '|', text)", "documents")
+    o = fp(t["orders"].df,
+           "concat(CAST(o_orderkey AS STRING), '|',"
+           " CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING),"
+           " '|', o_orderstatus)", "orders")
+    e = fp(t["embeddings"].df,
+           "concat(CAST(vec_id AS STRING), '|',"
+           " CAST(size(embedding) AS STRING))", "embeddings")
+    return (
+        d.unionByName(o).unionByName(e)
+        .select(
+            "tbl", F.col("n").cast("bigint").alias("n_rows"),
+            F.expr(f"CAST(fp % {P} AS BIGINT)").alias("fingerprint"),
+        )
+    )
