@@ -6772,3 +6772,72 @@ def lineitem_returns_pchart(spark, sf_dir):
             " > 9 * n * tr * (tn - tr)"
         ).alias("out_of_control"),
     )
+
+
+@query(
+    "orders_seasonal_mase_eval",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS pri,
+             CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) * 12
+               + CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::HUGEINT
+               AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT a.pri,
+             abs(a.rev - s.rev) AS e_seasonal,
+             abs(a.rev - p.rev) AS e_naive
+      FROM m a
+      JOIN m s ON a.pri = s.pri AND s.mo = a.mo - 12
+      JOIN m p ON a.pri = p.pri AND p.mo = a.mo - 1
+    )
+    SELECT pri, count(*)::BIGINT AS n_eval_months,
+           CAST(sum(e_seasonal) AS BIGINT) AS mae_seasonal_c,
+           CAST(sum(e_naive) AS BIGINT) AS mae_naive_c,
+           CAST(sum(e_seasonal) * 1000000 // sum(e_naive) AS BIGINT)
+             AS mase_ppm
+    FROM e GROUP BY pri
+    """,
+)
+def orders_seasonal_mase_eval(spark, sf_dir):
+    """Forecast-quality baseline: MASE (mean absolute SCALED error,
+    Hyndman & Koehler 2006) of the seasonal-naive forecast (month
+    m−12) against the one-step naive (month m−1) on per-priority
+    monthly revenue — the scale-free benchmark every forecasting
+    effort must beat before it earns a model (< 1e6 ppm: seasonality
+    carries signal beyond persistence). Equal month counts make the
+    MAE ratio equal the sum-of-|error| ratio, so the whole metric is
+    ONE exact integer rational in ppm — no division until the final
+    integral one, no floats anywhere. Monthly pre-agg + two slim
+    self-joins on the (bounded) month index."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    dec = "decimal(38,0)"
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        (F.year(F.col("o_orderdate").cast("date")).cast("bigint") * 12
+         + F.month(F.col("o_orderdate").cast("date")).cast("bigint")).alias("mo"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+          .cast(dec).alias("rev")
+    )
+    a = m.select("pri", "mo", F.col("rev").alias("ra"))
+    sjoin = m.select(F.col("pri").alias("ps"), F.col("mo").alias("ms"),
+                     F.col("rev").alias("rs"))
+    pjoin = m.select(F.col("pri").alias("pp"), F.col("mo").alias("mp"),
+                     F.col("rev").alias("rp"))
+    e = (
+        a.join(sjoin, (F.col("pri") == F.col("ps")) & (F.col("ms") == F.col("mo") - 12))
+        .join(pjoin, (F.col("pri") == F.col("pp")) & (F.col("mp") == F.col("mo") - 1))
+        .select("pri", F.abs(F.col("ra") - F.col("rs")).alias("e_seasonal"),
+                F.abs(F.col("ra") - F.col("rp")).alias("e_naive"))
+    )
+    return e.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n_eval_months"),
+        F.sum("e_seasonal").cast("bigint").alias("mae_seasonal_c"),
+        F.sum("e_naive").cast("bigint").alias("mae_naive_c"),
+        F.expr(
+            "CAST(sum(e_seasonal) * 1000000 div sum(e_naive) AS BIGINT)"
+        ).alias("mase_ppm"),
+    )

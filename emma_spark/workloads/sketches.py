@@ -353,3 +353,106 @@ def sketch_quantile_bins_grouped(spark, sf_dir):
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+@query(
+    "sketch_cms_merge_rollup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({SQL_TOKS}) AS token FROM documents
+    ), rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    per_lang AS (
+      SELECT lang, row, bucket, count(*) AS cnt FROM (
+        SELECT lang, r.row AS row,
+               {_sql_cm_bucket("r.row", "t.token")} AS bucket
+        FROM toks t CROSS JOIN rows_ r
+      ) GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT row, bucket, sum(cnt) AS cnt FROM per_lang GROUP BY 1, 2
+    ),
+    direct AS (
+      SELECT row, bucket, count(*) AS cnt FROM (
+        SELECT r.row AS row, {_sql_cm_bucket("r.row", "t.token")} AS bucket
+        FROM toks t CROSS JOIN rows_ r
+      ) GROUP BY 1, 2
+    ),
+    probe_keys AS (
+      SELECT token FROM toks GROUP BY token HAVING count(*) >= 100
+    ), rows2 AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    est_m AS (
+      SELECT k.token, min(coalesce(m.cnt, 0)) AS est_merged
+      FROM probe_keys k CROSS JOIN rows2 r
+      LEFT JOIN merged m ON m.row = r.row
+       AND m.bucket = CAST(concat('0x', substr(md5(concat('cm', '|', k.token)), 1 + 8 * (r.row), 8)) AS BIGINT) % 512
+      GROUP BY k.token
+    ),
+    est_d AS (
+      SELECT k.token, min(coalesce(d.cnt, 0)) AS est_direct
+      FROM probe_keys k CROSS JOIN rows2 r
+      LEFT JOIN direct d ON d.row = r.row
+       AND d.bucket = CAST(concat('0x', substr(md5(concat('cm', '|', k.token)), 1 + 8 * (r.row), 8)) AS BIGINT) % 512
+      GROUP BY k.token
+    ),
+    est AS (
+      SELECT est_m.token, est_merged, est_direct
+      FROM est_m JOIN est_d ON est_m.token = est_d.token
+    )
+    SELECT token, CAST(est_merged AS BIGINT) AS est_merged,
+           CAST(est_direct AS BIGINT) AS est_direct,
+           est_merged = est_direct AS merge_exact
+    FROM est
+    """,
+)
+def sketch_cms_merge_rollup(spark, sf_dir):
+    """Sketch MERGEABILITY — the property that makes sketches the
+    100 TB rollup currency: Count-Min sketches built PER LANGUAGE
+    merge by CELL-WISE ADDITION into a corpus-level sketch that is
+    IDENTICAL to the sketch built directly over everything (both
+    computed here; merge_exact is asserted per probe in the output).
+    This is what lets a lakehouse store one small sketch per
+    partition/day/tenant and answer any rollup combination by summing
+    d·w cells instead of re-scanning raw data — the same algebra HLL
+    (register max) and Bloom (bit OR) inherit. Plan: per-lang build =
+    one hash-agg keyed (lang, row, bucket); merge = a d·w-row agg;
+    probes broadcast against both. md5-derived buckets keep every
+    cell engine-replayable (the oracle rebuilds both sketches)."""
+    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    toks = docs.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+    per_lang = (
+        toks.select(
+            "lang",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (SK._hex_slice_long(SK._md5_hex(F.col("token"), "cm"),
+                                            1 + 8 * i, 8) % _CM_W).alias("bucket"),
+                    )
+                    for i in range(_CM_D)
+                ])
+            ).alias("__p"),
+        )
+        .select("lang", "__p.*")
+        .groupBy("lang", "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = per_lang.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    direct = SK.countmin_build(toks, "token", d=_CM_D, w=_CM_W)
+    probes = (
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100).select("token")
+    )
+    em = SK.countmin_estimate(merged, probes, "token", d=_CM_D, w=_CM_W).select(
+        "token", F.col("est").alias("est_merged"))
+    ed = SK.countmin_estimate(direct, probes, "token", d=_CM_D, w=_CM_W).select(
+        F.col("token").alias("t2"), F.col("est").alias("est_direct"))
+    return (
+        em.join(ed, em["token"] == ed["t2"])
+        .select(
+            "token",
+            F.col("est_merged").cast("bigint").alias("est_merged"),
+            F.col("est_direct").cast("bigint").alias("est_direct"),
+            (F.col("est_merged") == F.col("est_direct")).alias("merge_exact"),
+        )
+    )
