@@ -175,3 +175,78 @@ def build_stream():
 
 def register_stream(spark) -> None:
     spark.dataSource.register(build_stream())
+
+
+def build_sink():
+    """Construct the (by-value picklable) custom STREAMING SINK —
+    Spark 4's DataSourceStreamWriter contract: executors call
+    ``write(iterator)`` per partition and return a picklable commit
+    message; the DRIVER calls ``commit(messages, batchId)`` only when
+    every task succeeded (or ``abort`` on failure) — the two-phase
+    protocol that gives a custom Python sink the same staged-commit
+    exactly-once story as the file sink. Tasks write to
+    UUID-temp files; commit RENAMES them under a batch manifest, so a
+    failed/retried task never leaves a visible partial file (the
+    staging-rename pattern every object-store committer uses)."""
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class FileCommit(WriterCommitMessage):
+        def __init__(self, tmp_name, n_rows):
+            self.tmp_name = tmp_name
+            self.n_rows = n_rows
+
+    class SynthSinkWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
+            tmp = f"part-{uuid.uuid4().hex}.csv"
+            n = 0
+            with open(os.path.join(self.path, "_staging", tmp), "w") as fh:
+                for row in iterator:
+                    fh.write(f"{row.id},{row.h},{row.vc}\n")
+                    n += 1
+            return FileCommit(tmp, n)
+
+        def commit(self, messages, batchId):
+            moved = []
+            for m in messages:
+                if m is None or m.n_rows == 0:
+                    continue
+                final = f"batch{batchId}-{m.tmp_name}"
+                os.rename(os.path.join(self.path, "_staging", m.tmp_name),
+                          os.path.join(self.path, final))
+                moved.append({"file": final, "rows": m.n_rows})
+            with open(os.path.join(self.path, f"_manifest-{batchId}.json"), "w") as fh:
+                json.dump(moved, fh)
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.path, "_staging", m.tmp_name))
+                    except FileNotFoundError:
+                        pass
+
+    class SynthSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "emma_synth_sink"
+
+        def streamWriter(self, schema, overwrite) -> SynthSinkWriter:
+            return SynthSinkWriter(self.options)
+
+    return SynthSink
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(build_sink())

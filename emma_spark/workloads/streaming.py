@@ -925,3 +925,58 @@ def pyds_stream_source_counts(spark, sf_dir):
     name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
     S.run_to_memory(agg, name, output_mode="complete", state_partitions=4)
     return spark.table(name)
+
+
+@query(
+    "pyds_stream_sink_roundtrip",
+    oracle="""
+    WITH r AS (SELECT unnest(range(20000)) AS id),
+    s AS (
+      SELECT id,
+             CAST(concat('0x', substr(md5('synth|' || CAST(id AS VARCHAR)),
+                  1, 14)) AS BIGINT) AS h
+      FROM r
+    )
+    SELECT h % 4 AS g, count(*)::BIGINT AS n, sum(h % 10000)::BIGINT AS vc_sum,
+           min(id)::BIGINT AS min_id, max(id)::BIGINT AS max_id
+    FROM s GROUP BY 1
+    """,
+)
+def pyds_stream_sink_roundtrip(spark, sf_dir):
+    """CUSTOM STREAMING SINK roundtrip (sources/pyds.build_sink):
+    the deterministic Python stream source drains through a
+    Python-defined DataSourceStreamWriter — per-task staged files,
+    driver-side two-phase commit with a batch manifest, abort
+    cleanup — then the committed files are read back and aggregated;
+    hash-matching the generator-replay oracle proves the sink's
+    commit protocol lost and duplicated NOTHING. Completes the
+    Python connector matrix: batch read (with pushdown), stream read
+    (checkpointed offsets), stream write (staged commit)."""
+    import tempfile
+
+    from ..sources import pyds
+
+    pyds.register_stream(spark)
+    pyds.register_sink(spark)
+    out = tempfile.mkdtemp(prefix="emma_pyds_sink_")
+    st = (
+        spark.readStream.format("emma_synth_stream")
+        .option("n", "20000").option("batch", "20000")
+        .load()
+    )
+    q = (
+        st.writeStream.format("emma_synth_sink")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="emma_pyds_ck_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.csv(out, schema="id bigint, h bigint, vc bigint")
+    return back.groupBy((F.col("h") % 4).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("vc_sum"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
