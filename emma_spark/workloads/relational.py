@@ -6841,3 +6841,150 @@ def orders_seasonal_mase_eval(spark, sf_dir):
             "CAST(sum(e_seasonal) * 1000000 div sum(e_naive) AS BIGINT)"
         ).alias("mase_ppm"),
     )
+
+
+@query(
+    "orders_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    h AS (SELECT digit, count(*)::HUGEINT AS n FROM d GROUP BY digit),
+    tot AS (SELECT sum(n) AS tn FROM h),
+    ben(digit, exp_ppm) AS (VALUES
+      (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+      (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+    j AS (
+      SELECT b.digit, b.exp_ppm::HUGEINT AS exp_ppm,
+             coalesce(h.n, 0) * 1000000 // t.tn AS obs_ppm
+      FROM ben b LEFT JOIN h ON b.digit = h.digit, tot t
+    )
+    SELECT CAST(digit AS BIGINT) AS digit,
+           CAST(obs_ppm AS BIGINT) AS obs_ppm,
+           CAST(exp_ppm AS BIGINT) AS exp_ppm,
+           CAST((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm
+                AS BIGINT) AS chi2_term
+    FROM j
+    """,
+)
+def orders_benford_audit(spark, sf_dir):
+    """BENFORD'S LAW first-digit audit — the forensic-accounting
+    screen for fabricated amounts: naturally occurring multi-scale
+    money amounts put digit d first with probability log10(1+1/d);
+    invented numbers (and TPC-H's UNIFORM prices, as this table
+    shows — a deliberate NEGATIVE control with huge chi2 terms)
+    deviate hard. The first digit is extracted by STRING slicing of
+    the exact integer cents (no log10, no float compare); expected
+    frequencies are ppm LITERALS (the only principled way to get
+    log-derived constants into a cross-engine-exact query: quantize
+    once, share the literal). Per-digit chi-square terms in exact
+    integers localize WHICH digits deviate. One scan, 9-row output."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    dec = "decimal(38,0)"
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.expr(
+            "CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    h = d.groupBy("digit").agg(F.count(F.lit(1)).cast(dec).alias("n"))
+    tot = h.agg(F.sum("n").alias("tn"))
+    ben = spark.createDataFrame(
+        [(1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+         (6, 66947), (7, 57992), (8, 51153), (9, 45757)],
+        "digit bigint, exp_ppm bigint",
+    )
+    j = (
+        F.broadcast(ben).join(h, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("exp_ppm").cast(dec).alias("exp_ppm"),
+            F.expr(
+                f"coalesce(n, CAST(0 AS {dec})) * 1000000 div tn"
+            ).alias("obs_ppm"),
+        )
+    )
+    return j.select(
+        F.col("digit").cast("bigint").alias("digit"),
+        F.col("obs_ppm").cast("bigint").alias("obs_ppm"),
+        F.col("exp_ppm").cast("bigint").alias("exp_ppm"),
+        F.expr(
+            "CAST((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm"
+            " AS BIGINT)"
+        ).alias("chi2_term"),
+    )
+
+
+@query(
+    "events_daily_autocorr",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(time_bucket(INTERVAL 1 DAY, ts)) // 86400000000 AS day,
+             count(*)::HUGEINT AS c
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT CAST(unnest([1, 2, 3, 7]) AS BIGINT) AS k),
+    pairs AS (
+      SELECT l.k, a.c AS x, b.c AS y
+      FROM lags l
+      JOIN d a ON true
+      JOIN d b ON b.day = a.day + l.k
+    ),
+    s AS (
+      SELECT k, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pairs GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n_pairs,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5)
+             / 1000000 AS autocorr
+    FROM s
+    """,
+)
+def events_daily_autocorr(spark, sf_dir):
+    """AUTOCORRELATION of the daily event volume at lags 1/2/3/7 —
+    the seasonality detector (a spike at lag 7 = weekly rhythm; all
+    flat = memoryless traffic): the Pearson correlation of the series
+    with its k-shifted self, computed per lag from one daily pre-agg
+    via a small lag-join (the bounded day table joined to itself on
+    day+k — rows ∝ days × lags, never events). The exactness recipe
+    of graph_assortativity: HUGEINT/DECIMAL moment sums, one final
+    correctly-rounded sqrt + division mirrored op-for-op, 1e-6
+    quantization. Deliberately uses PAIRED means (conditioning both
+    ends on the overlap window — the textbook small-sample form)
+    rather than the global-mean ACF approximation."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    dec = "decimal(38,0)"
+    d = e.groupBy(
+        F.expr("CAST(CAST(date_trunc('day', ts) AS LONG) div 86400 AS BIGINT)")
+          .alias("day")
+    ).agg(F.count(F.lit(1)).cast(dec).alias("c"))
+    lags = spark.createDataFrame([(1,), (2,), (3,), (7,)], "k bigint")
+    a = d.select(F.col("day").alias("da"), F.col("c").alias("x"))
+    b = d.select(F.col("day").alias("db"), F.col("c").alias("y"))
+    pairs = (
+        F.broadcast(lags).crossJoin(a)
+        .join(b, F.col("db") == F.col("da") + F.col("k"))
+    )
+    s = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5)"
+            " / 1000000"
+        ).alias("autocorr"),
+    )
