@@ -321,3 +321,69 @@ def multimodal_magic_router(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum("n_bytes").cast("bigint").alias("total_bytes"))
     )
+
+
+@query(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH v AS (SELECT id AS video_id, id % 100 + 1 AS n_frames
+               FROM range(128) t(id)),
+    fr AS (
+      SELECT video_id, f.f AS frame_no,
+             CAST(concat('0x', substr(md5('fr|' || CAST(video_id AS VARCHAR)
+                  || ':' || CAST(f.f AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+               AS feat
+      FROM v, unnest(generate_series(0, n_frames - 1, 7)) AS f(f)
+    ),
+    d AS (
+      SELECT video_id, frame_no, feat,
+             feat - lag(feat) OVER (PARTITION BY video_id ORDER BY frame_no)
+               AS dv
+      FROM fr
+    )
+    SELECT video_id, count(*)::BIGINT AS n_sampled,
+           sum(CASE WHEN abs(dv) > 600 THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+           max(abs(dv))::BIGINT AS max_jump
+    FROM d GROUP BY video_id
+    """,
+)
+def multimodal_scene_cuts(spark, sf_dir):
+    """Video SCENE-CUT detection plumbing: sampled frames (the
+    frame_sample_plan grid, every 7th frame) carry a per-frame
+    feature — here an md5-derived deterministic stand-in for the real
+    decoder's frame embedding (the documented multimodal seam:
+    swapping in a real codec changes ONE pandas-UDF body, none of
+    this dataflow) — and a cut fires when consecutive sampled frames'
+    features jump by more than the threshold. The temporal diff is a
+    lag window PARTITIONED by video (frames per video bounded, never
+    global); output is one row per video with sampled/cut counts —
+    the shard-able shot-segmentation manifest a video-training
+    pipeline stores next to each asset. Exact integer features and
+    diffs; the oracle replays the grid and the hash."""
+    vids = spark.range(128).select(
+        F.col("id").alias("video_id"),
+        (F.col("id") % 100 + 1).cast("long").alias("n_frames"),
+    )
+    fr = vids.select(
+        "video_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(7))
+        ).alias("frame_no"),
+    ).select(
+        "video_id", "frame_no",
+        (F.expr(
+            "CAST(conv(substring(md5(concat('fr', '|',"
+            " CAST(video_id AS STRING), ':', CAST(frame_no AS STRING))),"
+            " 1, 8), 16, 10) AS BIGINT)"
+        ) % 1000).alias("feat"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("video_id").orderBy("frame_no")
+    d = fr.withColumn("dv", F.col("feat") - F.lag("feat").over(w))
+    return d.groupBy("video_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.when(F.abs("dv") > 600, 1).otherwise(0)).cast("bigint")
+          .alias("n_cuts"),
+        F.max(F.abs("dv")).cast("bigint").alias("max_jump"),
+    )
