@@ -153,7 +153,19 @@ _PRIORITY = [
     # graph_ppr_seed, events_conversion_delay, orders_price_volume_mix,
     # text_span_corruption_plan, ann_recall_eval,
     # window_value_range_band, graph_assortativity, ml_learning_curve,
-    # events_gap_histogram, stream_chained_window_aggs.
+    # events_gap_histogram, stream_chained_window_aggs; wave 3:
+    # pyds_custom_source_agg, pyds_stream_source_counts,
+    # pyds_stream_sink_roundtrip, csv_gzip_read_agg,
+    # pipeline_split_leakage_audit, events_bitmap_dau,
+    # events_rolling_wau_bitmap, text_tokenizer_fertility,
+    # events_burst_viterbi, lineitem_ship_latency,
+    # orders_price_drift_chi2, text_pair_lcs_similarity,
+    # graph_scc_closure, ml_pinball_quantile_eval, part_abc_xyz_matrix,
+    # lineitem_returns_pchart, text_length_outliers_mad,
+    # ml_grouped_ols_slopes, embedding_dim_variance_audit,
+    # pipeline_dataset_fingerprint, orders_seasonal_mase_eval,
+    # sketch_cms_merge_rollup, orders_benford_audit,
+    # events_daily_autocorr, multimodal_scene_cuts.
     "stream_watermark_append",
     "sketch_countmin_tokens", "sketch_bloom_membership",
     "graph_pagerank",
