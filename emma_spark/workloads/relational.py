@@ -6988,3 +6988,121 @@ def events_daily_autocorr(spark, sf_dir):
             " / 1000000"
         ).alias("autocorr"),
     )
+
+
+@query(
+    "events_conformance_score",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    tr AS (SELECT prev, event_type AS curr FROM seq WHERE prev IS NOT NULL),
+    allowed(p, c) AS (VALUES
+      ('signup', 'view'), ('view', 'view'), ('view', 'click'),
+      ('click', 'view'), ('click', 'purchase'), ('purchase', 'view'),
+      ('view', 'error'), ('error', 'view')),
+    j AS (
+      SELECT tr.prev, tr.curr,
+             (allowed.p IS NOT NULL) AS ok
+      FROM tr LEFT JOIN allowed
+        ON tr.prev = allowed.p AND tr.curr = allowed.c
+    )
+    SELECT prev, curr, count(*)::BIGINT AS n, any_value(ok) AS conformant
+    FROM j GROUP BY prev, curr
+    """,
+)
+def events_conformance_score(spark, sf_dir):
+    """Process-mining CONFORMANCE CHECKING: observed user-journey
+    transitions audited against the designed process model (the
+    allowed-transition edge list: signup->view->click->purchase with
+    sanctioned loops) — every transition class reported with its
+    volume and whether the model permits it. Non-conformant rows ARE
+    the findings: purchase-without-click, error self-loops, signup
+    re-entry — the deviations a funnel metric averages away but a
+    process auditor must enumerate (the events_markov_transitions
+    matrix with a normative layer joined on). One partitioned lag
+    window + a broadcast join against the tiny model; output bounded
+    by |event types|²."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("prev", F.col("event_type").alias("curr"))
+    )
+    allowed = spark.createDataFrame(
+        [("signup", "view"), ("view", "view"), ("view", "click"),
+         ("click", "view"), ("click", "purchase"), ("purchase", "view"),
+         ("view", "error"), ("error", "view")],
+        "p string, c string",
+    )
+    j = tr.join(
+        F.broadcast(allowed),
+        (F.col("prev") == F.col("p")) & (F.col("curr") == F.col("c")),
+        "left",
+    ).select("prev", "curr", F.col("p").isNotNull().alias("ok"))
+    return j.groupBy("prev", "curr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.any_value(F.col("ok")).alias("conformant"),
+    )
+
+
+@query(
+    "orders_fiscal_445_rollup",
+    oracle="""
+    WITH f AS (
+      SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS rev_c
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+    ),
+    p AS (
+      SELECT wk // 13 AS fq,
+             CASE WHEN wk % 13 < 4 THEN 0
+                  WHEN wk % 13 < 8 THEN 1 ELSE 2 END AS pip,
+             rev_c
+      FROM f
+    )
+    SELECT CAST(fq // 4 AS BIGINT) AS fiscal_year,
+           CAST((fq % 4) * 3 + pip AS BIGINT) AS fiscal_period,
+           count(*)::BIGINT AS n_orders,
+           sum(rev_c)::BIGINT AS revenue_c
+    FROM p GROUP BY 1, 2
+    """,
+)
+def orders_fiscal_445_rollup(spark, sf_dir):
+    """4-4-5 FISCAL CALENDAR rollup — the retail/enterprise reporting
+    calendar (quarters of 4+4+5 whole weeks, so periods align to
+    weekdays and comparisons are week-structure-clean): every date
+    maps to (fiscal year, period 0-11) by PURE INTEGER ARITHMETIC on
+    days-since-fiscal-epoch — week div/mod 13 and the 4/8 breakpoints
+    — no calendar table, no UDF, trivially codegen'd in the scan
+    (contrast with the usual dim_date join: correct too, but this
+    shows the calendar IS arithmetic, so the mapping can live in a
+    partition expression or a generated column). 52-week fiscal years
+    here (the real-world 53rd-week leap rule adds one CASE on the
+    year index — noted, not faked). One hash-agg."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    f = o.filter(F.col("o_orderdate").cast("date") >= F.lit("1995-01-01").cast("date")).select(
+        F.expr("datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') div 7")
+          .alias("wk"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+          .alias("rev_c"),
+    )
+    p = f.select(
+        F.expr("wk div 13").alias("fq"),
+        F.expr("CASE WHEN wk % 13 < 4 THEN 0 WHEN wk % 13 < 8 THEN 1"
+               " ELSE 2 END").alias("pip"),
+        "rev_c",
+    )
+    return p.groupBy(
+        F.expr("CAST(fq div 4 AS BIGINT)").alias("fiscal_year"),
+        F.expr("CAST((fq % 4) * 3 + pip AS BIGINT)").alias("fiscal_period"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("rev_c").alias("revenue_c"),
+    )
