@@ -7106,3 +7106,77 @@ def orders_fiscal_445_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("rev_c").alias("revenue_c"),
     )
+
+
+@query(
+    "orders_weekday_anova",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+             CAST(floor(o_totalprice + 0.5) AS BIGINT) AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT dow, count(*)::HUGEINT AS n, sum(y)::HUGEINT AS s,
+             sum(y::HUGEINT * y) AS ss
+      FROM d GROUP BY dow
+    ),
+    t AS (
+      SELECT sum(n) AS tn, sum(s) AS ts, sum(ss) AS tss,
+             count(*)::HUGEINT AS k,
+             sum((s * s) // n) AS sgm
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups, CAST(tn AS BIGINT) AS n_rows,
+           CAST(sgm - (ts * ts) // tn AS BIGINT) AS ssb_q,
+           CAST(tss - sgm AS BIGINT) AS ssw_q,
+           floor((CAST(sgm - (ts * ts) // tn AS DOUBLE)
+                  / CAST(k - 1 AS DOUBLE))
+                 / (CAST(tss - sgm AS DOUBLE) / CAST(tn - k AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS f_stat
+    FROM t
+    """,
+)
+def orders_weekday_anova(spark, sf_dir):
+    """One-way ANOVA: does mean order value differ by WEEKDAY? The
+    F statistic from the classic sum-of-squares decomposition,
+    assembled from per-group (n, Σy, Σy²) in ONE hash-agg: between-
+    groups SS = Σ(Sg²/ng) − (ΣY)²/N and within SS = ΣY² − Σ(Sg²/ng),
+    every term an exact HUGEINT/DECIMAL expression (values quantized
+    to whole DOLLARS so the dollar² sums stay inside the BIGINT output
+    columns at any SF; the per-group integral divide floors at that
+    scale — noise orders of magnitude below any real effect, and
+    IDENTICAL on both engines, which is what the hash needs); the one float step is
+    the final mean-square ratio, op-order mirrored and 1e-6 quantized.
+    TPC-H dates are weekday-uniform so F ≈ 0 — the null-calibration
+    readout, same philosophy as the A/B null experiment. The
+    moment-sum pattern means 7 groups or 7 million behave identically
+    in the plan."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    dec = "decimal(38,0)"
+    d = o.select(
+        F.dayofweek(F.col("o_orderdate").cast("date")).cast("bigint").alias("dow"),
+        F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    g = d.groupBy("dow").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("y").cast(dec)).alias("s"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("ss"),
+    )
+    t = g.agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts"), F.sum("ss").alias("tss"),
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum(F.expr("(s * s) div n")).alias("sgm"),
+    )
+    return t.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.col("tn").cast("bigint").alias("n_rows"),
+        F.expr("CAST(sgm - (ts * ts) div tn AS BIGINT)").alias("ssb_q"),
+        F.expr("CAST(tss - sgm AS BIGINT)").alias("ssw_q"),
+        F.expr(
+            "floor((CAST(sgm - (ts * ts) div tn AS DOUBLE)"
+            " / CAST(k - 1 AS DOUBLE))"
+            " / (CAST(tss - sgm AS DOUBLE) / CAST(tn - k AS DOUBLE))"
+            " * 1000000 + 0.5) / 1000000"
+        ).alias("f_stat"),
+    )

@@ -2134,3 +2134,60 @@ def text_length_outliers_mad(spark, sf_dir):
             "n_docs",
         )
     )
+
+
+@query(
+    "text_mattr_diversity",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {SQL_TOKS} AS toks FROM documents WHERE doc_id % 5 = 0
+    ),
+    w AS (
+      SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+             CASE WHEN len(toks) < 25 THEN NULL ELSE
+               list_transform(range(1, len(toks) - 23),
+                              i -> len(list_distinct(toks[i:i+24])))
+             END AS wd
+      FROM d
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN wd IS NULL THEN NULL
+                ELSE CAST(list_sum(wd) * 1000000 // (len(wd) * 25) AS BIGINT)
+           END AS mattr_ppm
+    FROM w
+    """,
+)
+def text_mattr_diversity(spark, sf_dir):
+    """MATTR — moving-average type-token ratio (Covington & McFall
+    2010), the lexical-diversity metric that fixes plain TTR's
+    length bias (TTR falls mechanically as documents grow; MATTR
+    averages distinct/window over every sliding 25-token window, so
+    scores compare across lengths): per window the distinct-type
+    count, summed exactly and divided once into ppm. Documents
+    shorter than the window are NULL (not a fake score). Pure array
+    HOFs — sliding windows via slice() over the token array, a
+    zero-shuffle narrow map (the O(n·w) per-row cost is the
+    documented price; corpus-scale cost is linear in tokens). The
+    %5 sparsify bounds the quadratic-ish per-row work in the oracle
+    at every SF."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    d = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    )
+    w = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CASE WHEN size(toks) < 25 THEN NULL ELSE"
+            " transform(sequence(1, size(toks) - 24),"
+            " i -> size(array_distinct(slice(toks, i, 25)))) END"
+        ).alias("wd"),
+    )
+    return w.select(
+        "doc_id", "n_tokens",
+        F.expr(
+            "CASE WHEN wd IS NULL THEN NULL ELSE"
+            " CAST(aggregate(wd, 0L, (a, x) -> a + x) * 1000000"
+            " div (size(wd) * 25) AS BIGINT) END"
+        ).alias("mattr_ppm"),
+    )
