@@ -1832,3 +1832,107 @@ def ml_grouped_ols_slopes(spark, sf_dir):
             " / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000"
         ).alias("intercept_q"),
     )
+
+
+# cumulative Poisson(1) thresholds in ppm — quantized ONCE, shared as
+# literals by both engines (the Benford rule for transcendental
+# constants): P(X<=k) for k = 0..4, tail capped at weight 5
+_POIS_PPM = (367879, 735759, 919699, 981012, 996340)
+
+
+def _boot_weight(u: str) -> str:
+    t = _POIS_PPM
+    return (
+        f"CASE WHEN {u} < {t[0]} THEN 0 WHEN {u} < {t[1]} THEN 1"
+        f" WHEN {u} < {t[2]} THEN 2 WHEN {u} < {t[3]} THEN 3"
+        f" WHEN {u} < {t[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@query(
+    "ml_bootstrap_ci_poisson",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    w AS (
+      SELECT b.b, x.v,
+             {_boot_weight("CAST(concat('0x', substr(md5('bs|' || CAST(b.b AS VARCHAR) || '|' || CAST(x.event_id AS VARCHAR)), 1, 14)) AS BIGINT) % 1000000")}
+               AS wt
+      FROM x, (SELECT unnest(range(32)) AS b) b
+    ),
+    reps AS (
+      SELECT b, sum(wt::HUGEINT * v) // sum(wt::HUGEINT) AS mean_c
+      FROM w GROUP BY b HAVING sum(wt) > 0
+    ),
+    arr AS (SELECT list_sort(list(mean_c)) AS ms, count(*)::BIGINT AS nb
+            FROM reps),
+    pt AS (SELECT sum(v)::HUGEINT // count(*) AS point_c,
+                  count(*)::BIGINT AS n FROM x)
+    SELECT pt.n, CAST(pt.point_c AS BIGINT) AS point_mean_c,
+           arr.nb AS n_replicates,
+           CAST(ms[2] AS BIGINT) AS boot_lo_c,
+           CAST(ms[nb - 1] AS BIGINT) AS boot_hi_c,
+           CAST(ms[(nb + 1) // 2] AS BIGINT) AS boot_median_c
+    FROM pt, arr
+    """,
+)
+def ml_bootstrap_ci_poisson(spark, sf_dir):
+    """BOOTSTRAP confidence interval at scale — the POISSON bootstrap
+    (Chamandy et al., Google 2012): classic resampling needs n draws
+    per replicate from a global index (un-distributable); instead
+    each row independently receives a Poisson(1)-distributed weight
+    per replicate, giving statistically equivalent resamples in ONE
+    scan with per-row arithmetic. Weights are DETERMINISTIC — md5 of
+    (replicate, event_id) inverted through the Poisson(1) CDF encoded
+    as ppm literal thresholds (the Benford rule: transcendental
+    constants quantized once and shared, never recomputed via exp())
+    — so every engine, partitioning and rerun draws the same 32
+    resamples. Replicate means in exact integer cents; the CI is read
+    from the SORTED 32-element replicate array (2nd / 31st order
+    statistics ≈ 2.5/97.5%). Plan: 32× row amplification via a tiny
+    cross join folded into ONE hash-agg of (Σwv, Σw) per replicate —
+    at 100 TB you'd carry the 32 weights as an array column and
+    posexplode, identical shape; everything after the agg is 32
+    rows."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    dec = "decimal(38,0)"
+    x = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    b = spark.range(32).select(F.col("id").alias("b"))
+    u = ("CAST(conv(substring(md5(concat('bs|', CAST(b AS STRING), '|',"
+         " CAST(event_id AS STRING))), 1, 14), 16, 10) AS BIGINT) % 1000000")
+    w = x.crossJoin(F.broadcast(b)).select(
+        "b", "v", F.expr(_boot_weight(u)).alias("wt")
+    )
+    reps = (
+        w.groupBy("b")
+        .agg(
+            F.sum(F.col("wt").cast(dec) * F.col("v")).alias("swv"),
+            F.sum(F.col("wt").cast(dec)).alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(F.expr("swv div sw").alias("mean_c"))
+    )
+    arr = reps.agg(
+        F.sort_array(F.collect_list("mean_c")).alias("ms"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    pt = x.agg(
+        F.expr(f"CAST(sum(CAST(v AS {dec})) div count(*) AS {dec})")
+          .alias("point_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return pt.crossJoin(F.broadcast(arr)).select(
+        "n",
+        F.col("point_c").cast("bigint").alias("point_mean_c"),
+        F.col("nb").alias("n_replicates"),
+        F.expr("CAST(element_at(ms, 2) AS BIGINT)").alias("boot_lo_c"),
+        F.expr("CAST(element_at(ms, CAST(nb - 1 AS INT)) AS BIGINT)")
+          .alias("boot_hi_c"),
+        F.expr("CAST(element_at(ms, CAST((nb + 1) div 2 AS INT)) AS BIGINT)")
+          .alias("boot_median_c"),
+    )
