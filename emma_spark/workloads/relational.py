@@ -7180,3 +7180,92 @@ def orders_weekday_anova(spark, sf_dir):
             " * 1000000 + 0.5) / 1000000"
         ).alias("f_stat"),
     )
+
+
+@query(
+    "orders_jarque_bera",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice / 1000 + 0.5) AS BIGINT) AS x
+      FROM orders
+    ),
+    s AS (
+      SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s1,
+             sum(x::HUGEINT * x) AS s2,
+             sum(x::HUGEINT * x * x) AS s3,
+             sum(x::HUGEINT * x * x * x) AS s4
+      FROM d
+    ),
+    m AS (
+      SELECT CAST(n AS DOUBLE) AS nd,
+             CAST(n * s2 - s1 * s1 AS DOUBLE) AS m2s,
+             CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)
+               AS m3s,
+             CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+                  + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS DOUBLE)
+               AS m4s,
+             CAST(n AS BIGINT) AS n
+      FROM s
+    )
+    SELECT n,
+           floor((m3s / nd) / sqrt((m2s / nd) * (m2s / nd) * (m2s / nd) / nd)
+                 * 1000000 + 0.5) / 1000000 AS skewness_q,
+           floor((m4s / nd / nd) / ((m2s / nd) * (m2s / nd)) * 1000000 + 0.5)
+             / 1000000 AS kurtosis_q,
+           floor(nd / 6 * ((m3s / nd) / sqrt((m2s / nd) * (m2s / nd)
+                     * (m2s / nd) / nd) * ((m3s / nd)
+                     / sqrt((m2s / nd) * (m2s / nd) * (m2s / nd) / nd))
+                 + ((m4s / nd / nd) / ((m2s / nd) * (m2s / nd)) - 3)
+                   * ((m4s / nd / nd) / ((m2s / nd) * (m2s / nd)) - 3) / 4)
+                 * 100 + 0.5) / 100 AS jb_stat
+    FROM m
+    """,
+)
+def orders_jarque_bera(spark, sf_dir):
+    """JARQUE-BERA normality test on order values: JB = n/6·(S² +
+    (K−3)²/4) from skewness and kurtosis — huge here, since TPC-H
+    prices are uniform (kurtosis → 1.8, far from the normal 3): the
+    distribution-shape audit that should gate any 'mean ± z·sigma'
+    alerting rule (normal-theory bands on non-normal data page people
+    for nothing). All four raw power sums are exact HUGEINT/DECIMAL
+    (dollar-quantized; x⁴ sums stay < 10^38 by orders of magnitude),
+    the central-moment expansions (n·S2−S1², the n²S3/n³S4 forms)
+    are exact integer algebra CAST ONCE to double, and the remaining
+    ratio/sqrt pipeline is op-order mirrored — the moment-statistics
+    recipe (assortativity, CUPED, ANOVA) at its fourth power. One
+    scan, one row."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    dec = "decimal(38,0)"
+    d = o.select(
+        F.expr("CAST(floor(o_totalprice / 1000 + 0.5) AS BIGINT)").alias("x"))
+    s = d.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("s1"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("s2"),
+        F.sum(F.col("x").cast(dec) * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(F.col("x").cast(dec) * F.col("x") * F.col("x") * F.col("x"))
+          .alias("s4"),
+    )
+    m = s.select(
+        F.expr("CAST(n AS DOUBLE)").alias("nd"),
+        F.expr("CAST(n * s2 - s1 * s1 AS DOUBLE)").alias("m2s"),
+        F.expr(
+            "CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)"
+        ).alias("m3s"),
+        F.expr(
+            "CAST(n * n * n * s4 - 4 * n * n * s1 * s3"
+            " + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS DOUBLE)"
+        ).alias("m4s"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    skew = ("(m3s / nd) / sqrt((m2s / nd) * (m2s / nd) * (m2s / nd) / nd)")
+    kurt = "(m4s / nd / nd) / ((m2s / nd) * (m2s / nd))"
+    return m.select(
+        "n",
+        F.expr(f"floor({skew} * 1000000 + 0.5) / 1000000").alias("skewness_q"),
+        F.expr(f"floor({kurt} * 1000000 + 0.5) / 1000000").alias("kurtosis_q"),
+        F.expr(
+            f"floor(nd / 6 * ({skew} * ({skew})"
+            f" + ({kurt} - 3) * ({kurt} - 3) / 4) * 100 + 0.5) / 100"
+        ).alias("jb_stat"),
+    )
