@@ -7269,3 +7269,58 @@ def orders_jarque_bera(spark, sf_dir):
             f" + ({kurt} - 3) * ({kurt} - 3) / 4) * 100 + 0.5) / 100"
         ).alias("jb_stat"),
     )
+
+
+@query(
+    "io_wholetext_documents",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 3)
+    SELECT doc_id, length(text)::BIGINT AS n_chars,
+           (length(text) - length(replace(text, ' ', '')))::BIGINT
+             AS n_spaces
+    FROM d
+    """,
+)
+def io_wholetext_documents(spark, sf_dir):
+    """WHOLE-FILE text ingestion (``spark.read.text(...,
+    wholetext=True)``): one row per FILE, not per line — the mode for
+    document corpora stored file-per-doc (the pre-JSONL reality of
+    most scraped/archival text), where line-splitting would shred
+    documents mid-paragraph. A bounded sample of documents is staged
+    file-per-doc (file name = doc id, recovered at read time via
+    input_file_name — metadata-only lineage, no content parsing),
+    read back whole, and verified against the source rows. Scale
+    note: file-per-doc at 100 TB means millions of tiny files — the
+    read parallelizes per file but listing dominates; the first job
+    of a real pipeline is exactly this read, immediately compacted
+    into parquet/JSONL (jsonl_roundtrip_agg), never re-read raw."""
+    import os
+    import tempfile
+
+    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    sample = docs.filter(F.col("doc_id") % 100 == 3).select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="emma_wholetext_")
+    # bounded stage: 1% of docs, written file-per-doc (the layout
+    # under test); foreachPartition keeps the write executor-side
+    def write_part(rows):
+        for r in rows:
+            with open(os.path.join(d, f"{r.doc_id}.txt"), "w") as fh:
+                fh.write(r.text)
+
+    sample.foreachPartition(write_part)
+    back = (
+        spark.read.text(d + "/*.txt", wholetext=True)
+        .select(
+            F.expr(
+                "CAST(regexp_extract(input_file_name(), '([0-9]+)\\\\.txt$', 1)"
+                " AS BIGINT)"
+            ).alias("doc_id"),
+            F.col("value").alias("text"),
+        )
+    )
+    return back.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))))
+          .cast("bigint").alias("n_spaces"),
+    )

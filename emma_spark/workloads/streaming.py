@@ -980,3 +980,52 @@ def pyds_stream_sink_roundtrip(spark, sf_dir):
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+@query(
+    "stream_two_source_union",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))::BIGINT AS total_q
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_two_source_union(spark, sf_dir):
+    """MULTI-SOURCE streaming topology: the events table split across
+    TWO directories (even/odd event ids — standing in for the
+    history-shard + live-shard layout of a backfill-then-tail
+    deployment), each read as its own file-source stream, UNIONED
+    into one streaming DataFrame and aggregated — the drained result
+    must equal the batch aggregate over everything, proving no rows
+    are lost or double-counted at the union seam. Each source keeps
+    its own offset log in the shared checkpoint; the union is a plan
+    operator, not a storage merge. This is the lambda-architecture
+    collapse Structured Streaming enables: history and tail run
+    through ONE query instead of two systems."""
+    import os
+    import tempfile
+
+    src = f"{sf_dir}/events.parquet"
+    stamp = f"{os.path.getmtime(src):.0f}_{os.path.getsize(src)}_split"
+    base = os.path.join(
+        tempfile.gettempdir(), f"emma_split_{abs(hash((sf_dir, stamp)))}"
+    )
+    ev = io.read_parquet(spark, src).df
+    if not (os.path.exists(os.path.join(base, "even", "_SUCCESS"))
+            and os.path.exists(os.path.join(base, "odd", "_SUCCESS"))):
+        ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+            os.path.join(base, "even"))
+        ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+            os.path.join(base, "odd"))
+    schema = ev.schema
+    s1 = S.read_stream_parquet(spark, os.path.join(base, "even"), schema)
+    s2 = S.read_stream_parquet(spark, os.path.join(base, "odd"), schema)
+    u = s1.unionByName(s2)
+    agg = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint"))
+          .alias("total_q"),
+    )
+    name = f"stream_union_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, output_mode="complete", state_partitions=4)
+    return spark.table(name)

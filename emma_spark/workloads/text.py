@@ -2191,3 +2191,51 @@ def text_mattr_diversity(spark, sf_dir):
             " div (size(wd) * 25) AS BIGINT) END"
         ).alias("mattr_ppm"),
     )
+
+
+@query(
+    "text_hapax_ratio",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({SQL_TOKS}) AS t FROM documents),
+    tf AS (SELECT t, count(*)::HUGEINT AS c FROM toks GROUP BY t)
+    SELECT count(*)::BIGINT AS vocab_size,
+           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::HUGEINT * 1000000
+                // count(*) AS BIGINT) AS hapax_vocab_ppm,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::HUGEINT * 1000000
+                // sum(c) AS BIGINT) AS hapax_token_ppm,
+           CAST(sum(c) AS BIGINT) AS n_tokens
+    FROM tf
+    """,
+)
+def text_hapax_ratio(spark, sf_dir):
+    """HAPAX LEGOMENA ratio — corpus-linguistics vocabulary-growth
+    signal: the fraction of vocabulary types occurring exactly once
+    (and their share of the token mass). High hapax fraction = open
+    vocabulary still growing (expect new types with more data; also
+    the OOV-rate predictor for a fixed tokenizer); low = saturated or
+    template-heavy corpus (this synthetic one, by construction). One
+    token hash-agg into the (type, count) relation and one bounded
+    agg over it — the vocabulary table is the SAME relation
+    text_vocab_coverage / build_dict consume, so in a real pipeline
+    this is a free rider on the vocab build. Exact integer ppm."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    dec = "decimal(38,0)"
+    tf = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("t"))
+        .groupBy("t").agg(F.count(F.lit(1)).cast(dec).alias("c"))
+    )
+    return tf.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
+          .alias("n_hapax"),
+        F.expr(
+            f"CAST(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS {dec})"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("hapax_vocab_ppm"),
+        F.expr(
+            f"CAST(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS {dec})"
+            " * 1000000 div sum(c) AS BIGINT)"
+        ).alias("hapax_token_ppm"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
