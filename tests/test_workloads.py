@@ -109,3 +109,42 @@ def test_rolling_wau_bitmap_equals_direct_distinct(spark):
         for k in range(max(lo, d - 6), d + 1):
             users |= by_day.get(k, set())
         assert got[d] == len(users), d
+
+
+def test_quantized_constants_are_correctly_rounded():
+    """The ppm literals shared by both engines (the only sanctioned
+    way to use transcendental constants cross-engine) must be the
+    correctly-rounded quantizations of their definitions: Benford
+    log10(1+1/d) and the Poisson(1) CDF."""
+    import math
+
+    from emma_spark.workloads.ml import _POIS_PPM
+
+    ben = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+           6: 66947, 7: 57992, 8: 51153, 9: 45757}
+    for d, ppm in ben.items():
+        assert round(math.log10(1 + 1 / d) * 1e6) == ppm, d
+    cum = 0.0
+    for k, t in enumerate(_POIS_PPM):
+        cum += math.exp(-1) / math.factorial(k)
+        assert round(cum * 1e6) == t, k
+
+
+def test_fiscal_445_mapping_matches_reference_calendar():
+    """The integer 4-4-5 arithmetic must agree with an explicit
+    Python enumeration of the fiscal calendar."""
+    def fiscal(days_since_epoch):
+        wk = days_since_epoch // 7
+        fq = wk // 13
+        w = wk % 13
+        pip = 0 if w < 4 else (1 if w < 8 else 2)
+        return fq // 4, (fq % 4) * 3 + pip
+
+    # reference: enumerate weeks with the 4/4/5 pattern explicitly
+    pattern = [0] * 4 + [1] * 4 + [2] * 5  # weeks -> period-in-quarter
+    for day in range(0, 7 * 52 * 3, 3):
+        wk = day // 7
+        year, period = fiscal(day)
+        assert year == wk // 52
+        q_in_year = (wk % 52) // 13
+        assert period == q_in_year * 3 + pattern[wk % 13]
