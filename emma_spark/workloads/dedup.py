@@ -578,3 +578,61 @@ def pipeline_split_leakage_audit(spark, sf_dir):
             " END AS BIGINT)"
         ).alias("eval_contaminated_ppm"),
     )
+
+
+@query(
+    "dedup_lsh_bucket_stats",
+    oracle=f"""
+    WITH sig AS ({_sig_sql(shingle=5)}),
+    buckets AS (
+      SELECT 0 AS band, mh0 * 4294967311 + mh1 AS key FROM sig
+        WHERE mh0 IS NOT NULL
+      UNION ALL
+      SELECT 1, mh2 * 4294967311 + mh3 FROM sig WHERE mh2 IS NOT NULL
+    ),
+    bs AS (SELECT band, key, count(*)::HUGEINT AS sz
+           FROM buckets GROUP BY 1, 2)
+    SELECT CAST(band AS BIGINT) AS band,
+           count(*)::BIGINT AS n_buckets,
+           CAST(max(sz) AS BIGINT) AS max_bucket,
+           CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS singleton_buckets
+    FROM bs GROUP BY band
+    """,
+)
+def dedup_lsh_bucket_stats(spark, sf_dir):
+    """LSH bucket-distribution INTROSPECTION — the pre-flight the
+    repo's own scale notes keep citing: every banded join costs
+    Σ|bucket|·(|bucket|−1)/2 candidate comparisons, so this query
+    computes that number EXACTLY per band (plus max bucket and
+    singleton count) BEFORE anyone runs the join — the mega-bucket
+    early-warning (a near-duplicate-saturated corpus collapses into
+    one giant bucket and the 'bucketed' join silently goes
+    quadratic; the documented mitigation is exact-dedup-first, as
+    pipeline_corpus_curation orders its stages). Band keys widen
+    (mh0·p + mh1) with a >32-bit prime multiplier so distinct
+    signature pairs cannot collide in the key (widened-slot rule).
+    One signature build + one bucket hash-agg; output is 2 rows.
+    The same introspection applied to dq_join_explosion_audit's
+    general joins, specialized to the minhash banding layout."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    sig = D.minhash_signature(docs, shingle=5)
+    dec = "decimal(38,0)"
+    P = "4294967311"
+    b0 = sig.filter(F.col("mh0").isNotNull()).select(
+        F.lit(0).alias("band"),
+        F.expr(f"CAST(mh0 AS {dec}) * {P} + mh1").alias("key"))
+    b1 = sig.filter(F.col("mh2").isNotNull()).select(
+        F.lit(1).alias("band"),
+        F.expr(f"CAST(mh2 AS {dec}) * {P} + mh3").alias("key"))
+    bs = b0.unionByName(b1).groupBy("band", "key").agg(
+        F.count(F.lit(1)).cast(dec).alias("sz"))
+    return bs.groupBy(F.col("band").cast("bigint").alias("band")).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").cast("bigint").alias("max_bucket"),
+        F.expr("CAST(sum(sz * (sz - 1) div 2) AS BIGINT)")
+          .alias("candidate_pairs"),
+        F.expr("CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)")
+          .alias("singleton_buckets"),
+    )
