@@ -7324,3 +7324,111 @@ def io_wholetext_documents(spark, sf_dir):
         (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))))
           .cast("bigint").alias("n_spaces"),
     )
+
+
+@query(
+    "sample_topk_per_group_hash",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS pri, o_orderkey,
+             CAST(concat('0x', substr(md5('smp' || '|'
+                  || CAST(o_orderkey AS VARCHAR)), 1, 14)) AS BIGINT)
+               AS prio
+      FROM orders
+    )
+    SELECT pri, o_orderkey FROM (
+      SELECT pri, o_orderkey,
+             row_number() OVER (PARTITION BY pri ORDER BY prio, o_orderkey)
+               AS rk
+      FROM r
+    ) WHERE rk <= 20
+    """,
+)
+def sample_topk_per_group_hash(spark, sf_dir):
+    """PER-GROUP deterministic sampling: exactly 20 rows per priority
+    class, chosen by md5 hash priority — the bounded-validation-set
+    builder (eval slices, human-review queues, per-segment debugging
+    samples) with the repo's sampling contract: hash priorities make
+    the sample a pure FUNCTION of the data (stable across engines,
+    partitionings, reruns, and insert order — RANDOM() is none of
+    those, and 'first 20 per group' is insert-order-dependent). The
+    rank window is PARTITIONED per group; at 100 TB a pre-filter on
+    the hash (prio < threshold estimated from group counts) trims the
+    window input first — same result, documented fast path. Id
+    tie-break keeps the pathological equal-hash case deterministic
+    too."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    r = o.select(
+        F.col("o_orderpriority").alias("pri"), "o_orderkey",
+        F.expr(
+            "CAST(conv(substring(md5(concat('smp', '|',"
+            " CAST(o_orderkey AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+        ).alias("prio"),
+    )
+    w = Window.partitionBy("pri").orderBy("prio", "o_orderkey")
+    return (
+        r.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("pri", "o_orderkey")
+    )
+
+
+@query(
+    "events_slo_burn_rate",
+    oracle="""
+    WITH h AS (
+      SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) // 3600000000 AS hr,
+             count(*)::HUGEINT AS n,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::HUGEINT
+               AS e
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT hr, n, e,
+             sum(n) OVER w AS n6, sum(e) OVER w AS e6
+      FROM h
+      WINDOW w AS (ORDER BY hr RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(hr AS BIGINT) AS hr,
+           CAST(e * 1000000 // n AS BIGINT) AS err_ppm,
+           CAST(e6 * 1000000 // n6 AS BIGINT) AS err_ppm_6h,
+           CAST(e6 * 1000000 // n6 // 10000 AS BIGINT) AS burn_rate_x,
+           (e6 * 100 > n6) AS budget_violated
+    FROM r
+    """,
+)
+def events_slo_burn_rate(spark, sf_dir):
+    """SLO BURN-RATE monitoring (the SRE-workbook multiwindow alert):
+    hourly error fraction and its 6-hour rolling aggregate against a
+    99% SLO — burn rate = observed error rate / error budget (1%), in
+    exact integers (rate ppm div 10⁴ = multiples of budget;
+    violation = e6·100 > n6, cross-multiplied). The rolling window is
+    a value-RANGE frame over the BOUNDED hourly table (hours in the
+    corpus span — never raw events), so gaps in traffic shrink the
+    denominator instead of silently reusing stale hours. The
+    synthetic corpus runs ~20% 'error' events, i.e. permanently ~20×
+    burn — a pager-storm fixture; the query structure is the
+    production one."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    dec = "decimal(38,0)"
+    h = e.groupBy(
+        F.expr("CAST(CAST(date_trunc('hour', ts) AS LONG) div 3600 AS BIGINT)")
+          .alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast(dec)
+          .alias("e"),
+    )
+    w = Window.orderBy("hr").rangeBetween(-5, 0)
+    r = h.select(
+        "hr", "n", "e",
+        F.sum("n").over(w).alias("n6"), F.sum("e").over(w).alias("e6"),
+    )
+    return r.select(
+        F.col("hr").cast("bigint").alias("hr"),
+        F.expr("CAST(e * 1000000 div n AS BIGINT)").alias("err_ppm"),
+        F.expr("CAST(e6 * 1000000 div n6 AS BIGINT)").alias("err_ppm_6h"),
+        F.expr("CAST(e6 * 1000000 div n6 div 10000 AS BIGINT)")
+          .alias("burn_rate_x"),
+        F.expr("(e6 * 100 > n6)").alias("budget_violated"),
+    )
