@@ -2239,3 +2239,54 @@ def text_hapax_ratio(spark, sf_dir):
         ).alias("hapax_token_ppm"),
         F.sum("c").cast("bigint").alias("n_tokens"),
     )
+
+
+@query(
+    "text_char_coverage_vocab",
+    oracle="""
+    WITH ch AS (
+      SELECT unnest(string_split(lower(text), '')) AS c FROM documents
+    ),
+    cf AS (SELECT c, count(*)::HUGEINT AS n FROM ch WHERE c != ''
+           GROUP BY c),
+    tot AS (SELECT sum(n) AS tn, count(*)::BIGINT AS alphabet FROM cf),
+    topk AS (SELECT c, n FROM cf ORDER BY n DESC, c LIMIT 20)
+    SELECT (SELECT alphabet FROM tot) AS alphabet_size,
+           (SELECT CAST(tn AS BIGINT) FROM tot) AS total_chars,
+           (SELECT CAST(sum(n) AS BIGINT) FROM topk) AS top20_chars,
+           (SELECT CAST(sum(n) * 1000000 // (SELECT tn FROM tot) AS BIGINT)
+            FROM topk) AS coverage_ppm
+    """,
+)
+def text_char_coverage_vocab(spark, sf_dir):
+    """CHARACTER COVERAGE for tokenizer-vocabulary planning — the
+    statistic behind sentencepiece's character_coverage knob: what
+    fraction of the corpus's character mass do the top-K characters
+    carry? (Set the byte/char fallback threshold too low and CJK
+    corpora overflow into <unk>; too high and the vocab wastes slots
+    on noise glyphs.) Top-K selection is a distributed TakeOrdered
+    over the character-frequency relation — bounded by the ALPHABET,
+    the text_vocab_coverage discipline (never a global window over
+    corpus-sized data); counts exact, coverage an integer ppm. The
+    char explode is linear in corpus size and runs once per vocab
+    build."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    dec = "decimal(38,0)"
+    cf = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("c").agg(F.count(F.lit(1)).cast(dec).alias("n"))
+    )
+    tot = cf.agg(F.sum("n").alias("tn"), F.count(F.lit(1)).alias("alphabet"))
+    topk = cf.orderBy(F.desc("n"), "c").limit(20)
+    tk = topk.agg(F.sum("n").alias("top_n"))
+    return (
+        tot.crossJoin(F.broadcast(tk))
+        .select(
+            F.col("alphabet").alias("alphabet_size"),
+            F.col("tn").cast("bigint").alias("total_chars"),
+            F.col("top_n").cast("bigint").alias("top20_chars"),
+            F.expr("CAST(top_n * 1000000 div tn AS BIGINT)")
+              .alias("coverage_ppm"),
+        )
+    )
