@@ -7432,3 +7432,57 @@ def events_slo_burn_rate(spark, sf_dir):
           .alias("burn_rate_x"),
         F.expr("(e6 * 100 > n6)").alias("budget_violated"),
     )
+
+
+@query(
+    "events_cumulative_unique_users",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id,
+             min(epoch_us(time_bucket(INTERVAL 1 DAY, ts)) // 86400000000)
+               AS first_day
+      FROM events GROUP BY user_id
+    ),
+    nd AS (SELECT first_day AS day, count(*)::HUGEINT AS new_users
+           FROM fs GROUP BY 1),
+    days AS (
+      SELECT DISTINCT epoch_us(time_bucket(INTERVAL 1 DAY, ts))
+               // 86400000000 AS day
+      FROM events
+    )
+    SELECT CAST(d.day AS BIGINT) AS day,
+           CAST(coalesce(nd.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(nd.new_users, 0))
+                  OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_users
+    FROM days d LEFT JOIN nd ON d.day = nd.day
+    """,
+)
+def events_cumulative_unique_users(spark, sf_dir):
+    """Cumulative UNIQUE users by day — the growth-accounting curve —
+    via the FIRST-SEEN reduction: a running count-distinct is
+    non-decomposable (every prefix re-counts the set), but each user
+    contributes exactly once, on their first-seen day, so cumulative
+    distinct = cumsum of first-seen counts: one per-user min, one
+    per-day count, one cumsum over the BOUNDED day table. The third
+    member of the distinct-counting family: bitmap OR for rolling
+    windows (events_rolling_wau_bitmap), HLL for sketched unions,
+    first-seen for CUMULATIVE — each exact where the other is wrong
+    or wasteful. New-user counts ride along (the daily acquisition
+    readout)."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    dec = "decimal(38,0)"
+    day = F.expr("CAST(CAST(date_trunc('day', ts) AS LONG) div 86400 AS BIGINT)")
+    fs = e.select("user_id", day.alias("day")).groupBy("user_id").agg(
+        F.min("day").alias("first_day"))
+    nd = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast(dec).alias("new_users"))
+    days = e.select(day.alias("day")).distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    j = days.join(nd, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0).cast(dec)).alias("new_users"))
+    return j.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
