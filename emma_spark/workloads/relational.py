@@ -7486,3 +7486,66 @@ def events_cumulative_unique_users(spark, sf_dir):
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+@query(
+    "lineitem_skyline_price_qty",
+    oracle="""
+    WITH pts AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem WHERE l_orderkey % 13 = 0
+    ),
+    sky AS (
+      SELECT p.*,
+             coalesce(max(qty) OVER (ORDER BY price_c
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1) AS best_cheaper,
+             count(*) OVER (PARTITION BY price_c, qty) AS dup_n,
+             max(qty) OVER (PARTITION BY price_c) AS best_same_price
+      FROM pts p
+    )
+    SELECT l_orderkey, l_linenumber, price_c, qty
+    FROM sky
+    WHERE qty > best_cheaper AND qty = best_same_price
+    """,
+)
+def lineitem_skyline_price_qty(spark, sf_dir):
+    """SKYLINE (Pareto frontier) operator — minimize price, maximize
+    quantity: a line item survives iff NO other point is cheaper with
+    at least its quantity (and no same-price point beats it) — the
+    multi-criteria shortlist (supplier offers, hotel price/rating)
+    relational algebra cannot express without self-join quadratics.
+    The 1-D-sweep formulation: sort by price, a point is skyline iff
+    its qty exceeds the running max over STRICTLY cheaper points — a
+    value-RANGE window (UNBOUNDED .. 1 PRECEDING on integer cents
+    excludes price ties exactly) plus a same-price max. At 100 TB the
+    global price ordering decomposes two-level: per price-BUCKET maxima
+    (bounded relation) prefilter candidates — only rows beating every
+    strictly-cheaper bucket's max survive to a final pass over the
+    shortlist; the sweep here is the semantics both levels implement.
+    Exact integers; %13 sparsify keeps outputs stable-sized across
+    SFs."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    pts = li.filter(F.col("l_orderkey") % 13 == 0).select(
+        "l_orderkey", "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+          .alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    w_cheaper = (
+        Window.orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_c")
+    sky = pts.select(
+        "l_orderkey", "l_linenumber", "price_c", "qty",
+        F.coalesce(F.max("qty").over(w_cheaper), F.lit(-1))
+          .alias("best_cheaper"),
+        F.max("qty").over(w_same).alias("best_same_price"),
+    )
+    return sky.filter(
+        (F.col("qty") > F.col("best_cheaper"))
+        & (F.col("qty") == F.col("best_same_price"))
+    ).select("l_orderkey", "l_linenumber", "price_c", "qty")
