@@ -1268,3 +1268,92 @@ def graph_scc_closure(spark, sf_dir):
             F.count(F.lit(1)).alias("scc_size"),
         )
     )
+
+
+_TRUSS_EDGES = """
+      SELECT least(n_nationkey, d) AS u, greatest(n_nationkey, d) AS v
+      FROM (
+        SELECT n_nationkey, (n_nationkey + 1) % 25 AS d FROM nation
+        UNION ALL
+        SELECT n_nationkey, (6 * n_nationkey + 1) % 25 FROM nation
+        UNION ALL
+        SELECT n_nationkey, (n_nationkey * n_nationkey + 3) % 25 FROM nation
+      ) WHERE n_nationkey != d
+      GROUP BY 1, 2
+"""
+
+
+def _truss_level_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT e.u, e.v FROM {prev} e
+      JOIN (SELECT u AS a, v AS b FROM {prev}
+            UNION ALL SELECT v, u FROM {prev}) n1 ON n1.a = e.u
+      JOIN (SELECT u AS a, v AS b FROM {prev}
+            UNION ALL SELECT v, u FROM {prev}) n2
+        ON n2.a = e.v AND n2.b = n1.b
+      GROUP BY e.u, e.v
+      HAVING count(*) >= 1
+    )"""
+
+
+@query(
+    "graph_ktruss",
+    oracle=f"""
+    WITH t0 AS ({_TRUSS_EDGES}),
+    {_truss_level_sql('t0', 't1')},
+    {_truss_level_sql('t1', 't2')},
+    {_truss_level_sql('t2', 't3')}
+    SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v FROM t3
+    """,
+)
+def graph_ktruss(spark, sf_dir):
+    """k-TRUSS decomposition (k=3): the EDGE-cohesion sibling of the
+    node-based k-core — an edge survives iff it participates in at
+    least k−2 triangles AMONG SURVIVING EDGES, iterated to fixpoint
+    (Cohen 2008). Trusses are the stricter community core: a 2-core
+    can be a long cycle with zero triangles, a 3-truss cannot. Each
+    round counts per-edge support with one wedge join (edge (u,v) ⋈
+    neighbors of u ⋈ neighbors of v on the shared endpoint — the
+    triangle-counting shape restricted to live edges) and peels;
+    support shrinks monotonically so the fixpoint terminates. The
+    deterministic 3-family functional graph converges in 2 rounds to
+    a 32-edge truss; the oracle unrolls 3 levels (idempotent after
+    convergence). Canonical u<v edges keep each triangle counted
+    once per edge orientation on both engines."""
+    from ..plans.iterate import fixpoint
+
+    n = io.read_parquet(spark, f"{sf_dir}/nation.parquet").df
+    k = F.col("n_nationkey")
+    fam = (
+        n.select(k.alias("s"), ((k + 1) % 25).alias("d"))
+        .unionByName(n.select(k.alias("s"), ((k * 6 + 1) % 25).alias("d")))
+        .unionByName(n.select(k.alias("s"), ((k * k + 3) % 25).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+    )
+    base = DataBag(
+        fam.select(F.least("s", "d").alias("u"), F.greatest("s", "d").alias("v"))
+        .distinct()
+    )
+
+    def step(t: DataBag) -> DataBag:
+        e = t.df
+        nbr = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+            e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        n1 = nbr.select(F.col("a").alias("a1"), F.col("b").alias("w"))
+        n2 = nbr.select(F.col("a").alias("a2"), F.col("b").alias("w2"))
+        supp = (
+            e.join(n1, F.col("u") == F.col("a1"))
+            .join(n2, (F.col("v") == F.col("a2")) & (F.col("w") == F.col("w2")))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("supp"))
+            .filter(F.col("supp") >= 1)
+            .select("u", "v")
+        )
+        return DataBag(supp)
+
+    return fixpoint(base, step, max_iter=10).df.select(
+        F.col("u").cast("bigint").alias("u"),
+        F.col("v").cast("bigint").alias("v"),
+    )
