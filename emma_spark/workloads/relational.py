@@ -7549,3 +7549,87 @@ def lineitem_skyline_price_qty(spark, sf_dir):
         (F.col("qty") > F.col("best_cheaper"))
         & (F.col("qty") == F.col("best_same_price"))
     ).select("l_orderkey", "l_linenumber", "price_c", "qty")
+
+
+@query(
+    "orders_ks_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 1000000
+               AS bin,
+             count(*)::HUGEINT AS c
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT bin,
+             sum(CASE WHEN yr = 1996 THEN c ELSE 0 END) AS c1,
+             sum(CASE WHEN yr = 1997 THEN c ELSE 0 END) AS c2
+      FROM b GROUP BY bin
+    ),
+    n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+    cum AS (
+      SELECT bin,
+             sum(c1) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS f1,
+             sum(c2) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS f2
+      FROM g
+    )
+    , d AS (
+      SELECT max(abs(f1 * n.n2 - f2 * n.n1)) AS dmax,
+             any_value(n.n1) AS n1, any_value(n.n2) AS n2
+      FROM cum, n
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_1996,
+           CAST(n2 AS BIGINT) AS n_1997,
+           CAST(dmax AS BIGINT) AS d_scaled,
+           CAST(dmax * 1000000 // (n1 * n2) AS BIGINT) AS ks_ppm
+    FROM d
+    """,
+)
+def orders_ks_drift(spark, sf_dir):
+    """Two-sample KOLMOGOROV-SMIRNOV drift statistic (1996 vs 1997
+    order values): D = max |F1(x) − F2(x)| over the shared $10k-binned
+    value grid — the CDF-based drift detector that complements the
+    chi-square bin test (orders_price_drift_chi2): KS sees a location
+    SHIFT that leaves every bin's mass roughly equal-sized bins can
+    hide, and it needs no expected-count floor. Cross-multiplied
+    exact integers: the supremum is computed on |F1·N2 − F2·N1|
+    (common denominator N1·N2 deferred to the final ppm divide) over
+    the cumulative window — run on the BINNED value histogram, which
+    is what keeps the cum window domain-bounded for continuous values
+    (the documented resolution/scale trade; the unbinned statistic
+    needs a global sort over distinct prices). One conditional
+    hash-agg, one bounded cumsum, one max."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    dec = "decimal(38,0)"
+    b = (
+        o.withColumn("yr", F.year(F.col("o_orderdate").cast("date")).cast("bigint"))
+        .filter(F.col("yr").isin(1996, 1997))
+        .groupBy(
+            "yr",
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 1000000")
+              .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast(dec).alias("c"))
+    )
+    g = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("yr") == 1996, F.col("c")).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("yr") == 1997, F.col("c")).otherwise(0)).alias("c2"),
+    )
+    n = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "bin", F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
+    )
+    d = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")))
+          .alias("dmax"),
+        F.any_value("n1").alias("n1"), F.any_value("n2").alias("n2"),
+    )
+    return d.select(
+        F.col("n1").cast("bigint").alias("n_1996"),
+        F.col("n2").cast("bigint").alias("n_1997"),
+        F.col("dmax").cast("bigint").alias("d_scaled"),
+        F.expr("CAST(dmax * 1000000 div (n1 * n2) AS BIGINT)").alias("ks_ppm"),
+    )
