@@ -7633,3 +7633,64 @@ def orders_ks_drift(spark, sf_dir):
         F.col("dmax").cast("bigint").alias("d_scaled"),
         F.expr("CAST(dmax * 1000000 div (n1 * n2) AS BIGINT)").alias("ks_ppm"),
     )
+
+
+@query(
+    "orders_progressive_fee_bands",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS p
+      FROM orders
+    ),
+    f AS (
+      SELECT o_orderkey, o_orderpriority, p,
+             (least(p, 5000000) * 20
+              + greatest(least(p, 20000000) - 5000000, 0) * 15
+              + greatest(least(p, 40000000) - 20000000, 0) * 10
+              + greatest(p - 40000000, 0) * 5) // 1000 AS fee_c
+      FROM o
+    )
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n,
+           sum(fee_c)::BIGINT AS total_fee_c,
+           CAST(sum(fee_c)::HUGEINT * 1000000 // sum(p) AS BIGINT)
+             AS effective_rate_ppm
+    FROM f GROUP BY o_orderpriority
+    """,
+)
+def orders_progressive_fee_bands(spark, sf_dir):
+    """PROGRESSIVE (marginal) fee bands — the billing/tax-engine
+    primitive: 2.0% on the first $50k, 1.5% to $200k, 1.0% to $400k,
+    0.5% above — each band's rate applies only to the amount INSIDE
+    the band (the classic off-by-a-bracket bug is applying the top
+    rate to the whole amount; the marginal form is a sum of clamped
+    overlaps, monotone and continuous by construction). Pure per-row
+    integer arithmetic: least/greatest clamps at cent precision,
+    per-mille rates applied as ×rate //1000 — no band TABLE join
+    needed when bands are static (contrast range_join_price_bands,
+    the joined variant for dynamic band sets); the effective-rate
+    rollup exposes the regressivity curve per segment. Narrow map +
+    one hash-agg."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    p = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    f = o.select(
+        "o_orderpriority", p.alias("p"),
+        F.expr(
+            "(least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 5000000) * 20"
+            " + greatest(least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),"
+            "     20000000) - 5000000, 0) * 15"
+            " + greatest(least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),"
+            "     40000000) - 20000000, 0) * 10"
+            " + greatest(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            "     - 40000000, 0) * 5) div 1000"
+        ).alias("fee_c"),
+    )
+    return f.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("fee_c").cast("bigint").alias("total_fee_c"),
+        F.expr(
+            "CAST(CAST(sum(fee_c) AS DECIMAL(38,0)) * 1000000 div sum(p)"
+            " AS BIGINT)"
+        ).alias("effective_rate_ppm"),
+    )
