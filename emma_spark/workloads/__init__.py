@@ -165,7 +165,17 @@ _PRIORITY = [
     # ml_grouped_ols_slopes, embedding_dim_variance_audit,
     # pipeline_dataset_fingerprint, orders_seasonal_mase_eval,
     # sketch_cms_merge_rollup, orders_benford_audit,
-    # events_daily_autocorr, multimodal_scene_cuts.
+    # events_daily_autocorr, multimodal_scene_cuts; wave 4:
+    # text_mattr_diversity, orders_weekday_anova, orders_jarque_bera,
+    # ml_bootstrap_ci_poisson, events_conformance_score,
+    # orders_fiscal_445_rollup, text_hapax_ratio,
+    # io_wholetext_documents, stream_two_source_union,
+    # dedup_lsh_bucket_stats, sample_topk_per_group_hash,
+    # events_slo_burn_rate, text_char_coverage_vocab,
+    # events_cumulative_unique_users, lineitem_skyline_price_qty,
+    # graph_ktruss, orders_ks_drift, orders_progressive_fee_bands.
+    # The whole registry is tri-SF diff-checked (sf0.001 / vanilla
+    # sf0.01 / sf0.1); every queued name is ready for any window.
     "stream_watermark_append",
     "sketch_countmin_tokens", "sketch_bloom_membership",
     "graph_pagerank",
