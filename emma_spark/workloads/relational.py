@@ -7694,3 +7694,89 @@ def orders_progressive_fee_bands(spark, sf_dir):
             " AS BIGINT)"
         ).alias("effective_rate_ppm"),
     )
+
+
+@query(
+    "events_did_estimate",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(concat('0x', substr(md5('did' || '|'
+                   || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) % 2
+               AS treat,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS post,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT treat, post, count(*)::HUGEINT AS n, sum(v)::HUGEINT AS s,
+             sum(v::HUGEINT) * 10000 // count(*) AS mean_q4
+      FROM u GROUP BY treat, post
+    )
+    SELECT
+      (SELECT CAST(n AS BIGINT) FROM c WHERE treat = 1 AND post = 1)
+        AS n_treat_post,
+      (SELECT CAST(mean_q4 AS BIGINT) FROM c WHERE treat = 1 AND post = 1)
+        AS m11_q4,
+      (SELECT CAST(mean_q4 AS BIGINT) FROM c WHERE treat = 1 AND post = 0)
+        AS m10_q4,
+      (SELECT CAST(mean_q4 AS BIGINT) FROM c WHERE treat = 0 AND post = 1)
+        AS m01_q4,
+      (SELECT CAST(mean_q4 AS BIGINT) FROM c WHERE treat = 0 AND post = 0)
+        AS m00_q4,
+      (SELECT CAST((SELECT mean_q4 FROM c WHERE treat = 1 AND post = 1)
+             - (SELECT mean_q4 FROM c WHERE treat = 1 AND post = 0)
+             - (SELECT mean_q4 FROM c WHERE treat = 0 AND post = 1)
+             + (SELECT mean_q4 FROM c WHERE treat = 0 AND post = 0)
+             AS BIGINT)) AS did_q4
+    """,
+)
+def events_did_estimate(spark, sf_dir):
+    """DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator
+    for when you can't randomize at exposure time: the treatment
+    effect is the treated group's pre→post change MINUS the control
+    group's (which absorbs the common time trend that corrupts a
+    naive before/after). The 2×2 cell means come from ONE conditional
+    aggregation (md5-deterministic treatment assignment, the
+    calibration-run pattern of events_ab_test_lift — expected DiD ≈ 0
+    on this null fixture); each mean is an exact integral division in
+    1e-4-cent units, so the estimator is a four-term integer sum with
+    NO float anywhere. Completes the causal toolkit: randomized lift
+    (ab_test), variance-reduced lift (CUPED), and the parallel-trends
+    workhorse for observational rollouts."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    dec = "decimal(38,0)"
+    u = e.filter(F.col("event_type") == "purchase").select(
+        (F.expr(
+            "CAST(conv(substring(md5(concat('did', '|',"
+            " CAST(user_id AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+        ) % 2).alias("treat"),
+        F.when(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), 1)
+         .otherwise(0).alias("post"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    c = u.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.expr(f"sum(CAST(v AS {dec})) * 10000 div count(*)").alias("mean_q4"),
+    )
+    cells = c.agg(
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 1),
+                     F.col("mean_q4"))).alias("m11"),
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 0),
+                     F.col("mean_q4"))).alias("m10"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 1),
+                     F.col("mean_q4"))).alias("m01"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 0),
+                     F.col("mean_q4"))).alias("m00"),
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 1),
+                     F.col("n"))).alias("n11"),
+    )
+    return cells.select(
+        F.col("n11").cast("bigint").alias("n_treat_post"),
+        F.col("m11").cast("bigint").alias("m11_q4"),
+        F.col("m10").cast("bigint").alias("m10_q4"),
+        F.col("m01").cast("bigint").alias("m01_q4"),
+        F.col("m00").cast("bigint").alias("m00_q4"),
+        F.expr("CAST(m11 - m10 - m01 + m00 AS BIGINT)").alias("did_q4"),
+    )
