@@ -931,3 +931,118 @@ def embedding_dim_variance_audit(spark, sf_dir):
         F.expr("((n * svv - sv * sv) div (n * n)) < 10000")
           .alias("is_low_variance"),
     )
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t != '') AS tk
+      FROM documents
+    ),
+    tscore AS (
+      SELECT doc_id,
+             len(list_filter(tk, t -> t = 'merge'))
+             + len(list_filter(tk, t -> t = 'window'))
+             + len(list_filter(tk, t -> t = 'stream')) AS tf
+      FROM toks
+    ),
+    tcand AS (
+      SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS rt
+      FROM (SELECT * FROM tscore WHERE tf > 0
+            ORDER BY tf DESC, doc_id LIMIT 20)
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    vs AS (
+      SELECT vec_id AS doc_id,
+             floor(({SQL_COS}) * 10000 + 0.5) / 10000 AS sim
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+            WHERE vec_id != 0) e, q
+    ),
+    vcand AS (
+      SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rv
+      FROM (SELECT * FROM vs ORDER BY sim DESC, doc_id LIMIT 20)
+    ),
+    fused AS (
+      SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+             coalesce(1000000 // (60 + t.rt), 0)
+             + coalesce(1000000 // (60 + v.rv), 0) AS rrf_ppm,
+             t.rt AS rank_text, v.rv AS rank_vec
+      FROM tcand t FULL JOIN vcand v ON t.doc_id = v.doc_id
+    )
+    SELECT doc_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+           CAST(rank_text AS BIGINT) AS rank_text,
+           CAST(rank_vec AS BIGINT) AS rank_vec
+    FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 10
+    """,
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """HYBRID RETRIEVAL with reciprocal-rank fusion (Cormack et al.,
+    2009 — the fusion modern lexical+vector search ships): a keyword
+    leg (term-frequency ranking for the query terms over the
+    documents table) and a vector leg (exact cosine to a query
+    embedding over the aligned embeddings table) each produce a
+    top-20 CANDIDATE LIST — the real-system contract: fusion
+    operates on bounded candidate lists, so the rank windows run
+    over ≤20 rows, never the corpus — and RRF sums 1/(60+rank) in
+    floored ppm (exact integers; absent-from-list contributes 0).
+    A doc surfacing on BOTH legs outranks either leg's solo leaders,
+    the complementary-evidence property that makes RRF robust
+    without score calibration (scores from different legs are
+    incomparable; RANKS are not). Deterministic end to end: tf ties
+    and cosine ties break by doc id; the final top-10 sorts ≤40 fused
+    rows."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
+    from pyspark.sql import Window
+
+    from ..llm.text import tokens as _tokens
+
+    tf = docs.select(
+        "doc_id",
+        (F.size(F.filter(_tokens(F.col("text")), lambda t: t == "merge"))
+         + F.size(F.filter(_tokens(F.col("text")), lambda t: t == "window"))
+         + F.size(F.filter(_tokens(F.col("text")), lambda t: t == "stream"))
+         ).alias("tf"),
+    )
+    tcand = (
+        tf.filter(F.col("tf") > 0)
+        .orderBy(F.desc("tf"), "doc_id").limit(20)
+        .withColumn("rt", F.row_number().over(Window.orderBy(F.desc("tf"),
+                                                             "doc_id")))
+        .select("doc_id", "rt")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv"))
+    cv = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("cv"))
+    sim = F.expr(
+        "floor(aggregate(zip_with(qv, cv, (a, b) -> a * b), CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + x)"
+        " / (sqrt(aggregate(transform(qv, x -> x * x), CAST(0.0 AS DOUBLE),"
+        "          (acc, x) -> acc + x))"
+        "    * sqrt(aggregate(transform(cv, x -> x * x), CAST(0.0 AS DOUBLE),"
+        "          (acc, x) -> acc + x))) * 10000 + 0.5) / 10000"
+    )
+    vs = cv.crossJoin(F.broadcast(qv)).select("doc_id", sim.alias("sim"))
+    vcand = (
+        vs.orderBy(F.desc("sim"), "doc_id").limit(20)
+        .withColumn("rv", F.row_number().over(Window.orderBy(F.desc("sim"),
+                                                             "doc_id")))
+        .select(F.col("doc_id").alias("vdoc"), "rv")
+    )
+    fused = (
+        tcand.join(vcand, tcand["doc_id"] == vcand["vdoc"], "full")
+        .select(
+            F.coalesce("doc_id", "vdoc").alias("doc_id"),
+            (F.coalesce(F.expr("1000000 div (60 + rt)"), F.lit(0))
+             + F.coalesce(F.expr("1000000 div (60 + rv)"), F.lit(0)))
+              .alias("rrf_ppm"),
+            F.col("rt").cast("bigint").alias("rank_text"),
+            F.col("rv").cast("bigint").alias("rank_vec"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_ppm"), "doc_id").limit(10)
