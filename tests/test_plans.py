@@ -437,3 +437,20 @@ def test_rfm_thresholds_broadcast_histogram_windows_bounded(spark, registry):
     plan = _plan(registry["orders_rfm_segmentation"].fn(spark, SF_DIR))
     assert "BroadcastExchange" in plan
     assert "ntile" not in plan.lower()
+
+
+def test_geo_radius_join_is_hash_join_not_bnlj(spark, registry):
+    """Grid-cell blocking must turn the distance predicate into a hash
+    equi-join on cell_id; a raw theta join would plan BNLJ (|S|x|C|)."""
+    plan = _plan(registry["geo_radius_join"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_geo_nearest_facility_broadcasts_small_side(spark, registry):
+    """Exact 1-NN against a small facility table is intentionally a
+    broadcast nested-loop: facilities broadcast, the big side never
+    shuffles before aggregation."""
+    plan = _plan(registry["geo_nearest_facility"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning(c_custkey" in plan or "c_custkey" in plan
