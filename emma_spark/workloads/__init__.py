@@ -186,8 +186,8 @@ def load_all() -> dict[str, Query]:
     """Import all workload modules (side effect: registration), ordered
     so the driver's 50-query window lands on ``_PRIORITY``."""
     from . import (  # noqa: F401
-        dedup, geo, graph, ml, multimodal, pipeline, relational,
-        similarity, sketches, streaming, text,
+        dedup, geo, governance, graph, ml, multimodal, pipeline,
+        relational, similarity, sketches, streaming, text,
     )
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]
