@@ -360,3 +360,87 @@ def prefix_jaccard_pairs(
                 (F.col("szs") - F.col("inter")).alias("un"))
         .filter(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * F.col("un"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """ASYMMETRIC containment join: every ordered pair (src, dst) with
+    C(src, dst) = |sh(src) ∩ sh(dst)| / |sh(src)| >= t_num/t_den over
+    distinct char n-gram sets. Containment is the dedup relation
+    symmetric Jaccard MISSES: a short document wholly quoted inside a
+    long one has high containment but low Jaccard (the union is
+    dominated by the long doc), so quote-expansion / boilerplate-
+    wrapped duplicates survive a Jaccard gate. Broder's resemblance
+    vs containment distinction (public, "On the resemblance and
+    containment of documents", 1997).
+
+    Plan: one exact inverted-index self-join (the
+    text_sparse_cosine_pairs pattern) — pair candidates cost
+    Σ_s df(s)², never |D|²; intersection counts come from the join's
+    hash-agg, each unordered pair then fans out to its two ordered
+    containment rows (exact ppm rational, integer threshold compare
+    — no float anywhere). At web scale the index takes the standard
+    stop-shingle df cap (documented tradeoff of
+    dedup_prefix_jaccard_pairs, which is the LOSSLESS alternative for
+    the symmetric case).
+
+    Columns: (src, dst, inter, n_src, cont_ppm) — all bigint."""
+    d = pin(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(char_ngrams(F.col(text_col), n=n)).alias("sh"),
+        )
+    )
+    ex = d.select(
+        "doc_id",
+        F.size("sh").cast("bigint").alias("n"),
+        F.explode("sh").alias("s"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    directed = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"),
+                    F.col("doc_b").alias("dst"),
+                    F.col("inter"),
+                    F.col("n_a").alias("n_src"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"),
+                    F.col("doc_a").alias("dst"),
+                    F.col("inter"),
+                    F.col("n_b").alias("n_src"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return directed.filter(
+        F.lit(t_den) * F.col("inter") >= F.lit(t_num) * F.col("n_src")
+    ).select(
+        "src", "dst", "inter", "n_src",
+        F.expr(
+            "CAST(CAST(inter AS DECIMAL(38,0)) * 1000000"
+            " div n_src AS BIGINT)"
+        ).alias("cont_ppm"),
+    )

@@ -636,3 +636,44 @@ def dedup_lsh_bucket_stats(spark, sf_dir):
         F.expr("CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)")
           .alias("singleton_buckets"),
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct({sql_shingles(10)}) AS sh
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    idx AS (SELECT doc_id, len(sh)::BIGINT AS n, unnest(sh) AS s FROM d),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS n_a, b.n AS n_b, count(*)::BIGINT AS inter
+      FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    directed AS (
+      SELECT doc_a AS src, doc_b AS dst, inter, n_a AS n_src FROM inter
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst, inter, n_b AS n_src FROM inter
+    )
+    SELECT src, dst, inter, n_src,
+           CAST(inter::HUGEINT * 1000000 // n_src AS BIGINT) AS cont_ppm
+    FROM directed WHERE 5 * inter >= 3 * n_src
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric CONTAINMENT dedup (|A∩B|/|A| >= 0.6 on 10-char
+    shingle sets) — catches the subset-duplicate relation symmetric
+    Jaccard misses (a short doc quoted inside a long one: high
+    containment, low Jaccard). Exact inverted-index self-join, pair
+    cost Σ df(s)² (the text_sparse_cosine_pairs bound); each unordered
+    pair fans out to its two DIRECTED rows, thresholded by the integer
+    cross-multiplication 5·inter >= 3·|src| with the exact-ppm
+    containment alongside. Same doc_id % 3 sparsified corpus as
+    dedup_prefix_jaccard_exact so the two relations are directly
+    comparable at any SF. See llm/dedup.containment_pairs."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    return D.containment_pairs(
+        docs.filter(F.col("doc_id") % 3 == 0), n=10, t_num=3, t_den=5
+    )

@@ -7780,3 +7780,83 @@ def events_did_estimate(spark, sf_dir):
         F.col("m00").cast("bigint").alias("m00_q4"),
         F.expr("CAST(m11 - m10 - m01 + m00 AS BIGINT)").alias("did_q4"),
     )
+
+
+@query(
+    "events_interval_overlap_join",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + 1800 AS e
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT event_id, epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + 900 AS e
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT a.event_id AS a_id,
+             least(a.e, b.e) - greatest(a.s, b.s) AS ov
+      FROM a JOIN b ON greatest(a.s, b.s) < least(a.e, b.e)
+    )
+    SELECT a_id, count(*) AS n_overlaps, sum(ov) AS overlap_s
+    FROM p GROUP BY a_id
+    """,
+)
+def events_interval_overlap_join(spark, sf_dir):
+    """INTERVAL × INTERVAL overlap join without a BNLJ — the general
+    case events_point_in_interval's grid decomposition only half
+    covered: both sides are intervals (purchase sessions [ts, ts+30m)
+    vs click sessions [ts, ts+15m)), and a pair qualifies iff
+    max(s_a, s_b) < min(e_a, e_b). Both sides explode to the 30-min
+    grid buckets they cover (sequence over s div 1800 .. (e-1) div
+    1800 — a bounded ×2-3 fan-out, not a shuffle); candidates meet on
+    a bucket hash equi-join; the residual predicate keeps true
+    overlaps, and the pair is COUNTED ONCE by crediting it only to the
+    bucket containing max(s_a, s_b) — a point both intervals cover by
+    definition of overlap, so no post-join distinct is ever needed
+    (the dedup-free allocation rule of events_point_in_interval,
+    generalized). Output: per purchase interval, the overlapping click
+    count and total overlap seconds — exact integers; the oracle runs
+    the independent raw theta join, so the differential check proves
+    the decomposition neither loses nor double-counts a pair. At 100
+    TB the bucket width tunes to the median interval length (cost =
+    Σ_bucket |A_b|·|B_b|), exactly like the grid spatial join
+    (geo_radius_join)."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    sec = F.expr("unix_micros(ts) div 1000000")
+    a = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("a_id"),
+        sec.alias("s_a"),
+        (sec + 1800).alias("e_a"),
+    )
+    b = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("b_id"),
+        sec.alias("s_b"),
+        (sec + 900).alias("e_b"),
+    )
+    a_ex = a.select(
+        "*",
+        F.explode(
+            F.expr("sequence(s_a div 1800, (e_a - 1) div 1800)")
+        ).alias("bucket"),
+    )
+    b_ex = b.select(
+        "*",
+        F.explode(
+            F.expr("sequence(s_b div 1800, (e_b - 1) div 1800)")
+        ).alias("bucket"),
+    )
+    start = F.greatest("s_a", "s_b")
+    end = F.least("e_a", "e_b")
+    pairs = (
+        a_ex.join(b_ex, "bucket")
+        .filter(start < end)
+        .filter(F.col("bucket") == F.expr("greatest(s_a, s_b) div 1800"))
+        .select("a_id", (end - start).alias("ov"))
+    )
+    return pairs.groupBy("a_id").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum("ov").alias("overlap_s"),
+    )

@@ -213,3 +213,44 @@ def test_approx_percentile_tracks_exact(spark):
         F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02
+
+
+def test_containment_pairs_matches_bruteforce_sets(spark):
+    """llm.dedup.containment_pairs == pure-Python shingle-set math on a
+    crafted corpus with a subset-duplicate (short doc quoted inside a
+    long one: high containment, low Jaccard — the relation the
+    operator exists to catch)."""
+    from emma_spark.llm.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog near the river"
+    texts = {
+        1: quote,
+        2: "PREFACE: " + quote + " -- and then a very long commentary "
+           "follows with entirely different material about other topics",
+        3: "a completely unrelated document about spark physical plans",
+        4: quote,  # exact duplicate of 1
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.src, r.dst): (r.inter, r.n_src, r.cont_ppm)
+        for r in containment_pairs(df, n=10, t_num=3, t_den=5).collect()
+    }
+
+    def sh(t):
+        t = t.lower()
+        return {t[i:i + 10] for i in range(len(t) - 9)}
+
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a == b:
+                continue
+            inter = len(sh(texts[a]) & sh(texts[b]))
+            n_src = len(sh(texts[a]))
+            if 5 * inter >= 3 * n_src:
+                want[(a, b)] = (inter, n_src, inter * 10**6 // n_src)
+    assert got == want
+    # the subset-duplicate is caught in the short->long direction only
+    assert (1, 2) in got and (2, 1) not in got

@@ -454,3 +454,11 @@ def test_geo_nearest_facility_broadcasts_small_side(spark, registry):
     plan = _plan(registry["geo_nearest_facility"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning(c_custkey" in plan or "c_custkey" in plan
+
+
+def test_interval_overlap_join_is_hash_join_not_bnlj(spark, registry):
+    """Interval x interval overlap must meet on the grid-bucket
+    equi-join; the raw overlap theta predicate would plan BNLJ."""
+    plan = _plan(registry["events_interval_overlap_join"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
