@@ -1936,3 +1936,176 @@ def ml_bootstrap_ci_poisson(spark, sf_dir):
         F.expr("CAST(element_at(ms, CAST((nb + 1) div 2 AS INT)) AS BIGINT)")
           .alias("boot_median_c"),
     )
+
+
+@query(
+    "ml_kmeans_elbow",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+               AS vq
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, vq AS cvec FROM q WHERE vec_id < 5),
+    cand AS (
+      SELECT q.vec_id, c.cid,
+             CAST(list_sum(list_transform(range(1, len(vq) + 1),
+               i -> (vq[i] - cvec[i]) * (vq[i] - cvec[i]))) AS BIGINT) AS d2
+      FROM q, c
+    ),
+    ks AS (SELECT unnest(generate_series(2, 5)) AS k),
+    assign AS (
+      SELECT k, vec_id, min(d2) AS d2
+      FROM cand JOIN ks ON cid < k GROUP BY 1, 2
+    ),
+    sse AS (SELECT k, sum(d2)::BIGINT AS sse_q8 FROM assign GROUP BY k)
+    SELECT k, sse_q8,
+           CAST(coalesce(
+             (lag(sse_q8) OVER (ORDER BY k) - sse_q8)::HUGEINT * 1000000
+               // lag(sse_q8) OVER (ORDER BY k), 0) AS BIGINT) AS drop_ppm
+    FROM sse
+    """,
+)
+def ml_kmeans_elbow(spark, sf_dir):
+    """K-SELECTION for clustering (the elbow curve): SSE at k = 2..5
+    under the deterministic prefix-centroid init (centroid set for k =
+    quantized vectors of vec_id < k — each k's centroids are a PREFIX
+    of the next's, so one candidate table serves every k). One scan:
+    vectors × 5 broadcast centroids → exact integer d2 (1e-4-unit
+    quantized elementwise, the SQ8 qsum rule); a tiny broadcast k-grid
+    (cid < k) turns the shared candidates into per-k assignments; two
+    hash-aggs produce min-per-(k, vec) and SSE-per-k. The elbow signal
+    is the relative SSE drop per added centroid in exact ppm (window
+    over the 4-row aggregate — bounded, never over rows). Completes
+    the clustering lifecycle: fit (ml_kmeans_fit), assign
+    (ml_kmeans_assign), select-k (this)."""
+    from ..llm.similarity import as_double
+    from pyspark.sql import Window
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            as_double(F.col("embedding")),
+            lambda x: F.floor(x * 10000 + F.lit(0.5)).cast("bigint"),
+        ).alias("vq"),
+    )
+    cents = q.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("cid"), F.col("vq").alias("cvec")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(vq, cvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, e) -> acc + e)"
+    )
+    cand = q.crossJoin(F.broadcast(cents)).select("vec_id", "cid", d2.alias("d2"))
+    ks = spark.range(2, 6).select(F.col("id").cast("bigint").alias("k"))
+    assign = (
+        cand.join(F.broadcast(ks), F.col("cid") < F.col("k"))
+        .groupBy("k", "vec_id")
+        .agg(F.min("d2").alias("d2"))
+    )
+    sse = assign.groupBy("k").agg(F.sum("d2").alias("sse_q8"))
+    w = Window.orderBy("k")  # 4-row aggregate: bounded, never row-scale
+    prev = F.lag("sse_q8").over(w)
+    return sse.select(
+        "k", "sse_q8",
+        F.coalesce(
+            F.expr(
+                "CAST(CAST((lag(sse_q8) OVER (ORDER BY k)) - sse_q8"
+                " AS DECIMAL(38,0)) * 1000000"
+                " div (lag(sse_q8) OVER (ORDER BY k)) AS BIGINT)"
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("drop_ppm"),
+    )
+
+
+@query(
+    "ml_nearest_centroid_confusion",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+               AS vq
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT label, t.i AS pos, vq[t.i] AS v
+      FROM q, unnest(generate_series(1, len(vq))) AS t(i)
+    ),
+    cdim AS (
+      SELECT label, pos, sum(v) // count(*) AS c
+      FROM pos GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT label AS clabel, list(c ORDER BY pos) AS cvec
+      FROM cdim GROUP BY label
+    ),
+    cand AS (
+      SELECT q.vec_id, q.label,
+             CAST(list_sum(list_transform(range(1, len(vq) + 1),
+               i -> (vq[i] - cvec[i]) * (vq[i] - cvec[i]))) AS BIGINT) * 16
+               + clabel AS slot
+      FROM q, cent
+    ),
+    pred AS (
+      SELECT vec_id, label AS actual, min(slot) % 16 AS pred
+      FROM cand GROUP BY 1, 2
+    )
+    SELECT actual, pred, count(*) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def ml_nearest_centroid_confusion(spark, sf_dir):
+    """NEAREST-CENTROID (Rocchio) classification + the multiclass
+    CONFUSION MATRIX — the eval artifact the binary metrics queries
+    (ml_eval_scores, ml_threshold_sweep_f1) don't produce. Training is
+    the scalable vector-mean: posexplode → (label, dim) hash-agg →
+    exact integral-div centroid coordinate in 1e-4 units (|labels|·d
+    cells of shuffle regardless of corpus size), centroids reassembled
+    into arrays and BROADCAST; inference is a map-side zip_with d2 per
+    (vector, class) and the widened-slot argmin d2·16 + label (16 >
+    max label, deterministic low-label tie-break). Resubstitution
+    eval by design — the train/test split variant is ml_kfold's
+    machinery composed with the same centroid fold. Output is the raw
+    (actual, predicted, n) matrix; precision/recall/F1 per class are
+    one further bounded agg."""
+    from ..llm.similarity import as_double
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    q = emb.select(
+        "vec_id", "label",
+        F.transform(
+            as_double(F.col("embedding")),
+            lambda x: F.floor(x * 10000 + F.lit(0.5)).cast("bigint"),
+        ).alias("vq"),
+    )
+    cdim = (
+        q.select("label", F.posexplode("vq").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.expr("sum(v) div count(*)").alias("c"))
+    )
+    cent = cdim.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cvec")
+    )
+    slot = (
+        F.expr(
+            "aggregate(zip_with(vq, cvec, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, e) -> acc + e)"
+        )
+        * 16
+        + F.col("clabel")
+    )
+    cand = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", slot.alias("slot")
+    )
+    pred = cand.groupBy("vec_id", F.col("label").alias("actual")).agg(
+        (F.min("slot") % 16).alias("pred")
+    )
+    return pred.groupBy("actual", "pred").agg(F.count(F.lit(1)).alias("n"))
