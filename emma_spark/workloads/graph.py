@@ -1357,3 +1357,83 @@ def graph_ktruss(spark, sf_dir):
         F.col("u").cast("bigint").alias("u"),
         F.col("v").cast("bigint").alias("v"),
     )
+
+
+@query(
+    "graph_copurchase_projection",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::BIGINT AS support
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    directed AS (
+      SELECT pa AS part, pb AS co_part, support FROM pairs
+      UNION ALL
+      SELECT pb AS part, pa AS co_part, support FROM pairs
+    ),
+    ranked AS (
+      SELECT part, co_part, support,
+             row_number() OVER (PARTITION BY part
+               ORDER BY support DESC, co_part) AS rank
+      FROM directed
+    )
+    SELECT part, co_part, support, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def graph_copurchase_projection(spark, sf_dir):
+    """BIPARTITE PROJECTION — the order×part purchase graph projected
+    onto parts: two parts are linked iff they co-occur in an order,
+    weighted by co-order support, then each part keeps its top-3
+    co-purchased neighbors (the "customers also bought" item graph,
+    and the input every item-item collaborative filter starts from).
+    Plan: distinct (order, part) edge list; the projection self-join
+    is keyed on ORDER — the pair blow-up is Σ_order |parts|², bounded
+    by TPC-H's ≤7 lineitems per order (per-group quadratic with a
+    BOUNDED group, the same safety argument as basket_brand_affinity
+    — for heavy-tailed baskets the standard cap drops orders above a
+    size threshold); support is one hash-agg; the top-3 ranking
+    window is PARTITIONED by part (never global). Differs from
+    basket_brand_affinity (brand-level lift statistics) in producing
+    the per-item ranked adjacency — a graph artifact, fed to
+    label-prop/PPR directly."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("part"),
+                    F.col("pb").alias("co_part"),
+                    F.col("support"),
+                ),
+                F.struct(
+                    F.col("pb").alias("part"),
+                    F.col("pa").alias("co_part"),
+                    F.col("support"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("part").orderBy(F.desc("support"), "co_part")
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("part", "co_part", "support", "rank")
+    )

@@ -1046,3 +1046,79 @@ def search_hybrid_rrf(spark, sf_dir):
         )
     )
     return fused.orderBy(F.desc("rrf_ppm"), "doc_id").limit(10)
+
+
+@query(
+    "search_mrr_eval",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv FROM base),
+    truth AS (
+      SELECT query_id, neighbor_id AS true_top1 FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY floor(({SQL_COS}) * 10000 + 0.5) / 10000 DESC,
+                          neighbor_id) AS rank
+        FROM q CROSS JOIN c WHERE query_id != neighbor_id
+      ) WHERE rank = 1
+    ),
+    b AS (SELECT vec_id, v, {_bucket_sql('v', planes=6, dim=64)} AS bucket
+          FROM base),
+    qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+    cb AS (SELECT vec_id AS neighbor_id, v AS cv, bucket AS bucket_c FROM b),
+    approx AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY floor(({SQL_COS}) * 10000 + 0.5) / 10000 DESC,
+                          neighbor_id) AS rank
+        FROM qb JOIN cb ON bucket = bucket_c AND query_id != neighbor_id
+      ) WHERE rank <= 10
+    )
+    SELECT t.query_id, t.true_top1,
+           coalesce(a.rank, 0)::BIGINT AS found_rank,
+           CASE WHEN a.rank IS NULL THEN 0
+                ELSE CAST(1000000 // a.rank AS BIGINT) END AS rr_ppm,
+           CASE WHEN a.rank = 1 THEN 1 ELSE 0 END AS hit1
+    FROM truth t LEFT JOIN approx a
+      ON t.query_id = a.query_id AND t.true_top1 = a.neighbor_id
+    """,
+)
+def search_mrr_eval(spark, sf_dir):
+    """ORDER-SENSITIVE retrieval eval — where does the TRUE nearest
+    neighbor land in the approximate ranking? ann_recall_eval's
+    recall@3 treats the top-k as a set; MRR is the metric that
+    punishes an index for burying the right answer at rank 9, and
+    hit@1 is the strict serving SLO. Truth = brute-force top-1
+    (broadcast-queries × corpus, the exact baseline); candidate list
+    = the same 6-plane LSH index ranked to depth 10; the eval is one
+    slim left join on (query, true_top1) — reciprocal rank as the
+    exact integer rational 10⁶ div rank, 0 when the truth fell
+    outside the bucket entirely (the failure recall@k hides inside
+    an average). Per-query rows, so sparse-bucket queries are
+    directly identifiable; the fleet-level MRR is one further
+    bounded agg."""
+    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = S.brute_force_topk(emb, queries, k=1).select(
+        "query_id", F.col("neighbor_id").alias("true_top1")
+    )
+    approx = S.lsh_topk(emb, queries, k=10, planes=6, dim=64).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        F.col("rank").alias("arank"),
+    )
+    j = truth.join(
+        approx,
+        (F.col("query_id") == F.col("aq")) & (F.col("true_top1") == F.col("an")),
+        "left",
+    )
+    return j.select(
+        "query_id", "true_top1",
+        F.coalesce(F.col("arank"), F.lit(0)).cast("bigint").alias("found_rank"),
+        F.when(F.col("arank").isNull(), F.lit(0).cast("bigint")).otherwise(
+            F.expr("CAST(1000000 div arank AS BIGINT)")
+        ).alias("rr_ppm"),
+        F.when(F.col("arank") == 1, 1).otherwise(0).alias("hit1"),
+    )
