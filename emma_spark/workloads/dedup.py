@@ -677,3 +677,114 @@ def dedup_containment_pairs(spark, sf_dir):
     return D.containment_pairs(
         docs.filter(F.col("doc_id") % 3 == 0), n=10, t_num=3, t_den=5
     )
+
+
+@query(
+    "dedup_substring_coverage",
+    oracle="""
+    WITH inst AS (
+      SELECT doc_id, i AS pos,
+             CAST(concat('0x', substr(md5(substr(text, i, 40)), 1, 14))
+                  AS BIGINT) AS h
+      FROM documents,
+           unnest(generate_series(1, greatest(len(text) - 39, 0))) AS t(i)
+    ),
+    marked AS (
+      SELECT doc_id, pos, pos + 39 AS e,
+             count(*) OVER (PARTITION BY h) AS cnt
+      FROM inst
+    ),
+    dup AS (SELECT doc_id, pos, e FROM marked WHERE cnt >= 2),
+    flagged AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+               PRECEDING), -1) THEN 1 ELSE 0 END AS new_island
+      FROM dup
+    ),
+    islands AS (
+      SELECT doc_id, pos, e,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, island, max(e) - min(pos) + 1 AS covered
+      FROM islands GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, sum(covered)::BIGINT AS covered_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id, len(d.text)::BIGINT AS n_chars, p.covered_chars,
+           CAST(p.covered_chars::HUGEINT * 1000000 // len(d.text)
+                AS BIGINT) AS dup_ppm
+    FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+    WHERE len(d.text) > 0
+    """,
+)
+def dedup_substring_coverage(spark, sf_dir):
+    """EXACT-SUBSTRING duplication coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    public): the fraction of each document's characters lying inside
+    a 40-char substring that occurs at least twice anywhere in the
+    corpus. The suffix-array formulation doesn't distribute; this
+    dataflow does, exactly: every position's 40-gram (stride 1),
+    hashed to the repo's 56-bit md5 slice; an occurrence count via
+    ONE window partitioned by hash (count(*) OVER h — a shuffle on
+    the hash, no join, map-side combinable); positions of repeated
+    grams become [pos, pos+39] spans, merged per document with the
+    gaps-and-islands running-max window (PARTITIONED by doc — bounded
+    per-doc work, never global) so overlapping spans aren't double
+    counted; coverage is exact integer chars and ppm. Flags the
+    boilerplate/mirror contamination paragraph-level dedup
+    (dedup_paragraph_exact) can't see when the repeated run doesn't
+    align with paragraph boundaries. At 100 TB the hash window's
+    skew ceiling is the same mega-bucket story as LSH banding —
+    ultra-common grams (licenses, headers) dominate; the standard
+    mitigation is dropping grams above a df cap, which only
+    UNDER-counts coverage (one-sided, like the bloom decontaminator)."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    from pyspark.sql import Window
+
+    inst = docs.filter(F.length("text") >= 40).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 39, 1)),"
+                " i -> CAST(conv(substring(md5(substring(text, i, 40)),"
+                " 1, 14), 16, 10) AS BIGINT))"
+            )
+        ).alias("pos0", "h"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"),
+        (F.col("pos0") + 40).alias("e"), "h",
+    )
+    cnt_w = Window.partitionBy("h")
+    dup = inst.withColumn("cnt", F.count(F.lit(1)).over(cnt_w)).filter(
+        F.col("cnt") >= 2
+    )
+    doc_w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("e").over(doc_w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dup.withColumn(
+        "new_island",
+        F.when(F.col("pos") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(doc_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        (F.max("e") - F.min("pos") + 1).alias("covered")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("covered").cast("bigint").alias("covered_chars")
+    )
+    base = docs.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+    return per_doc.join(base, "doc_id").filter(F.col("n_chars") > 0).select(
+        "doc_id", "n_chars", "covered_chars",
+        F.expr(
+            "CAST(CAST(covered_chars AS DECIMAL(38,0)) * 1000000"
+            " div n_chars AS BIGINT)"
+        ).alias("dup_ppm"),
+    )

@@ -254,3 +254,58 @@ def test_containment_pairs_matches_bruteforce_sets(spark):
     assert got == want
     # the subset-duplicate is caught in the short->long direction only
     assert (1, 2) in got and (2, 1) not in got
+
+
+def test_substring_coverage_matches_position_sets(spark):
+    """dedup_substring_coverage's window/island dataflow == brute-force
+    covered-position sets (independent algorithm, no windows)."""
+    from emma_spark.workloads import load_all
+
+    reg = load_all()
+    base = "x" * 60
+    texts = {
+        1: base + "AAAA" + "y" * 10,          # shares 60-char run with 2
+        2: "zzz" + base + "BBBB",
+        3: "unique " * 12,                     # repeated phrase within itself
+        4: "short",                            # < 40 chars: never counted
+    }
+    import tempfile, os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[k] for k in texts],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [len(texts[k]) for k in texts],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), os.path.join(d, "documents.parquet"))
+
+    got = {
+        r.doc_id: (r.n_chars, r.covered_chars, r.dup_ppm)
+        for r in reg["dedup_substring_coverage"].fn(spark, d).collect()
+    }
+
+    # brute force: a position is covered iff some 40-gram through it
+    # occurs >= 2 times corpus-wide
+    from collections import Counter
+
+    grams = Counter()
+    for t in texts.values():
+        for i in range(len(t) - 39):
+            grams[t[i:i + 40]] += 1
+    want = {}
+    for k, t in texts.items():
+        covered = set()
+        for i in range(len(t) - 39):
+            if grams[t[i:i + 40]] >= 2:
+                covered.update(range(i, i + 40))
+        if covered:
+            want[k] = (len(t), len(covered), len(covered) * 10**6 // len(t))
+    assert got == want
+    assert 1 in got and 2 in got and 3 in got and 4 not in got
