@@ -44,7 +44,11 @@ def _hex_slice_long(hexcol, start: int, length: int):
 
 
 def countmin_build(
-    df: DataFrame, key_col: str, d: int = 4, w: int = 512
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 512,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch of key frequencies: ``d`` hash rows × ``w``
     buckets. Returns (row, bucket, cnt) — at most d·w rows.
@@ -55,8 +59,16 @@ def countmin_build(
     cost d md5s per input row, and hashing dominates the build's CPU
     at corpus scale). The build explodes the d (row, bucket) pairs
     map-side and hash-aggregates — partial combine keeps the shuffle
-    at d·w cells per map task regardless of input size."""
+    at d·w cells per map task regardless of input size.
+
+    ``weight_col`` builds the identical sketch from a PRE-AGGREGATED
+    (key, weight) table — cell = Σ weight instead of Σ 1. When the
+    caller already owns a key-count aggregate, this moves the md5
+    work from one-per-instance to one-per-DISTINCT-key (the dominant
+    build cost on a heavy-tailed corpus) without changing a single
+    cell value."""
     hexh = _md5_hex(F.col(key_col), "cm")
+    wcol = F.col(weight_col) if weight_col else F.lit(1).cast("bigint")
     pairs = [
         F.struct(
             F.lit(i).alias("row"),
@@ -65,10 +77,10 @@ def countmin_build(
         for i in range(d)
     ]
     return (
-        df.select(F.explode(F.array(*pairs)).alias("__p"))
-        .select("__p.*")
+        df.select(wcol.alias("__w"), F.explode(F.array(*pairs)).alias("__p"))
+        .select("__w", "__p.*")
         .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__w").alias("cnt"))
     )
 
 

@@ -68,14 +68,20 @@ def sketch_countmin_tokens(spark, sf_dir):
     est ≥ exact always, equal when some row is collision-free. The
     sketch build is one d·w-cell shuffle regardless of corpus size;
     the probe join broadcasts the sketch (llm/sketches.py)."""
+    from ..plans.cache import pin
+
     docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
-    cms = SK.countmin_build(toks, "token", d=_CM_D, w=_CM_W)
-    exact = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("exact"))
-        .filter(F.col("exact") >= 50)
+    # ONE scan+tokenization: the (token, count) aggregate is tiny
+    # (|vocab| rows) and feeds the sketch build (weighted — identical
+    # cells, md5 per distinct token instead of per instance), the
+    # heavy-token probe set, and the ground-truth column. Unpinned,
+    # Catalyst re-derives it from the corpus THREE times.
+    counts = pin(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
     )
+    cms = SK.countmin_build(counts, "token", d=_CM_D, w=_CM_W, weight_col="exact")
+    exact = counts.filter(F.col("exact") >= 50)
     est = SK.countmin_estimate(
         cms, exact.select("token"), "token", d=_CM_D, w=_CM_W
     )

@@ -128,3 +128,26 @@ def test_pack_sequences_null_token_count_raises(spark):
     )
     with pytest.raises(Exception, match="pack_sequences: NULL"):
         pack_sequences(df, "doc_id", "n_tokens", ctx=64).collect()
+
+
+def test_countmin_weighted_build_equals_instance_build(spark):
+    """Building the sketch from a pre-aggregated (key, count) table
+    must produce cell-identical results to the per-instance build."""
+    import pyspark.sql.functions as F
+    from emma_spark.llm import sketches as SK
+
+    toks = spark.createDataFrame(
+        [(t,) for t in "a b a c a b d e a".split()], "token string"
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    inst = {
+        (r.row, r.bucket): r.cnt
+        for r in SK.countmin_build(toks, "token", d=4, w=64).collect()
+    }
+    wght = {
+        (r.row, r.bucket): r.cnt
+        for r in SK.countmin_build(
+            counts, "token", d=4, w=64, weight_col="n"
+        ).collect()
+    }
+    assert inst == wght
