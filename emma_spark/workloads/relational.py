@@ -7860,3 +7860,103 @@ def events_interval_overlap_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_overlaps"),
         F.sum("ov").alias("overlap_s"),
     )
+
+
+_HOLT_OFF = 10 ** 18          # level slot width in the packed accumulator
+_HOLT_BIAS = 5 * 10 ** 17     # signed-trend bias (|trend| < BIAS)
+_HOLT_D = f"CAST({_HOLT_OFF} AS DECIMAL(38,0))"
+# one Holt step on the packed acc = level * OFF + (trend + BIAS):
+#   l' = (3x + 7(l + b)) div 10      (alpha = 0.3)
+#   b' = (2(l' - l) + 8b) div 10     (beta  = 0.2)
+_HOLT_STEP_SPARK = (
+    "((3*x + 7*((acc div CAST(1000000000000000000 AS DECIMAL(38,0))) + (acc % CAST(1000000000000000000 AS DECIMAL(38,0)) - 500000000000000000))) div 10) * CAST(1000000000000000000 AS DECIMAL(38,0)) + (((2*(((3*x + 7*((acc div CAST(1000000000000000000 AS DECIMAL(38,0))) + (acc % CAST(1000000000000000000 AS DECIMAL(38,0)) - 500000000000000000))) div 10) - (acc div CAST(1000000000000000000 AS DECIMAL(38,0)))) + 8*(acc % CAST(1000000000000000000 AS DECIMAL(38,0)) - 500000000000000000)) div 10) + 500000000000000000)"
+)
+_HOLT_STEP_DUCK = (
+    "((3*x + 7*((acc // 1000000000000000000::HUGEINT) + (acc % 1000000000000000000::HUGEINT - 500000000000000000))) // 10) * 1000000000000000000::HUGEINT + (((2*(((3*x + 7*((acc // 1000000000000000000::HUGEINT) + (acc % 1000000000000000000::HUGEINT - 500000000000000000))) // 10) - (acc // 1000000000000000000::HUGEINT)) + 8*(acc % 1000000000000000000::HUGEINT - 500000000000000000)) // 10) + 500000000000000000)"
+)
+
+
+@query(
+    "orders_holt_trend_fold",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mo,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT o_orderpriority,
+             list(rev_c ORDER BY mo)::HUGEINT[] AS xs,
+             count(*)::BIGINT AS n_months
+      FROM m GROUP BY 1
+    ),
+    folded AS (
+      SELECT o_orderpriority, n_months,
+             list_reduce(
+               list_concat([xs[1] * {_HOLT_OFF}::HUGEINT
+                            + (xs[2] - xs[1] + {_HOLT_BIAS}::HUGEINT)],
+                           xs[3:]),
+               (acc, x) -> {_HOLT_STEP_DUCK}) AS r
+      FROM arr
+    )
+    SELECT o_orderpriority, n_months,
+           CAST(r // {_HOLT_OFF}::HUGEINT AS BIGINT) AS level_c,
+           CAST(r % {_HOLT_OFF}::HUGEINT - {_HOLT_BIAS}::HUGEINT AS BIGINT)
+             AS trend_c,
+           CAST(r // {_HOLT_OFF}::HUGEINT
+                + 3 * (r % {_HOLT_OFF}::HUGEINT - {_HOLT_BIAS}::HUGEINT)
+                AS BIGINT) AS forecast3_c
+    FROM folded
+    """,
+)
+def orders_holt_trend_fold(spark, sf_dir):
+    """HOLT'S LINEAR METHOD (double exponential smoothing, alpha=0.3,
+    beta=0.2) per priority — the trend-aware extension of
+    orders_ses_level_fold, whose COUPLED recursion (level and trend
+    each read the other's previous value) cannot be two independent
+    folds: the pair rides ONE array fold with both states PACKED into
+    a single 128-bit integer (level*10^18 + trend + 5*10^17 — the
+    events_burst_viterbi slot technique; struct accumulators have
+    engine-specific field-update order in DuckDB, packed arithmetic
+    is unambiguous). Init l_1 = x_1, b_1 = x_2 - x_1 (the textbook
+    seeding); every step re-quantizes with truncating integral
+    division, so the fold is exact on both engines. Domain
+    precondition (documented, property-tested): inputs >= 0 and the
+    decline bounded so the level never goes negative — the packed
+    modulo unpack needs a non-negative accumulator. The 3-step-ahead
+    forecast l + 3b is the output a capacity planner reads. Big scan
+    = one month hash-agg; the sequential tail is domain-bounded
+    (~80 months), never row-scale."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    m = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")
+          .alias("mo"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+          .alias("rev_c")
+    )
+    arr = m.groupBy("o_orderpriority").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(mo, rev_c))),"
+            " s -> s.rev_c)"
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    fold = (
+        f"aggregate(slice(xs, 3, size(xs) - 2),"
+        f" CAST(element_at(xs,1) AS DECIMAL(38,0)) * {_HOLT_D}"
+        f" + (element_at(xs,2) - element_at(xs,1)"
+        f"    + CAST({_HOLT_BIAS} AS DECIMAL(38,0))),"
+        f" (acc, x) -> {_HOLT_STEP_SPARK})"
+    )
+    return arr.selectExpr(
+        "o_orderpriority",
+        "n_months",
+        f"CAST(({fold}) div {_HOLT_D} AS BIGINT) AS level_c",
+        f"CAST(({fold}) % {_HOLT_D} - {_HOLT_BIAS} AS BIGINT) AS trend_c",
+        f"CAST(({fold}) div {_HOLT_D}"
+        f" + 3 * (({fold}) % {_HOLT_D} - {_HOLT_BIAS}) AS BIGINT)"
+        f" AS forecast3_c",
+    )

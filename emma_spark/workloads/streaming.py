@@ -1029,3 +1029,56 @@ def stream_two_source_union(spark, sf_dir):
     name = f"stream_union_{uuid.uuid4().hex[:8]}"
     S.run_to_memory(agg, name, output_mode="complete", state_partitions=4)
     return spark.table(name)
+
+
+@query(
+    "stream_windowed_topk_users",
+    oracle="""
+    WITH wc AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, user_id,
+             count(*) AS n
+      FROM events
+      GROUP BY 1, 2
+      HAVING win_start + INTERVAL 1 HOUR
+               < (SELECT max(ts) - INTERVAL 37 MINUTE FROM events)
+    ),
+    ranked AS (
+      SELECT win_start, user_id, n,
+             row_number() OVER (PARTITION BY win_start
+               ORDER BY n DESC, user_id) AS rank
+      FROM wc
+    )
+    SELECT win_start, user_id, n, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def stream_windowed_topk_users(spark, sf_dir):
+    """Windowed TOP-K heavy hitters on a stream — the trending-items /
+    noisiest-users panel: per-hour per-user counts as a watermarked
+    APPEND streaming aggregation (state bounded, each window emitted
+    once when finalized — the stream_watermark_append eviction
+    contract), then the top-3 ranking runs BATCH-side over the sink
+    table (window functions don't exist inside a streaming agg; the
+    production shape is exactly this split — stream maintains the
+    windowed counts, the serving layer ranks finalized windows, e.g.
+    in foreachBatch or the downstream reader). The ranking window is
+    PARTITIONED by win_start — per-window work, never global. The
+    oracle replays windowing + watermark + ranking in one SQL text."""
+    staged = _stage_events(spark, sf_dir)
+    stream = S.read_stream_parquet(
+        spark, staged, spark.read.parquet(staged).schema
+    )
+    wm = S.with_watermark(stream, "ts", "37 minutes")
+    agg = S.tumbling(wm, "ts", "1 hour", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, output_mode="append", state_partitions=4)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("win_start").orderBy(F.desc("n"), "user_id")
+    return (
+        spark.table(name)
+        .select(F.col("window.start").alias("win_start"), "user_id", "n")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )

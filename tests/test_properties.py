@@ -547,3 +547,48 @@ def test_lcs_fold_recurrence_equals_textbook(a, b):
     dependence) must equal the classic three-term LCS DP on random
     sequences — the identity the SQL fold relies on."""
     assert _lcs_fold(a, b) == _lcs_textbook(a, b)
+
+
+# ----------------------------------------------------------------------
+# packed Holt fold == textbook two-variable recursion
+# ----------------------------------------------------------------------
+_holt_series = st.lists(st.integers(0, 10**12), min_size=3, max_size=40)
+
+
+@given(xs=_holt_series)
+@settings(max_examples=40, deadline=None)
+def test_packed_holt_fold_equals_textbook_recursion(xs):
+    """The 128-bit packed accumulator in orders_holt_trend_fold must
+    reproduce the plain two-variable Holt recursion (alpha=0.3,
+    beta=0.2, truncating integer division) for any non-negative
+    series whose level stays non-negative — the documented domain."""
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    # textbook reference
+    l, b = xs[0], xs[1] - xs[0]
+    ok_domain = True
+    for x in xs[2:]:
+        lp = l + b
+        l2 = tdiv(3 * x + 7 * lp, 10)
+        b = tdiv(2 * (l2 - l) + 8 * b, 10)
+        l = l2
+        if l < 0:
+            ok_domain = False
+            break
+    if not ok_domain:
+        return  # outside the documented domain precondition
+
+    # packed replay (pure python mirror of the SQL arithmetic)
+    OFF, BIAS = 10**18, 5 * 10**17
+    acc = xs[0] * OFF + (xs[1] - xs[0] + BIAS)
+    for x in xs[2:]:
+        pl = tdiv(acc, OFF)
+        pb = acc % OFF - BIAS
+        lp = pl + pb
+        l2 = tdiv(3 * x + 7 * lp, 10)
+        nb = tdiv(2 * (l2 - pl) + 8 * pb, 10)
+        acc = l2 * OFF + (nb + BIAS)
+    assert tdiv(acc, OFF) == l and acc % OFF - BIAS == b
