@@ -2109,3 +2109,117 @@ def ml_nearest_centroid_confusion(spark, sf_dir):
         (F.min("slot") % 16).alias("pred")
     )
     return pred.groupBy("actual", "pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "ml_isotonic_calibration",
+    oracle="""
+    WITH pts AS (
+      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS sc
+      FROM embeddings
+    ),
+    mm AS (SELECT min(sc) AS lo, max(sc) AS hi FROM pts),
+    bins AS (
+      SELECT (p.sc - mm.lo) * 10 // (mm.hi - mm.lo + 1) AS bin,
+             count(*)::BIGINT AS n, sum(p.y)::BIGINT AS pos
+      FROM pts p, mm GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, n, pos,
+             sum(n) OVER (ORDER BY bin) AS cn,
+             sum(pos) OVER (ORDER BY bin) AS cpos
+      FROM bins
+    ),
+    iv AS (
+      SELECT j.bin AS j, k.bin AS k,
+             CAST((k.cpos - (j.cpos - j.pos))::HUGEINT
+                  * 1000000000000000000
+                  // (k.cn - (j.cn - j.n)) AS BIGINT) AS mean_q18
+      FROM cum j JOIN cum k ON j.bin <= k.bin
+    ),
+    inner_min AS (
+      SELECT c.bin AS i, iv.j, min(iv.mean_q18) AS m
+      FROM cum c JOIN iv ON iv.j <= c.bin AND iv.k >= c.bin
+      GROUP BY 1, 2
+    ),
+    iso AS (SELECT i AS bin, max(m) AS iso_q18 FROM inner_min GROUP BY i)
+    SELECT b.bin, b.n, b.pos,
+           CAST(b.pos::HUGEINT * 1000000 // b.n AS BIGINT) AS raw_ppm,
+           CAST(iso.iso_q18 // 1000000000000 AS BIGINT) AS iso_ppm
+    FROM bins b JOIN iso ON b.bin = iso.bin
+    """,
+)
+def ml_isotonic_calibration(spark, sf_dir):
+    """ISOTONIC REGRESSION (PAVA) recalibration of the reliability
+    table — the non-parametric step after ml_calibration_bins flags
+    miscalibration. PAVA's stack-merge loop is sequential, but its
+    MINIMAX characterization (Barlow et al. 1972, public: fitted_i =
+    max_{j<=i} min_{k>=i} weighted-mean(y[j..k])) is pure dataflow
+    over the BOUNDED bin table: prefix sums over 10 rows, all
+    (j <= k) interval means as exact q18 rationals (DECIMAL products,
+    one truncating divide — separation: two distinct interval means
+    differ by >= 1/(n_a*n_b), so q18 comparisons are exact while the
+    corpus is < ~10^9 rows per side; at larger n widen the slot), a
+    (i, j, k) triple join bounded at B^3 ~ 1000 rows, min over k then
+    max over j. Every engine-side comparison is on identical integers
+    — no float, no loop, no UDF; the scan is ONE histogram hash-agg
+    (10 cells). Property-tested against the classic stack PAVA.
+    Output: per bin, raw vs isotonic-calibrated positive rate (ppm);
+    iso_ppm is non-decreasing in bin by construction."""
+    from ..llm.similarity import as_double
+    from pyspark.sql import Window
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    pts = emb.select(
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+        F.floor(as_double(F.col("embedding"))[0] * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("sc"),
+    )
+    mm = pts.agg(F.min("sc").alias("lo"), F.max("sc").alias("hi"))
+    bins = (
+        pts.crossJoin(F.broadcast(mm))
+        .groupBy(F.expr("(sc - lo) * 10 div (hi - lo + 1)").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    # everything below runs on the <= 10-row bin table (broadcast-size)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", "n", "pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cpos"),
+    )
+    j, k = cum.alias("j"), cum.alias("k")
+    iv = j.join(k, F.col("j.bin") <= F.col("k.bin")).select(
+        F.col("j.bin").alias("j"),
+        F.col("k.bin").alias("k"),
+        F.expr(
+            "CAST(CAST(k.cpos - (j.cpos - j.pos) AS DECIMAL(38,0))"
+            " * 1000000000000000000"
+            " div (k.cn - (j.cn - j.n)) AS BIGINT)"
+        ).alias("mean_q18"),
+    )
+    i_tab = cum.select(F.col("bin").alias("i"))
+    inner_min = (
+        iv.join(
+            F.broadcast(i_tab),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("mean_q18").alias("m"))
+    )
+    iso = inner_min.groupBy(F.col("i").alias("bin")).agg(
+        F.max("m").alias("iso_q18")
+    )
+    return bins.join(iso, "bin").select(
+        "bin", "n", "pos",
+        F.expr(
+            "CAST(CAST(pos AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"
+        ).alias("raw_ppm"),
+        F.expr("CAST(iso_q18 div 1000000000000 AS BIGINT)").alias("iso_ppm"),
+    )

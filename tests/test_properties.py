@@ -592,3 +592,67 @@ def test_packed_holt_fold_equals_textbook_recursion(xs):
         nb = tdiv(2 * (l2 - pl) + 8 * pb, 10)
         acc = l2 * OFF + (nb + BIAS)
     assert tdiv(acc, OFF) == l and acc % OFF - BIAS == b
+
+
+# ----------------------------------------------------------------------
+# minimax isotonic fit == classic stack PAVA
+# ----------------------------------------------------------------------
+_iso_bins = st.lists(
+    st.tuples(st.integers(1, 20), st.integers(0, 20)),  # (n, pos<=n via min)
+    min_size=1, max_size=8,
+)
+
+
+@given(bins=_iso_bins)
+@settings(max_examples=60, deadline=None)
+def test_minimax_isotonic_equals_stack_pava(bins):
+    """ml_isotonic_calibration computes the PAVA fit via the minimax
+    characterization; verify against the textbook pool-adjacent-
+    violators stack on exact fractions. Small weights keep interval
+    means separated far above the q18 quantization, so quantized
+    comparisons are exact (the query's documented domain)."""
+    from fractions import Fraction
+
+    bins = [(n, min(p, n)) for n, p in bins]
+
+    # stack PAVA (exact fractions)
+    blocks = []  # (pos, n)
+    for n, p in bins:
+        blocks.append((p, n))
+        while len(blocks) >= 2 and Fraction(blocks[-1][0], blocks[-1][1]) < \
+                Fraction(blocks[-2][0], blocks[-2][1]):
+            p2, n2 = blocks.pop()
+            p1, n1 = blocks.pop()
+            blocks.append((p1 + p2, n1 + n2))
+    # expand per-bin fitted value
+    pava_per_bin = []
+    bi = 0
+    for p, n in blocks:
+        cnt = 0
+        while cnt < n:
+            cnt += bins[bi][0]
+            pava_per_bin.append(Fraction(p, n))
+            bi += 1
+
+    # minimax with q18 quantization (mirror of the SQL)
+    Q = 10**18
+    B = len(bins)
+    cpos = [0]
+    cn = [0]
+    for n, p in bins:
+        cpos.append(cpos[-1] + p)
+        cn.append(cn[-1] + n)
+
+    def mean_q18(j, k):  # 0-based inclusive
+        return (cpos[k + 1] - cpos[j]) * Q // (cn[k + 1] - cn[j])
+
+    got = []
+    for i in range(B):
+        got.append(
+            max(
+                min(mean_q18(j, k) for k in range(i, B))
+                for j in range(i + 1)
+            )
+        )
+    want = [f.numerator * Q // f.denominator for f in pava_per_bin]
+    assert got == want
