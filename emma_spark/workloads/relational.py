@@ -7960,3 +7960,37 @@ def orders_holt_trend_fold(spark, sf_dir):
         f" + 3 * (({fold}) % {_HOLT_D} - {_HOLT_BIAS}) AS BIGINT)"
         f" AS forecast3_c",
     )
+
+
+@query(
+    "parquet_partitioned_roundtrip",
+    oracle="""
+    SELECT source, count(*) AS n, sum(n_chars) AS chars
+    FROM documents WHERE lang IN ('en', 'de')
+    GROUP BY source
+    """,
+)
+def parquet_partitioned_roundtrip(spark, sf_dir):
+    """Hive-partitioned parquet sink + PARTITION-PRUNED read-back
+    (io.write_parquet(partition_by=...) — previously exercised only in
+    pytest): documents written partitioned by lang, read back with a
+    lang predicate that must resolve at PLANNING time (PartitionFilters
+    on the scan — asserted in tests/test_plans.py), so only the en/de
+    directories are ever listed or read. Hash-matching the oracle on
+    the ORIGINAL table proves the partitioned layout loses nothing —
+    including rows whose partition value round-trips through the
+    directory-name encoding. This is the table-layout contract every
+    100 TB warehouse rests on: a date/tenant-partitioned fact is the
+    difference between scanning 3 partitions and 3000."""
+    import tempfile
+
+    from ..core import DataBag
+
+    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet")
+    path = tempfile.mkdtemp(prefix="emma_pq_part_") + "/docs"
+    DataBag(docs.df).write_parquet(path, partition_by=["lang"])
+    back = spark.read.parquet(path).filter(F.col("lang").isin("en", "de"))
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )

@@ -2290,3 +2290,63 @@ def text_char_coverage_vocab(spark, sf_dir):
               .alias("coverage_ppm"),
         )
     )
+
+
+@query(
+    "text_quality_classifier_hashed",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents),
+    f AS (
+      SELECT doc_id, lang,
+             list_concat(
+               toks,
+               list_transform(range(1, greatest(len(toks), 1)),
+                 i -> toks[i] || '_' || toks[i + 1])) AS feats
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             CAST(list_sum(list_transform(feats,
+               t -> CAST(concat('0x', substr(md5('qw' || '|' || t), 1, 14))
+                         AS BIGINT) % 2001 - 1000)) AS BIGINT) AS score_milli
+      FROM f
+    )
+    SELECT doc_id, lang, score_milli,
+           CASE WHEN score_milli > 0 THEN 1 ELSE 0 END AS keep
+    FROM s
+    """,
+)
+def text_quality_classifier_hashed(spark, sf_dir):
+    """CLASSIFIER-BASED quality filtering — the fastText-style linear
+    gate CCNet/GPT-3/RedPajama pipelines run after the heuristic
+    filters (text_quality): score = Σ w[feature] over hashed unigram
+    + bigram features, keep iff score > 0. The weight table here is
+    md5-derived (the repo's deterministic stand-in contract — a
+    TRAINED weight vector ships as a broadcast map or literal array,
+    identical plumbing and cost); the hashing-trick bucket lookup,
+    the bigram feature join-free construction (zip of the token array
+    with its own tail — array HOFs, no explode), and the per-doc
+    integer score are exactly the production dataflow: ZERO shuffles,
+    pure narrow map over the corpus scan, so the classifier gate adds
+    no exchange to a curation pipeline no matter the corpus size.
+    Scores in exact milli-units; both engines replay bit-for-bit."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    d = docs.select("doc_id", "lang", X.tokens(F.col("text")).alias("toks"))
+    f = d.select(
+        "doc_id", "lang",
+        F.expr(
+            "concat(toks, zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+            " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+            " (a, b) -> concat(a, '_', b)))"
+        ).alias("feats"),
+    )
+    score = F.expr(
+        "CAST(aggregate(transform(feats, t ->"
+        " CAST(conv(substring(md5(concat('qw', '|', t)), 1, 14), 16, 10)"
+        " AS BIGINT) % 2001 - 1000), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        " AS BIGINT)"
+    )
+    return f.select(
+        "doc_id", "lang", score.alias("score_milli"),
+        F.when(score > 0, 1).otherwise(0).alias("keep"),
+    )

@@ -462,3 +462,12 @@ def test_interval_overlap_join_is_hash_join_not_bnlj(spark, registry):
     plan = _plan(registry["events_interval_overlap_join"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_roundtrip_prunes_partitions(spark, registry):
+    """The lang predicate must land in PartitionFilters (directory
+    pruning), not as a post-scan filter over all partitions."""
+    df = registry["parquet_partitioned_roundtrip"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    idx = plan.index("PartitionFilters")
+    assert "lang" in plan[idx:idx + 220], plan[idx:idx + 220]
