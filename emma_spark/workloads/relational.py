@@ -7994,3 +7994,66 @@ def parquet_partitioned_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+@query(
+    "udf_grouped_agg_median",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             list(v_c ORDER BY v_c) AS xs
+      FROM v GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(CASE WHEN n % 2 = 1 THEN xs[(n + 1) // 2]
+                ELSE (xs[n // 2] + xs[n // 2 + 1]) // 2 END AS BIGINT)
+             AS median_c
+    FROM s
+    """,
+)
+def udf_grouped_agg_median(spark, sf_dir):
+    """The GROUPED_AGG pandas UDF flavor — the last cell of the
+    Python-seam matrix (arrow scalar / pandas UDAF via applyInPandas /
+    mapInPandas / cogroup / UDTF / mapInArrow / THIS): a vectorized
+    aggregate whose whole group arrives as one pandas Series and
+    returns one scalar — here the exact integer median of cent-
+    quantized purchase values (even n: truncated mean of the two
+    middles, mirrored in the oracle). The plan is a real partial-free
+    ObjectHashAggregate over Arrow batches; the group columns never
+    leave the JVM. (Median IS SQL-expressible — that's what makes it
+    oracle-checkable; the flavor exists for the aggregates that
+    aren't.)"""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: the module's `from __future__ import
+    # annotations` stringifies type hints, so eval-type inference from
+    # a Series -> scalar signature is unavailable
+    @pandas_udf("bigint", PandasUDFType.GROUPED_AGG)
+    def exact_median(v):
+        a = np.sort(v.to_numpy(dtype="int64"))
+        n = len(a)
+        if n % 2 == 1:
+            return int(a[n // 2])
+        return int((int(a[n // 2 - 1]) + int(a[n // 2])) // 2)
+
+    # GROUPED_AGG UDFs can't share an agg with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides the same seam
+    @pandas_udf("bigint", PandasUDFType.GROUPED_AGG)
+    def group_size(v):
+        return len(v)
+
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    v = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_c"),
+    )
+    return v.groupBy("event_type").agg(
+        group_size(F.col("v_c")).alias("n"),
+        exact_median(F.col("v_c")).alias("median_c"),
+    )

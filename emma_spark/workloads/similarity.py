@@ -1122,3 +1122,132 @@ def search_mrr_eval(spark, sf_dir):
         ).alias("rr_ppm"),
         F.when(F.col("arank") == 1, 1).otherwise(0).alias("hit1"),
     )
+
+
+def _jl_signs(k: int = 16, d: int = 64):
+    """Deterministic ±1 projection matrix (hashlib — computed once at
+    plan build, embedded as a literal in BOTH engines' plans)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl|{j}|{i}".encode()).hexdigest()[:14], 16)
+            % 2 == 0
+            else -1
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]
+
+
+_JL_K, _JL_D = 16, 64
+_JL_LIT = (
+    "array("
+    + ", ".join(
+        "array(" + ", ".join(str(s) for s in row) + ")"
+        for row in _jl_signs(_JL_K, _JL_D)
+    )
+    + ")"
+)
+_JL_LIT_DUCK = (
+    "["
+    + ", ".join(
+        "[" + ",".join(str(s) for s in row) + "]" for row in _jl_signs(_JL_K, _JL_D)
+    )
+    + "]"
+)
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+               AS vq
+      FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, vq,
+             list_transform({_JL_LIT_DUCK}::BIGINT[][],
+               r -> CAST(list_sum(list_transform(range(1, {_JL_D} + 1),
+                      i -> vq[i] * r[i])) AS BIGINT)) AS proj
+      FROM q
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             CAST(list_sum(list_transform(range(1, {_JL_D} + 1),
+               i -> (a.vq[i] - b.vq[i]) * (a.vq[i] - b.vq[i])))
+               AS BIGINT) AS d2_orig,
+             CAST(list_sum(list_transform(range(1, {_JL_K} + 1),
+               i -> (a.proj[i] - b.proj[i]) * (a.proj[i] - b.proj[i])))
+               AS BIGINT) AS d2_proj
+      FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+    )
+    SELECT a, b, d2_orig, d2_proj,
+           CAST(d2_proj::HUGEINT * 1000000 // ({_JL_K}::HUGEINT * d2_orig)
+                AS BIGINT) AS ratio_ppm
+    FROM pairs WHERE d2_orig > 0
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    """JOHNSON–LINDENSTRAUSS random projection (64 → 16 dims, ±1
+    Achlioptas matrix — public, "Database-friendly random
+    projections", 2001) WITH its distortion audit: each vector's
+    projection is 16 exact integer dot products against a
+    deterministic sign matrix baked into the plan as a literal
+    (hashlib at plan build — both engines evaluate the identical
+    constant, no engine hashing in the hot path); the audit joins
+    consecutive vector pairs and reports d²_proj / (k·d²_orig) in
+    exact ppm, whose concentration around 10⁶ is the JL lemma made
+    measurable. Map-only projection (no shuffle — the 4× index-width
+    reduction step that runs BEFORE LSH/IVF at 100 TB); the audit
+    join is a slim self-join on vec_id+1. Everything integer: the
+    1e-4-unit quantization commutes with the ±1 matrix exactly."""
+    from ..llm.similarity import as_double
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            as_double(F.col("embedding")),
+            lambda x: F.floor(x * 10000 + F.lit(0.5)).cast("bigint"),
+        ).alias("vq"),
+    )
+    p = q.select(
+        "vec_id", "vq",
+        F.expr(
+            f"transform({_JL_LIT}, r -> aggregate(zip_with(vq, r,"
+            " (x, s) -> x * CAST(s AS BIGINT)), CAST(0 AS BIGINT),"
+            " (acc, e) -> acc + e))"
+        ).alias("proj"),
+    )
+    a = p.alias("a")
+    b = p.select(
+        (F.col("vec_id") - 1).alias("join_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("vq").alias("vq_b"),
+        F.col("proj").alias("proj_b"),
+    ).alias("b")
+    pairs = a.join(b, F.col("a.vec_id") == F.col("join_id")).select(
+        F.col("a.vec_id").alias("a"),
+        F.col("b_id").alias("b"),
+        F.expr(
+            "CAST(aggregate(zip_with(a.vq, vq_b, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, e) -> acc + e) AS BIGINT)"
+        ).alias("d2_orig"),
+        F.expr(
+            "CAST(aggregate(zip_with(a.proj, proj_b,"
+            " (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, e) -> acc + e) AS BIGINT)"
+        ).alias("d2_proj"),
+    )
+    return pairs.filter(F.col("d2_orig") > 0).select(
+        "a", "b", "d2_orig", "d2_proj",
+        F.expr(
+            f"CAST(CAST(d2_proj AS DECIMAL(38,0)) * 1000000"
+            f" div ({_JL_K} * CAST(d2_orig AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
