@@ -238,3 +238,99 @@ def layout_zone_map_pruning(spark, sf_dir):
         ).alias("date_skip_ppm"),
         "n_parts", "part_skip_n",
     )
+
+
+@query(
+    "dq_freshness_completeness",
+    oracle="""
+    WITH g AS (SELECT max(ts) AS gmax FROM events),
+    per AS (
+      SELECT event_type, max(ts) AS tmax,
+             epoch_us(time_bucket(INTERVAL 1 DAY, max(ts))) // 86400000000
+               AS last_day
+      FROM events GROUP BY event_type
+    ),
+    days AS (
+      SELECT event_type,
+             epoch_us(time_bucket(INTERVAL 1 DAY, ts)) // 86400000000 AS day,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    trail AS (
+      SELECT d.event_type,
+             sum(CASE WHEN d.day = p.last_day THEN d.n END) AS last_n,
+             sum(CASE WHEN d.day BETWEEN p.last_day - 7 AND p.last_day - 1
+                 THEN d.n END) AS trail_n,
+             count(CASE WHEN d.day BETWEEN p.last_day - 7 AND p.last_day - 1
+                   THEN 1 END) AS trail_days
+      FROM days d JOIN per p ON d.event_type = p.event_type
+      GROUP BY 1
+    )
+    SELECT p.event_type,
+           (epoch_us(g.gmax) - epoch_us(p.tmax)) // 60000000
+             AS freshness_lag_min,
+           t.last_n, t.trail_n, t.trail_days,
+           CAST(t.last_n::HUGEINT * t.trail_days * 1000000 // t.trail_n
+                AS BIGINT) AS completeness_ppm
+    FROM per p JOIN trail t ON p.event_type = t.event_type, g
+    """,
+)
+def dq_freshness_completeness(spark, sf_dir):
+    """PIPELINE-HEALTH monitor — the two numbers every ingest dashboard
+    alerts on, per source (event type): FRESHNESS (minutes between
+    this source's newest record and the newest record anywhere — a
+    stalled upstream shows as a growing lag) and COMPLETENESS (the
+    last full day's volume against its own trailing 7-day mean, as an
+    exact ppm ratio — a silent partial load shows as a ratio far from
+    10⁶ even when the pipeline 'succeeded'). One scan → per-(type,
+    day) hash-agg; the trailing comparison is a bounded conditional
+    agg over the day table (≤ types·days rows), no window, no second
+    scan. Integer end to end: epoch-microsecond truncating division
+    for the lag, cross-multiplied HUGEINT rational for the ratio."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    sec_day = F.expr("unix_micros(ts) div 86400000000")
+    g = e.agg(F.max("ts").alias("gmax"))
+    per = e.groupBy("event_type").agg(
+        F.max("ts").alias("tmax"),
+        F.max(sec_day).alias("last_day"),
+    )
+    days = e.groupBy(
+        "event_type", sec_day.alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    trail = (
+        days.join(per.select("event_type", "last_day"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("last_day"), F.col("n")))
+            .alias("last_n"),
+            F.sum(
+                F.when(
+                    (F.col("day") >= F.col("last_day") - 7)
+                    & (F.col("day") <= F.col("last_day") - 1),
+                    F.col("n"),
+                )
+            ).alias("trail_n"),
+            F.count(
+                F.when(
+                    (F.col("day") >= F.col("last_day") - 7)
+                    & (F.col("day") <= F.col("last_day") - 1),
+                    1,
+                )
+            ).alias("trail_days"),
+        )
+    )
+    return (
+        per.join(trail, "event_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.expr(
+                "(unix_micros(gmax) - unix_micros(tmax)) div 60000000"
+            ).alias("freshness_lag_min"),
+            "last_n", "trail_n", "trail_days",
+            F.expr(
+                "CAST(CAST(last_n AS DECIMAL(38,0)) * trail_days * 1000000"
+                " div trail_n AS BIGINT)"
+            ).alias("completeness_ppm"),
+        )
+    )

@@ -462,3 +462,118 @@ def sketch_cms_merge_rollup(spark, sf_dir):
             (F.col("est_merged") == F.col("est_direct")).alias("merge_exact"),
         )
     )
+
+
+@query(
+    "sketch_kmv_audience_overlap",
+    oracle=f"""
+    WITH ua AS (
+      SELECT DISTINCT CAST(concat('0x', substr(md5('kmv' || '|'
+               || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ub AS (
+      SELECT DISTINCT CAST(concat('0x', substr(md5('kmv' || '|'
+               || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+      FROM events WHERE event_type = 'click'
+    ),
+    ka AS (SELECT h FROM ua ORDER BY h LIMIT 64),
+    kb AS (SELECT h FROM ub ORDER BY h LIMIT 64),
+    th AS (
+      SELECT least((SELECT CASE WHEN count(*) >= 64 THEN max(h)
+                           ELSE {1 << 56} END FROM ka),
+                   (SELECT CASE WHEN count(*) >= 64 THEN max(h)
+                           ELSE {1 << 56} END FROM kb)) AS theta
+    ),
+    samp AS (
+      SELECT count(*)::BIGINT AS n_sample
+      FROM ka JOIN kb ON ka.h = kb.h, th
+      WHERE ka.h < th.theta
+    ),
+    exact AS (
+      SELECT count(*)::BIGINT AS exact_overlap
+      FROM ua JOIN ub ON ua.h = ub.h
+    )
+    SELECT (SELECT count(*) FROM ua)::BIGINT AS n_a,
+           (SELECT count(*) FROM ub)::BIGINT AS n_b,
+           th.theta,
+           samp.n_sample,
+           CAST(samp.n_sample::HUGEINT * {1 << 56} // th.theta AS BIGINT)
+             AS est_overlap,
+           exact.exact_overlap
+    FROM th, samp, exact
+    """,
+)
+def sketch_kmv_audience_overlap(spark, sf_dir):
+    """AUDIENCE OVERLAP from two KMV sketches — the theta-sketch
+    set-INTERSECTION estimate (Dasgupta et al., the DataSketches
+    theta model — public): how many users both purchased AND clicked,
+    answered from two k=64 sketches instead of a full distinct join.
+    theta = min of the two k-th minima; the intersection SAMPLE is
+    the hash-join of the two k-sets below theta (each sketch is a
+    uniform sample of its set at rate theta/2^56, so the estimate is
+    |sample| * 2^56 div theta — one exact integral divide). The whole
+    dataflow after the two distinct-hash aggs touches <= 2k rows;
+    at 100 TB the sketches are the only thing that crosses the wire,
+    and THIS is the query shape audience platforms run per
+    segment-pair (the exact join alongside is the calibration).
+    Deterministic md5 hashing makes every value — sample, theta,
+    estimate — replayable bit-for-bit on both engines, unlike
+    engine-native theta sketches. Estimator quality: relative error
+    ~ 1/sqrt(k) per sketch; the driver-checked row IS the
+    measurement."""
+    from pyspark.sql import Window
+
+    from ..llm.text import md5_long
+
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    K = 64
+    FULL = 1 << 56
+
+    def kset(event_type):
+        return (
+            e.filter(F.col("event_type") == event_type)
+            .select(md5_long(F.col("user_id").cast("string"), salt="kmv")
+                    .alias("h"))
+            .distinct()
+        )
+
+    ua, ub = kset("purchase"), kset("click")
+    w = Window.orderBy("h")  # rank window over <= |distinct| hashes;
+    # bounded to k rows immediately after — acceptable single-task tail
+    # only on the k-set; the distinct agg above carries the real scale
+    ka = ua.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= K)
+    kb = ub.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= K)
+
+    def theta_of(kdf):
+        return kdf.agg(
+            F.when(F.count(F.lit(1)) >= K, F.max("h"))
+            .otherwise(F.lit(FULL))
+            .alias("t")
+        )
+
+    th = (
+        theta_of(ka).crossJoin(
+            theta_of(kb).select(F.col("t").alias("t2"))
+        ).select(F.least("t", "t2").alias("theta"))
+    )
+    samp = (
+        ka.select("h").join(kb.select("h"), "h")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_sample"))
+    )
+    exact = ua.join(ub, "h").agg(F.count(F.lit(1)).alias("exact_overlap"))
+    na = ua.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = ub.agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        na.crossJoin(nb).crossJoin(th).crossJoin(samp).crossJoin(exact)
+        .select(
+            "n_a", "n_b", "theta", "n_sample",
+            F.expr(
+                f"CAST(CAST(n_sample AS DECIMAL(38,0)) * {FULL}"
+                " div theta AS BIGINT)"
+            ).alias("est_overlap"),
+            "exact_overlap",
+        )
+    )
