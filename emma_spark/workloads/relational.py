@@ -8057,3 +8057,144 @@ def udf_grouped_agg_median(spark, sf_dir):
         group_size(F.col("v_c")).alias("n"),
         exact_median(F.col("v_c")).alias("median_c"),
     )
+
+
+# Croston packed-state step: acc = z * 4194304 + p_c * 256 + q
+#   z   = smoothed demand size (input units x100), 0 = uninitialized
+#   p_c = smoothed demand interval x100 (< 16384)
+#   q   = periods since last demand (< 256)
+# alpha = 0.3 for both recursions; all divisions truncate on
+# non-negative operands, so Spark `div` == DuckDB `//` exactly.
+_CROSTON_STEP = (
+    "CASE WHEN x = 0 THEN acc + 1"
+    " WHEN acc {D} 4194304 = 0"
+    " THEN x * 4194304 + ((acc % 256) + 1) * 25600 + 1"
+    " ELSE ((3 * x + 7 * (acc {D} 4194304)) {D} 10) * 4194304"
+    " + (((3 * ((acc % 256) + 1) * 100"
+    " + 7 * ((acc % 4194304) {D} 256)) {D} 10) * 256)"
+    " + 1 END"
+)
+
+
+@query(
+    "part_croston_intermittent",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_partkey,
+             (year(CAST(l_shipdate AS DATE)) * 12
+              + month(CAST(l_shipdate AS DATE))) AS idx,
+             CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS x
+      FROM lineitem WHERE l_partkey < 20 GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT (year(CAST(min(l_shipdate) AS DATE)) * 12
+              + month(CAST(min(l_shipdate) AS DATE))) AS lo,
+             (year(CAST(max(l_shipdate) AS DATE)) * 12
+              + month(CAST(max(l_shipdate) AS DATE))) AS hi
+      FROM lineitem
+    ),
+    grid AS (
+      SELECT p.l_partkey, g.idx, coalesce(m.x, 0) AS x
+      FROM (SELECT DISTINCT l_partkey FROM m) p
+      CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+                                                (SELECT hi FROM span)))
+                    AS idx) g
+      LEFT JOIN m ON m.l_partkey = p.l_partkey AND m.idx = g.idx
+    ),
+    arr AS (
+      SELECT l_partkey, list(x ORDER BY idx) AS xs,
+             count(*)::BIGINT AS n_periods,
+             count(CASE WHEN x > 0 THEN 1 END)::BIGINT AS n_demands
+      FROM grid GROUP BY 1
+    ),
+    folded AS (
+      SELECT l_partkey, n_periods, n_demands,
+             list_reduce(list_concat([0::BIGINT], xs),
+               (acc, x) -> {_CROSTON_STEP.format(D='//')}) AS r
+      FROM arr
+    )
+    SELECT l_partkey, n_periods, n_demands,
+           r // 4194304 AS z_c,
+           (r % 4194304) // 256 AS p_c,
+           r % 256 AS q_last,
+           r // 4194304 * 1000 // ((r % 4194304) // 256) AS rate_milli
+    FROM folded
+    """,
+)
+def part_croston_intermittent(spark, sf_dir):
+    """CROSTON'S METHOD for intermittent demand (public, Croston 1972)
+    — the forecasting family's third member (level: ses_level_fold;
+    level+trend: holt_trend_fold; THIS: sparse series where most
+    periods are zero and plain smoothing decays toward zero between
+    demands): two coupled recursions — smoothed demand SIZE (updated
+    only on demand) and smoothed demand INTERVAL — plus the
+    periods-since-demand counter, all three PACKED into one BIGINT
+    slot (z·2²² + p_c·2⁸ + q; the Holt/Viterbi technique at narrower
+    widths since quantities are small) and run as ONE array fold per
+    part over the zero-DENSIFIED month grid (parts × global month
+    span, left join, zeros filled — the zeros are the signal here).
+    Forecast rate = size div interval in exact milli-units. The big
+    scan is one (part, month) hash-agg; the sequential tail is the
+    bounded 83-month dimension. Property-tested against the plain
+    three-variable recursion."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    idx = F.expr(
+        "year(CAST(l_shipdate AS DATE)) * 12 + month(CAST(l_shipdate AS DATE))"
+    )
+    m = (
+        li.filter(F.col("l_partkey") < 20)
+        .groupBy("l_partkey", idx.alias("idx"))
+        .agg(
+            F.floor(F.sum("l_quantity") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    span = li.agg(
+        F.expr(
+            "year(CAST(min(l_shipdate) AS DATE)) * 12"
+            " + month(CAST(min(l_shipdate) AS DATE))"
+        ).alias("lo"),
+        F.expr(
+            "year(CAST(max(l_shipdate) AS DATE)) * 12"
+            " + month(CAST(max(l_shipdate) AS DATE))"
+        ).alias("hi"),
+    )
+    # per part: month->x entries collapsed to a map, the densified
+    # series built by walking the global span (no explode, no second
+    # shuffle — the series assembles inside the same per-part agg row)
+    arr = (
+        m.groupBy("l_partkey")
+        .agg(
+            F.expr("map_from_entries(collect_list(struct(idx, x)))").alias(
+                "mx"
+            )
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            "l_partkey",
+            F.expr(
+                "transform(sequence(lo, hi),"
+                " i -> coalesce(element_at(mx, i), CAST(0 AS BIGINT)))"
+            ).alias("xs"),
+        )
+        .select(
+            "l_partkey", "xs",
+            F.size("xs").cast("bigint").alias("n_periods"),
+            F.expr(
+                "CAST(size(filter(xs, x -> x > 0)) AS BIGINT)"
+            ).alias("n_demands"),
+        )
+    )
+    fold = (
+        "aggregate(xs, CAST(0 AS BIGINT),"
+        f" (acc, x) -> {_CROSTON_STEP.format(D='div')})"
+    )
+    return arr.selectExpr(
+        "l_partkey", "n_periods", "n_demands",
+        f"({fold}) div 4194304 AS z_c",
+        f"(({fold}) % 4194304) div 256 AS p_c",
+        f"({fold}) % 256 AS q_last",
+        f"({fold}) div 4194304 * 1000 div ((({fold}) % 4194304) div 256)"
+        " AS rate_milli",
+    )

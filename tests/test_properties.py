@@ -656,3 +656,45 @@ def test_minimax_isotonic_equals_stack_pava(bins):
         )
     want = [f.numerator * Q // f.denominator for f in pava_per_bin]
     assert got == want
+
+
+# ----------------------------------------------------------------------
+# packed Croston fold == plain three-variable recursion
+# ----------------------------------------------------------------------
+_croston_series = st.lists(
+    st.one_of(st.just(0), st.integers(1, 10**4)), min_size=1, max_size=120
+)
+
+
+@given(xs=_croston_series)
+@settings(max_examples=60, deadline=None)
+def test_packed_croston_fold_equals_plain_recursion(xs):
+    """part_croston_intermittent's single packed BIGINT accumulator
+    must reproduce the plain (z, p_c, q) Croston recursion for any
+    series within the documented widths (z < 2^41 input units, q < 256
+    zero-run, p_c < 2^14)."""
+    # plain recursion
+    z = p_c = q = 0
+    for x in xs:
+        if x == 0:
+            q += 1
+        elif z == 0:
+            z, p_c, q = x, (q + 1) * 100, 1
+        else:
+            z2 = (3 * x + 7 * z) // 10
+            p_c = (3 * (q + 1) * 100 + 7 * p_c) // 10
+            z, q = z2, 1
+
+    # packed replay (mirror of the SQL arithmetic)
+    OFFZ, OFFQ = 4194304, 256
+    acc = 0
+    for x in xs:
+        if x == 0:
+            acc = acc + 1
+        elif acc // OFFZ == 0:
+            acc = x * OFFZ + ((acc % OFFQ) + 1) * 25600 + 1
+        else:
+            nz = (3 * x + 7 * (acc // OFFZ)) // 10
+            np_ = (3 * ((acc % OFFQ) + 1) * 100 + 7 * ((acc % OFFZ) // OFFQ)) // 10
+            acc = nz * OFFZ + np_ * OFFQ + 1
+    assert (acc // OFFZ, (acc % OFFZ) // OFFQ, acc % OFFQ) == (z, p_c, q)
