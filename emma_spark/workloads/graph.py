@@ -1437,3 +1437,109 @@ def graph_copurchase_projection(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("part", "co_part", "support", "rank")
     )
+
+
+_MATCH_ROUNDS = 4
+
+
+def _matching_oracle() -> str:
+    """Unrolled Israeli–Itai greedy matching rounds (DuckDB replay)."""
+    parts = [f"""
+    e0 AS MATERIALIZED (
+      SELECT u, v,
+             CAST(concat('0x', substr(md5('mt' || '|' || CAST(u AS VARCHAR)
+               || '|' || CAST(v AS VARCHAR)), 1, 14)) AS BIGINT) AS prio
+      FROM ({SQL_HASH_EDGES})
+    )"""]
+    for r in range(1, _MATCH_ROUNDS + 1):
+        p = r - 1
+        parts.append(f"""
+    vm{r} AS MATERIALIZED (
+      SELECT vtx, min(prio) AS mp FROM (
+        SELECT u AS vtx, prio FROM e{p}
+        UNION ALL SELECT v AS vtx, prio FROM e{p}
+      ) GROUP BY vtx
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{p} e
+      JOIN vm{r} a ON a.vtx = e.u AND a.mp = e.prio
+      JOIN vm{r} b ON b.vtx = e.v AND b.mp = e.prio
+    ),
+    mv{r} AS (SELECT u AS vtx FROM s{r} UNION ALL SELECT v FROM s{r}),
+    e{r} AS MATERIALIZED (
+      SELECT * FROM e{p}
+      WHERE u NOT IN (SELECT vtx FROM mv{r})
+        AND v NOT IN (SELECT vtx FROM mv{r})
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT u, v, {r} AS round FROM s{r}"
+        for r in range(1, _MATCH_ROUNDS + 1)
+    )
+    return "WITH " + ",".join(parts) + f"\n    {sel}"
+
+
+@query("graph_greedy_matching", oracle=_matching_oracle())
+def graph_greedy_matching(spark, sf_dir):
+    """DISTRIBUTED GREEDY MATCHING (Israeli–Itai style, public): each
+    round, every vertex points at its minimum-priority incident edge
+    (priorities = unique md5 per edge, so there are no ties and the
+    algorithm is fully deterministic); an edge chosen by BOTH
+    endpoints joins the matching, matched vertices leave, repeat.
+    Four rounds cover this graph; the round structure is the point —
+    each round is two hash-aggs (per-vertex min over the exploded
+    endpoint view) + one self-join + one anti-join, all
+    key-partitioned, which is exactly how a 10⁹-edge matching runs on
+    a cluster (expected O(log n) rounds). Matching is the
+    combinatorial class the graph family lacked (components /
+    cores / trusses / ranks are all vertex-labelings; this selects
+    EDGES under a mutual-exclusion constraint — the assignment/
+    pairing primitive behind task allocation and dedup pairing).
+    Output: matched edges with their round; the oracle replays all
+    rounds unrolled."""
+    ev = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    a = F.col("user_id") % 30
+    b = (F.col("user_id") * 7 + F.col("event_id")) % 30
+    edges = (
+        ev.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .withColumn(
+            "prio",
+            F.expr(
+                "CAST(conv(substring(md5(concat('mt', '|',"
+                " CAST(u AS STRING), '|', CAST(v AS STRING))), 1, 14),"
+                " 16, 10) AS BIGINT)"
+            ),
+        )
+    )
+    from ..plans.cache import pin
+
+    matched = None
+    e = pin(edges)  # each round reads e 4x (two endpoint views, the
+    # candidate join, the shrink anti-join) and the NEXT round builds
+    # on the result — unpinned, lineage grows ~4^R and the plan
+    # explodes; pinning per round is the iterate.py auto-cache rule
+    for r in range(1, _MATCH_ROUNDS + 1):
+        ends = e.select(F.col("u").alias("vtx"), "prio").unionAll(
+            e.select(F.col("v").alias("vtx"), "prio")
+        )
+        vmin = ends.groupBy("vtx").agg(F.min("prio").alias("mp"))
+        vu = vmin.select(F.col("vtx").alias("u"), F.col("mp").alias("mpu"))
+        vv = vmin.select(F.col("vtx").alias("v"), F.col("mp").alias("mpv"))
+        sel = pin(
+            e.join(vu, "u")
+            .join(vv, "v")
+            .filter((F.col("prio") == F.col("mpu"))
+                    & (F.col("prio") == F.col("mpv")))
+            .select("u", "v", F.lit(r).alias("round"))
+        )
+        matched = sel if matched is None else matched.unionAll(sel)
+        mv = sel.select(F.col("u").alias("vtx")).unionAll(
+            sel.select(F.col("v").alias("vtx"))
+        )
+        e = pin(
+            e.join(mv.withColumnRenamed("vtx", "u"), "u", "left_anti")
+            .join(mv.withColumnRenamed("vtx", "v"), "v", "left_anti")
+            .select("u", "v", "prio")
+        )
+    return matched

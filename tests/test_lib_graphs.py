@@ -20,3 +20,18 @@ def test_graph_preprocessing_hof_fuses(spark):
     assert got == {("a", "x"): (2, 8, True), ("a", "y"): (1, 1, False), ("b", "x"): (1, 2, False)}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" not in plan
+
+
+def test_greedy_matching_is_a_matching(spark):
+    """No vertex appears in two matched edges, and every matched edge
+    was a real edge of the graph."""
+    from emma_spark.workloads import load_all
+
+    reg = load_all()
+    rows = reg["graph_greedy_matching"].fn(spark, "/root/testdata/sf0.001").collect()
+    seen = set()
+    for r in rows:
+        assert r.u not in seen and r.v not in seen, (r, seen)
+        seen.add(r.u)
+        seen.add(r.v)
+        assert r.u < r.v
