@@ -8198,3 +8198,216 @@ def part_croston_intermittent(spark, sf_dir):
         f"({fold}) div 4194304 * 1000 div ((({fold}) % 4194304) div 256)"
         " AS rate_milli",
     )
+
+
+@query(
+    "orders_forecast_backtest",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+               AS mo,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT o_orderpriority, list(rev_c ORDER BY mo) AS xs,
+             count(*)::BIGINT AS n
+      FROM m GROUP BY 1
+    ),
+    cuts AS (SELECT unnest(generate_series(1, 6)) AS back),
+    bt AS (
+      SELECT o_orderpriority, n - back AS cutoff,
+             CAST(list_reduce(xs[1 : CAST(n - back AS INT)],
+               (acc, x) -> (3 * x + 7 * acc) // 10) AS BIGINT) AS fc,
+             CAST(xs[CAST(n - back + 1 AS INT)] AS BIGINT) AS actual
+      FROM arr, cuts WHERE n - back >= 2
+    )
+    SELECT o_orderpriority, cutoff, fc, actual,
+           CAST(abs(fc - actual)::HUGEINT * 1000000 // actual AS BIGINT)
+             AS ape_ppm
+    FROM bt
+    """,
+)
+def orders_forecast_backtest(spark, sf_dir):
+    """ROLLING-ORIGIN BACKTEST — the evaluation harness that makes the
+    forecasting family (SES / Holt / Croston) trustworthy: for each of
+    the last 6 month-end cutoffs, fit the SES recursion on history UP
+    TO the cutoff only and score the one-step-ahead forecast against
+    the actual next month (absolute percentage error in exact ppm).
+    Leakage-safe by construction — the fold runs over a PREFIX SLICE
+    of the collected series, so no post-cutoff value can touch the
+    fit (the events_feature_store_pit discipline applied to
+    forecasting). ZERO re-scans: the big aggregation happens once;
+    the 6 backtest fits are array folds over slices of the same
+    per-group series, fanned out by a 6-row explode. A per-model MAPE
+    is one further bounded agg; swapping the folded recursion swaps
+    the model under test."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    m = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")
+          .alias("mo"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+          .alias("rev_c")
+    )
+    arr = m.groupBy("o_orderpriority").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(mo, rev_c))),"
+            " s -> s.rev_c)"
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bt = (
+        arr.select(
+            "o_orderpriority", "xs", "n",
+            F.explode(F.expr("sequence(1, 6)")).alias("back"),
+        )
+        .filter(F.col("n") - F.col("back") >= 2)
+        .selectExpr(
+            "o_orderpriority",
+            "n - back AS cutoff",
+            "CAST(aggregate(slice(xs, 2, CAST(n - back AS INT) - 1),"
+            " element_at(xs, 1), (acc, x) -> (3 * x + 7 * acc) div 10)"
+            " AS BIGINT) AS fc",
+            "CAST(element_at(xs, CAST(n - back + 1 AS INT)) AS BIGINT)"
+            " AS actual",
+        )
+    )
+    return bt.select(
+        "o_orderpriority", "cutoff", "fc", "actual",
+        F.expr(
+            "CAST(CAST(abs(fc - actual) AS DECIMAL(38,0)) * 1000000"
+            " div actual AS BIGINT)"
+        ).alias("ape_ppm"),
+    )
+
+
+@query(
+    "part_inventory_simulation",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey,
+             (year(CAST(l_shipdate AS DATE)) * 12
+              + month(CAST(l_shipdate AS DATE))) AS idx,
+             CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS demand
+      FROM lineitem WHERE l_partkey < 20 GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT (year(CAST(min(l_shipdate) AS DATE)) * 12
+              + month(CAST(min(l_shipdate) AS DATE))) AS lo,
+             (year(CAST(max(l_shipdate) AS DATE)) * 12
+              + month(CAST(max(l_shipdate) AS DATE))) AS hi
+      FROM lineitem
+    ),
+    grid AS (
+      SELECT p.l_partkey, g.idx, coalesce(m.demand, 0) AS demand
+      FROM (SELECT DISTINCT l_partkey FROM m) p
+      CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+                                                (SELECT hi FROM span)))
+                    AS idx) g
+      LEFT JOIN m ON m.l_partkey = p.l_partkey AND m.idx = g.idx
+    ),
+    arr AS (
+      SELECT l_partkey, list(demand ORDER BY idx) AS ds,
+             count(*)::BIGINT AS n_periods,
+             sum(demand)::BIGINT AS total_demand,
+             -- replenishment = average per-period demand (ceil)
+             CAST((sum(demand) + count(*) - 1) // count(*) AS BIGINT) AS s
+      FROM grid GROUP BY 1
+    ),
+    folded AS (
+      -- acc = inventory * 1048576 + stockout_periods; clamp at 0
+      SELECT l_partkey, n_periods, total_demand, s,
+             list_reduce(list_concat([0::BIGINT], ds),
+               (acc, d) -> CASE
+                 WHEN acc // 1048576 + s - d >= 0
+                 THEN (acc // 1048576 + s - d) * 1048576 + acc % 1048576
+                 ELSE acc % 1048576 + 1 END) AS r
+      FROM arr
+    )
+    SELECT l_partkey, n_periods, total_demand, s,
+           r // 1048576 AS ending_inventory,
+           r % 1048576 AS stockout_periods,
+           CAST((n_periods - r % 1048576)::HUGEINT * 1000000 // n_periods
+                AS BIGINT) AS service_ppm
+    FROM folded
+    """,
+)
+def part_inventory_simulation(spark, sf_dir):
+    """INVENTORY SIMULATION with a non-negativity clamp — the
+    replenishment recursion I' = max(I + supply − demand, 0) whose
+    clamp makes it NON-LINEAR (no windowed/associative form exists;
+    contrast the plain cumsum, which a window handles): per part, the
+    monthly demand series (zero-densified grid, the Croston
+    infrastructure) folds with inventory and the stockout-period
+    count packed into one BIGINT (I·2²⁰ + stockouts); supply is the
+    per-part ceiling-average demand, so a perfectly smooth series
+    never stocks out and the stockout count measures the part's
+    demand LUMPINESS — the service-level (fill-rate) ppm is what an
+    inventory planner actually reads. One (part, month) hash-agg;
+    sequential tail bounded by the 83-month domain. The same clamped
+    fold shape covers battery/credit/quota simulations — any
+    accumulate-with-floor process."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    idx = F.expr(
+        "year(CAST(l_shipdate AS DATE)) * 12 + month(CAST(l_shipdate AS DATE))"
+    )
+    m = (
+        li.filter(F.col("l_partkey") < 20)
+        .groupBy("l_partkey", idx.alias("idx"))
+        .agg(
+            F.floor(F.sum("l_quantity") + F.lit(0.5))
+            .cast("bigint")
+            .alias("demand")
+        )
+    )
+    span = li.agg(
+        F.expr(
+            "year(CAST(min(l_shipdate) AS DATE)) * 12"
+            " + month(CAST(min(l_shipdate) AS DATE))"
+        ).alias("lo"),
+        F.expr(
+            "year(CAST(max(l_shipdate) AS DATE)) * 12"
+            " + month(CAST(max(l_shipdate) AS DATE))"
+        ).alias("hi"),
+    )
+    arr = (
+        m.groupBy("l_partkey")
+        .agg(
+            F.expr("map_from_entries(collect_list(struct(idx, demand)))")
+            .alias("md")
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            "l_partkey",
+            F.expr(
+                "transform(sequence(lo, hi),"
+                " i -> coalesce(element_at(md, i), CAST(0 AS BIGINT)))"
+            ).alias("ds"),
+        )
+        .select(
+            "l_partkey", "ds",
+            F.size("ds").cast("bigint").alias("n_periods"),
+            F.expr("CAST(aggregate(ds, CAST(0 AS BIGINT),"
+                   " (a, x) -> a + x) AS BIGINT)").alias("total_demand"),
+        )
+        .withColumn(
+            "s",
+            F.expr("(total_demand + n_periods - 1) div n_periods"),
+        )
+    )
+    fold = (
+        "aggregate(ds, CAST(0 AS BIGINT), (acc, d) -> CASE"
+        " WHEN acc div 1048576 + s - d >= 0"
+        " THEN (acc div 1048576 + s - d) * 1048576 + acc % 1048576"
+        " ELSE acc % 1048576 + 1 END)"
+    )
+    return arr.selectExpr(
+        "l_partkey", "n_periods", "total_demand", "s",
+        f"({fold}) div 1048576 AS ending_inventory",
+        f"({fold}) % 1048576 AS stockout_periods",
+        f"CAST(CAST(n_periods - ({fold}) % 1048576 AS DECIMAL(38,0))"
+        " * 1000000 div n_periods AS BIGINT) AS service_ppm",
+    )
