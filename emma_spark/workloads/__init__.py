@@ -174,6 +174,20 @@ _PRIORITY = [
     # events_slo_burn_rate, text_char_coverage_vocab,
     # events_cumulative_unique_users, lineitem_skyline_price_qty,
     # graph_ktruss, orders_ks_drift, orders_progressive_fee_bands.
+    # THIRD-CONTINUATION additions (registry 312 -> 337, all tri-SF
+    # local-green, queued behind the lists above): geo_radius_join,
+    # geo_tile_rollup, geo_nearest_facility, dq_k_anonymity,
+    # events_srm_check, layout_zone_map_pruning,
+    # dedup_containment_pairs, events_interval_overlap_join,
+    # ml_kmeans_elbow, ml_nearest_centroid_confusion, search_mrr_eval,
+    # graph_copurchase_projection, dedup_substring_coverage,
+    # stream_windowed_topk_users, orders_holt_trend_fold,
+    # ml_isotonic_calibration, parquet_partitioned_roundtrip,
+    # text_quality_classifier_hashed, embedding_random_projection,
+    # udf_grouped_agg_median, sketch_kmv_audience_overlap,
+    # dq_freshness_completeness, part_croston_intermittent,
+    # graph_greedy_matching, orders_forecast_backtest,
+    # part_inventory_simulation.
     # The whole registry is tri-SF diff-checked (sf0.001 / vanilla
     # sf0.01 / sf0.1); every queued name is ready for any window.
     "stream_watermark_append",
