@@ -76,3 +76,66 @@ def corpus_stats(docs: DataFrame, by: str = "lang", text_col: str = "text") -> D
         F.sum(F.size(X.tokens(t))).alias("total_tokens"),
         F.sum(F.length(t)).alias("total_chars"),
     )
+
+
+def curate_funnel(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    min_alpha: float = 0.5,
+    num_hashes: int = 4,
+    shingle: int = 5,
+    bands: int = 2,
+) -> DataFrame:
+    """Per-stage attrition report for ``curate`` — the funnel table a
+    curation run logs so a sudden yield change is attributable to the
+    STAGE that caused it: one row with the survivor count after each
+    sequential gate (quality → exact dedup → near-dup) and each
+    stage's drop count. Same stage semantics and hash math as
+    ``curate`` (kept bag pinned once, counts are extra single-row
+    aggs off the same lineage — the marginal cost over the pipeline
+    itself is three count jobs, not three pipelines)."""
+    t = F.col(text_col)
+    qm = X.quality_metrics(t)
+    gated = docs.filter(
+        (F.size(X.tokens(t)) >= min_tokens) & (qm["alpha_ratio"] >= min_alpha)
+    )
+    kept = pin(
+        D.drop_exact_dups(gated, text_col=text_col, id_col=id_col)
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    )
+    sigs = D.minhash_signature(
+        kept, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle=shingle,
+    )
+    pairs = D.lsh_candidate_pairs(
+        sigs, id_col=id_col, num_hashes=num_hashes, bands=bands
+    )
+    removed = pairs.select(F.col("b").alias(id_col)).distinct()
+    final = kept.join(removed, id_col, "left_anti")
+
+    n_input = docs.agg(F.count(F.lit(1)).alias("c"))
+    n_quality = gated.agg(F.count(F.lit(1)).alias("c"))
+    n_exact = kept.agg(F.count(F.lit(1)).alias("c"))
+    n_final = final.agg(F.count(F.lit(1)).alias("c"))
+    return (
+        n_input.select(F.col("c").alias("n_input"))
+        .crossJoin(n_quality.select(F.col("c").alias("n_after_quality")))
+        .crossJoin(n_exact.select(F.col("c").alias("n_after_exact")))
+        .crossJoin(n_final.select(F.col("c").alias("n_after_neardup")))
+        .select(
+            "n_input", "n_after_quality", "n_after_exact", "n_after_neardup",
+            (F.col("n_input") - F.col("n_after_quality")).alias("drop_quality"),
+            (F.col("n_after_quality") - F.col("n_after_exact")).alias(
+                "drop_exact"
+            ),
+            (F.col("n_after_exact") - F.col("n_after_neardup")).alias(
+                "drop_neardup"
+            ),
+            F.expr(
+                "CAST(CAST(n_after_neardup AS DECIMAL(38,0)) * 1000000"
+                " div n_input AS BIGINT)"
+            ).alias("yield_ppm"),
+        )
+    )

@@ -212,3 +212,58 @@ def pipeline_dataset_fingerprint(spark, sf_dir):
             F.expr(f"CAST(fp % {P} AS BIGINT)").alias("fingerprint"),
         )
     )
+
+
+_FUNNEL_ORACLE = f"""
+WITH q AS (
+  SELECT * FROM documents
+  WHERE len({SQL_TOKS}) >= 5
+    AND floor(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+              / greatest(length(text), 1) * 1000000 + 0.5) / 1000000 >= 0.5
+),
+ex AS (
+  SELECT * EXCLUDE (rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY {sql_md5_long('text')}
+                                 ORDER BY doc_id) AS rn
+    FROM q
+  ) WHERE rn = 1
+),
+sig AS ({_sig_sql('ex')}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+   AND ((l.mh0 = r.mh0 AND l.mh1 = r.mh1) OR (l.mh2 = r.mh2 AND l.mh3 = r.mh3))
+),
+final AS (
+  SELECT ex.* FROM ex LEFT JOIN (SELECT DISTINCT b FROM pairs) rm
+    ON ex.doc_id = rm.b
+  WHERE rm.b IS NULL
+),
+c AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_input,
+         (SELECT count(*) FROM q)::BIGINT AS n_after_quality,
+         (SELECT count(*) FROM ex)::BIGINT AS n_after_exact,
+         (SELECT count(*) FROM final)::BIGINT AS n_after_neardup
+)
+SELECT n_input, n_after_quality, n_after_exact, n_after_neardup,
+       n_input - n_after_quality AS drop_quality,
+       n_after_quality - n_after_exact AS drop_exact,
+       n_after_exact - n_after_neardup AS drop_neardup,
+       CAST(n_after_neardup::HUGEINT * 1000000 // n_input AS BIGINT)
+         AS yield_ppm
+FROM c
+"""
+
+
+@query("pipeline_curation_funnel", oracle=_FUNNEL_ORACLE)
+def pipeline_curation_funnel(spark, sf_dir):
+    """Per-stage ATTRITION of the curation pipeline — the funnel table
+    every corpus run logs (llm/pipeline.curate_funnel): survivors
+    after the quality gate, exact dedup, and LSH near-dup removal,
+    each stage's drop count, and the end-to-end yield in exact ppm.
+    The oracle replays all three gates, so a hash match certifies
+    that every drop is attributed to the right stage — the audit that
+    turns 'the corpus shrank 4% this run' from a mystery into a
+    diff."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    return P.curate_funnel(docs, min_tokens=5, min_alpha=0.5)
