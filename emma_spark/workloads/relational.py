@@ -8411,3 +8411,87 @@ def part_inventory_simulation(spark, sf_dir):
         f"CAST(CAST(n_periods - ({fold}) % 1048576 AS DECIMAL(38,0))"
         " * 1000000 div n_periods AS BIGINT) AS service_ppm",
     )
+
+
+@query(
+    "events_alert_debounce",
+    oracle="""
+    WITH RECURSIVE h AS MATERIALIZED (
+      SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS n
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    thr AS MATERIALIZED (
+      SELECT sum(n) // count(*) + 2 AS t FROM h
+    ),
+    cand AS MATERIALIZED (
+      SELECT hr FROM h, thr WHERE h.n >= thr.t
+    ),
+    -- independent algorithm: linear recursion, one emitted alert per
+    -- step (next = first candidate past the suppression window)
+    emitted AS (
+      SELECT min(hr) AS hr FROM cand
+      UNION ALL
+      SELECT nxt FROM (
+        SELECT (SELECT min(c.hr) FROM cand c WHERE c.hr >= e.hr + 6)
+          AS nxt
+        FROM emitted e
+      ) WHERE nxt IS NOT NULL
+    )
+    SELECT e.hr, h.n,
+           (SELECT t FROM thr) AS threshold
+    FROM emitted e JOIN h ON e.hr = h.hr
+    """,
+)
+def events_alert_debounce(spark, sf_dir):
+    """ALERT DEBOUNCING — the SRE suppression rule that turns a noisy
+    condition into a page-worthy signal: an hour whose error count
+    exceeds threshold (trailing mean + 2) RAISES an alert only if no
+    alert was emitted in the previous 6 hours; suppression windows
+    chain from EMITTED alerts, not from every candidate, which makes
+    the semantics sequential (interval-merge gets it wrong: a
+    candidate inside a suppression window must NOT extend the
+    window). The candidate hours are a bounded domain (≤ hours in the
+    corpus), so the recursion is an array fold whose accumulator is
+    the emitted list itself — append iff ≥ last + 6 — then exploded
+    back to rows and joined to the hourly counts. One hourly
+    hash-agg scans the events; the fold runs on ≤ 720 elements.
+    The ORACLE runs an INDEPENDENT algorithm — a linear recursive CTE
+    emitting one alert per step — because DuckDB 1.0's list_reduce
+    with a GROWING LIST accumulator silently drops elements
+    ([1,10,2,20] folds to [20]; scalar accumulators are unaffected —
+    the quirk the SES/Holt/Croston folds never hit). Spark's
+    ``aggregate`` is a correct left fold (property-tested against the
+    plain scan)."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    h = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from ..plans.cache import pin
+
+    h = pin(h)  # feeds threshold, candidates, and the final join-back
+    thr = h.agg(F.expr("sum(n) div count(*) + 2").alias("t"))
+    cand = (
+        h.crossJoin(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("t"))
+        .agg(F.expr(
+            "transform(sort_array(collect_list(hr)), x -> array(x))"
+        ).alias("hrs"))
+    )
+    emitted = cand.select(
+        F.explode(
+            F.expr(
+                "aggregate(slice(hrs, 2, size(hrs) - 1),"
+                " element_at(hrs, 1),"
+                " (acc, x) -> CASE WHEN element_at(x, 1)"
+                " >= element_at(acc, size(acc)) + 6"
+                " THEN concat(acc, x) ELSE acc END)"
+            )
+        ).alias("hr")
+    )
+    return (
+        emitted.join(h, "hr")
+        .crossJoin(F.broadcast(thr))
+        .select("hr", "n", F.col("t").alias("threshold"))
+    )

@@ -698,3 +698,35 @@ def test_packed_croston_fold_equals_plain_recursion(xs):
             np_ = (3 * ((acc % OFFQ) + 1) * 100 + 7 * ((acc % OFFZ) // OFFQ)) // 10
             acc = nz * OFFZ + np_ * OFFQ + 1
     assert (acc // OFFZ, (acc % OFFZ) // OFFQ, acc % OFFQ) == (z, p_c, q)
+
+
+# ----------------------------------------------------------------------
+# debounce fold == plain sequential scan (Spark aggregate is a true
+# left fold; DuckDB list_reduce with list accumulators is NOT — the
+# oracle uses a recursive CTE instead, see events_alert_debounce)
+# ----------------------------------------------------------------------
+_debounce_hours = st.lists(
+    st.integers(0, 300), min_size=1, max_size=60, unique=True
+)
+
+
+@given(hrs=_debounce_hours)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_debounce_fold_equals_sequential_scan(spark, hrs):
+    hrs = sorted(hrs)
+    df = spark.createDataFrame([(hrs,)], "hrs0 array<bigint>")
+    got = df.selectExpr(
+        "aggregate(slice(transform(hrs0, x -> array(x)), 2, size(hrs0) - 1),"
+        " element_at(transform(hrs0, x -> array(x)), 1),"
+        " (acc, x) -> CASE WHEN element_at(x, 1)"
+        " >= element_at(acc, size(acc)) + 6"
+        " THEN concat(acc, x) ELSE acc END) AS e"
+    ).collect()[0].e
+    last = None
+    want = []
+    for x in hrs:
+        if last is None or x >= last + 6:
+            want.append(x)
+            last = x
+    assert got == want, (hrs, got, want)
