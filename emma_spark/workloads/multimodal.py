@@ -387,3 +387,85 @@ def multimodal_scene_cuts(spark, sf_dir):
           .alias("n_cuts"),
         F.max(F.abs("dv")).cast("bigint").alias("max_jump"),
     )
+
+
+@query(
+    "multimodal_phash_neardup",
+    oracle="""
+    WITH img AS (
+      SELECT id,
+             xor(CAST(concat('0x', substr(md5('ph' || '|'
+                   || CAST(id // 4 AS VARCHAR)), 1, 14)) AS BIGINT),
+                 1::BIGINT << CAST(5 * (id % 4) AS INT)) AS ph
+      FROM range(256) t(id)
+    ),
+    blocks AS (
+      SELECT id, ph, k.k AS k,
+             (ph // (1::BIGINT << CAST(14 * k.k AS INT))) % 16384 AS blk
+      FROM img, (SELECT unnest([0, 1, 2, 3]) AS k) k
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS ida, b.id AS idb, a.ph AS pha, b.ph AS phb
+      FROM blocks a JOIN blocks b
+        ON a.k = b.k AND a.blk = b.blk AND a.id < b.id
+    )
+    SELECT ida, idb, bit_count(xor(pha, phb))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(pha, phb)) <= 3
+    """,
+)
+def multimodal_phash_neardup(spark, sf_dir):
+    """PERCEPTUAL-HASH near-duplicate detection for media — the image
+    analog of simhash text dedup: each asset carries a 56-bit pHash
+    (here a deterministic stand-in derived from the asset id — a real
+    pHash is a DCT over the decoded thumbnail, the documented decoder
+    seam of multimodal_image_features; the DEDUP dataflow downstream
+    of the hash is exactly this), and near-dups are pairs within
+    Hamming distance 3. Blocking is the pigeonhole split: 4 blocks of
+    14 bits — any pair differing in ≤ 3 bits matches EXACTLY on ≥ 1
+    block, so candidates come from 4 block equi-joins (Σ|bucket|²,
+    the dedup_simhash_pairs bound) with zero false negatives;
+    verification is one bit_count(xor) compare. The synthetic hashes
+    plant quartets of single-bit-flipped variants (pairwise Hamming
+    2) so the query provably finds every planted pair and nothing
+    else — both engines replay the same integers bit-for-bit."""
+    ids = spark.range(256)
+    ph = F.expr(
+        "CAST(conv(substring(md5(concat('ph', '|',"
+        " CAST(id div 4 AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+    )
+    img = ids.select(
+        "id",
+        F.expr(
+            "CAST(conv(substring(md5(concat('ph', '|',"
+            " CAST(id div 4 AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+            " ^ shiftleft(CAST(1 AS BIGINT), CAST(5 * (id % 4) AS INT))"
+        ).alias("ph"),
+    )
+    blocks = img.select(
+        "id", "ph",
+        F.explode(F.expr("sequence(0, 3)")).alias("k"),
+    ).withColumn(
+        "blk",
+        F.expr("(ph div shiftleft(CAST(1 AS BIGINT), CAST(14 * k AS INT)))"
+               " % 16384"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("ida"),
+            F.col("b.id").alias("idb"),
+            F.col("a.ph").alias("pha"),
+            F.col("b.ph").alias("phb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("pha ^ phb")).cast("bigint")
+    return cand.select("ida", "idb", ham.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )
