@@ -8495,3 +8495,70 @@ def events_alert_debounce(spark, sf_dir):
         .crossJoin(F.broadcast(thr))
         .select("hr", "n", F.col("t").alias("threshold"))
     )
+
+
+@query(
+    "orders_rolling_median_7d",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(time_bucket(INTERVAL 1 DAY,
+               CAST(o_orderdate AS TIMESTAMP))) // 86400000000 AS day,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT day, rev_c,
+             list(rev_c) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING
+                               AND CURRENT ROW) AS win
+      FROM d
+    )
+    SELECT day, rev_c,
+           len(win)::BIGINT AS n_win,
+           CAST(CASE WHEN len(win) % 2 = 1
+                THEN list_sort(win)[(len(win) + 1) // 2]
+                ELSE (list_sort(win)[len(win) // 2]
+                      + list_sort(win)[len(win) // 2 + 1]) // 2 END
+                AS BIGINT) AS median_c
+    FROM w
+    """,
+)
+def orders_rolling_median_7d(spark, sf_dir):
+    """ROLLING MEDIAN — the robust baseline a spike detector compares
+    against (a rolling MEAN chases the spike it should flag; the
+    median doesn't): per day, the exact median of the trailing 7 days
+    of revenue. No built-in windowed median exists on either engine;
+    over the BOUNDED daily aggregate the trailing window is ≤ 7
+    values, so collect_list over a RANGE frame + one array sort per
+    row is exact and O(days·7 log 7) — the window runs on the
+    day-level aggregate (≤ a few thousand rows at any corpus size),
+    NEVER on raw orders. Even-width medians use the truncated mean of
+    the two middles (the udf_grouped_agg_median convention). The
+    RANGE frame is day-valued, so calendar gaps shrink the window
+    rather than leaking older days in (ROWS would be wrong on sparse
+    calendars)."""
+    from pyspark.sql import Window
+
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    d = o.groupBy(
+        F.expr(
+            "unix_micros(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP))"
+            " div 86400000000"
+        ).alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+          .alias("rev_c")
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    # window over the DAILY aggregate (bounded), never over raw rows
+    win = d.withColumn("win", F.collect_list("rev_c").over(w))
+    return win.selectExpr(
+        "day", "rev_c",
+        "CAST(size(win) AS BIGINT) AS n_win",
+        "CAST(CASE WHEN size(win) % 2 = 1"
+        " THEN element_at(array_sort(win),"
+        "      CAST((size(win) + 1) div 2 AS INT))"
+        " ELSE (element_at(array_sort(win), CAST(size(win) div 2 AS INT))"
+        "       + element_at(array_sort(win),"
+        "         CAST(size(win) div 2 + 1 AS INT))) div 2 END"
+        " AS BIGINT) AS median_c",
+    )
