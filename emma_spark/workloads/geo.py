@@ -67,6 +67,7 @@ def _xy_sql(key_expr: str, tag: str) -> str:
 
 @query(
     "geo_radius_join",
+    headline=True,
     oracle=f"""
     WITH c AS (
       SELECT c_custkey,

@@ -8562,3 +8562,51 @@ def orders_rolling_median_7d(spark, sf_dir):
         "         CAST(size(win) div 2 + 1 AS INT))) div 2 END"
         " AS BIGINT) AS median_c",
     )
+
+
+@query(
+    "window_first_last_nth_surface",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_o,
+           last_value(o_orderkey) OVER w AS last_o,
+           last_value(CASE WHEN o_orderstatus = 'F'
+                      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      END IGNORE NULLS) OVER w AS last_final_price_c,
+           nth_value(o_orderkey, 3) OVER w AS third_o
+    FROM orders
+    WHERE o_custkey % 211 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth_surface(spark, sf_dir):
+    """The value-offset window functions missing from
+    window_rank_variants: first_value / last_value / nth_value over a
+    whole-partition frame, plus last_value(... IGNORE NULLS) — the
+    'most recent qualifying value' idiom (last finalized price per
+    customer) that forward-fill (events_resample_ffill) builds on.
+    Deterministic order (date + key tie-break), explicit UNBOUNDED
+    frame on both engines (their default frames differ: Spark's
+    last_value over the default frame is the CURRENT row — a classic
+    cross-engine silent-wrong-answer), one customer-partition
+    exchange serves all four functions."""
+    from pyspark.sql import Window
+
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    fprice = F.when(
+        F.col("o_orderstatus") == "F",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"),
+    )
+    return o.filter(F.col("o_custkey") % 211 == 0).select(
+        "o_custkey", "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_o"),
+        F.last("o_orderkey").over(w).alias("last_o"),
+        F.last(fprice, ignorenulls=True).over(w).alias("last_final_price_c"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_o"),
+    )
