@@ -8610,3 +8610,54 @@ def window_first_last_nth_surface(spark, sf_dir):
         F.last(fprice, ignorenulls=True).over(w).alias("last_final_price_c"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_o"),
     )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    slot AS (
+      SELECT o_orderpriority,
+             max(n * 1000 + (ascii(o_orderstatus) - ascii('A'))) AS s,
+             sum(n) AS total
+      FROM c GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           chr(CAST(s % 1000 + ascii('A') AS INT)) AS mode_status,
+           s // 1000 AS mode_n, total
+    FROM slot
+    """,
+)
+def agg_mode_exact(spark, sf_dir):
+    """Exact per-group MODE (the ANSI aggregate Spark lacks) with a
+    DETERMINISTIC tie-break: value counts per group, then the
+    widened-slot argmax n·1000 + code — ties broken toward the HIGHER
+    status code, encoded in the slot itself, so the answer is
+    engine- and partitioning-independent (engine-native mode()
+    functions leave ties implementation-defined — unusable under a
+    differential oracle). Two hash-aggs, both map-side combinable;
+    the slot multiplier exceeds the code domain, the ADVICE-hardened
+    argmax rule. The same shape yields any 'most frequent X per Y'
+    (top referrer, dominant language) without a ranking window."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    slot = c.groupBy("o_orderpriority").agg(
+        F.max(
+            F.col("n") * 1000
+            + (F.ascii("o_orderstatus") - F.ascii(F.lit("A")))
+        ).alias("s"),
+        F.sum("n").alias("total"),
+    )
+    return slot.select(
+        "o_orderpriority",
+        F.chr(F.expr("CAST(s % 1000 + ascii('A') AS INT)")).alias(
+            "mode_status"
+        ),
+        F.expr("s div 1000").alias("mode_n"),
+        "total",
+    )
