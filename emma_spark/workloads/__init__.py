@@ -187,7 +187,10 @@ _PRIORITY = [
     # udf_grouped_agg_median, sketch_kmv_audience_overlap,
     # dq_freshness_completeness, part_croston_intermittent,
     # graph_greedy_matching, orders_forecast_backtest,
-    # part_inventory_simulation.
+    # part_inventory_simulation, pipeline_curation_funnel,
+    # events_alert_debounce, multimodal_phash_neardup,
+    # orders_rolling_median_7d, window_first_last_nth_surface,
+    # agg_mode_exact (registry close: 344).
     # The whole registry is tri-SF diff-checked (sf0.001 / vanilla
     # sf0.01 / sf0.1); every queued name is ready for any window.
     "stream_watermark_append",
