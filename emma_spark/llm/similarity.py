@@ -305,3 +305,60 @@ def embedding_neardup_pairs(
         pairs.select("a", "b", _rd(cosine(F.col("va"), F.col("vb")), 4).alias("sim"))
         .filter(F.col("sim") >= min_sim)
     )
+
+
+def gram_matrix_pandas(df, vec_col: str = "embedding", dim: int = 64):
+    """Per-partition numpy Gram accumulation — the SCALE path for
+    full-width moment matrices (the exploded exact formulation of
+    embedding_corr_matrix fans out d(d+1)/2 rows per vector; this
+    moves the O(n·d²) work into vectorized BLAS inside Arrow batches
+    and ships ONE (d² + d + 1)-cell partial per partition, combined
+    by a final sum — identical cells, because the per-row products
+    are the same exact integers). Returns (i, j, n, sx, sy, sxx,
+    syy, sxy) for i <= j, 1-based, matching the exploded path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    q = df.select(
+        F.transform(
+            as_double(F.col(vec_col)),
+            lambda x: F.floor(x * 10000 + F.lit(0.5)).cast("bigint"),
+        ).alias("vq")
+    )
+
+    def part(batches):
+        G = np.zeros((dim, dim), dtype=object)  # exact python ints
+        s = np.zeros(dim, dtype=object)
+        n = 0
+        for pdf in batches:
+            for v in pdf["vq"]:
+                a = np.array(v, dtype=object)
+                G += np.outer(a, a)
+                s += a
+                n += 1
+        rows = {
+            "i": [], "j": [], "n": [], "sx": [], "sy": [],
+            "sxx": [], "syy": [], "sxy": [],
+        }
+        for i in range(dim):
+            for j in range(i, dim):
+                rows["i"].append(i + 1)
+                rows["j"].append(j + 1)
+                rows["n"].append(n)
+                rows["sx"].append(int(s[i]))
+                rows["sy"].append(int(s[j]))
+                rows["sxx"].append(int(G[i][i]))
+                rows["syy"].append(int(G[j][j]))
+                rows["sxy"].append(int(G[i][j]))
+        yield pd.DataFrame(rows)
+
+    schema = ("i long, j long, n long, sx long, sy long,"
+              " sxx long, syy long, sxy long")
+    partials = q.mapInPandas(part, schema)
+    return partials.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"), F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"), F.sum("syy").alias("syy"),
+        F.sum("sxy").alias("sxy"),
+    )

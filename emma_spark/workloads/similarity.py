@@ -1251,3 +1251,93 @@ def embedding_random_projection(spark, sf_dir):
             f" div ({_JL_K} * CAST(d2_orig AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("ratio_ppm"),
     )
+
+
+@query(
+    "embedding_corr_matrix",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+               AS vq
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT i.i AS i, j.j AS j, vq[i.i] AS x, vq[j.j] AS y
+      FROM q,
+           unnest(generate_series(1, 8)) AS i(i),
+           unnest(generate_series(1, 8)) AS j(j)
+      WHERE i.i <= j.j
+    ),
+    m AS (
+      SELECT i, j, count(*)::HUGEINT AS n,
+             sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+             sum(x * x)::HUGEINT AS sxx, sum(y * y)::HUGEINT AS syy,
+             sum(x * y)::HUGEINT AS sxy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+           CAST(CASE WHEN (n * sxx - sx * sx) = 0
+                  OR (n * syy - sy * sy) = 0 THEN 0
+                ELSE floor((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                     * 10000 + 0.5) END AS BIGINT) AS corr_q4
+    FROM m
+    """,
+)
+def embedding_corr_matrix(spark, sf_dir):
+    """PAIRWISE CORRELATION MATRIX over the first 8 embedding
+    dimensions — the df.stat.corr surface generalized to a matrix in
+    ONE pass: the (dim_i, dim_j) fan-out (i <= j) turns every vector
+    into its upper-triangle pairs, and a single hash-agg accumulates
+    the exact integer moment sums (n, Σx, Σy, Σx², Σy², Σxy) per
+    cell — map-side combinable, d(d+1)/2 cells of shuffle regardless
+    of corpus size. Covariance numerators are exact integers; the
+    final correlation applies ONE IEEE sqrt + 4dp quantization (the
+    agg_stats_moments convention). The ×36 row fan-out is the exact
+    differential-checkable formulation; the production scale path for
+    full-width matrices is the per-partition numpy Gram via
+    mapInPandas — tests/test_operators.py proves that path
+    cell-identical to this one on the same data."""
+    from ..llm.similarity import as_double
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    q = emb.select(
+        F.transform(
+            as_double(F.col("embedding")),
+            lambda x: F.floor(x * 10000 + F.lit(0.5)).cast("bigint"),
+        ).alias("vq")
+    )
+    pairs = (
+        q.select(
+            F.explode(F.expr(
+                "flatten(transform(sequence(1, 8), i ->"
+                " transform(sequence(i, 8), j ->"
+                " struct(i AS i, j AS j, element_at(vq, i) AS x,"
+                " element_at(vq, j) AS y))))"
+            )).alias("p")
+        )
+        .select("p.*")
+    )
+    dec = "DECIMAL(38,0)"
+    m = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    return m.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        F.expr("CAST(n * sxy - sx * sy AS BIGINT)").alias("cov_num"),
+        F.expr(
+            "CAST(CASE WHEN (n * sxx - sx * sx) = 0"
+            " OR (n * syy - sy * sy) = 0 THEN 0"
+            " ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)"
+            " AS DOUBLE)) * 10000 + 0.5) END AS BIGINT)"
+        ).alias("corr_q4"),
+    )
