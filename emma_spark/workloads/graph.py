@@ -1543,3 +1543,76 @@ def graph_greedy_matching(spark, sf_dir):
             .select("u", "v", "prio")
         )
     return matched
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT least(user_id % 499, (user_id * 7 + event_id) % 499)
+               AS u,
+             greatest(user_id % 499, (user_id * 7 + event_id) % 499) AS v
+      FROM events
+      WHERE user_id % 499 != (user_id * 7 + event_id) % 499
+    ),
+    deg AS (
+      SELECT vtx, count(*)::BIGINT AS degree FROM (
+        SELECT u AS vtx FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY vtx
+    ),
+    hist AS (
+      SELECT degree, count(*)::BIGINT AS n_vertices FROM deg GROUP BY degree
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n FROM deg)
+    SELECT h.degree, h.n_vertices,
+           CAST((SELECT sum(n_vertices) FROM hist h2
+                 WHERE h2.degree >= h.degree)::HUGEINT * 1000000
+                // tot.n AS BIGINT) AS ccdf_ppm
+    FROM hist h, tot
+    """,
+)
+def graph_degree_distribution(spark, sf_dir):
+    """DEGREE DISTRIBUTION + CCDF — the first diagnostic anyone runs
+    on a new graph (is it heavy-tailed? will the join skew?): degree
+    per vertex (one hash-agg over the exploded endpoint view), the
+    degree histogram (bounded by max degree), and the complementary
+    CDF P(deg >= d) in exact ppm via a window over the BOUNDED
+    histogram — never over vertices. This is also the pre-flight for
+    every iterative graph op in the registry: the max-degree row
+    bounds the per-round bucket cost of matching, label propagation,
+    and triangle counting."""
+    from pyspark.sql import Window
+
+    ev = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    # sparser 499-node hash graph than SQL_HASH_EDGES' 30-node one:
+    # a near-complete graph has a single-point degree distribution,
+    # which would make this diagnostic vacuous
+    a = F.col("user_id") % 499
+    b = (F.col("user_id") * 7 + F.col("event_id")) % 499
+    e = (
+        ev.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("vtx"))
+        .unionAll(e.select(F.col("v").alias("vtx")))
+        .groupBy("vtx")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+    tot = deg.agg(F.count(F.lit(1)).alias("n"))
+    # cumulative over the bounded degree histogram (<= max-degree rows)
+    w = Window.orderBy(F.desc("degree")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.withColumn("cum", F.sum("n_vertices").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "degree", "n_vertices",
+            F.expr(
+                "CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"
+            ).alias("ccdf_ppm"),
+        )
+    )

@@ -8661,3 +8661,77 @@ def agg_mode_exact(spark, sf_dir):
         F.expr("s div 1000").alias("mode_n"),
         "total",
     )
+
+
+@query(
+    "events_bounce_rate",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM gaps
+    ),
+    sizes AS (
+      SELECT user_id, session_id, count(*)::BIGINT AS n_events
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT count(*)::BIGINT AS n_sessions,
+           count(CASE WHEN n_events = 1 THEN 1 END)::BIGINT AS n_bounces,
+           CAST(count(CASE WHEN n_events = 1 THEN 1 END)::HUGEINT
+                * 1000000 // count(*) AS BIGINT) AS bounce_ppm,
+           CAST(sum(n_events)::HUGEINT * 1000 // count(*) AS BIGINT)
+             AS events_per_session_milli
+    FROM sizes
+    """,
+)
+def events_bounce_rate(spark, sf_dir):
+    """BOUNCE RATE — the engagement headline derived from the
+    sessionization the registry already owns (events_sessionize's
+    30-min-gap islands): fraction of sessions containing exactly one
+    event, plus mean session depth, both exact integer rationals.
+    The session windows are PARTITIONED by user (bounded per-user
+    work); the roll-up is two hash-aggs. One scan end to end."""
+    from pyspark.sql import Window
+
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gaps = e.select(
+        "user_id", "ts",
+        F.when(
+            prev.isNull()
+            | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = gaps.select(
+        "user_id", F.sum("new_session").over(wr).alias("session_id")
+    )
+    sizes = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+        F.expr(
+            "CAST(CAST(count(CASE WHEN n_events = 1 THEN 1 END)"
+            " AS DECIMAL(38,0)) * 1000000 div count(1) AS BIGINT)"
+        ).alias("bounce_ppm"),
+        F.expr(
+            "CAST(CAST(sum(n_events) AS DECIMAL(38,0)) * 1000"
+            " div count(1) AS BIGINT)"
+        ).alias("events_per_session_milli"),
+    )
