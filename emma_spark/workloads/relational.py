@@ -8735,3 +8735,88 @@ def events_bounce_rate(spark, sf_dir):
             " div count(1) AS BIGINT)"
         ).alias("events_per_session_milli"),
     )
+
+
+@query(
+    "orders_seasonal_decompose",
+    oracle="""
+    WITH m AS (
+      SELECT (year(CAST(o_orderdate AS DATE)) * 12
+              + month(CAST(o_orderdate AS DATE))) AS idx,
+             month(CAST(o_orderdate AS DATE)) AS moy,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT idx, moy, x,
+             CASE WHEN count(*) OVER w = 13
+                  THEN sum(x) OVER w // 13 END AS trend
+      FROM m
+      WINDOW w AS (ORDER BY idx RANGE BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    ),
+    det AS (
+      SELECT idx, moy, x, trend, x - trend AS detr FROM tr
+    ),
+    seas AS (
+      SELECT moy, sum(detr) // count(*) AS seasonal
+      FROM det WHERE detr IS NOT NULL GROUP BY moy
+    )
+    SELECT d.idx, d.moy, d.x, d.trend, s.seasonal,
+           d.x - d.trend - s.seasonal AS residual
+    FROM det d JOIN seas s ON d.moy = s.moy
+    WHERE d.trend IS NOT NULL
+    """,
+)
+def orders_seasonal_decompose(spark, sf_dir):
+    """CLASSICAL ADDITIVE DECOMPOSITION x = trend + seasonal +
+    residual — the diagnostic that separates 'December is always
+    high' from 'we are actually growing': trend is a centered
+    13-month moving average (emitted only where the full window
+    exists — the textbook edge rule), seasonal is the month-of-year
+    mean of the detrended series (exact integral division), residual
+    is what anomaly detection should actually monitor (raw-value
+    z-tests alert on seasonality; residual z-tests alert on
+    surprises). Every window and group runs over the BOUNDED month
+    table (one hash-agg reduces the scan; ~84 rows after), index-
+    valued RANGE frame so missing months shrink the window rather
+    than shifting it. All exact integers; truncating division on
+    possibly-negative detrended values relies on the verified
+    div-truncates-toward-zero equivalence of both engines."""
+    from pyspark.sql import Window
+
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    m = o.groupBy(
+        F.expr(
+            "year(CAST(o_orderdate AS DATE)) * 12"
+            " + month(CAST(o_orderdate AS DATE))"
+        ).alias("idx"),
+        F.expr("month(CAST(o_orderdate AS DATE))").alias("moy"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+          .alias("x")
+    )
+    w = Window.orderBy("idx").rangeBetween(-6, 6)
+    tr = m.select(
+        "idx", "moy", "x",
+        F.when(
+            F.count(F.lit(1)).over(w) == 13,
+            F.expr("sum(x) OVER (ORDER BY idx RANGE BETWEEN 6 PRECEDING"
+                   " AND 6 FOLLOWING) div 13"),
+        ).alias("trend"),
+    )
+    det = tr.withColumn("detr", F.col("x") - F.col("trend"))
+    seas = (
+        det.filter(F.col("detr").isNotNull())
+        .groupBy("moy")
+        .agg(F.expr("sum(detr) div count(*)").alias("seasonal"))
+    )
+    return (
+        det.join(seas, "moy")
+        .filter(F.col("trend").isNotNull())
+        .select(
+            "idx", "moy", "x", "trend", "seasonal",
+            (F.col("x") - F.col("trend") - F.col("seasonal")).alias(
+                "residual"
+            ),
+        )
+    )
