@@ -1616,3 +1616,89 @@ def graph_degree_distribution(spark, sf_dir):
             ).alias("ccdf_ppm"),
         )
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH e AS ({SQL_HASH_EDGES}),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u AS vtx, count(*)::BIGINT AS degree
+            FROM sym GROUP BY 1),
+    tri AS (
+      SELECT a.u AS x, a.v AS y, b.v AS z
+      FROM e a JOIN e b ON a.v = b.u JOIN e c ON a.u = c.u AND b.v = c.v
+    ),
+    pertri AS (
+      SELECT vtx, count(*)::BIGINT AS n_tri FROM (
+        SELECT x AS vtx FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY vtx
+    )
+    SELECT d.vtx, d.degree, coalesce(p.n_tri, 0) AS n_tri,
+           CASE WHEN d.degree >= 2
+                THEN CAST(coalesce(p.n_tri, 0)::HUGEINT * 2000000
+                     // (d.degree * (d.degree - 1)) AS BIGINT)
+                ELSE 0 END AS lcc_ppm
+    FROM deg d LEFT JOIN pertri p ON d.vtx = p.vtx
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """LOCAL CLUSTERING COEFFICIENT per vertex — how much of each
+    vertex's neighborhood is itself connected (2·tri(v) / deg(v)·
+    (deg(v)−1), exact ppm): the community-structure diagnostic that
+    separates hub-and-spoke graphs from clustered ones, and the
+    per-vertex refinement of the global triangle count the registry
+    already enumerates. Reuses the canonical-orientation triangle
+    join (each triangle emitted once, credited to all three
+    corners); degree from the symmetrized edge list; one left join
+    puts zero-triangle vertices at lcc 0. All hash-aggs and
+    equi-joins — the triangle join's Σ deg² bound is the only
+    superlinear term, exactly as in graph_triangles."""
+    ev = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    a = F.col("user_id") % 30
+    b = (F.col("user_id") * 7 + F.col("event_id")) % 30
+    e = (
+        ev.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    from ..plans.cache import pin
+
+    e = pin(e)  # feeds degree + three triangle-join sides
+    deg = (
+        e.select(F.col("u").alias("vtx"))
+        .unionAll(e.select(F.col("v").alias("vtx")))
+        .groupBy("vtx")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y2"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x3"), F.col("v").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    pertri = (
+        tri.select(F.col("x").alias("vtx"))
+        .unionAll(tri.select(F.col("y").alias("vtx")))
+        .unionAll(tri.select(F.col("z").alias("vtx")))
+        .groupBy("vtx")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(pertri, "vtx", "left")
+        .select(
+            "vtx", "degree",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "CAST(CAST(coalesce(n_tri, 0) AS DECIMAL(38,0))"
+                    " * 2000000 div (degree * (degree - 1)) AS BIGINT)"
+                ),
+            ).otherwise(F.lit(0).cast("bigint")).alias("lcc_ppm"),
+        )
+    )
