@@ -8820,3 +8820,69 @@ def orders_seasonal_decompose(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "orders_segment_migration",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                  THEN 0 ELSE 1 END AS period,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_c
+      FROM orders GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT o_custkey, period,
+             least(spend_c // 50000000, 4) AS segment
+      FROM s
+    ),
+    t0 AS (SELECT o_custkey, segment FROM seg WHERE period = 0),
+    t1 AS (SELECT o_custkey, segment FROM seg WHERE period = 1)
+    SELECT coalesce(t0.segment, -1) AS seg_from,
+           coalesce(t1.segment, -1) AS seg_to,
+           count(*)::BIGINT AS n_customers
+    FROM t0 FULL OUTER JOIN t1 ON t0.o_custkey = t1.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def orders_segment_migration(spark, sf_dir):
+    """SEGMENT MIGRATION MATRIX — where did last period's customers
+    go: per-customer spend in two halves of the corpus (split at
+    1998-01-01), banded into five $500k segments (domain-bounded
+    integer bands, the RFM convention — no global quantile sort), and
+    the FULL OUTER join of the two period maps counts every
+    (from, to) transition including acquisitions (from = -1) and
+    churn (to = -1) — the two cells a plain inner join silently
+    drops, and usually the two cells the business cares most about.
+    Two hash-aggs + one key join; the matrix is at most 6×6 rows out
+    regardless of customer count."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    s = o.groupBy(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"),
+            0,
+        ).otherwise(1).alias("period"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+          .alias("spend_c")
+    )
+    seg = s.select(
+        "o_custkey", "period",
+        F.least(F.expr("spend_c div 50000000"), F.lit(4)).alias("segment"),
+    )
+    t0 = seg.filter(F.col("period") == 0).select(
+        "o_custkey", F.col("segment").alias("seg0")
+    )
+    t1 = seg.filter(F.col("period") == 1).select(
+        "o_custkey", F.col("segment").alias("seg1")
+    )
+    return (
+        t0.join(t1, "o_custkey", "full_outer")
+        .groupBy(
+            F.coalesce("seg0", F.lit(-1)).alias("seg_from"),
+            F.coalesce("seg1", F.lit(-1)).alias("seg_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
