@@ -190,7 +190,10 @@ _PRIORITY = [
     # part_inventory_simulation, pipeline_curation_funnel,
     # events_alert_debounce, multimodal_phash_neardup,
     # orders_rolling_median_7d, window_first_last_nth_surface,
-    # agg_mode_exact (registry close: 344).
+    # agg_mode_exact, embedding_corr_matrix, events_bounce_rate,
+    # graph_degree_distribution, orders_seasonal_decompose,
+    # graph_clustering_coefficient, orders_segment_migration
+    # (registry close: 350).
     # The whole registry is tri-SF diff-checked (sf0.001 / vanilla
     # sf0.01 / sf0.1); every queued name is ready for any window.
     "stream_watermark_append",
