@@ -1082,3 +1082,105 @@ def stream_windowed_topk_users(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+@query(
+    "stream_scd2_temporal_enrich",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    dim AS (
+      SELECT user_id, k.k AS k,
+             CASE WHEN k.k = 0 THEN TIMESTAMP '2024-01-01'
+                  ELSE TIMESTAMP '2024-01-01' + to_days(CAST(k.k * 10
+                    + CAST(concat('0x', substr(md5('tier' || '|'
+                        || CAST(user_id AS VARCHAR) || '|'
+                        || CAST(k.k AS VARCHAR)), 1, 14)) AS BIGINT) % 5
+                    AS INT)) END AS valid_from,
+             CAST(concat('0x', substr(md5('plan' || '|'
+                 || CAST(user_id AS VARCHAR) || '|'
+                 || CAST(k.k AS VARCHAR)), 1, 14)) AS BIGINT) % 7 AS plan_id
+      FROM users, (SELECT unnest([0, 1, 2, 3]) AS k) k
+    ),
+    dim2 AS (
+      SELECT user_id, plan_id, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY k)
+               AS valid_to
+      FROM dim
+    ),
+    j AS (
+      SELECT e.ts, d.plan_id, e.value
+      FROM events e JOIN dim2 d
+        ON e.user_id = d.user_id
+       AND e.ts >= d.valid_from
+       AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    )
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, plan_id,
+           count(*) AS n,
+           sum(floor(value * 10000 + 0.5)) / 10000 AS total
+    FROM j GROUP BY 1, 2
+    """,
+)
+def stream_scd2_temporal_enrich(spark, sf_dir):
+    """Stream enriched against a TEMPORAL (SCD2) dimension — the
+    composition stream_static_enrich (latest-value lookup) cannot
+    express: each event resolves the dimension row whose validity
+    interval CONTAINS its event time, so late-arriving events get the
+    plan that was in force THEN, not the current one (the
+    events_feature_store_pit leakage rule applied to streaming ETL).
+    The dimension is a deterministic 4-interval plan history per user
+    (md5-jittered boundaries, lead() closes intervals — the
+    scd2_status_history build); the stream-static join is equi on
+    user_id with the interval predicate as a residual filter (hash
+    join per micro-batch, broadcast dim, NO stream shuffle before the
+    windowed agg). Daily counts per plan; oracle replays dim build +
+    interval join + windowing in batch SQL."""
+    staged = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = S.read_stream_parquet(spark, staged, schema)
+
+    users = spark.read.parquet(staged).select("user_id").distinct()
+    ks = spark.range(4).select(F.col("id").cast("int").alias("k"))
+    h = lambda salt: F.expr(
+        f"CAST(conv(substring(md5(concat('{salt}', '|',"
+        " CAST(user_id AS STRING), '|', CAST(k AS STRING))), 1, 14),"
+        " 16, 10) AS BIGINT)"
+    )
+    dim = users.crossJoin(F.broadcast(ks)).select(
+        "user_id", "k",
+        F.when(
+            F.col("k") == 0, F.lit("2024-01-01").cast("timestamp")
+        ).otherwise(
+            F.expr(
+                "CAST('2024-01-01' AS TIMESTAMP)"
+                " + make_interval(0, 0, 0, CAST(k * 10 AS INT)"
+                " + CAST(CAST(conv(substring(md5(concat('tier', '|',"
+                " CAST(user_id AS STRING), '|', CAST(k AS STRING))),"
+                " 1, 14), 16, 10) AS BIGINT) % 5 AS INT), 0, 0, 0)"
+            )
+        ).alias("valid_from"),
+        (h("plan") % 7).alias("plan_id"),
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("user_id").orderBy("k")
+    dim2 = dim.select(
+        "user_id", "plan_id", "valid_from",
+        F.lead("valid_from").over(wd).alias("valid_to"),
+    )
+    joined = stream.join(
+        F.broadcast(dim2),
+        (stream["user_id"] == dim2["user_id"])
+        & (stream["ts"] >= dim2["valid_from"])
+        & (dim2["valid_to"].isNull() | (stream["ts"] < dim2["valid_to"])),
+    ).select(stream["ts"], dim2["plan_id"], stream["value"])
+    agg = S.tumbling(joined, "ts", "1 day", "plan_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5))) / 10000).alias(
+            "total"
+        ),
+    )
+    name = f"stream_scd2_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, output_mode="complete", state_partitions=4)
+    return spark.table(name).select(
+        F.col("window.start").alias("day"), "plan_id", "n", "total"
+    )
