@@ -192,8 +192,8 @@ _PRIORITY = [
     # orders_rolling_median_7d, window_first_last_nth_surface,
     # agg_mode_exact, embedding_corr_matrix, events_bounce_rate,
     # graph_degree_distribution, orders_seasonal_decompose,
-    # graph_clustering_coefficient, orders_segment_migration
-    # (registry close: 350).
+    # graph_clustering_coefficient, orders_segment_migration,
+    # stream_scd2_temporal_enrich (registry close: 351).
     # The whole registry is tri-SF diff-checked (sf0.001 / vanilla
     # sf0.01 / sf0.1); every queued name is ready for any window.
     "stream_watermark_append",
