@@ -8886,3 +8886,79 @@ def orders_segment_migration(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@query(
+    "events_power_analysis_mde",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(concat('0x', substr(md5('ab' || '|'
+               || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) % 2 AS arm,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT count(*)::HUGEINT AS n, sum(v)::HUGEINT AS s,
+             sum(v * v)::HUGEINT AS ss
+      FROM u
+    ),
+    v AS (
+      SELECT n, s, CAST((n * ss - s * s) // (n * n) AS BIGINT) AS var_c2,
+             CAST(s // n AS BIGINT) AS mean_c
+      FROM m
+    ),
+    grid AS (SELECT unnest([1000, 5000, 20000, 100000]) AS n_per_arm)
+    SELECT g.n_per_arm,
+           v.mean_c, v.var_c2,
+           CAST(floor(2.8024 * sqrt(2.0 * v.var_c2 / g.n_per_arm) * 100
+                + 0.5) AS BIGINT) AS mde_abs_c2,
+           CAST(floor(2.8024 * sqrt(2.0 * v.var_c2 / g.n_per_arm)
+                / v.mean_c * 1000000 * 100 + 0.5) AS BIGINT)
+             AS mde_rel_ppm_c2
+    FROM grid g, v
+    """,
+)
+def events_power_analysis_mde(spark, sf_dir):
+    """POWER ANALYSIS — the question that must be answered BEFORE
+    events_ab_test_lift is run, not after: at alpha=0.05 two-sided
+    and 80% power (z-sum 1.9600 + 0.8424 = 2.8024, a literal — no
+    normal quantile function exists on either engine), what's the
+    minimum detectable effect at each candidate arm size? MDE =
+    2.8024·sqrt(2σ²/n): the population variance comes from ONE
+    moment-sum aggregation over the metric (the n·Σx²−(Σx)² integer
+    identity), the arm-size grid is a 4-row literal, and the single
+    sqrt per row is quantized after (the one-IEEE-sqrt rule).
+    Absolute MDE in cents and relative MDE vs the metric mean in
+    ppm — the number that decides whether an experiment is even
+    worth launching. Completes the experimentation surface: power
+    (this) → SRM guardrail → lift → CUPED → DiD."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    dec = "DECIMAL(38,0)"
+    u = e.filter(F.col("event_type") == "purchase").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v")
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("ss"),
+    )
+    v = m.select(
+        F.expr("CAST((n * ss - s * s) div (n * n) AS BIGINT)").alias(
+            "var_c2"
+        ),
+        F.expr("CAST(s div n AS BIGINT)").alias("mean_c"),
+    )
+    grid = spark.createDataFrame(
+        [(1000,), (5000,), (20000,), (100000,)], "n_per_arm bigint"
+    )
+    return grid.crossJoin(F.broadcast(v)).select(
+        "n_per_arm", "mean_c", "var_c2",
+        F.expr(
+            "CAST(floor(2.8024 * sqrt(2.0 * var_c2 / n_per_arm) * 100"
+            " + 0.5) AS BIGINT)"
+        ).alias("mde_abs_c2"),
+        F.expr(
+            "CAST(floor(2.8024 * sqrt(2.0 * var_c2 / n_per_arm)"
+            " / mean_c * 1000000 * 100 + 0.5) AS BIGINT)"
+        ).alias("mde_rel_ppm_c2"),
+    )
