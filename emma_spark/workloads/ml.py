@@ -2223,3 +2223,137 @@ def ml_isotonic_calibration(spark, sf_dir):
         ).alias("raw_ppm"),
         F.expr("CAST(iso_q18 div 1000000000000 AS BIGINT)").alias("iso_ppm"),
     )
+
+
+@query(
+    "ml_cohens_kappa",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+               AS vq
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT label, t.i AS pos, vq[t.i] AS v
+      FROM q, unnest(generate_series(1, len(vq))) AS t(i)
+    ),
+    cdim AS (
+      SELECT label, pos, sum(v) // count(*) AS c
+      FROM pos GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT label AS clabel, list(c ORDER BY pos) AS cvec
+      FROM cdim GROUP BY label
+    ),
+    cand AS (
+      SELECT q.vec_id, q.label,
+             CAST(list_sum(list_transform(range(1, len(vq) + 1),
+               i -> (vq[i] - cvec[i]) * (vq[i] - cvec[i]))) AS BIGINT) * 16
+               + clabel AS slot
+      FROM q, cent
+    ),
+    pred AS (
+      SELECT vec_id, label AS actual, min(slot) % 16 AS pred
+      FROM cand GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT actual, pred, count(*)::HUGEINT AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT sum(n) AS total,
+             sum(CASE WHEN actual = pred THEN n ELSE 0 END) AS diag,
+             (SELECT sum(ra.n_a * ca.n_p) FROM
+                (SELECT actual AS k, sum(n) AS n_a FROM cells GROUP BY 1) ra
+                JOIN
+                (SELECT pred AS k, sum(n) AS n_p FROM cells GROUP BY 1) ca
+                ON ra.k = ca.k) AS chance_num
+      FROM cells
+    )
+    SELECT CAST(total AS BIGINT) AS n,
+           CAST(diag AS BIGINT) AS n_agree,
+           CAST(diag * 1000000 // total AS BIGINT) AS po_ppm,
+           CAST(chance_num * 1000000 // (total * total) AS BIGINT)
+             AS pe_ppm,
+           CAST((diag * total - chance_num) * 1000000
+                // (total * total - chance_num) AS BIGINT) AS kappa_ppm
+    FROM marg
+    """,
+)
+def ml_cohens_kappa(spark, sf_dir):
+    """COHEN'S KAPPA — chance-corrected agreement for the
+    nearest-centroid classifier against the true labels: raw accuracy
+    (p_o) flatters any classifier on imbalanced classes; kappa
+    subtracts the agreement the marginals would produce by chance
+    (p_e = Σ row·col marginal products / n²). Everything is one exact
+    integer rational: kappa = (diag·n − Σ r_k·c_k) / (n² − Σ r_k·c_k)
+    in ppm — no float anywhere, so the statistic replays bit-for-bit.
+    Reuses the ml_nearest_centroid_confusion dataflow (broadcast
+    centroids, widened-slot argmin); the kappa roll-up adds two
+    bounded aggs over the ≤ |classes|² confusion cells. The same
+    cells→kappa algebra scores ANY pair of labelings (two
+    annotators, two model versions)."""
+    from ..llm.similarity import as_double
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    q = emb.select(
+        "vec_id", "label",
+        F.transform(
+            as_double(F.col("embedding")),
+            lambda x: F.floor(x * 10000 + F.lit(0.5)).cast("bigint"),
+        ).alias("vq"),
+    )
+    cdim = (
+        q.select("label", F.posexplode("vq").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.expr("sum(v) div count(*)").alias("c"))
+    )
+    cent = cdim.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cvec")
+    )
+    slot = (
+        F.expr(
+            "aggregate(zip_with(vq, cvec, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, e) -> acc + e)"
+        )
+        * 16
+        + F.col("clabel")
+    )
+    pred = (
+        q.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", slot.alias("slot"))
+        .groupBy("vec_id", F.col("label").alias("actual"))
+        .agg((F.min("slot") % 16).alias("pred"))
+    )
+    dec = "DECIMAL(38,0)"
+    cells = pred.groupBy("actual", "pred").agg(
+        F.count(F.lit(1)).cast(dec).alias("n")
+    )
+    ra = cells.groupBy(F.col("actual").alias("k")).agg(F.sum("n").alias("n_a"))
+    ca = cells.groupBy(F.col("pred").alias("k")).agg(F.sum("n").alias("n_p"))
+    chance = ra.join(ca, "k").agg(
+        F.sum(F.col("n_a") * F.col("n_p")).alias("chance_num")
+    )
+    tot = cells.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.when(F.col("actual") == F.col("pred"), F.col("n")).otherwise(
+            F.lit(0).cast(dec)
+        )).alias("diag"),
+    )
+    return tot.crossJoin(F.broadcast(chance)).select(
+        F.col("total").cast("bigint").alias("n"),
+        F.col("diag").cast("bigint").alias("n_agree"),
+        F.expr("CAST(diag * 1000000 div total AS BIGINT)").alias("po_ppm"),
+        F.expr(
+            "CAST(chance_num * 1000000 div (total * total) AS BIGINT)"
+        ).alias("pe_ppm"),
+        F.expr(
+            "CAST((diag * total - chance_num) * 1000000"
+            " div (total * total - chance_num) AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
