@@ -861,3 +861,73 @@ def dedup_similarity_histogram(spark, sf_dir):
         F.expr("inter * 10 div (na + nb - inter)").alias("decile")
     )
     return j.groupBy("decile").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "dedup_winnowing_fingerprints",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform({sql_shingles(8)},
+               s -> CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT))
+               AS hs
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, len(hs)::BIGINT AS n_shingles,
+             CASE WHEN len(hs) >= 4 THEN
+               list_distinct(list_transform(
+                 range(1, len(hs) - 2),
+                 i -> least(hs[i], hs[i+1], hs[i+2], hs[i+3])))
+             ELSE list_distinct(hs) END AS fps
+      FROM h
+    )
+    SELECT doc_id, n_shingles,
+           len(fps)::BIGINT AS n_fingerprints,
+           CASE WHEN len(fps) > 0 THEN list_min(fps) END AS min_fp
+    FROM w WHERE n_shingles > 0
+    """,
+)
+def dedup_winnowing_fingerprints(spark, sf_dir):
+    """WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm, public): from each sliding window of
+    w=4 consecutive 8-char shingle hashes keep the MINIMUM, then
+    dedupe — the selection guarantee is that any shared substring of
+    length >= w + shingle - 1 (= 11 chars) leaves at least one
+    IDENTICAL fingerprint in both documents, while storing only
+    ~2/(w+1) of all hashes. The registry's full-gram approach
+    (dedup_substring_coverage) keeps every position; winnowing is
+    the sublinear-index variant plagiarism/clone detectors actually
+    ship. Entirely narrow array HOFs (shingle -> hash -> windowed min
+    -> distinct) — ZERO shuffle; whatever consumes the fingerprints
+    (an inverted index, exactly dedup_substring_coverage's plan
+    downstream) pays the first exchange. Short docs (< w+shingle
+    chars) degrade to their distinct hash set, the boundary rule
+    both engines replay."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    h = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN length(lower(text)) >= 8 THEN"
+            " transform(sequence(1, length(lower(text)) - 7),"
+            " i -> CAST(conv(substring(md5(substring(lower(text), i, 8)),"
+            " 1, 14), 16, 10) AS BIGINT))"
+            " ELSE CAST(array() AS array<bigint>) END"
+        ).alias("hs"),
+    )
+    w = h.select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n_shingles"),
+        F.expr(
+            "CASE WHEN size(hs) >= 4 THEN"
+            " array_distinct(transform(sequence(1, size(hs) - 3),"
+            " i -> least(element_at(hs, i), element_at(hs, i + 1),"
+            " element_at(hs, i + 2), element_at(hs, i + 3))))"
+            " ELSE array_distinct(hs) END"
+        ).alias("fps"),
+    )
+    return w.filter(F.col("n_shingles") > 0).select(
+        "doc_id", "n_shingles",
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.when(F.size("fps") > 0, F.array_min("fps")).alias("min_fp"),
+    )

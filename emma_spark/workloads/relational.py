@@ -8962,3 +8962,66 @@ def events_power_analysis_mde(spark, sf_dir):
             " / mean_c * 1000000 * 100 + 0.5) AS BIGINT)"
         ).alias("mde_rel_ppm_c2"),
     )
+
+
+@query(
+    "events_dispersion_index",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::HUGEINT AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    m AS (
+      SELECT count(*)::HUGEINT AS k, sum(n)::HUGEINT AS s,
+             sum(n * n)::HUGEINT AS ss
+      FROM d
+    )
+    SELECT CAST(k AS BIGINT) AS n_hours,
+           CAST(s AS BIGINT) AS n_events,
+           CAST(s * 1000000 // k AS BIGINT) AS mean_ppm,
+           CAST((k * ss - s * s) * 1000000 // (k * k) AS BIGINT)
+             AS var_ppm,
+           CAST((k * ss - s * s) * 1000000 // (k * s) AS BIGINT)
+             AS dispersion_ppm,
+           CASE WHEN (k * ss - s * s) * 2 // (k * s) > 3 THEN 1 ELSE 0 END
+             AS overdispersed
+    FROM m
+    """,
+)
+def events_dispersion_index(spark, sf_dir):
+    """INDEX OF DISPERSION (variance-to-mean of hourly counts) — the
+    Poissonness check that decides which alerting model is valid: a
+    Poisson process has dispersion ~= 1 (var = mean), bursty/clumped
+    traffic is overdispersed (> 1, here flagged above 1.5 via the
+    integer cross-multiplication 2·var > 3·mean), and a z-score
+    alert calibrated on Poisson assumptions fires wrongly on
+    overdispersed streams (the events_anomaly_zscore caveat made
+    measurable). One hourly hash-agg + one moment roll-up, every
+    statistic an exact ppm rational via the n·Σx²−(Σx)² identity."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    dec = "DECIMAL(38,0)"
+    d = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum(F.col("n").cast(dec)).alias("s"),
+        F.sum((F.col("n") * F.col("n")).cast(dec)).alias("ss"),
+    )
+    return m.select(
+        F.col("k").cast("bigint").alias("n_hours"),
+        F.col("s").cast("bigint").alias("n_events"),
+        F.expr("CAST(s * 1000000 div k AS BIGINT)").alias("mean_ppm"),
+        F.expr(
+            "CAST((k * ss - s * s) * 1000000 div (k * k) AS BIGINT)"
+        ).alias("var_ppm"),
+        F.expr(
+            "CAST((k * ss - s * s) * 1000000 div (k * s) AS BIGINT)"
+        ).alias("dispersion_ppm"),
+        F.expr(
+            "CASE WHEN (k * ss - s * s) * 2 div (k * s) > 3"
+            " THEN 1 ELSE 0 END"
+        ).alias("overdispersed"),
+    )
