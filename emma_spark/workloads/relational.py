@@ -9025,3 +9025,117 @@ def events_dispersion_index(spark, sf_dir):
             " THEN 1 ELSE 0 END"
         ).alias("overdispersed"),
     )
+
+
+@query(
+    "orders_percent_of_total",
+    oracle="""
+    WITH a AS (
+      SELECT year(CAST(o_orderdate AS DATE)) AS yr, o_orderpriority,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, o_orderpriority, rev_c,
+           CAST(rev_c::HUGEINT * 1000000
+                // sum(rev_c) OVER (PARTITION BY yr) AS BIGINT)
+             AS share_ppm,
+           rev_c = max(rev_c) OVER (PARTITION BY yr) AS is_top
+    FROM a
+    """,
+)
+def orders_percent_of_total(spark, sf_dir):
+    """RATIO-TO-REPORT — the percent-of-total window every BI report
+    needs (share of each priority within its year, exact ppm against
+    the partition sum) plus the is-top flag: one aggregation to the
+    bounded (year × priority) grid, then unframed aggregate windows
+    PARTITIONED by year over those few rows — the window never sees
+    raw orders. The integer share uses the HUGEINT product rule;
+    shares within a year sum to <= 10^6 with truncation (exactly
+    10^6 only when the division is exact — the documented
+    truncating-ppm convention)."""
+    from pyspark.sql import Window
+
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    a = o.groupBy(
+        F.expr("year(CAST(o_orderdate AS DATE))").alias("yr"),
+        "o_orderpriority",
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+          .alias("rev_c")
+    )
+    w = Window.partitionBy("yr")
+    return a.select(
+        "yr", "o_orderpriority", "rev_c",
+        F.expr(
+            "CAST(CAST(rev_c AS DECIMAL(38,0)) * 1000000"
+            " div sum(rev_c) OVER (PARTITION BY yr) AS BIGINT)"
+        ).alias("share_ppm"),
+        (F.col("rev_c") == F.max("rev_c").over(w)).alias("is_top"),
+    )
+
+
+@query(
+    "supplier_herfindahl_index",
+    oracle="""
+    WITH r AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS rev_c
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT s_nationkey, sum(rev_c)::HUGEINT AS tot FROM r GROUP BY 1)
+    SELECT r.s_nationkey,
+           count(*)::BIGINT AS n_suppliers,
+           CAST(sum(r.rev_c::HUGEINT * r.rev_c * 1000000
+                    // (t.tot * t.tot)) AS BIGINT) AS hhi_ppm,
+           CAST(1000000 // count(*) AS BIGINT) AS uniform_hhi_ppm
+    FROM r JOIN t ON r.s_nationkey = t.s_nationkey
+    GROUP BY r.s_nationkey, t.tot
+    """,
+)
+def supplier_herfindahl_index(spark, sf_dir):
+    """HERFINDAHL–HIRSCHMAN concentration INDEX per nation — Σ of
+    squared revenue shares, the standard market-concentration
+    statistic (complements the Lorenz curve's distributional view
+    with a single comparable number; the uniform baseline 1/n is
+    emitted alongside, since HHI is only meaningful against it).
+    Exact integers end to end: each supplier's share² contributes
+    rev²·10⁶ div tot² (HUGEINT products), summed per nation —
+    per-term truncation keeps every value engine-identical. Two hash
+    aggregations + one slim join; the supplier dimension join
+    broadcasts."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    su = io.read_parquet(spark, f"{sf_dir}/supplier.parquet").df
+    r = (
+        li.join(
+            F.broadcast(su.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == su["s_suppkey"],
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("rev_c")
+        )
+    )
+    t = r.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.sum(F.col("rev_c").cast("decimal(38,0)")).alias("tot")
+    )
+    return (
+        r.join(t, r["s_nationkey"] == t["nk"])
+        .groupBy("s_nationkey", "tot")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.expr(
+                "CAST(sum(CAST(rev_c AS DECIMAL(38,0)) * rev_c * 1000000"
+                " div (tot * tot)) AS BIGINT)"
+            ).alias("hhi_ppm"),
+            F.expr("CAST(1000000 div count(1) AS BIGINT)").alias(
+                "uniform_hhi_ppm"
+            ),
+        )
+        .drop("tot")
+    )
