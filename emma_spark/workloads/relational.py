@@ -9139,3 +9139,70 @@ def supplier_herfindahl_index(spark, sf_dir):
         )
         .drop("tot")
     )
+
+
+@query(
+    "orders_revenue_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(time_bucket(INTERVAL 1 DAY,
+               CAST(o_orderdate AS TIMESTAMP))) // 86400000000 AS day,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    thr AS (SELECT sum(rev_c) // count(*) AS mean_c FROM d),
+    q AS (
+      SELECT day FROM d, thr WHERE d.rev_c > thr.mean_c
+    ),
+    isl AS (
+      SELECT day, day - row_number() OVER (ORDER BY day) AS grp
+      FROM q
+    ),
+    streaks AS (
+      SELECT min(day) AS start_day, count(*)::BIGINT AS len
+      FROM isl GROUP BY grp
+    )
+    SELECT len, count(*)::BIGINT AS n_streaks,
+           min(start_day) AS first_start_day
+    FROM streaks GROUP BY len
+    """,
+)
+def orders_revenue_streaks(spark, sf_dir):
+    """CONSECUTIVE-RUN analytics — how long do above-average revenue
+    days chain together: qualifying days (daily revenue > corpus
+    mean) grouped into maximal consecutive runs with the classic
+    day − row_number() island key (consecutive days share the
+    difference; any gap breaks it), then the streak-LENGTH histogram
+    with each length's count and earliest start. Both windows run
+    over the bounded daily table. Streak analysis is the engagement
+    primitive behind 'N-day habit' metrics; this is the dataflow,
+    with the qualifying predicate as the swappable part. The ordered
+    window on qualifying days is a single global-order window over
+    <= days rows — bounded by the calendar, never by order volume."""
+    from pyspark.sql import Window
+
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    d = o.groupBy(
+        F.expr(
+            "unix_micros(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP))"
+            " div 86400000000"
+        ).alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+          .alias("rev_c")
+    )
+    thr = d.agg(F.expr("sum(rev_c) div count(*)").alias("mean_c"))
+    q = d.crossJoin(F.broadcast(thr)).filter(
+        F.col("rev_c") > F.col("mean_c")
+    )
+    w = Window.orderBy("day")  # over qualifying DAYS only (bounded)
+    isl = q.select(
+        "day", (F.col("day") - F.row_number().over(w)).alias("grp")
+    )
+    streaks = isl.groupBy("grp").agg(
+        F.min("day").alias("start_day"), F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("len").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.min("start_day").alias("first_start_day"),
+    )
