@@ -193,7 +193,11 @@ _PRIORITY = [
     # agg_mode_exact, embedding_corr_matrix, events_bounce_rate,
     # graph_degree_distribution, orders_seasonal_decompose,
     # graph_clustering_coefficient, orders_segment_migration,
-    # stream_scd2_temporal_enrich (registry close: 351).
+    # stream_scd2_temporal_enrich, events_power_analysis_mde,
+    # dedup_similarity_histogram, ml_cohens_kappa,
+    # events_dispersion_index, dedup_winnowing_fingerprints,
+    # orders_percent_of_total, supplier_herfindahl_index,
+    # orders_revenue_streaks (registry close: 359).
     # The whole registry is tri-SF diff-checked (sf0.001 / vanilla
     # sf0.01 / sf0.1); every queued name is ready for any window.
     "stream_watermark_append",
