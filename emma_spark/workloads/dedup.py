@@ -931,3 +931,76 @@ def dedup_winnowing_fingerprints(spark, sf_dir):
         F.size("fps").cast("bigint").alias("n_fingerprints"),
         F.when(F.size("fps") > 0, F.array_min("fps")).alias("min_fp"),
     )
+
+
+@query(
+    "dedup_boilerplate_lines",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {SQL_TOKS} AS toks FROM documents),
+    lines AS (
+      SELECT doc_id, source,
+             array_to_string(toks[i*8 + 1 : i*8 + 8], ' ') AS line
+      FROM d, unnest(generate_series(0,
+             greatest((len(toks) - 1) // 8, 0))) AS t(i)
+      WHERE len(toks) > 0
+    ),
+    counts AS (
+      SELECT source, line, count(*)::BIGINT AS cnt
+      FROM lines GROUP BY 1, 2
+    )
+    SELECT source,
+           sum(cnt)::BIGINT AS n_lines,
+           count(*)::BIGINT AS n_distinct_lines,
+           coalesce(sum(CASE WHEN cnt >= 3 THEN cnt END), 0)::BIGINT
+             AS n_boilerplate_instances,
+           CAST(coalesce(sum(CASE WHEN cnt >= 3 THEN cnt END), 0)::HUGEINT
+                * 1000000 // sum(cnt) AS BIGINT) AS boilerplate_ppm
+    FROM counts GROUP BY source
+    """,
+)
+def dedup_boilerplate_lines(spark, sf_dir):
+    """WITHIN-SOURCE boilerplate line removal audit — the CCNet rule
+    (public): a line repeated across many documents OF THE SAME
+    SOURCE is boilerplate (headers, footers, nav chrome), even when
+    it is globally rare; grouping by source is what distinguishes
+    this from global span dedup (dedup_paragraph_exact), which would
+    either miss per-site chrome or over-delete cross-site idioms.
+    This corpus is single-line, so 'lines' are synthesized as 8-token
+    chunks (the plumbing is identical for real newline splits): one
+    narrow chunking pass, one (source, line) hash-agg — partial
+    combine bounds the shuffle by the distinct-line count — and a
+    per-source roll-up of instances occurring >= 3 times, with the
+    removal fraction in exact ppm. The flagged (source, line) table
+    is exactly what a scrubbing pass anti-joins against."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    from .text import SQL_TOKS as _  # noqa: F401 (oracle twin)
+    from ..llm.text import tokens as toks_fn
+
+    d = docs.select(
+        "doc_id", "source", toks_fn(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    lines = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest((size(toks) - 1)"
+                " div 8, 0)), i -> array_join(slice(toks,"
+                " CAST(i * 8 + 1 AS INT), 8), ' '))"
+            )
+        ).alias("line"),
+    )
+    counts = lines.groupBy("source", "line").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bp = F.when(F.col("cnt") >= 3, F.col("cnt"))
+    return counts.groupBy("source").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_distinct_lines"),
+        F.coalesce(F.sum(bp), F.lit(0)).cast("bigint").alias(
+            "n_boilerplate_instances"
+        ),
+        F.expr(
+            "CAST(CAST(coalesce(sum(CASE WHEN cnt >= 3 THEN cnt END), 0)"
+            " AS DECIMAL(38,0)) * 1000000 div sum(cnt) AS BIGINT)"
+        ).alias("boilerplate_ppm"),
+    )
