@@ -1702,3 +1702,59 @@ def graph_clustering_coefficient(spark, sf_dir):
             ).otherwise(F.lit(0).cast("bigint")).alias("lcc_ppm"),
         )
     )
+
+
+@query(
+    "graph_reciprocity",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT user_id % 499 AS src,
+                      (user_id * 7 + event_id) % 499 AS dst
+      FROM events
+      WHERE user_id % 499 != (user_id * 7 + event_id) % 499
+    ),
+    r AS (
+      SELECT count(*)::BIGINT AS n_recip
+      FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+    ),
+    t AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+    SELECT t.n_edges, r.n_recip,
+           CAST(r.n_recip::HUGEINT * 1000000 // t.n_edges AS BIGINT)
+             AS reciprocity_ppm
+    FROM t, r
+    """,
+)
+def graph_reciprocity(spark, sf_dir):
+    """RECIPROCITY of a DIRECTED graph — the fraction of edges whose
+    reverse also exists (follows-back rate, mutual-link density): the
+    one-number summary that separates broadcast-shaped directed
+    graphs (near 0) from conversation-shaped ones (near 1), and the
+    directed counterpart of the clustering coefficient. ONE self
+    equi-join on the reversed key pair counts reciprocated edges
+    (each mutual pair contributes twice, once per direction — the
+    standard definition); exact ppm ratio. The directed 499-node hash
+    graph (same generator as graph_degree_distribution, WITHOUT the
+    canonical least/greatest orientation every undirected query
+    applies — orientation is exactly what reciprocity measures)."""
+    ev = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    e = (
+        ev.select(
+            (F.col("user_id") % 499).alias("src"),
+            ((F.col("user_id") * 7 + F.col("event_id")) % 499).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    from ..plans.cache import pin
+
+    e = pin(e)  # both join sides + the total
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    r = e.join(rev, ["src", "dst"]).agg(F.count(F.lit(1)).alias("n_recip"))
+    t = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return t.crossJoin(r).select(
+        "n_edges", "n_recip",
+        F.expr(
+            "CAST(CAST(n_recip AS DECIMAL(38,0)) * 1000000"
+            " div n_edges AS BIGINT)"
+        ).alias("reciprocity_ppm"),
+    )
