@@ -9206,3 +9206,63 @@ def orders_revenue_streaks(spark, sf_dir):
         F.count(F.lit(1)).alias("n_streaks"),
         F.min("start_day").alias("first_start_day"),
     )
+
+
+@query(
+    "part_hierarchy_rollup",
+    oracle="""
+    WITH leaf AS (
+      SELECT l_partkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS rev_c
+      FROM lineitem GROUP BY 1
+    ),
+    anc AS (
+      SELECT l_partkey // CAST(pow(10, d.d) AS BIGINT) AS node,
+             d.d AS depth_up, rev_c
+      FROM leaf, unnest(generate_series(0, 6)) AS d(d)
+      WHERE l_partkey // CAST(pow(10, d.d) AS BIGINT) > 0 OR d.d = 0
+    )
+    SELECT node, count(*)::BIGINT AS n_contributing,
+           sum(rev_c)::BIGINT AS subtree_rev_c
+    FROM anc GROUP BY node
+    """,
+)
+def part_hierarchy_rollup(spark, sf_dir):
+    """HIERARCHICAL (tree) ROLLUP — subtree totals at EVERY node of a
+    part hierarchy (here the decimal 10-ary tree parent(p) = p div
+    10, standing in for a BOM / category tree): the classic recursive
+    traversal, flattened into pure dataflow because tree DEPTH is
+    bounded (<= 7 for bigint keys) — each leaf EXPLODES to its
+    ancestor chain (p, p div 10, p div 100, ...) and ONE hash-agg
+    sums every node's subtree, no iteration, no recursion, no join.
+    Contrast the three rollup tools now in the registry: GROUPING
+    SETS roll up independent ATTRIBUTE lattices, the fixpoint
+    machinery walks unbounded GRAPHS, and this ancestor-explode
+    covers bounded-depth HIERARCHIES — the org-chart/category case
+    that is by far the most common. Leaf aggregation first (one
+    part-keyed agg) keeps the fan-out on the part dimension, not the
+    lineitem fact."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    leaf = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                "bigint"
+            )
+        ).alias("rev_c")
+    )
+    anc = leaf.select(
+        "rev_c",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, 6), d ->"
+                " struct(l_partkey div CAST(pow(10, d) AS BIGINT) AS node,"
+                " d AS depth_up)),"
+                " s -> s.node > 0 OR s.depth_up = 0)"
+            )
+        ).alias("a"),
+    ).select("rev_c", "a.node")
+    return anc.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_contributing"),
+        F.sum("rev_c").alias("subtree_rev_c"),
+    )
