@@ -2350,3 +2350,73 @@ def text_quality_classifier_hashed(spark, sf_dir):
         "doc_id", "lang", score.alias("score_milli"),
         F.when(score > 0, 1).otherwise(0).alias("keep"),
     )
+
+
+@query(
+    "text_source_vocab_overlap",
+    oracle=f"""
+    WITH v AS (
+      SELECT DISTINCT source, unnest({SQL_TOKS}) AS tok FROM documents
+    ),
+    sz AS (SELECT source, count(*)::BIGINT AS n FROM v GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS inter
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, inter,
+           (sa.n + sb.n - inter)::BIGINT AS un,
+           CAST(inter::HUGEINT * 1000000 // (sa.n + sb.n - inter)
+                AS BIGINT) AS jaccard_ppm
+    FROM inter
+    JOIN sz sa ON inter.src_a = sa.source
+    JOIN sz sb ON inter.src_b = sb.source
+    """,
+)
+def text_source_vocab_overlap(spark, sf_dir):
+    """CROSS-SOURCE VOCABULARY OVERLAP — the corpus-composition matrix
+    a mixture designer (text_mixture_allocation) reads before
+    weighting domains: pairwise Jaccard of each source pair's
+    DISTINCT token vocabularies, in exact ppm. High overlap means two
+    domains contribute redundant lexical signal (near-equivalent for
+    mixture purposes); low overlap marks genuinely complementary
+    data. One distinct (source, token) aggregate — the shuffle is
+    bounded by Σ per-source vocabulary, never corpus tokens — then
+    the inverted-index pair join keyed on token (Σ_tok df(tok)² with
+    df <= |sources|, so at most |sources|² per token) and two slim
+    size joins. Output <= C(|sources|, 2) rows."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    v = (
+        docs.select("source", F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    from ..plans.cache import pin
+
+    v = pin(v)  # feeds sizes + both join sides
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a", "src_b", "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("un"),
+            F.expr(
+                "CAST(CAST(inter AS DECIMAL(38,0)) * 1000000"
+                " div (na + nb - inter) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
