@@ -9266,3 +9266,43 @@ def part_hierarchy_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_contributing"),
         F.sum("rev_c").alias("subtree_rev_c"),
     )
+
+
+@query(
+    "rollup_grouping_id_surface",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '~') AS status,
+           coalesce(o_orderpriority, '~') AS priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+             AS gid,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_grouping_id_surface(spark, sf_dir):
+    """The GROUPING/GROUPING_ID surface — how a consumer tells a real
+    NULL group key from a rollup-generated subtotal WITHOUT sentinel
+    rewriting: grouping_id() is the bitmask of rolled-up columns
+    (0 = detail row, 1 = priority subtotal, 3 = grand total) and
+    grouping(col) isolates one column's bit. rollup_orders
+    demonstrated the sentinel-value convention; this emits the
+    bitmask columns themselves, which is what BI layers actually
+    consume (they key the drill-down state off gid, not off magic
+    values). Same single-shuffle ROLLUP expansion; the coalesce to
+    '~' here is only for driver hashability of the subtotal rows'
+    NULL keys."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    g = o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.select(
+        F.coalesce("o_orderstatus", F.lit("~")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("~")).alias("priority"),
+        "gid", "g_status", "g_priority", "n",
+    )
