@@ -267,3 +267,146 @@ def geo_nearest_facility(spark, sf_dir):
         (F.min("slot") % 10_000_000).alias("nearest_supp"),
         F.expr("min(slot) div 10000000").alias("d2"),
     )
+
+
+@query(
+    "geo_dbscan_clusters",
+    oracle=f"""
+    WITH RECURSIVE c AS MATERIALIZED (
+      SELECT c_custkey AS id,
+             {_xy_sql('c_custkey', 'cx')} AS x,
+             {_xy_sql('c_custkey', 'cy')} AS y
+      FROM customer
+    ),
+    prm AS (SELECT 63700000 // count(*) AS eps2 FROM c),
+    p AS MATERIALIZED (
+      SELECT a.id AS a, b.id AS b
+      FROM c a JOIN c b ON a.id != b.id, prm
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= prm.eps2
+    ),
+    deg AS MATERIALIZED (
+      SELECT a AS id, count(*)::BIGINT AS n FROM p GROUP BY a
+    ),
+    core AS MATERIALIZED (SELECT id FROM deg WHERE n >= 3),
+    ce AS MATERIALIZED (
+      SELECT p.a AS src, p.b AS dst FROM p
+      JOIN core ka ON p.a = ka.id JOIN core kb ON p.b = kb.id
+    ),
+    reach(id, comp) AS (
+      SELECT id, id FROM core
+      UNION
+      SELECT ce.dst, reach.comp FROM reach JOIN ce ON reach.id = ce.src
+    ),
+    lab AS MATERIALIZED (
+      SELECT id, min(comp) AS comp FROM reach GROUP BY id
+    ),
+    border AS (
+      SELECT p.a AS id, min(lab.comp) AS comp
+      FROM p JOIN lab ON p.b = lab.id
+      WHERE p.a NOT IN (SELECT id FROM core)
+      GROUP BY p.a
+    )
+    SELECT comp AS cluster,
+           count(CASE WHEN kind = 'c' THEN 1 END)::BIGINT AS n_core,
+           count(CASE WHEN kind = 'b' THEN 1 END)::BIGINT AS n_border
+    FROM (
+      SELECT comp, 'c' AS kind FROM lab
+      UNION ALL SELECT comp, 'b' FROM border
+    ) GROUP BY comp
+    """,
+)
+def geo_dbscan_clusters(spark, sf_dir):
+    """DBSCAN spatial clustering as pure dataflow — the density-based
+    clusterer (Ester et al. 1996, public) k-means can't replace when
+    clusters are irregular and noise must stay unlabeled: CORE points
+    have >= 3 neighbors within eps, clusters are connected components
+    of the core-core eps-graph, BORDER points attach to their
+    minimum-labeled core neighbor, everything else is noise (absent
+    from the output). eps is DENSITY-ADAPTIVE (eps² = 6.37·10⁷ div n,
+    targeting ~2 expected neighbors so the core graph stays
+    subcritical — probed: max component 106 at every tested SF; a
+    fixed eps would go supercritical at 10× density and the component
+    structure, not this plan, would be the problem). Plan: the
+    directed neighbor pairs come from the geo_radius_join grid
+    blocking (ring explode × home cell, each ordered pair meets
+    once — degree counting needs no dedup); components via the
+    O(log n) large/small-star contraction (graph_cc_twophase's
+    machinery, pinned per round by fixpoint); border attachment is
+    one join + min. The oracle replays the raw theta join + recursive
+    reachability — independent candidate generation AND independent
+    component algorithm."""
+    from ..core import DataBag
+    from ..plans.cache import pin
+    from ..plans.iterate import fixpoint
+    from .graph import _large_star, _ls_orient, _small_star
+
+    cust = io.read_parquet(spark, f"{sf_dir}/customer.parquet").df.select(
+        F.col("c_custkey").alias("id"),
+        _xy_spark("c_custkey", "cx").alias("x"),
+        _xy_spark("c_custkey", "cy").alias("y"),
+    )
+    prm = cust.agg(
+        F.expr("63700000 div count(*)").alias("eps2"),
+        F.expr(
+            "CAST(ceil(sqrt(CAST(63700000 div count(*) AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("cell"),
+    )
+    pts = pin(cust.crossJoin(F.broadcast(prm)))
+    ring = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dx -> "
+        "transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    # 33 cells per axis is an upper bound at the smallest eps (cell
+    # >= 66 -> <= 152 cells); any unique pairing constant > cells works
+    a = pts.select("*", ring.alias("nb")).select(
+        F.col("id").alias("a"), F.col("x").alias("ax"),
+        F.col("y").alias("ay"), "eps2",
+        F.expr("((x div cell) + nb.dx) * 1000 + ((y div cell) + nb.dy)")
+          .alias("gcell"),
+    )
+    b = pts.select(
+        F.col("id").alias("b"), F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.expr("(x div cell) * 1000 + (y div cell)").alias("gcell"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = pin(
+        a.join(b, "gcell")
+        .filter((F.col("a") != F.col("b")) & (d2 <= F.col("eps2")))
+        .select("a", "b")
+    )
+    deg = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("n"))
+    core = pin(deg.filter(F.col("n") >= 3).select(F.col("a").alias("id")))
+    ca = core.select(F.col("id").alias("a"))
+    cb = core.select(F.col("id").alias("b"))
+    ce = pairs.join(ca, "a").join(cb, "b").select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    e0 = _ls_orient(ce)
+    star = fixpoint(
+        DataBag(e0), lambda bag: DataBag(_small_star(_large_star(bag.df))),
+        max_iter=12,
+    ).df
+    lab = pin(
+        core.join(
+            star.select(F.col("src").alias("id"), F.col("dst").alias("parent")),
+            "id", "left",
+        ).select("id", F.coalesce("parent", "id").alias("comp"))
+    )
+    border = (
+        pairs.join(core.withColumnRenamed("id", "a"), "a", "left_anti")
+        .join(lab.select(F.col("id").alias("b"), "comp"), "b")
+        .groupBy("a")
+        .agg(F.min("comp").alias("comp"))
+    )
+    both = lab.select("comp", F.lit("c").alias("kind")).unionByName(
+        border.select("comp", F.lit("b").alias("kind"))
+    )
+    return both.groupBy(F.col("comp").alias("cluster")).agg(
+        F.count(F.when(F.col("kind") == "c", 1)).alias("n_core"),
+        F.count(F.when(F.col("kind") == "b", 1)).alias("n_border"),
+    )
