@@ -199,8 +199,8 @@ _PRIORITY = [
     # orders_percent_of_total, supplier_herfindahl_index,
     # orders_revenue_streaks, dedup_boilerplate_lines,
     # graph_reciprocity, part_hierarchy_rollup,
-    # text_source_vocab_overlap, rollup_grouping_id_surface
-    # (registry close: 364).
+    # text_source_vocab_overlap, rollup_grouping_id_surface,
+    # geo_dbscan_clusters (registry close: 365).
     # The whole registry is tri-SF diff-checked (sf0.001 / vanilla
     # sf0.01 / sf0.1); every queued name is ready for any window.
     "stream_watermark_append",

@@ -471,3 +471,11 @@ def test_partitioned_roundtrip_prunes_partitions(spark, registry):
     plan = _plan(df)
     idx = plan.index("PartitionFilters")
     assert "lang" in plan[idx:idx + 220], plan[idx:idx + 220]
+
+
+def test_dbscan_neighbor_pairs_are_hash_join(spark, registry):
+    """DBSCAN's neighbor generation must ride the grid-cell equi-join;
+    the eps predicate stays residual (no BNLJ/cartesian anywhere in
+    the clustering plan)."""
+    plan = _plan(registry["geo_dbscan_clusters"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
