@@ -1341,3 +1341,191 @@ def embedding_corr_matrix(spark, sf_dir):
             " AS DOUBLE)) * 10000 + 0.5) END AS BIGINT)"
         ).alias("corr_q4"),
     )
+
+
+@query(
+    "ann_ivf_pq_topk",
+    oracle="""
+    WITH corp AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT vec_id AS cid, vv AS cv FROM corp WHERE vec_id < 4
+    ),
+    coarse AS (
+      SELECT vec_id AS gid, vv AS gv FROM corp
+      WHERE vec_id >= 4 AND vec_id < 8
+    ),
+    fullq AS (
+      SELECT corp.vec_id, coarse.gid,
+             CAST(floor(list_sum(list_transform(range(1, len(vv) + 1),
+               i -> (vv[i] - gv[i]) * (vv[i] - gv[i])))
+               * 1000000000 + 0.5) AS BIGINT) AS dq
+      FROM corp CROSS JOIN coarse
+    ),
+    cells AS (
+      SELECT vec_id, min_by(gid, dq * 8 + gid) AS cell
+      FROM fullq GROUP BY vec_id
+    ),
+    qprobe AS (
+      SELECT vec_id AS qid, gid AS cell FROM (
+        SELECT vec_id, gid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dq * 8 + gid) AS rk
+        FROM fullq WHERE vec_id < 5
+      ) WHERE rk <= 2
+    ),
+    cand AS (
+      SELECT q.qid, c.vec_id
+      FROM qprobe q JOIN cells c ON q.cell = c.cell
+      WHERE c.vec_id != q.qid
+    ),
+    codes AS (
+      SELECT vec_id, sub, min_by(cid, dq * 8 + cid) AS code FROM (
+        SELECT corp.vec_id, t.sub, cb.cid,
+               CAST(floor(list_sum(list_transform(range(1, 9),
+                 i -> (vv[t.sub * 8 + i] - cv[t.sub * 8 + i])
+                      * (vv[t.sub * 8 + i] - cv[t.sub * 8 + i])))
+                 * 1000000000 + 0.5) AS BIGINT) AS dq
+        FROM corp CROSS JOIN cb, unnest(generate_series(0, 7)) AS t(sub)
+      ) GROUP BY vec_id, sub
+    ),
+    adc AS (
+      SELECT corp.vec_id AS qid, t.sub, cb.cid,
+             CAST(floor(list_sum(list_transform(range(1, 9),
+               i -> (vv[t.sub * 8 + i] - cv[t.sub * 8 + i])
+                    * (vv[t.sub * 8 + i] - cv[t.sub * 8 + i])))
+               * 1000000000 + 0.5) AS BIGINT) AS dq
+      FROM corp CROSS JOIN cb, unnest(generate_series(0, 7)) AS t(sub)
+      WHERE corp.vec_id < 5
+    ),
+    scored AS (
+      SELECT cand.qid, cand.vec_id AS neighbor_id, sum(adc.dq) AS adist
+      FROM cand
+      JOIN codes ON codes.vec_id = cand.vec_id
+      JOIN adc ON adc.qid = cand.qid AND adc.sub = codes.sub
+              AND adc.cid = codes.code
+      GROUP BY 1, 2
+    )
+    SELECT qid AS query_id, neighbor_id, adist, rk AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY adist, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def ann_ivf_pq_topk(spark, sf_dir):
+    """The FULL IVF-PQ index as one dataflow — the composition that
+    serves billion-vector search in production (the FAISS IVFPQ
+    shape, public): an IVF coarse quantizer (4 cells, trained-
+    centroid assignment via the widened-slot argmin) PRUNES the
+    corpus to the query's 2 probed cells, and only those candidates
+    are scored by the PQ asymmetric-distance scan (8 one-byte codes
+    per vector, per-subspace integer-quantized lookup tables). The
+    two halves exist separately (ann_ivf_trained, ann_pq_adc_topk);
+    the composition is the point: candidates shrink BEFORE any ADC
+    work (the cells/qprobe equi-join feeds the code join), so the
+    scoring cost is Σ probed-cell sizes, not the corpus. Determinism
+    end to end: every distance is floor-quantized to integer 1e-9
+    units before any argmin/sum, every tie breaks through the slot
+    arithmetic — both engines replay cell assignment, probing, codes,
+    and ADC bit-for-bit. The re-rank stage (exact distance on the
+    top-k) is ann_topk_cosine's machinery applied to this output."""
+    from ..llm.similarity import as_double
+    from pyspark.sql import Window
+
+    emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    dbl = emb.select("vec_id", as_double(F.col("embedding")).alias("vv"))
+    cb = F.broadcast(
+        dbl.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("cid"), F.col("vv").alias("cv")
+        )
+    )
+    coarse = F.broadcast(
+        dbl.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 8)).select(
+            F.col("vec_id").alias("gid"), F.col("vv").alias("gv")
+        )
+    )
+    full_dq = (
+        "CAST(floor(aggregate(zip_with(vv, gv, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (a, e) -> a + e) * 1000000000 + 0.5)"
+        " AS BIGINT)"
+    )
+    fullq = dbl.crossJoin(coarse).select(
+        "vec_id", "gid", F.expr(full_dq).alias("dq")
+    )
+    from ..plans.cache import pin
+
+    fullq = pin(fullq)  # feeds cell assignment AND query probing
+    cells = fullq.groupBy("vec_id").agg(
+        F.min_by("gid", F.col("dq") * 8 + F.col("gid")).alias("cell")
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.col("dq") * 8 + F.col("gid"))
+    qprobe = (
+        fullq.filter(F.col("vec_id") < 5)
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 2)
+        .select(F.col("vec_id").alias("qid"), F.col("gid").alias("cell"))
+    )
+    cand = (
+        qprobe.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    sub_dq = (
+        "CAST(floor(aggregate(transform(sequence(1, 8),"
+        " i -> ({a}[sub * 8 + i - 1] - {b}[sub * 8 + i - 1])"
+        "      * ({a}[sub * 8 + i - 1] - {b}[sub * 8 + i - 1])),"
+        " CAST(0.0 AS DOUBLE), (a, x) -> a + x) * 1000000000 + 0.5)"
+        " AS BIGINT)"
+    )
+    codes = (
+        dbl.crossJoin(cb)
+        .select(
+            "vec_id", "cid", "vv", "cv",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub"),
+        )
+        .select(
+            "vec_id", "sub", "cid",
+            F.expr(sub_dq.format(a="vv", b="cv")).alias("dq"),
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by("cid", F.col("dq") * 8 + F.col("cid")).alias("code"))
+    )
+    adc = (
+        dbl.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), F.col("vv").alias("qv"))
+        .crossJoin(cb)
+        .select(
+            "qid", "cid", "qv", "cv",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub"),
+        )
+        .select(
+            "qid", "sub", "cid",
+            F.expr(sub_dq.format(a="qv", b="cv")).alias("dq"),
+        )
+    )
+    cand = cand.withColumnRenamed("qid", "cqid")
+    adc2 = adc.select(
+        F.col("qid").alias("aqid"), F.col("sub").alias("asub"),
+        F.col("cid").alias("acid"), F.col("dq").alias("adq"),
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(adc2),
+            (F.col("cqid") == F.col("aqid"))
+            & (F.col("sub") == F.col("asub"))
+            & (F.col("code") == F.col("acid")),
+        )
+        .groupBy(F.col("cqid").alias("query_id"),
+                 F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("adq").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
