@@ -2357,3 +2357,88 @@ def ml_cohens_kappa(spark, sf_dir):
             " div (total * total - chance_num) AS BIGINT)"
         ).alias("kappa_ppm"),
     )
+
+
+from .text import SQL_TOKS as _SQL_TOKS  # noqa: E402 (oracle twin)
+
+
+@query(
+    "ml_feature_hash_collision_audit",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    f AS (
+      SELECT DISTINCT unnest(list_concat(
+               toks,
+               list_transform(range(1, greatest(len(toks), 1)),
+                 i -> toks[i] || '_' || toks[i + 1]))) AS feat
+      FROM d
+    ),
+    b AS (
+      SELECT CAST(concat('0x', substr(md5('qw' || '|' || feat), 1, 14))
+                  AS BIGINT) % 1024 AS bucket
+      FROM f
+    ),
+    occ AS (SELECT bucket, count(*)::BIGINT AS n FROM b GROUP BY bucket)
+    SELECT (SELECT count(*) FROM f)::BIGINT AS n_features,
+           count(*)::BIGINT AS n_buckets_used,
+           coalesce(sum(CASE WHEN n >= 2 THEN n END), 0)::BIGINT
+             AS n_colliding_features,
+           CAST(coalesce(sum(CASE WHEN n >= 2 THEN n END), 0)::HUGEINT
+                * 1000000 // (SELECT count(*) FROM f) AS BIGINT)
+             AS collision_ppm,
+           max(n) AS max_bucket_occupancy
+    FROM occ
+    """,
+)
+def ml_feature_hash_collision_audit(spark, sf_dir):
+    """FEATURE-HASHING COLLISION AUDIT — the measurable cost of the
+    hashing trick text_quality_classifier_hashed relies on: with the
+    same md5 bucketing into D=1024, how many DISTINCT unigram+bigram
+    features share a bucket (their weights are permanently
+    conflated)? Reports feature count, buckets used, the colliding-
+    feature fraction in exact ppm, and the worst bucket — the
+    evidence for choosing D (vanilla birthday math says ~n²/2D
+    collisions; this measures it on the real vocabulary). One
+    distinct-feature aggregate (bounded by vocabulary, not corpus)
+    + one 1024-cell histogram."""
+    from ..llm.text import tokens as toks_fn
+
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    d = docs.select(toks_fn(F.col("text")).alias("toks"))
+    f = d.select(
+        F.explode(
+            F.expr(
+                "concat(toks, zip_with(slice(toks, 1,"
+                " greatest(size(toks) - 1, 0)),"
+                " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                " (a, b) -> concat(a, '_', b)))"
+            )
+        ).alias("feat")
+    ).distinct()
+    from ..plans.cache import pin
+
+    f = pin(f)  # feeds the bucket histogram and the total
+    b = f.select(
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat('qw', '|', feat)), 1, 14),"
+                " 16, 10) AS BIGINT)"
+            )
+            % 1024
+        ).alias("bucket")
+    )
+    occ = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    tot = f.agg(F.count(F.lit(1)).alias("n_features"))
+    coll = F.when(F.col("n") >= 2, F.col("n"))
+    return occ.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_features").alias("n_features"),
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.coalesce(F.sum(coll), F.lit(0)).cast("bigint").alias(
+            "n_colliding_features"
+        ),
+        F.expr(
+            "CAST(CAST(coalesce(sum(CASE WHEN n >= 2 THEN n END), 0)"
+            " AS DECIMAL(38,0)) * 1000000 div max(n_features) AS BIGINT)"
+        ).alias("collision_ppm"),
+        F.max("n").alias("max_bucket_occupancy"),
+    )
