@@ -267,3 +267,112 @@ def pipeline_curation_funnel(spark, sf_dir):
     diff."""
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     return P.curate_funnel(docs, min_tokens=5, min_alpha=0.5)
+
+
+_RAG_ORACLE = f"""
+WITH gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE len({SQL_TOKS}) >= 5
+),
+ex AS (
+  SELECT * EXCLUDE (rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY {sql_md5_long('text')}
+                                 ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t != '') AS tk
+  FROM ex
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(tk[i*24 + 1 : i*24 + 32], ' ') AS chunk
+  FROM toks,
+       unnest(generate_series(0, greatest((len(tk)-1)//24, 0))) AS t(i)
+),
+buckets AS (
+  SELECT CAST(concat('0x', substr(md5('rag' || '|' || chunk), 1, 14))
+              AS BIGINT) % 256 AS bucket
+  FROM chunks
+),
+occ AS (SELECT bucket, count(*)::BIGINT AS n FROM buckets GROUP BY bucket)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs_in,
+       (SELECT count(*) FROM gated)::BIGINT AS n_after_gate,
+       (SELECT count(*) FROM ex)::BIGINT AS n_after_dedup,
+       (SELECT count(*) FROM chunks)::BIGINT AS n_chunks,
+       (SELECT count(*) FROM occ)::BIGINT AS n_buckets_used,
+       (SELECT max(n) FROM occ)::BIGINT AS max_bucket
+"""
+
+
+@query("pipeline_rag_corpus_prep", oracle=_RAG_ORACLE)
+def pipeline_rag_corpus_prep(spark, sf_dir):
+    """RAG INGESTION composed as ONE lazy plan — the retrieval-corpus
+    twin of pipeline_corpus_curation's training-corpus pipeline:
+    quality gate (narrow) → exact dedup (one content-hash shuffle) →
+    context-window CHUNKING (the text_chunk_windows stride-24/width-32
+    split, zero-shuffle) → hash-bucketed index assignment (the LSH
+    bucket layout an ANN index ingests, 256 buckets) → one manifest
+    row with per-stage counts and the index's occupancy skew (max
+    bucket — the mega-bucket early warning from dedup_lsh_bucket_stats
+    applied at ingest time). Every stage is an operator the registry
+    verifies in isolation; this row certifies the COMPOSITION, which
+    is what an ingestion job actually ships."""
+    from pyspark.sql import Window
+
+    from ..llm.text import md5_long, tokens as toks_fn
+
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    gated = docs.filter(F.size(toks_fn(F.col("text"))) >= 5).select(
+        "doc_id", "text"
+    )
+    w = Window.partitionBy(md5_long(F.col("text"))).orderBy("doc_id")
+    from ..plans.cache import pin
+
+    ex = pin(
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    tk = ex.select("doc_id", toks_fn(F.col("text")).alias("tk"))
+    chunks = pin(
+        tk.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, greatest(CAST((size(tk) - 1)"
+                    " div 24 AS INT), 0)), i ->"
+                    " array_join(slice(tk, i * 24 + 1, 32), ' '))"
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+    )
+    occ = (
+        chunks.select(
+            (
+                F.expr(
+                    "CAST(conv(substring(md5(concat('rag', '|', chunk)),"
+                    " 1, 14), 16, 10) AS BIGINT)"
+                )
+                % 256
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = lambda df, name: df.agg(F.count(F.lit(1)).alias(name))
+    return (
+        c(docs, "n_docs_in")
+        .crossJoin(c(gated, "n_after_gate"))
+        .crossJoin(c(ex, "n_after_dedup"))
+        .crossJoin(c(chunks, "n_chunks"))
+        .crossJoin(
+            occ.agg(
+                F.count(F.lit(1)).alias("n_buckets_used"),
+                F.max("n").alias("max_bucket"),
+            )
+        )
+    )
