@@ -410,3 +410,94 @@ def geo_dbscan_clusters(spark, sf_dir):
         F.count(F.when(F.col("kind") == "c", 1)).alias("n_core"),
         F.count(F.when(F.col("kind") == "b", 1)).alias("n_border"),
     )
+
+
+@query(
+    "geo_kde_heat_grid",
+    oracle=f"""
+    WITH p AS (
+      SELECT {_xy_sql('c_custkey', 'cx')} AS x,
+             {_xy_sql('c_custkey', 'cy')} AS y
+      FROM customer
+    ),
+    centers AS (
+      SELECT gx.i AS tile_x, gy.i AS tile_y,
+             gx.i * 625 + 312 AS cx, gy.i * 625 + 312 AS cy
+      FROM unnest(generate_series(0, 15)) AS gx(i),
+           unnest(generate_series(0, 15)) AS gy(i)
+    ),
+    w AS (
+      SELECT c.tile_x, c.tile_y,
+             count(*)::BIGINT AS n_within,
+             sum(640000 - ((p.x - c.cx) * (p.x - c.cx)
+                           + (p.y - c.cy) * (p.y - c.cy)))::BIGINT
+               AS density_q
+      FROM centers c JOIN p
+        ON (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)
+           < 640000
+      GROUP BY 1, 2
+    )
+    SELECT tile_x, tile_y, n_within, density_q FROM w
+    """,
+)
+def geo_kde_heat_grid(spark, sf_dir):
+    """KERNEL DENSITY heat grid — the smoothed density map behind
+    every 'activity heatmap' (geo_tile_rollup's raw counts are blocky
+    and noisy; a kernel spreads each point's mass over bandwidth h):
+    for each 16×16 tile CENTER, the EPANECHNIKOV kernel sum
+    Σ max(0, h² − d²) over points within h = 800 — the kernel is
+    POLYNOMIAL, so unlike a Gaussian the density is exact integer
+    arithmetic both engines replay bit-for-bit (the no-transcendental
+    rule deciding the kernel choice, as it decided Simpson-vs-entropy
+    in text_char_diversity). Blocking: the 256 centers are a literal
+    grid (broadcast); candidates meet on an h-cell equi-join exactly
+    as geo_radius_join (the oracle again runs the raw theta join —
+    independent candidate generation). Overlapping kernels mean a
+    point contributes to up to ~(2h/625)² ≈ 9 tiles — the bounded
+    fan-out that replaces a per-tile corpus scan."""
+    _H2 = 640_000  # h = 800
+    cust = io.read_parquet(spark, f"{sf_dir}/customer.parquet").df.select(
+        _xy_spark("c_custkey", "cx").alias("x"),
+        _xy_spark("c_custkey", "cy").alias("y"),
+    )
+    centers = (
+        spark.range(16)
+        .select(F.col("id").cast("bigint").alias("tile_x"))
+        .crossJoin(
+            spark.range(16).select(F.col("id").cast("bigint").alias("tile_y"))
+        )
+        .select(
+            "tile_x", "tile_y",
+            (F.col("tile_x") * 625 + 312).alias("ccx"),
+            (F.col("tile_y") * 625 + 312).alias("ccy"),
+        )
+    )
+    # cell size 800 = h: a point within h of a center lies in the
+    # center's 3x3 cell ring
+    cgrid = centers.select(
+        "*",
+        F.expr(
+            "explode(flatten(transform(sequence(-1, 1), dx ->"
+            " transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+        ).alias("nb"),
+    ).select(
+        "tile_x", "tile_y", "ccx", "ccy",
+        F.expr("((ccx div 800) + nb.dx) * 1000 + ((ccy div 800) + nb.dy)")
+          .alias("cell"),
+    )
+    pts = cust.withColumn(
+        "cell", F.expr("(x div 800) * 1000 + (y div 800)")
+    )
+    d2 = (F.col("x") - F.col("ccx")) * (F.col("x") - F.col("ccx")) + (
+        F.col("y") - F.col("ccy")
+    ) * (F.col("y") - F.col("ccy"))
+    return (
+        F.broadcast(cgrid)
+        .join(pts, "cell")
+        .filter(d2 < _H2)
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.sum(F.lit(_H2) - d2).alias("density_q"),
+        )
+    )
