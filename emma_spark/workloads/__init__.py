@@ -200,7 +200,9 @@ _PRIORITY = [
     # orders_revenue_streaks, dedup_boilerplate_lines,
     # graph_reciprocity, part_hierarchy_rollup,
     # text_source_vocab_overlap, rollup_grouping_id_surface,
-    # geo_dbscan_clusters, ann_ivf_pq_topk (registry close: 366).
+    # geo_dbscan_clusters, ann_ivf_pq_topk,
+    # ml_feature_hash_collision_audit, pipeline_rag_corpus_prep,
+    # geo_kde_heat_grid (registry close: 369).
     # The whole registry is tri-SF diff-checked (sf0.001 / vanilla
     # sf0.01 / sf0.1); every queued name is ready for any window.
     "stream_watermark_append",
