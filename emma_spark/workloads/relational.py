@@ -9306,3 +9306,74 @@ def rollup_grouping_id_surface(spark, sf_dir):
         F.coalesce("o_orderpriority", F.lit("~")).alias("priority"),
         "gid", "g_status", "g_priority", "n",
     )
+
+
+@query(
+    "udtf_table_argument",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 211 = 0
+    ),
+    rows_ AS (
+      SELECT o_orderkey AS id,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 5000000
+               AS band
+      FROM src
+    ),
+    summary AS (
+      SELECT -1 AS id, count(*)::BIGINT AS price_c,
+             count(DISTINCT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   // 5000000)::BIGINT AS band
+      FROM src
+    )
+    SELECT * FROM rows_ UNION ALL SELECT * FROM summary
+    """,
+)
+def udtf_table_argument(spark, sf_dir):
+    """Python UDTF with a TABLE ARGUMENT (Spark 4's polymorphic
+    table-function form — SQL: ``FROM f(TABLE(v))``): the UDTF
+    consumes an entire RELATION row-by-row instead of correlating
+    per-row via LATERAL (udtf_expand_props), and its ``terminate()``
+    hook emits a trailer row computed over everything it saw — the
+    shape of format parsers, sessionizers, and file writers that need
+    end-of-input actions. Here each order row passes through with a
+    $50k price band, and terminate() appends one id = -1 summary row
+    (row count + distinct band count) — both replayed relationally by
+    the oracle. Arrow-batched transfer as always; the stateful
+    trailer is exactly the part LATERAL correlation cannot express.
+    At scale a table-arg UDTF runs per PARTITION of the input
+    (terminate per partition — here a single-partition repartition
+    pins one global trailer, documented; per-partition trailers +
+    a final merge is the production pattern)."""
+    import uuid as _uuid
+
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="id bigint, price_c bigint, band bigint")
+    class BandWithTrailer:
+        def __init__(self):
+            self._n = 0
+            self._bands = set()
+
+        def eval(self, row):
+            price_c = int(row["o_totalprice"] * 100 + 0.5)
+            band = price_c // 5000000
+            self._n += 1
+            self._bands.add(band)
+            yield int(row["o_orderkey"]), price_c, band
+
+        def terminate(self):
+            yield -1, self._n, len(self._bands)
+
+    fname = f"band_trailer_{_uuid.uuid4().hex[:8]}"
+    spark.udtf.register(fname, BandWithTrailer)
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    vname = f"orders_{fname}"
+    # one partition => exactly one terminate() trailer (documented)
+    o.filter(F.col("o_orderkey") % 211 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).repartition(1).createOrReplaceTempView(vname)
+    return spark.sql(f"SELECT * FROM {fname}(TABLE({vname}))")
