@@ -1345,6 +1345,7 @@ def embedding_corr_matrix(spark, sf_dir):
 
 @query(
     "ann_ivf_pq_topk",
+    headline=True,
     oracle="""
     WITH corp AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
