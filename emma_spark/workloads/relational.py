@@ -9377,3 +9377,84 @@ def udtf_table_argument(spark, sf_dir):
         "o_orderkey", "o_totalprice"
     ).repartition(1).createOrReplaceTempView(vname)
     return spark.sql(f"SELECT * FROM {fname}(TABLE({vname}))")
+
+
+# amortization packed state: acc = bal * (64 * 2*10^8) + interest * 64
+# + months; OFF_I = 64 caps months < 64, OFF_B caps interest < 2*10^8
+# cents; slot max ~ 7.7*10^17 < BIGINT.
+_AMORT_STEP = (
+    "CASE WHEN acc {D} 12800000000 = 0 THEN acc"
+    " ELSE CASE WHEN acc {D} 12800000000"
+    "           + (acc {D} 12800000000) {D} 100 - pmt <= 0"
+    "      THEN ((acc % 12800000000) {D} 64"
+    "            + (acc {D} 12800000000) {D} 100) * 64"
+    "           + (acc % 64) + 1"
+    "      ELSE (acc {D} 12800000000 + (acc {D} 12800000000) {D} 100"
+    "            - pmt) * 12800000000"
+    "           + ((acc % 12800000000) {D} 64"
+    "              + (acc {D} 12800000000) {D} 100) * 64"
+    "           + (acc % 64) + 1 END END"
+)
+
+
+@query(
+    "orders_loan_amortization",
+    oracle=f"""
+    WITH loans AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS principal_c
+      FROM orders WHERE o_orderkey % 307 = 0
+    ),
+    p AS (
+      SELECT o_orderkey, principal_c,
+             principal_c * 46 // 1000 AS pmt
+      FROM loans
+    ),
+    folded AS (
+      SELECT o_orderkey, principal_c, pmt,
+             list_reduce(
+               list_concat([principal_c * 12800000000],
+                           list_transform(generate_series(1, 60), x -> 0)),
+               (acc, x) -> {_AMORT_STEP.format(D='//')}) AS r
+      FROM p
+    )
+    SELECT o_orderkey, principal_c, pmt AS pmt_c,
+           r % 64 AS months_to_payoff,
+           (r % 12800000000) // 64 AS total_interest_c,
+           r // 12800000000 AS residual_c
+    FROM folded
+    """,
+)
+def orders_loan_amortization(spark, sf_dir):
+    """LOAN AMORTIZATION schedule — the fintech recursion (balance
+    accrues 1%/month interest, a fixed annuity payment of 4.6% of
+    principal amortizes it in ~24-26 months) whose three outputs
+    (months to payoff, total interest paid, residual after the
+    60-month cap) all require walking the schedule: interest
+    compounds on the REMAINING balance, so no closed-form integer
+    answer survives the truncating cent arithmetic real ledgers use.
+    One fold over a constant 60-step array per loan, with balance,
+    accumulated interest, and month count packed in one BIGINT slot
+    (widths documented at the step constant); the payoff month adds
+    its final partial interest and zeroes the balance — the
+    bal == 0 fixpoint then short-circuits remaining steps. Scalar
+    packed accumulator, so DuckDB's list_reduce is safe (the
+    list-accumulator quirk does not apply). One narrow scan; the
+    sequential tail is the bounded 60-month schedule."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    p = o.filter(F.col("o_orderkey") % 307 == 0).select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+         .cast("bigint").alias("principal_c"),
+    ).withColumn("pmt", F.expr("principal_c * 46 div 1000"))
+    fold = (
+        "aggregate(transform(sequence(1, 60), x -> CAST(0 AS BIGINT)),"
+        " principal_c * CAST(12800000000 AS BIGINT),"
+        f" (acc, x) -> {_AMORT_STEP.format(D='div')})"
+    )
+    return p.selectExpr(
+        "o_orderkey", "principal_c", "pmt AS pmt_c",
+        f"({fold}) % 64 AS months_to_payoff",
+        f"(({fold}) % 12800000000) div 64 AS total_interest_c",
+        f"({fold}) div 12800000000 AS residual_c",
+    )

@@ -148,3 +148,37 @@ def test_fiscal_445_mapping_matches_reference_calendar():
         assert year == wk // 52
         q_in_year = (wk % 52) // 13
         assert period == q_in_year * 3 + pattern[wk % 13]
+
+
+def test_amortization_fold_matches_python_walk(spark):
+    """orders_loan_amortization's packed fold == a plain python
+    schedule walk on the same loans."""
+    import duckdb
+
+    from emma_spark.workloads import load_all
+
+    reg = load_all()
+    got = {
+        r.o_orderkey: (r.months_to_payoff, r.total_interest_c, r.residual_c)
+        for r in reg["orders_loan_amortization"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    rows = duckdb.sql(
+        "SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        " FROM read_parquet('/root/testdata/sf0.001/orders.parquet')"
+        " WHERE o_orderkey % 307 = 0"
+    ).fetchall()
+    want = {}
+    for k, pc in rows:
+        pmt = pc * 46 // 1000
+        bal, interest, months = pc, 0, 0
+        for _ in range(60):
+            if bal == 0:
+                break
+            i = bal // 100
+            interest += i
+            months += 1
+            bal = max(bal + i - pmt, 0)
+        want[k] = (months, interest, bal)
+    assert got == want
