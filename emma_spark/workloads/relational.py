@@ -9458,3 +9458,84 @@ def orders_loan_amortization(spark, sf_dir):
         f"(({fold}) % 12800000000) div 64 AS total_interest_c",
         f"({fold}) div 12800000000 AS residual_c",
     )
+
+
+# token-bucket packed state: acc = prev_ts * 8192 + rejected * 8 + tokens
+# (tokens <= 5 < 8; rejected < 1024 — document the width vs per-user
+# event counts; prev_ts epoch-seconds)
+_TB_STEP = (
+    "(x * 8192)"
+    " + CASE WHEN least(acc % 8 + (x - acc {D} 8192) {D} 600, 5) >= 1"
+    "   THEN ((acc % 8192) {D} 8) * 8"
+    "        + (least(acc % 8 + (x - acc {D} 8192) {D} 600, 5) - 1)"
+    "   ELSE ((acc % 8192) {D} 8 + 1) * 8"
+    "        + least(acc % 8 + (x - acc {D} 8192) {D} 600, 5) END"
+)
+
+
+@query(
+    "events_token_bucket_sim",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS s
+      FROM events WHERE user_id % 17 = 0
+    ),
+    arr AS (
+      SELECT user_id, list(s ORDER BY s) AS ts_list,
+             count(*)::BIGINT AS n_events
+      FROM e GROUP BY 1
+    ),
+    folded AS (
+      SELECT user_id, n_events,
+             list_reduce(
+               list_concat([ts_list[1] * 8192 + 0 * 8 + 4], ts_list[2:]),
+               (acc, x) -> {_TB_STEP.format(D='//')}) AS r
+      FROM arr
+    )
+    SELECT user_id, n_events,
+           (r % 8192) // 8 AS n_rejected,
+           CAST(((r % 8192) // 8)::HUGEINT * 1000000 // n_events
+                AS BIGINT) AS reject_ppm,
+           r % 8 AS tokens_left
+    FROM folded
+    """,
+)
+def events_token_bucket_sim(spark, sf_dir):
+    """TOKEN-BUCKET RATE LIMITER replayed over history — the API-ops
+    question 'what would this quota have rejected': each user's
+    bucket holds 5 tokens, refills 1 per 600 s of elapsed time
+    (capped at 5 — the TWO-SIDED clamp that distinguishes this from
+    part_inventory_simulation's one-sided floor), every event
+    consumes one token or counts as rejected. The recursion walks
+    each user's ordered timestamps, so it folds over the per-user
+    sorted event-time array with (prev_ts, rejected, tokens) packed
+    in one BIGINT (widths at the step constant; rejected < 1024
+    covers the tested SFs' per-user event counts, widen the slot for
+    heavier users). First event consumes from a full bucket (seed:
+    4 tokens left, 0 rejected). Per-user bounded work after one
+    user-keyed collect; scalar packed accumulator keeps DuckDB's
+    list_reduce in its safe regime. Output: per-user rejection count,
+    exact-ppm rejection rate, and tokens left — the simulation a
+    quota proposal ships with."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    arr = (
+        e.filter(F.col("user_id") % 17 == 0)
+        .select("user_id", F.expr("unix_micros(ts) div 1000000").alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_list("s")).alias("ts_list"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    fold = (
+        "aggregate(slice(ts_list, 2, size(ts_list) - 1),"
+        " element_at(ts_list, 1) * CAST(8192 AS BIGINT) + 0 * 8 + 4,"
+        f" (acc, x) -> {_TB_STEP.format(D='div')})"
+    )
+    return arr.selectExpr(
+        "user_id", "n_events",
+        f"(({fold}) % 8192) div 8 AS n_rejected",
+        f"CAST(CAST((({fold}) % 8192) div 8 AS DECIMAL(38,0)) * 1000000"
+        f" div n_events AS BIGINT) AS reject_ppm",
+        f"({fold}) % 8 AS tokens_left",
+    )

@@ -182,3 +182,41 @@ def test_amortization_fold_matches_python_walk(spark):
             bal = max(bal + i - pmt, 0)
         want[k] = (months, interest, bal)
     assert got == want
+
+
+def test_token_bucket_fold_matches_python_walk(spark):
+    """events_token_bucket_sim's packed fold == a plain python
+    token-bucket replay on the same per-user timestamp sequences."""
+    import duckdb
+
+    from emma_spark.workloads import load_all
+
+    reg = load_all()
+    got = {
+        r.user_id: (r.n_events, r.n_rejected, r.tokens_left)
+        for r in reg["events_token_bucket_sim"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    rows = duckdb.sql(
+        "SELECT user_id, epoch_us(ts) // 1000000 AS s"
+        " FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+        " WHERE user_id % 17 = 0 ORDER BY user_id, s"
+    ).fetchall()
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for u, s in rows:
+        seqs[u].append(s)
+    want = {}
+    for u, ts in seqs.items():
+        tokens, rejected, prev = 4, 0, ts[0]  # first event consumed
+        for x in ts[1:]:
+            tokens = min(tokens + (x - prev) // 600, 5)
+            if tokens >= 1:
+                tokens -= 1
+            else:
+                rejected += 1
+            prev = x
+        want[u] = (len(ts), rejected, tokens)
+    assert got == want
