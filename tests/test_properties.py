@@ -730,3 +730,91 @@ def test_debounce_fold_equals_sequential_scan(spark, hrs):
             want.append(x)
             last = x
     assert got == want, (hrs, got, want)
+
+
+# ----------------------------------------------------------------------
+# grid-ring blocking losslessness (geo_radius_join / geo_dbscan /
+# events_interval_overlap_join's shared decomposition rule)
+# ----------------------------------------------------------------------
+_points = st.lists(
+    st.tuples(st.integers(0, 2000), st.integers(0, 2000)),
+    min_size=0, max_size=40,
+)
+
+
+@given(suppliers=_points, customers=_points)
+@settings(max_examples=60, deadline=None)
+def test_grid_ring_blocking_is_lossless_and_duplicate_free(
+    suppliers, customers
+):
+    """Cell width == radius + 3x3 build-side ring + probe home cell
+    must produce EXACTLY the brute-force within-R pairs, each once —
+    for arbitrary point sets (pure-python mirror of the Spark plan)."""
+    R = 150
+    CELLS = 2000 // R + 2
+
+    def cell(x, y):
+        return (x // R) * CELLS + (y // R)
+
+    probe = {}
+    for i, (x, y) in enumerate(customers):
+        probe.setdefault(cell(x, y), []).append((i, x, y))
+
+    got = []
+    for j, (sx, sy) in enumerate(suppliers):
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                c = ((sx // R) + dx) * CELLS + ((sy // R) + dy)
+                for (i, cx, cy) in probe.get(c, []):
+                    if (sx - cx) ** 2 + (sy - cy) ** 2 <= R * R:
+                        got.append((j, i))
+    want = [
+        (j, i)
+        for j, (sx, sy) in enumerate(suppliers)
+        for i, (cx, cy) in enumerate(customers)
+        if (sx - cx) ** 2 + (sy - cy) ** 2 <= R * R
+    ]
+    assert sorted(got) == sorted(want)  # lossless AND duplicate-free
+
+
+# ----------------------------------------------------------------------
+# interval-overlap bucket decomposition: credit to bucket of max-start
+# ----------------------------------------------------------------------
+_intervals = st.lists(st.integers(0, 5000), min_size=0, max_size=30)
+
+
+@given(astarts=_intervals, bstarts=_intervals)
+@settings(max_examples=60, deadline=None)
+def test_interval_bucket_decomposition_counts_each_pair_once(
+    astarts, bstarts
+):
+    """events_interval_overlap_join's rule: both intervals explode to
+    covered buckets, join on bucket, keep only the bucket containing
+    max(start_a, start_b) — equals the brute-force overlap pairs
+    exactly once, for arbitrary interval sets."""
+    W = 300  # bucket width
+    LA, LB = 450, 200  # interval lengths
+
+    def buckets(s, e):
+        return range(s // W, (e - 1) // W + 1)
+
+    bidx = {}
+    for i, s in enumerate(bstarts):
+        for bk in buckets(s, s + LB):
+            bidx.setdefault(bk, []).append(i)
+
+    got = []
+    for j, sa in enumerate(astarts):
+        ea = sa + LA
+        for bk in buckets(sa, ea):
+            for i in bidx.get(bk, []):
+                sb, eb = bstarts[i], bstarts[i] + LB
+                if max(sa, sb) < min(ea, eb) and bk == max(sa, sb) // W:
+                    got.append((j, i))
+    want = [
+        (j, i)
+        for j, sa in enumerate(astarts)
+        for i, sb in enumerate(bstarts)
+        if max(sa, sb) < min(sa + LA, sb + LB)
+    ]
+    assert sorted(got) == sorted(want)
