@@ -818,3 +818,73 @@ def test_interval_bucket_decomposition_counts_each_pair_once(
         if max(sa, sb) < min(sa + LA, sb + LB)
     ]
     assert sorted(got) == sorted(want)
+
+
+# ----------------------------------------------------------------------
+# pigeonhole Hamming blocking (simhash / phash near-dup family)
+# ----------------------------------------------------------------------
+_hashes = st.lists(st.integers(0, (1 << 56) - 1), min_size=0, max_size=25)
+
+
+@given(hs=_hashes)
+@settings(max_examples=60, deadline=None)
+def test_pigeonhole_block_split_finds_all_hamming3_pairs(hs):
+    """Splitting 56 bits into 4 x 14-bit blocks: any pair within
+    Hamming distance 3 shares >= 1 exact block (pigeonhole), so block
+    equi-joins generate a superset of true pairs and bit_count
+    verification loses nothing — for arbitrary hash sets."""
+    def blocks(h):
+        return [(k, (h >> (14 * k)) & 0x3FFF) for k in range(4)]
+
+    idx = {}
+    for i, h in enumerate(hs):
+        for b in blocks(h):
+            idx.setdefault(b, []).append(i)
+    cand = set()
+    for members in idx.values():
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                cand.add((members[ai], members[bi]))
+    want = {
+        (i, j)
+        for i in range(len(hs))
+        for j in range(i + 1, len(hs))
+        if bin(hs[i] ^ hs[j]).count("1") <= 3
+    }
+    assert want <= cand  # zero false negatives is the guarantee
+
+
+# ----------------------------------------------------------------------
+# winnowing guarantee (Schleimer et al. 2003)
+# ----------------------------------------------------------------------
+_texts2 = st.tuples(
+    st.text(alphabet="ab", min_size=0, max_size=30),
+    st.text(alphabet="ab", min_size=0, max_size=30),
+    st.text(alphabet="abcd", min_size=12, max_size=20),  # shared run
+)
+
+
+@given(parts=_texts2)
+@settings(max_examples=60, deadline=None)
+def test_winnowing_shared_run_guarantees_shared_fingerprint(parts):
+    """dedup_winnowing_fingerprints' selection rule (min of each
+    window of w=4 consecutive k=8 shingle hashes): two documents
+    sharing a substring of length >= w + k - 1 = 11 MUST share a
+    fingerprint."""
+    import hashlib
+
+    pre, post, shared = parts
+    d1 = pre + shared + post
+    d2 = post + shared + pre
+
+    def fps(t, k=8, w=4):
+        hs = [
+            int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:14], 16)
+            for i in range(len(t) - k + 1)
+        ]
+        if len(hs) >= w:
+            return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+        return set(hs)
+
+    if len(shared) >= 11:
+        assert fps(d1) & fps(d2), (d1, d2)
