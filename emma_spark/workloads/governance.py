@@ -334,3 +334,110 @@ def dq_freshness_completeness(spark, sf_dir):
             ).alias("completeness_ppm"),
         )
     )
+
+
+@query(
+    "events_experiment_scorecard",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(concat('0x', substr(md5('ab' || '|'
+                    || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) % 2
+               AS arm,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    users AS (
+      SELECT arm, count(DISTINCT user_id) AS nu FROM ev GROUP BY arm
+    ),
+    srm AS (
+      SELECT sum(CASE WHEN arm = 0 THEN nu END) AS u0,
+             sum(CASE WHEN arm = 1 THEN nu END) AS u1
+      FROM users
+    ),
+    m AS (
+      SELECT count(CASE WHEN arm = 0 THEN 1 END)::HUGEINT AS n0,
+             count(CASE WHEN arm = 1 THEN 1 END)::HUGEINT AS n1,
+             sum(CASE WHEN arm = 0 THEN v END)::HUGEINT AS s0,
+             sum(CASE WHEN arm = 1 THEN v END)::HUGEINT AS s1,
+             count(*)::HUGEINT AS n, sum(v)::HUGEINT AS s,
+             sum(v * v)::HUGEINT AS ss
+      FROM ev
+    )
+    SELECT CAST(srm.u0 AS BIGINT) AS users_a,
+           CAST(srm.u1 AS BIGINT) AS users_b,
+           CAST((srm.u0 - srm.u1)::HUGEINT * (srm.u0 - srm.u1) * 1000000
+                // (srm.u0 + srm.u1) AS BIGINT) AS srm_chi2_ppm,
+           CASE WHEN (srm.u0 - srm.u1)::HUGEINT * (srm.u0 - srm.u1)
+                     * 1000000 // (srm.u0 + srm.u1) > 3841000
+                THEN 1 ELSE 0 END AS srm_flag,
+           CAST(m.s1 * m.n0 * 1000000 // (m.s0 * m.n1) AS BIGINT)
+             AS lift_ppm,
+           CAST(floor(2.8024 * sqrt(2.0
+                  * CAST((m.n * m.ss - m.s * m.s) // (m.n * m.n) AS BIGINT)
+                  / CAST(least(m.n0, m.n1) AS BIGINT))
+                / CAST(m.s // m.n AS BIGINT) * 100000000 + 0.5) AS BIGINT)
+             AS mde_rel_ppm_c2
+    FROM srm, m
+    """,
+)
+def events_experiment_scorecard(spark, sf_dir):
+    """The A/B EXPERIMENT SCORECARD — one row, one scan, the three
+    numbers a readout meeting actually opens with, each already
+    verified as its own query and here certified as a COMPOSITION:
+    the SRM guardrail on distinct users (events_srm_check — if this
+    flags, stop reading), the mean-ratio lift in exact ppm
+    (events_ab_test_lift), and the relative MDE AT THE CURRENT arm
+    size (events_power_analysis_mde's formula with n = the smaller
+    arm) — the line that says whether the observed lift is even
+    resolvable yet. One conditional aggregation over the filtered
+    scan plus a distinct-user agg; every statistic an exact integer
+    rational except the single quantized sqrt the MDE needs."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    dec = "DECIMAL(38,0)"
+    ev = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat('ab', '|',"
+                " CAST(user_id AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+            )
+            % 2
+        ).alias("arm"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    srm = (
+        ev.select("user_id", "arm")
+        .distinct()
+        .agg(
+            F.count(F.when(F.col("arm") == 0, 1)).cast(dec).alias("u0"),
+            F.count(F.when(F.col("arm") == 1, 1)).cast(dec).alias("u1"),
+        )
+    )
+    m = ev.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast(dec).alias("n0"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast(dec).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("v"))).cast(dec).alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("v"))).cast(dec).alias("s1"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("ss"),
+    )
+    chi2 = "CAST((u0 - u1) * (u0 - u1) * 1000000 div (u0 + u1) AS BIGINT)"
+    return srm.crossJoin(m).select(
+        F.col("u0").cast("bigint").alias("users_a"),
+        F.col("u1").cast("bigint").alias("users_b"),
+        F.expr(chi2).alias("srm_chi2_ppm"),
+        F.expr(f"CASE WHEN {chi2} > 3841000 THEN 1 ELSE 0 END").alias(
+            "srm_flag"
+        ),
+        F.expr(
+            "CAST(s1 * n0 * 1000000 div (s0 * n1) AS BIGINT)"
+        ).alias("lift_ppm"),
+        F.expr(
+            "CAST(floor(2.8024 * sqrt(2.0"
+            " * CAST((n * ss - s * s) div (n * n) AS BIGINT)"
+            " / CAST(least(n0, n1) AS BIGINT))"
+            " / CAST(s div n AS BIGINT) * 100000000 + 0.5) AS BIGINT)"
+        ).alias("mde_rel_ppm_c2"),
+    )
