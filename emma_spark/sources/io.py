@@ -142,6 +142,7 @@ def read_csv(
     charset: str = "UTF-8",
     skip_rows: int = 0,
     mode: str = "PERMISSIVE",
+    multi_line: bool = False,
 ) -> DataBag:
     """Typed CSV read; options mirror ``io/csv/CSV.scala:23-55`` mapped as
     in ``SparkDataset.scala:172-183``.
@@ -162,7 +163,15 @@ def read_csv(
     non-first file's header line itself (the RDD-backed CSV reader
     only recognizes ONE leading header), and unions. A documented RDD
     round-trip on this cold IO path only; the per-file driver loop
-    touches metadata, never rows."""
+    touches metadata, never rows.
+
+    ``multi_line`` enables quoted fields containing record
+    delimiters (newlines). Correctness/parallelism tradeoff: Spark
+    cannot split a multiline CSV file, so each file becomes ONE task
+    — treat multiline CSV as a landing format and convert once
+    (incompatible with ``skip_rows``, which is line-oriented)."""
+    if multi_line and skip_rows > 0:
+        raise ValueError("multi_line is incompatible with skip_rows")
     if isinstance(schema, type) and dataclasses.is_dataclass(schema):
         schema = schema_of(schema)
     if skip_rows > 0:
@@ -200,6 +209,7 @@ def read_csv(
         charset=charset,
         inferSchema=schema is None,
         mode=mode,
+        multiLine=multi_line,
     )
     if comment:
         reader = reader.option("comment", comment)

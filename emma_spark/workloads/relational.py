@@ -9539,3 +9539,50 @@ def events_token_bucket_sim(spark, sf_dir):
         f" div n_events AS BIGINT) AS reject_ppm",
         f"({fold}) % 8 AS tokens_left",
     )
+
+
+@query(
+    "csv_multiline_roundtrip",
+    oracle="""
+    SELECT n_nationkey,
+           n_name || chr(10) || 'line2:' || CAST(n_regionkey AS VARCHAR)
+             AS memo,
+           length(n_name || chr(10) || 'line2:'
+                  || CAST(n_regionkey AS VARCHAR)) AS memo_len
+    FROM nation
+    """,
+)
+def csv_multiline_roundtrip(spark, sf_dir):
+    """CSV with EMBEDDED NEWLINES — the parser surface that silently
+    corrupts naive pipelines: a quoted field containing a line break
+    is one record, but a reader without ``multiLine=true`` splits it
+    into two broken rows (Spark's default, because single-line mode
+    is what keeps CSV splittable — the correctness/parallelism
+    tradeoff this query documents: multiLine forces one task per
+    file, so at scale multiline CSV is a LANDING format to convert
+    once, like csv_gzip_read_agg's gzip caveat). Synthesized memo
+    fields with a real newline round-trip through write_csv (which
+    must quote them) and a multiLine read-back; hash-matching the
+    oracle built directly from the source table proves no record was
+    split or joined."""
+    import tempfile
+
+    from ..sources import io as eio
+
+    n = io.read_parquet(spark, f"{sf_dir}/nation.parquet").df
+    memo = F.concat(
+        F.col("n_name"), F.lit("\n"), F.lit("line2:"),
+        F.col("n_regionkey").cast("string"),
+    )
+    src = n.select("n_nationkey", memo.alias("memo"))
+    path = tempfile.mkdtemp(prefix="emma_csv_ml_") + "/memos"
+    from ..core import DataBag
+
+    DataBag(src).write_csv(path)
+    back = eio.read_csv(
+        spark, path, schema="n_nationkey bigint, memo string",
+        header=True, multi_line=True,
+    )
+    return back.df.select(
+        "n_nationkey", "memo", F.length("memo").alias("memo_len")
+    )
