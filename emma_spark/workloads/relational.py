@@ -9586,3 +9586,50 @@ def csv_multiline_roundtrip(spark, sf_dir):
     return back.df.select(
         "n_nationkey", "memo", F.length("memo").alias("memo_len")
     )
+
+
+@query(
+    "json_array_file_read",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def json_array_file_read(spark, sf_dir):
+    """Pretty-printed JSON ARRAY files (multiLine JSON) — the other
+    JSON layout in the wild besides JSONL: an API dump is usually ONE
+    array spanning many lines, which the default line-oriented reader
+    shreds into corrupt records; ``multiLine`` parses the whole file
+    as one document (and, like multiline CSV, makes the file
+    unsplittable — one task per file, landing-format guidance
+    applies; JSONL remains the at-scale interchange,
+    jsonl_roundtrip_agg). The fixture stages nation as a single
+    pretty-printed array (driver-side — 25 rows, a fixture-staging
+    collect like the streaming stagers), reads it back with
+    explicit schema + multiLine, and aggregates; the oracle runs on
+    the ORIGINAL table, so a hash match proves array parsing loses
+    nothing."""
+    import json
+    import os
+    import tempfile
+
+    n = io.read_parquet(spark, f"{sf_dir}/nation.parquet").df
+    rows = [
+        {"n_nationkey": r.n_nationkey, "n_name": r.n_name,
+         "n_regionkey": r.n_regionkey}
+        for r in n.select("n_nationkey", "n_name", "n_regionkey").collect()
+    ]
+    d = tempfile.mkdtemp(prefix="emma_json_arr_")
+    with open(os.path.join(d, "nations.json"), "w") as f:
+        json.dump(rows, f, indent=2)  # pretty-printed: one array, many lines
+    back = (
+        spark.read.schema(
+            "n_nationkey bigint, n_name string, n_regionkey bigint"
+        )
+        .option("multiLine", "true")
+        .json(d)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_name").alias("first_name"),
+    )
