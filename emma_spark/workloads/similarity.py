@@ -1530,3 +1530,186 @@ def ann_ivf_pq_topk(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "adist", "rank")
     )
+
+
+_MMR_Q = 3        # queries
+_MMR_CAND = 8     # candidate pool per query
+_MMR_PICKS = 3    # diversified picks
+
+
+@query(
+    "search_mmr_diversify",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < {_MMR_Q}),
+    c AS (SELECT vec_id AS cid, v AS cv FROM base),
+    cand AS (
+      SELECT qid, cid,
+             CAST(floor(({SQL_COS}) * 10000 + 0.5) AS BIGINT) AS rel
+      FROM (
+        SELECT qid, cid, qv, cv,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY floor(({SQL_COS}) * 10000 + 0.5) DESC, cid) AS rk
+        FROM q CROSS JOIN c WHERE qid != cid
+      ) WHERE rk <= {_MMR_CAND}
+    ),
+    ps AS (
+      SELECT a.qid, a.cid AS ca, b.cid AS cb,
+             CAST(floor(({sql_cos('av', 'bv')}) * 10000 + 0.5) AS BIGINT)
+               AS sim
+      FROM (SELECT cand.qid, cand.cid, base.v AS av FROM cand
+            JOIN base ON cand.cid = base.vec_id) a
+      JOIN (SELECT cand.qid, cand.cid, base.v AS bv FROM cand
+            JOIN base ON cand.cid = base.vec_id) b
+        ON a.qid = b.qid AND a.cid != b.cid
+    ),
+    s1 AS (
+      SELECT qid,
+             max((rel + 20000) * 100000 + (99999 - cid)) AS slot
+      FROM cand GROUP BY qid
+    ),
+    p1 AS (
+      SELECT qid, 99999 - slot % 100000 AS cid FROM s1
+    ),
+    s2 AS (
+      SELECT c.qid,
+             max((2 * c.rel - ps.sim + 60000) * 100000
+                 + (99999 - c.cid)) AS slot
+      FROM cand c
+      JOIN p1 ON c.qid = p1.qid AND c.cid != p1.cid
+      JOIN ps ON ps.qid = c.qid AND ps.ca = c.cid AND ps.cb = p1.cid
+      GROUP BY c.qid
+    ),
+    p2 AS (SELECT qid, 99999 - slot % 100000 AS cid FROM s2),
+    s3 AS (
+      SELECT c.qid,
+             max((2 * c.rel - greatest(ps1.sim, ps2.sim) + 60000) * 100000
+                 + (99999 - c.cid)) AS slot
+      FROM cand c
+      JOIN p1 ON c.qid = p1.qid AND c.cid != p1.cid
+      JOIN p2 ON c.qid = p2.qid AND c.cid != p2.cid
+      JOIN ps ps1 ON ps1.qid = c.qid AND ps1.ca = c.cid
+                 AND ps1.cb = p1.cid
+      JOIN ps ps2 ON ps2.qid = c.qid AND ps2.ca = c.cid
+                 AND ps2.cb = p2.cid
+      GROUP BY c.qid
+    ),
+    p3 AS (SELECT qid, 99999 - slot % 100000 AS cid FROM s3),
+    picks AS (
+      SELECT qid, 1 AS pick_order, cid FROM p1
+      UNION ALL SELECT qid, 2, cid FROM p2
+      UNION ALL SELECT qid, 3, cid FROM p3
+    )
+    SELECT picks.qid AS query_id, picks.pick_order,
+           picks.cid AS neighbor_id, cand.rel AS rel_q4
+    FROM picks JOIN cand ON picks.qid = cand.qid AND picks.cid = cand.cid
+    """,
+)
+def search_mmr_diversify(spark, sf_dir):
+    """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    1998, public) — the diversity pass between retrieval and display:
+    from each query's top-8 relevance candidates, greedily pick 3
+    maximizing 2·relevance − max-similarity-to-already-picked, so
+    near-duplicate results don't crowd the answer list. The greedy is
+    SEQUENTIAL but its horizon is the BOUNDED candidate list, so the
+    three steps UNROLL into plain aggs + joins (the widened-slot
+    argmax at each step; score biased non-negative before packing;
+    id tie-break toward the smaller via 99999 − cid — documented
+    width, ids < 10^5). Candidate relevance and all pairwise
+    candidate similarities are 4dp-quantized integers, so every
+    comparison replays bit-for-bit. Candidate generation is the
+    broadcast brute-force ranking (ann_topk_cosine); the pairwise sim
+    table is candidates² per query — 64 rows, never corpus-scale."""
+    from pyspark.sql import Window
+
+    from ..llm.similarity import as_double
+
+    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
+    base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    q = base.filter(F.col("vec_id") < _MMR_Q).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    c = base.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    cos = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+        " (acc, e) -> acc + e)"
+        " / (sqrt(aggregate(transform({a}, x -> x * x), CAST(0.0 AS DOUBLE),"
+        "          (acc, e) -> acc + e))"
+        "    * sqrt(aggregate(transform({b}, x -> x * x),"
+        "           CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)))"
+    )
+    relq = F.expr(
+        f"CAST(floor(({cos.format(a='qv', b='cv')}) * 10000 + 0.5) AS BIGINT)"
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("rel"), "cid")
+    cand = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", relq.alias("rel"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _MMR_CAND)
+        .drop("rk")
+    )
+    from ..plans.cache import pin
+
+    cand = pin(cand)
+    av = base.select(F.col("vec_id").alias("ca"), F.col("v").alias("av"))
+    bv = base.select(F.col("vec_id").alias("cb"), F.col("v").alias("bv"))
+    ps = pin(
+        cand.select("qid", F.col("cid").alias("ca"))
+        .join(cand.select(F.col("qid").alias("q2"), F.col("cid").alias("cb")),
+              (F.col("qid") == F.col("q2")) & (F.col("ca") != F.col("cb")))
+        .drop("q2")
+        .join(F.broadcast(av), "ca")
+        .join(F.broadcast(bv), "cb")
+        .select(
+            "qid", "ca", "cb",
+            F.expr(
+                f"CAST(floor(({cos.format(a='av', b='bv')}) * 10000 + 0.5)"
+                " AS BIGINT)"
+            ).alias("sim"),
+        )
+    )
+    p1 = cand.groupBy("qid").agg(
+        (F.lit(99999) - F.max((F.col("rel") + 20000) * 100000
+                              + (99999 - F.col("cid"))) % 100000).alias("cid")
+    )
+    c2 = (
+        cand.join(p1.withColumnRenamed("cid", "p1c"), "qid")
+        .filter(F.col("cid") != F.col("p1c"))
+        .join(
+            ps.select("qid", F.col("ca").alias("cid"),
+                      F.col("cb").alias("p1c"), F.col("sim").alias("sim1")),
+            ["qid", "cid", "p1c"],
+        )
+    )
+    p2 = c2.groupBy("qid").agg(
+        (F.lit(99999) - F.max(
+            (2 * F.col("rel") - F.col("sim1") + 60000) * 100000
+            + (99999 - F.col("cid"))
+        ) % 100000).alias("cid")
+    )
+    c3 = (
+        c2.join(p2.withColumnRenamed("cid", "p2c"), "qid")
+        .filter(F.col("cid") != F.col("p2c"))
+        .join(
+            ps.select("qid", F.col("ca").alias("cid"),
+                      F.col("cb").alias("p2c"), F.col("sim").alias("sim2")),
+            ["qid", "cid", "p2c"],
+        )
+    )
+    p3 = c3.groupBy("qid").agg(
+        (F.lit(99999) - F.max(
+            (2 * F.col("rel") - F.greatest("sim1", "sim2") + 60000) * 100000
+            + (99999 - F.col("cid"))
+        ) % 100000).alias("cid")
+    )
+    picks = (
+        p1.select("qid", F.lit(1).alias("pick_order"), "cid")
+        .unionByName(p2.select("qid", F.lit(2).alias("pick_order"), "cid"))
+        .unionByName(p3.select("qid", F.lit(3).alias("pick_order"), "cid"))
+    )
+    return picks.join(cand, ["qid", "cid"]).select(
+        F.col("qid").alias("query_id"), "pick_order",
+        F.col("cid").alias("neighbor_id"), F.col("rel").alias("rel_q4"),
+    )
