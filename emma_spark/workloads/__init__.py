@@ -205,8 +205,9 @@ _PRIORITY = [
     # geo_kde_heat_grid, udtf_table_argument,
     # orders_loan_amortization, events_token_bucket_sim,
     # events_experiment_scorecard, csv_multiline_roundtrip,
-    # json_array_file_read, search_mmr_diversify
-    # (registry close: 376).
+    # json_array_file_read, search_mmr_diversify; fourth
+    # continuation: sql_recursive_cte_walk (Spark-native WITH
+    # RECURSIVE), sql_pipe_syntax_pricing (Spark 4 |> operators).
     # The whole registry is tri-SF diff-checked (sf0.001 / vanilla
     # sf0.01 / sf0.1); every queued name is ready for any window.
     "stream_watermark_append",

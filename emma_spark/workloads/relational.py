@@ -9633,3 +9633,89 @@ def json_array_file_read(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.min("n_name").alias("first_name"),
     )
+
+
+_RECURSIVE_WALK_SQL = """
+WITH RECURSIVE walk(node, depth_up, rev_c) AS (
+  SELECT l_partkey AS node, 0 AS depth_up,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev_c
+  FROM lineitem GROUP BY l_partkey
+  UNION ALL
+  SELECT node {div} 10, depth_up + 1, rev_c FROM walk WHERE node {div} 10 > 0
+)
+SELECT depth_up, count(*) AS n_nodes,
+       count(DISTINCT node) AS n_distinct_nodes,
+       CAST(sum(rev_c) AS BIGINT) AS rev_c
+FROM walk GROUP BY depth_up
+"""
+
+
+@query(
+    "sql_recursive_cte_walk",
+    oracle=_RECURSIVE_WALK_SQL.format(div="//"),
+)
+def sql_recursive_cte_walk(spark, sf_dir):
+    """Native WITH RECURSIVE on Spark (4.0+, SPARK-24497) — the last
+    big ANSI surface the engine gained, exercised Spark-side for the
+    first time (every prior recursive CTE in this repo lives in the
+    DuckDB oracles). The walk climbs the decimal 10-ary part tree
+    (parent(p) = p div 10 — the same hierarchy part_hierarchy_rollup
+    flattens by bounded-depth ancestor explode) from each part's
+    aggregated leaf revenue to the root, then aggregates per level.
+    SAME RECURSION, TWO INDEPENDENT ENGINES: DuckDB runs the
+    identical text (modulo `div` vs `//` integer division).
+
+    Scale: recursion here is a bounded loop of narrow projections —
+    each step is `node div 10` on the previous level's output (no
+    join, no shuffle inside a step; the leaf agg is the only
+    exchange), and depth <= 7 for bigint keys, so the unrolled plan
+    is 7 unioned maps over an ever-shrinking set. This is exactly the
+    plan the driver-loop fixpoint machinery (plans/iterate.py) would
+    build by hand; the CTE form hands termination to Catalyst. The
+    anchor aggregates BEFORE recursing so the recursion fans out on
+    the part dimension, never the lineitem fact."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    from ..core import sql as bag_sql
+
+    return bag_sql(
+        spark, _RECURSIVE_WALK_SQL.format(div="div"), lineitem=li
+    ).df
+
+
+@query(
+    "sql_pipe_syntax_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_price_c,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             // 100 AS BIGINT) AS disc_rev_c
+    FROM lineitem
+    WHERE l_quantity < 30
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax_pricing(spark, sf_dir):
+    """SQL pipe syntax (Spark 4.0's `|>` operators, from the
+    SQL-has-problems-we-can-fix-them paper) — the linear FROM-first
+    form of the Q1 pricing summary: WHERE |> EXTEND |> AGGREGATE.
+    Each pipe stage is sugar over the same Catalyst plan as the
+    nested form (filter -> project -> partial/final hash agg), so
+    pushdown, codegen, and AQE apply unchanged — this query pins that
+    the sugar is semantics-preserving by hash-matching a classic
+    GROUP BY oracle on DuckDB (which has no pipe syntax: different
+    text, same answer). Money stays in exact integer cents; the
+    net-of-discount revenue multiplies cent-integers and integer-
+    divides at the end, so both engines agree bit-for-bit."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    li.createOrReplaceTempView("pipe_lineitem")
+    return spark.sql("""
+    FROM pipe_lineitem
+    |> WHERE l_quantity < 30
+    |> EXTEND CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+              CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_c
+    |> AGGREGATE count(*) AS n, sum(price_c) AS sum_price_c,
+                 sum(price_c * (100 - disc_c)) div 100 AS disc_rev_c
+       GROUP BY l_returnflag, l_linestatus
+    """)
