@@ -1713,3 +1713,110 @@ def search_mmr_diversify(spark, sf_dir):
         F.col("qid").alias("query_id"), "pick_order",
         F.col("cid").alias("neighbor_id"), F.col("rel").alias("rel_q4"),
     )
+
+
+def _semantic_assign_ctes() -> str:
+    """Shared CTE block: trained-quantizer nearest-centroid assignment
+    of the full corpus (the same Lloyd fit + rk=1 rule as
+    _ivf_trained_oracle)."""
+    from .ml import _kmeans_fit_ctes
+
+    return f"""{_kmeans_fit_ctes(iters=2, k=4, dims=64)},
+    cvec AS (SELECT cid, list(value ORDER BY pos) AS cvv
+             FROM centq GROUP BY cid),
+    corp AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    assign AS (
+      SELECT vec_id, cv, cid FROM (
+        SELECT corp.vec_id, corp.cv, cvec.cid,
+               row_number() OVER (
+                 PARTITION BY corp.vec_id
+                 ORDER BY floor(({sql_cos('cv', 'cvv')}) * 10000 + 0.5)
+                            / 10000 DESC,
+                          cvec.cid) AS rk
+        FROM corp CROSS JOIN cvec
+      ) WHERE rk = 1
+    )"""
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH {{}}, 
+    pairs AS (
+      SELECT l.cid, r.vec_id AS b
+      FROM assign l JOIN assign r
+        ON l.cid = r.cid AND l.vec_id < r.vec_id
+      WHERE floor(({sql_cos('l.cv', 'r.cv')}) * 10000 + 0.5) / 10000 >= 0.30
+    ),
+    drops AS (SELECT cid, b FROM pairs GROUP BY cid, b)
+    SELECT m.cid, count(*) AS n_members,
+           count(d.b) AS n_dropped,
+           count(*) - count(d.b) AS n_kept
+    FROM assign m LEFT JOIN drops d ON m.cid = d.cid AND m.vec_id = d.b
+    GROUP BY m.cid
+    """.format(_semantic_assign_ctes()),
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SEMANTIC deduplication, SemDeDup-style (Abbas et al. 2023):
+    cluster the embedding space with a trained quantizer, then search
+    for near-duplicates ONLY within each cluster — the published
+    recipe that turns the O(N^2) global embedding near-dup problem
+    into Sum |cluster|^2, because semantically identical documents
+    land in the same cell by construction. A member is DROPPED when a
+    lower-id member of its cluster sits at cosine >= 0.30 (the same
+    nonzero-matched-set threshold as embedding_neardup); output is
+    the per-cluster member/dropped/kept census a curation run reports.
+
+    Composition is entirely from parts this repo already trusts: the
+    quantized SQL-replayable Lloyd fit (workloads/ml), the
+    literal-centroid O(N*C) zero-shuffle assignment (llm/similarity.
+    ivf_topk's trained branch), one within-cluster self-equi-join on
+    cid, and a LEFT-JOIN census. At 100 TB: k scales with N (k ~
+    N / desired_cell_size keeps cells bounded, the paper uses ~100k
+    clusters), assignment stays a narrow projection, and a cell too
+    hot for its |cell|^2 verify can sub-block with the hyperplane-LSH
+    buckets (embedding_neardup) INSIDE the cell — the two blockers
+    compose. Oracle replays fit, assignment, pair join and census."""
+    from .ml import quantized_kmeans_fit
+
+    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
+    fitted = quantized_kmeans_fit(emb, iters=2, k=4, dims=64).collect()
+    acc: dict[int, dict[int, float]] = {}
+    for r in fitted:
+        acc.setdefault(r["cid"], {})[r["pos"]] = r["value"]
+    cents = sorted((cid, [d[p] for p in sorted(d)]) for cid, d in acc.items())
+
+    def top_cid(vec):
+        cands = F.array(
+            *[
+                F.struct(
+                    (-S._rd(S.cosine(vec, F.array(*[F.lit(float(x)) for x in cv])), 4)
+                     ).alias("negsim"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+        return F.slice(F.array_sort(cands), 1, 1).getField("cid")[0]
+
+    assign = emb.select(
+        "vec_id",
+        S.as_double(F.col("embedding")).alias("cv"),
+        top_cid(S.as_double(F.col("embedding"))).alias("cid"),
+    )
+    l, r = assign.alias("l"), assign.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.cid") == F.col("r.cid"))
+               & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .filter(S._rd(S.cosine(F.col("l.cv"), F.col("r.cv")), 4) >= 0.30)
+        .select(F.col("l.cid").alias("cid"), F.col("r.vec_id").alias("b"))
+    )
+    drops = pairs.distinct()
+    m = assign.join(
+        drops, (assign.cid == drops.cid) & (assign.vec_id == drops.b), "left"
+    )
+    return m.groupBy(assign.cid.alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.count(drops.b).alias("n_dropped"),
+        (F.count(F.lit(1)) - F.count(drops.b)).alias("n_kept"),
+    )
