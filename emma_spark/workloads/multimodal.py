@@ -469,3 +469,59 @@ def multimodal_phash_neardup(spark, sf_dir):
     return cand.select("ida", "idb", ham.alias("hamming")).filter(
         F.col("hamming") <= 3
     )
+
+
+@query(
+    "io_binaryfile_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT) AS h56
+    FROM documents WHERE doc_id % 29 = 0
+    """,
+)
+def io_binaryfile_ingest(spark, sf_dir):
+    """Raw-blob ingest via Spark's `binaryFile` source — the built-in
+    reader every media pipeline starts from (image/audio/video files
+    on a bucket -> one row per file with `path`, `length`, opaque
+    binary `content`): stage a bounded document sample as loose
+    .txt blobs (driver-side fixture staging, ~N/29 files — the same
+    precedent as the streaming stagers), read the DIRECTORY back
+    through `format("binaryFile")`, recover ids from paths, and
+    content-address each blob (56-bit md5 slice). A hash match
+    against the original documents table proves the roundtrip loses no
+    bytes (utf-8 on disk == DuckDB's string bytes).
+
+    Scale notes: binaryFile packs many small files per task
+    (spark.sql.files.maxPartitionBytes governs grouping) and pushes
+    `pathGlobFilter`/`modifiedAfter` to the listing, so the 100 TB
+    pattern is exactly this plan — list, read, content-address, then
+    land as parquet with the blob as a binary column
+    (multimodal_chunk_dedup picks up from there). The
+    nondeterministic `modificationTime` column is deliberately not
+    projected."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import io as eio
+
+    d = eio.read_parquet(spark, f"{sf_dir}/documents.parquet").df
+    sample = d.filter(F.col("doc_id") % 29 == 0).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="emma_binfile_")
+    for r in sample.collect():  # bounded: |documents| / 29 files
+        with open(os.path.join(base, f"{r.doc_id}.txt"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.txt"
+    ).load(base)
+    out = files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1)
+         .cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.conv(F.substring(F.md5(F.col("content")), 1, 14), 16, 10)
+         .cast("bigint").alias("h56"),
+    )
+    out = out.localCheckpoint(eager=True)  # detach from the temp dir
+    shutil.rmtree(base, ignore_errors=True)
+    return out
