@@ -2442,3 +2442,91 @@ def ml_feature_hash_collision_audit(spark, sf_dir):
         ).alias("collision_ppm"),
         F.max("n").alias("max_bucket_occupancy"),
     )
+
+
+@query(
+    "ml_lift_gains_bands",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS score_c,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+      FROM orders
+    ),
+    mm AS (SELECT min(score_c) AS lo, max(score_c) AS hi,
+                  count(*) AS n_all, sum(label) AS n_pos FROM scored),
+    banded AS (
+      SELECT (s.score_c - mm.lo) * 20 // (mm.hi - mm.lo + 1) AS band,
+             count(*) AS n_band, sum(s.label) AS pos_band
+      FROM scored s, mm GROUP BY 1
+    ),
+    cum AS (
+      SELECT band,
+             sum(n_band) OVER w AS cum_n,
+             sum(pos_band) OVER w AS cum_pos
+      FROM banded
+      WINDOW w AS (ORDER BY band DESC ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT band,
+           CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST(cum_pos::HUGEINT * 1000000 // mm.n_pos AS BIGINT)
+             AS capture_ppm,
+           CAST(cum_pos::HUGEINT * mm.n_all * 1000000
+                // (mm.n_pos::HUGEINT * cum_n) AS BIGINT) AS lift_ppm
+    FROM cum, mm
+    """,
+)
+def ml_lift_gains_bands(spark, sf_dir):
+    """GAINS/LIFT table — the campaign-targeting eval artifact ('mail
+    the top-scoring x%, capture y% of responders, at z× random'):
+    score = order value in cents, positive = finalized status. The
+    textbook construction sorts all rows by score and walks deciles
+    (global sort + global cumsum — the scale-killer the repo keeps
+    refusing); here scores fold into a 20-cell equi-width VALUE
+    HISTOGRAM (exact integer binning, as orders_lorenz_curve /
+    sketch_quantile_bins) and the cumulative-from-the-top gains and
+    lift are read off the <=20-row descending cumulative — one
+    hash-agg + one bounded window, resolution = one band. Capture
+    and lift in exact integer ppm; the cross-products are lifted to
+    DECIMAL/HUGEINT before the integral divide (cum_pos * n_all *
+    10^6 overflows BIGINT at warehouse row counts). Complements
+    ml_auc_exact (threshold-free ranking quality) with the
+    threshold-SWEEP view a targeting decision actually reads."""
+    from pyspark.sql import Window
+
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    scored = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("score_c"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    mm = scored.agg(
+        F.min("score_c").alias("lo"), F.max("score_c").alias("hi"),
+        F.count(F.lit(1)).alias("n_all"), F.sum("label").alias("n_pos"),
+    )
+    banded = (
+        scored.crossJoin(F.broadcast(mm))
+        .groupBy(F.expr("(score_c - lo) * 20 div (hi - lo + 1)").alias("band"))
+        .agg(F.count(F.lit(1)).alias("n_band"), F.sum("label").alias("pos_band"))
+    )
+    w = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = banded.select(
+        "band",
+        F.sum("n_band").over(w).alias("cum_n"),
+        F.sum("pos_band").over(w).alias("cum_pos"),
+    )
+    return cum.crossJoin(F.broadcast(mm)).select(
+        "band",
+        F.col("cum_n").cast("bigint").alias("cum_n"),
+        F.col("cum_pos").cast("bigint").alias("cum_pos"),
+        F.expr(
+            "CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000 div n_pos"
+            " AS BIGINT)"
+        ).alias("capture_ppm"),
+        F.expr(
+            "CAST(CAST(cum_pos AS DECIMAL(38,0)) * n_all * 1000000"
+            " div (CAST(n_pos AS DECIMAL(38,0)) * cum_n) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
