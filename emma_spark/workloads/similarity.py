@@ -1820,3 +1820,105 @@ def dedup_semantic_clusters(spark, sf_dir):
         F.count(drops.b).alias("n_dropped"),
         (F.count(F.lit(1)) - F.count(drops.b)).alias("n_kept"),
     )
+
+
+def _ndcg_discounts(k: int = 10) -> list[int]:
+    """1/log2(i+1) position discounts in ppm, for ranks 1..k —
+    computed ONCE here (driver-side, plan-build time) and embedded as
+    the SAME integer literals in both engines' plans, so no
+    transcendental is ever evaluated inside a compared expression."""
+    import math
+
+    return [int(math.floor(1_000_000 / math.log2(i + 1) + 0.5))
+            for i in range(1, k + 1)]
+
+
+def _ndcg_oracle() -> str:
+    disc = _ndcg_discounts(10)
+    idcg = sum((10 - i) * d for i, d in enumerate(disc))
+    lit = "[" + ", ".join(str(d) for d in disc) + "]"
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv FROM base),
+    truth AS (
+      SELECT query_id, neighbor_id, 11 - rank AS rel FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY floor(({SQL_COS}) * 10000 + 0.5) / 10000 DESC,
+                          neighbor_id) AS rank
+        FROM q CROSS JOIN c WHERE query_id != neighbor_id
+      ) WHERE rank <= 10
+    ),
+    b AS (SELECT vec_id, v, {_bucket_sql('v', planes=6, dim=64)} AS bucket
+          FROM base),
+    qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+    cb AS (SELECT vec_id AS neighbor_id, v AS cv, bucket AS bucket_c FROM b),
+    approx AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY floor(({SQL_COS}) * 10000 + 0.5) / 10000 DESC,
+                          neighbor_id) AS rank
+        FROM qb JOIN cb ON bucket = bucket_c AND query_id != neighbor_id
+      ) WHERE rank <= 10
+    ),
+    gains AS (
+      SELECT a.query_id,
+             coalesce(t.rel, 0) * ({lit})[a.rank] AS g
+      FROM approx a LEFT JOIN truth t
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    )
+    SELECT query_id, CAST(sum(g) AS BIGINT) AS dcg_ppm,
+           CAST(sum(g) * 1000000 // {idcg} AS BIGINT) AS ndcg_ppm
+    FROM gains GROUP BY query_id
+    """
+
+
+@query("search_ndcg_eval", oracle=_ndcg_oracle())
+def search_ndcg_eval(spark, sf_dir):
+    """NDCG@10 — the GRADED-relevance retrieval eval that completes
+    the triad (ann_recall_eval: set overlap; search_mrr_eval: where
+    the single truth landed; here: how well the WHOLE approximate
+    ordering agrees with the exact one, with log-position discounts).
+    Relevance grades come from the exact ranking itself (brute-force
+    top-10 → rel = 11 - true_rank, the standard implicit-feedback
+    setup when no human labels exist); the LSH index's top-10 is
+    scored Σ rel(doc@i)·disc(i). The 1/log2(i+1) discounts — the one
+    transcendental in NDCG's definition — are precomputed ONCE at
+    plan-build into a 10-entry integer-ppm literal table shared by
+    both engines (same trick as the JL sign matrix), and IDCG@10 is
+    a compile-time constant because the truth set always carries
+    grades 10..1 — so the whole compared computation is integer
+    products, an equi-join, and one grouped sum. At 100 TB: truth
+    generation is the expensive exact pass (Q×N broadcast scan), run
+    on a sampled query panel exactly as here; the eval itself is one
+    slim join on (query, doc)."""
+    disc = _ndcg_discounts(10)
+    idcg = sum((10 - i) * d for i, d in enumerate(disc))
+    emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = S.brute_force_topk(emb, queries, k=10).select(
+        F.col("query_id").alias("tq"),
+        F.col("neighbor_id").alias("tn"),
+        (11 - F.col("rank")).alias("rel"),
+    )
+    approx = S.lsh_topk(emb, queries, k=10, planes=6, dim=64).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    disc_arr = F.array(*[F.lit(d) for d in disc])
+    gains = approx.join(
+        truth,
+        (F.col("query_id") == F.col("tq"))
+        & (F.col("neighbor_id") == F.col("tn")),
+        "left",
+    ).select(
+        "query_id",
+        (F.coalesce(F.col("rel"), F.lit(0))
+         * F.element_at(disc_arr, F.col("rank"))).alias("g"),
+    )
+    return gains.groupBy("query_id").agg(
+        F.sum("g").cast("bigint").alias("dcg_ppm"),
+        F.expr(f"CAST(sum(g) * 1000000 div {idcg} AS BIGINT)")
+        .alias("ndcg_ppm"),
+    )
