@@ -2420,3 +2420,100 @@ def text_source_vocab_overlap(spark, sf_dir):
             ).alias("jaccard_ppm"),
         )
     )
+
+
+@query(
+    "text_dsir_affinity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents
+    ), bg AS (
+      SELECT DISTINCT doc_id, lang,
+             {sql_md5_long("'dsir|' || b[1] || '|' || b[2]")} % 1024 AS f
+      FROM (
+        SELECT doc_id, lang,
+               unnest([[toks[i], toks[i + 1]] FOR i IN range(1, len(toks))])
+                 AS b
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    tgt AS (SELECT f, count(*) AS tgt_cnt FROM bg WHERE lang = 'en'
+            GROUP BY f),
+    pool AS (SELECT f, count(*) AS all_cnt FROM bg GROUP BY f),
+    per_doc AS (
+      SELECT bg.doc_id, bg.lang,
+             sum((coalesce(tgt.tgt_cnt, 0) + 1) * 1000000
+                 // (pool.all_cnt + 1)) // count(*) AS aff_ppm
+      FROM bg JOIN pool USING (f) LEFT JOIN tgt USING (f)
+      GROUP BY bg.doc_id, bg.lang
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(aff_ppm) // count(*) AS BIGINT) AS mean_aff_ppm,
+           CAST(min(aff_ppm) AS BIGINT) AS min_aff_ppm,
+           CAST(max(aff_ppm) AS BIGINT) AS max_aff_ppm
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_dsir_affinity(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023, 'Data Selection
+    for LMs via Importance Resampling'): score every pool document by
+    how much its HASHED-BIGRAM feature profile looks like a target
+    domain (here lang='en'), the published recipe for picking
+    pretraining data that matches a quality corpus. The n-gram space
+    is hashed into a FIXED 1024-bucket table — that is the load-
+    bearing trick: both frequency tables (target, pool) collapse to
+    <=1024 rows regardless of corpus size, so the per-feature ratio
+    join is a broadcast and the whole scorer is two narrow explodes
+    + two bounded hash-aggs + one per-doc agg. True DSIR weights are
+    products of probability ratios (log-space floats); to stay on
+    the exact-integer contract the score is the additive-smoothed
+    MEAN ratio in ppm — sum((tgt+1)·10^6 div (all+1)) div n_feat —
+    which preserves the ranking signal (en docs score highest, the
+    readout shows the separation per language) without a single
+    transcendental. Per-(doc,feature) pairs are DISTINCT'd so long
+    docs don't vote a feature twice."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    toks = X.tokens(F.col("text"))
+    n = F.size(toks)
+    base = docs.select(
+        "doc_id", "lang", toks.alias("tk"), n.alias("n")
+    ).filter(F.col("n") >= 2)
+    bg = base.select(
+        "doc_id", "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.col("n") - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, F.col("n") - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id", "lang",
+        (F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir|"), F.col("b.w1"),
+                               F.lit("|"), F.col("b.w2"))), 1, 14),
+            16, 10,
+        ).cast("bigint") % 1024).alias("f"),
+    ).distinct()
+    tgt = bg.filter(F.col("lang") == "en").groupBy("f").agg(
+        F.count(F.lit(1)).alias("tgt_cnt")
+    )
+    pool = bg.groupBy("f").agg(F.count(F.lit(1)).alias("all_cnt"))
+    per_doc = (
+        bg.join(F.broadcast(pool), "f")
+        .join(F.broadcast(tgt), "f", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr(
+                "sum((coalesce(tgt_cnt, 0) + 1) * 1000000 div (all_cnt + 1))"
+                " div count(*)"
+            ).alias("aff_ppm")
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(sum(aff_ppm) div count(*) AS BIGINT)")
+        .alias("mean_aff_ppm"),
+        F.min("aff_ppm").cast("bigint").alias("min_aff_ppm"),
+        F.max("aff_ppm").cast("bigint").alias("max_aff_ppm"),
+    )
