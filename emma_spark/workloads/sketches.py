@@ -577,3 +577,55 @@ def sketch_kmv_audience_overlap(spark, sf_dir):
             "exact_overlap",
         )
     )
+
+
+@query(
+    "sketch_hll_merge_rollup",
+    oracle=f"""
+    WITH {_sql_hll("CAST(user_id AS VARCHAR)",
+                   "epoch_us(ts) // 86400000000 // 7", "events")}
+    SELECT e.grp AS week, e.n_used, e.est_distinct, x.exact_distinct
+    FROM est e JOIN (
+      SELECT epoch_us(ts) // 86400000000 // 7 AS week,
+             count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    ) x ON e.grp = x.week
+    """,
+)
+def sketch_hll_merge_rollup(spark, sf_dir):
+    """HLL MERGEABILITY — the property that makes the sketch the
+    production distinct-count plan: DAILY register tables roll up to
+    WEEKLY unique-user estimates by taking MAX per (week, register),
+    never re-touching the raw events (the DAU→WAU→MAU path; the CMS
+    twin is sketch_cms_merge_rollup). The Spark side builds the
+    two-level plan a warehouse actually runs — per-day registers
+    (one hash-agg, ≤ m·days cells), then the ≤ m·weeks merge — while
+    the oracle builds each week's registers DIRECTLY from events in
+    one pass; the value-hash match IS the associativity proof
+    (max-of-daily-maxes ≡ single-pass max), the same recompute-
+    equivalence trick as incremental_agg_maintenance. Exact per-week
+    distincts ride along so the sketch error is auditable. At 100 TB
+    the daily register tables are what you PERSIST (512 cells/day
+    here); every further grain — weekly, monthly, arbitrary date
+    ranges — is a bounded merge over cells, not a scan over events."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    daily = SK.hll_register_table(
+        e.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"), "user_id"
+        ),
+        "day", "user_id", p=_HLL_P,
+    )
+    weekly_regs = (
+        daily.select(
+            F.expr("day div 7").alias("week"), "register", "max_rank"
+        )
+        .groupBy("week", "register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    est = SK.hll_estimate(weekly_regs, "week", p=_HLL_P)
+    exact = e.groupBy(
+        F.expr("unix_micros(ts) div 86400000000 div 7").alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.join(exact, "week").select(
+        "week", "n_used", "est_distinct", "exact_distinct"
+    )
