@@ -2517,3 +2517,120 @@ def text_dsir_affinity(spark, sf_dir):
         F.min("aff_ppm").cast("bigint").alias("min_aff_ppm"),
         F.max("aff_ppm").cast("bigint").alias("max_aff_ppm"),
     )
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, text, {SQL_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT lang,
+             len(toks) AS n_words,
+             list_sum(list_transform(toks, t -> length(t))) AS n_tok_chars,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+               AS n_alpha_words,
+             length(text) - length(replace(text, '#', ''))
+               + (length(text) - length(replace(text, '...', ''))) // 3
+               AS n_symbols,
+             len(list_filter(['the','a','of','and','to','in','is','it',
+                              'for','on'],
+                             w -> list_contains(toks, w))) AS n_stops
+      FROM t
+    ), flags AS (
+      SELECT lang,
+             CASE WHEN n_words < 50 OR n_words > 100000
+                  THEN 1 ELSE 0 END AS f_wc,
+             CASE WHEN n_tok_chars < 3 * n_words
+                       OR n_tok_chars > 10 * n_words
+                  THEN 1 ELSE 0 END AS f_mwl,
+             CASE WHEN n_symbols * 10 > n_words THEN 1 ELSE 0 END AS f_sym,
+             CASE WHEN n_alpha_words * 5 < n_words * 4
+                  THEN 1 ELSE 0 END AS f_alpha,
+             CASE WHEN n_stops < 2 THEN 1 ELSE 0 END AS f_stop
+      FROM m
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(f_wc) AS BIGINT) AS fail_wordcount,
+           CAST(sum(f_mwl) AS BIGINT) AS fail_mean_word_len,
+           CAST(sum(f_sym) AS BIGINT) AS fail_symbol_ratio,
+           CAST(sum(f_alpha) AS BIGINT) AS fail_alpha_frac,
+           CAST(sum(f_stop) AS BIGINT) AS fail_stopwords,
+           CAST(sum(CASE WHEN f_wc + f_mwl + f_sym + f_alpha + f_stop = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+    FROM flags GROUP BY lang
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """The GOPHER quality-rule card (Rae et al. 2021, Appendix A —
+    the published heuristic gate most open corpora still run):
+    word-count bounds [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio (# and ...) <= 0.1, >= 80%% of words contain
+    a letter, and >= 2 distinct stop words present (the paper's
+    'required words' rule, probed with this repo's canonical
+    10-stop-word list so the synthetic corpus shows real pass/fail
+    variation).
+    text_quality emits the raw ratio FEATURES; this is the RULE
+    verdict layer a curation run actually gates on, reported as
+    per-language fail counts + the pass-all census. Every threshold
+    is CROSS-MULTIPLIED into pure integer comparisons (mean word
+    length in [3,10] becomes 3n <= chars <= 10n; ratio <= 0.1
+    becomes 10·sym <= words) — not one division anywhere, so the two
+    engines cannot disagree. All metrics are narrow array-HOF work
+    applied before any shuffle; the only exchange is the final
+    per-lang census agg. Ellipsis occurrences are counted by
+    replace-length delta (non-overlapping left-to-right in both
+    engines); stop-word presence probes the 8 literals against the
+    token array, so it counts DISTINCT stop words, matching the
+    paper's rule."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    toks = X.tokens(F.col("text"))
+    stops = ("array('the','a','of','and','to','in','is','it',"
+             "'for','on')")
+    m = docs.select(
+        "lang",
+        F.size(toks).alias("n_words"),
+        F.expr(
+            "aggregate(transform(filter(split(lower(text), '\\\\s+'),"
+            " t -> t != ''), t -> length(t)), 0, (a, x) -> a + x)"
+        ).alias("n_tok_chars"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+         .alias("n_alpha_words"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+            + (F.length("text")
+               - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
+        ).cast("bigint").alias("n_symbols"),
+        F.size(
+            F.filter(F.expr(stops),
+                     lambda w: F.array_contains(toks, w))
+        ).alias("n_stops"),
+    )
+    flags = m.select(
+        "lang",
+        F.when((F.col("n_words") < 50) | (F.col("n_words") > 100000), 1)
+         .otherwise(0).alias("f_wc"),
+        F.when(
+            (F.col("n_tok_chars") < 3 * F.col("n_words"))
+            | (F.col("n_tok_chars") > 10 * F.col("n_words")), 1
+        ).otherwise(0).alias("f_mwl"),
+        F.when(F.col("n_symbols") * 10 > F.col("n_words"), 1)
+         .otherwise(0).alias("f_sym"),
+        F.when(F.col("n_alpha_words") * 5 < F.col("n_words") * 4, 1)
+         .otherwise(0).alias("f_alpha"),
+        F.when(F.col("n_stops") < 2, 1).otherwise(0).alias("f_stop"),
+    )
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_wc").alias("fail_wordcount"),
+        F.sum("f_mwl").alias("fail_mean_word_len"),
+        F.sum("f_sym").alias("fail_symbol_ratio"),
+        F.sum("f_alpha").alias("fail_alpha_frac"),
+        F.sum("f_stop").alias("fail_stopwords"),
+        F.sum(
+            F.when(
+                F.col("f_wc") + F.col("f_mwl") + F.col("f_sym")
+                + F.col("f_alpha") + F.col("f_stop") == 0, 1
+            ).otherwise(0)
+        ).alias("pass_all"),
+    )
