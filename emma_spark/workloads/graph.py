@@ -1758,3 +1758,108 @@ def graph_reciprocity(spark, sf_dir):
             " div n_edges AS BIGINT)"
         ).alias("reciprocity_ppm"),
     )
+
+
+def _walk_step_sql(prev: str, out: str, t: int) -> str:
+    """One hash-seeded walk hop: next = argmin over neighbors of the
+    56-bit md5 draw, packed into a (hash*64 + nbr) slot so the argmin
+    is a plain MIN; dead-ends stay in place via the LEFT JOIN."""
+    return f"""
+    {out}_j AS (
+      SELECT p.seed, p.cur, p.path,
+             min(CAST(concat('0x', substr(md5(
+                   'walk|' || CAST(p.seed AS VARCHAR) || '|{t}|'
+                   || CAST(p.cur AS VARCHAR) || '|'
+                   || CAST(e.nbr AS VARCHAR)), 1, 14)) AS BIGINT) * 64
+                 + e.nbr) AS slot
+      FROM {prev} p LEFT JOIN walk_edges e ON p.cur = e.u
+      GROUP BY p.seed, p.cur, p.path
+    ),
+    {out} AS (
+      SELECT seed,
+             coalesce(slot % 64, cur) AS cur,
+             path || '-' || CAST(coalesce(slot % 64, cur) AS VARCHAR)
+               AS path
+      FROM {out}_j
+    )"""
+
+
+@query(
+    "graph_random_walk_corpus",
+    oracle=f"""
+    WITH und AS (
+      SELECT u, v FROM (
+        SELECT least(user_id % 30,
+                     (user_id * 7 + event_id) % 30) AS u,
+               greatest(user_id % 30,
+                        (user_id * 7 + event_id) % 30) AS v
+        FROM events
+      ) WHERE u != v GROUP BY u, v
+    ),
+    walk_edges AS (
+      SELECT u, v AS nbr FROM und UNION ALL SELECT v, u FROM und
+    ),
+    w0 AS (
+      SELECT u AS seed, u AS cur, CAST(u AS VARCHAR) AS path
+      FROM (SELECT u FROM und UNION SELECT v FROM und) GROUP BY u
+    ),
+    {_walk_step_sql('w0', 'w1', 1)},
+    {_walk_step_sql('w1', 'w2', 2)},
+    {_walk_step_sql('w2', 'w3', 3)},
+    {_walk_step_sql('w3', 'w4', 4)}
+    SELECT seed, cur AS end_node, path FROM w4
+    """,
+)
+def graph_random_walk_corpus(spark, sf_dir):
+    """RANDOM-WALK CORPUS GENERATION (DeepWalk/node2vec's data step —
+    the sentences a graph-embedding trainer consumes): one length-4
+    walk per seed node over the 30-node events hash-graph, with the
+    'random' neighbor choice drawn from a SEEDED HASH — next hop =
+    argmin over neighbors of md5(walk|seed|step|cur|nbr) — so the
+    corpus is bit-reproducible across engines, retries and
+    partitionings (the property a production walk-corpus job needs,
+    and the reason this is exactly oracle-checkable rather than
+    rows-only). The hash draw packs into (h*64 + nbr) so each hop is
+    ONE equi-join on the frontier's current node + ONE grouped MIN —
+    no window, no per-row UDF; dead-ends self-loop via LEFT JOIN +
+    coalesce. Walk length is the unrolled loop bound (4 hops
+    here; plans/iterate.py would drive an unbounded version), and
+    walkers scale embarrassingly: at 100 TB the frontier is
+    (seed, cur) pairs hash-partitioned by cur against a
+    pre-partitioned adjacency — L shuffles for length-L walks,
+    independent of walker count."""
+    und = _hash_edges(spark, sf_dir)
+    edges = und.select(F.col("u"), F.col("v").alias("nbr")).unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("nbr"))
+    )
+    nodes = und.select("u").unionByName(
+        und.select(F.col("v").alias("u"))
+    ).distinct()
+    w = nodes.select(
+        F.col("u").alias("seed"), F.col("u").alias("cur"),
+        F.col("u").cast("string").alias("path"),
+    )
+    for t in range(1, 5):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(
+                    F.lit("walk|"), F.col("seed").cast("string"),
+                    F.lit(f"|{t}|"), F.col("cur").cast("string"),
+                    F.lit("|"), F.col("nbr").cast("string"),
+                )), 1, 14),
+            16, 10,
+        ).cast("bigint")
+        j = (
+            w.join(edges, w.cur == edges.u, "left")
+            .groupBy("seed", "cur", "path")
+            .agg(F.min(h * 64 + F.col("nbr")).alias("slot"))
+        )
+        w = j.select(
+            "seed",
+            F.coalesce(F.col("slot") % 64, F.col("cur")).alias("cur"),
+            F.concat(
+                F.col("path"), F.lit("-"),
+                F.coalesce(F.col("slot") % 64, F.col("cur")).cast("string"),
+            ).alias("path"),
+        )
+    return w.select("seed", F.col("cur").alias("end_node"), "path")
