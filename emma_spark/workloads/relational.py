@@ -9719,3 +9719,40 @@ def sql_pipe_syntax_pricing(spark, sf_dir):
                  sum(price_c * (100 - disc_c)) div 100 AS disc_rev_c
        GROUP BY l_returnflag, l_linestatus
     """)
+
+
+@query(
+    "sql_group_by_all_surface",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_c
+    FROM (SELECT * EXCLUDE (o_orderdate) FROM orders) t
+    GROUP BY ALL
+    """,
+)
+def sql_group_by_all_surface(spark, sf_dir):
+    """Modern SQL sugar surface — `GROUP BY ALL` (group by every
+    non-aggregate select item) and star-projection pruning (`SELECT *
+    EXCEPT` on Spark, `EXCLUDE` on DuckDB — same semantics, different
+    spelling, which is exactly why both texts are written out rather
+    than shared): the two quality-of-life forms analysts reach for
+    first in both engines. Catalyst resolves GROUP BY ALL to the
+    explicit grouping list during analysis, and the star-minus
+    projection pushes column pruning into the scan just like a named
+    projection (the parquet reader never materializes the excluded
+    date column) — so the sugar costs nothing at 100 TB. A hash
+    match against DuckDB's independent implementation of the same
+    resolution rules pins that both engines infer the SAME grouping
+    keys."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    o.createOrReplaceTempView("gba_orders")
+    return spark.sql("""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_c
+    FROM (SELECT * EXCEPT (o_orderdate) FROM gba_orders) t
+    GROUP BY ALL
+    """)
