@@ -9756,3 +9756,47 @@ def sql_group_by_all_surface(spark, sf_dir):
     FROM (SELECT * EXCEPT (o_orderdate) FROM gba_orders) t
     GROUP BY ALL
     """)
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    SELECT d.lang, count(*) AS n, sum(d.n_chars) AS chars
+    FROM documents d
+    JOIN (SELECT DISTINCT lang FROM documents WHERE doc_id % 97 = 3) s
+      ON d.lang = s.lang
+    GROUP BY d.lang
+    """,
+)
+def join_dynamic_partition_pruning(spark, sf_dir):
+    """DYNAMIC partition pruning — the runtime half of the pruning
+    contract (parquet_partitioned_roundtrip pins the PLANNING-time
+    half): the fact is written lang-partitioned, but the selective
+    predicate lives on a DIMENSION only known at runtime (the
+    distinct langs of a keyed document sample), so no static
+    PartitionFilter exists when the plan is built. Spark's DPP
+    inserts a dynamicpruning#... subquery into the fact scan's
+    partition filters — it reuses the dim's broadcast to enumerate
+    the surviving lang directories BEFORE the fact scan starts
+    (asserted as a plan property in tests/test_plans.py). At 100 TB
+    this is THE star-schema join plan: a date-partitioned fact
+    joined to dim_date rows selected by month never lists, opens, or
+    reads the other 3000 day-directories. The value hash proves the
+    pruned plan computes exactly the unpruned semantics."""
+    import tempfile
+
+    from ..core import DataBag
+
+    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet")
+    path = tempfile.mkdtemp(prefix="emma_pq_dpp_") + "/docs"
+    DataBag(docs.df).write_parquet(path, partition_by=["lang"])
+    fact = spark.read.parquet(path)
+    dim = (
+        docs.df.filter(F.col("doc_id") % 97 == 3)
+        .select("lang").distinct()
+    )
+    j = fact.join(F.broadcast(dim), "lang")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )

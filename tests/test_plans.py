@@ -479,3 +479,12 @@ def test_dbscan_neighbor_pairs_are_hash_join(spark, registry):
     the clustering plan)."""
     plan = _plan(registry["geo_dbscan_clusters"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_subquery_in_fact_scan(spark, registry):
+    """The runtime dim filter must reach the partitioned fact scan as
+    a dynamicpruning expression in PartitionFilters — the DPP
+    contract (no static lang filter exists in this plan)."""
+    df = registry["join_dynamic_partition_pruning"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan, plan[:2000]
