@@ -2530,3 +2530,192 @@ def ml_lift_gains_bands(spark, sf_dir):
             " div (CAST(n_pos AS DECIMAL(38,0)) * cum_n) AS BIGINT)"
         ).alias("lift_ppm"),
     )
+
+
+def _gbdt_round_sql(data: str, rcol: str, xcol: str, cands: str,
+                    pick: str) -> str:
+    """One boosting round: conditional residual sums per candidate
+    threshold, exact-integer gain S_l^2/n_l + S_r^2/n_r (HUGEINT),
+    argmax via min_by on a (-gain, t) slot; leaves = residual means."""
+    return f"""
+    {pick}_agg AS (
+      SELECT c.t,
+             sum(CASE WHEN d.{xcol} <= c.t THEN d.{rcol} ELSE 0 END)
+               ::HUGEINT AS sl,
+             sum(CASE WHEN d.{xcol} <= c.t THEN 1 ELSE 0 END)::HUGEINT
+               AS nl,
+             sum(d.{rcol})::HUGEINT AS s, count(*)::HUGEINT AS n
+      FROM {data} d, (SELECT unnest({cands}) AS t) c
+      GROUP BY c.t
+    ),
+    {pick} AS (
+      SELECT min_by(t, key) AS thr,
+             min_by(vl, key) AS vl,
+             min_by(vr, key) AS vr,
+             min_by(nl, key) AS n_left
+      FROM (
+        SELECT t, nl, sl // nl AS vl, (s - sl) // (n - nl) AS vr,
+               -((sl * sl) // nl + ((s - sl) * (s - sl)) // (n - nl))
+                 * 100 + t AS key
+        FROM {pick}_agg WHERE nl > 0 AND nl < n
+      )
+    )"""
+
+
+@query(
+    "ml_gbdt_residual_boost",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_quantity AS x1,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y_c
+      FROM lineitem
+    ),
+    f0 AS (SELECT sum(y_c) // count(*) AS mu, count(*) AS n FROM base),
+    d1 AS (SELECT x1, x2, y_c - f0.mu AS r FROM base, f0),
+    {_gbdt_round_sql('d1', 'r', 'x1',
+                     '[5, 10, 15, 20, 25, 30, 35, 40, 45]', 'p1')},
+    d2 AS (
+      SELECT x1, x2,
+             r - CASE WHEN x1 <= p1.thr THEN p1.vl ELSE p1.vr END AS r
+      FROM d1, p1
+    ),
+    {_gbdt_round_sql('d2', 'r', 'x2',
+                     '[1, 2, 3, 4, 5, 6, 7, 8, 9]', 'p2')},
+    d3 AS (
+      SELECT r - CASE WHEN x2 <= p2.thr THEN p2.vl ELSE p2.vr END AS r
+      FROM d2, p2
+    ),
+    m1 AS (SELECT sum(r::HUGEINT * r) // count(*) AS mse FROM d1),
+    m2 AS (SELECT sum(r::HUGEINT * r) // count(*) AS mse FROM d2),
+    m3 AS (SELECT sum(r::HUGEINT * r) // count(*) AS mse FROM d3)
+    SELECT 1 AS round, 'l_quantity' AS feature,
+           CAST(p1.thr AS BIGINT) AS thr,
+           CAST(p1.n_left AS BIGINT) AS n_left,
+           CAST(p1.vl AS BIGINT) AS leaf_left_c,
+           CAST(p1.vr AS BIGINT) AS leaf_right_c,
+           CAST(m1.mse AS BIGINT) AS mse_before,
+           CAST(m2.mse AS BIGINT) AS mse_after
+    FROM p1, m1, m2
+    UNION ALL
+    SELECT 2, 'l_discount_c', CAST(p2.thr AS BIGINT),
+           CAST(p2.n_left AS BIGINT),
+           CAST(p2.vl AS BIGINT), CAST(p2.vr AS BIGINT),
+           CAST(m2.mse AS BIGINT), CAST(m3.mse AS BIGINT)
+    FROM p2, m2, m3
+    """,
+)
+def ml_gbdt_residual_boost(spark, sf_dir):
+    """GRADIENT BOOSTING (two rounds of regression stumps on squared
+    loss) as pure dataflow — the sequential-ensemble recipe
+    (XGBoost/LightGBM's outer loop) on top of ml_decision_stump's
+    histogram split finding: fit the global mean, fit a stump to the
+    RESIDUALS on quantity, subtract its predictions, fit a second
+    stump to the new residuals on discount. With squared loss the
+    negative gradient IS the residual, so boosting needs no
+    transcendentals: leaf values are integer residual means, split
+    gain is the exact variance-reduction surrogate S_l²/n_l +
+    S_r²/n_r on HUGEINT/DECIMAL, and the per-round MSE trace
+    (monotone decreasing — the fit check) is Σr² div n. Each round
+    is ONE pass: a 9-candidate conditional hash-agg (candidates ×
+    conditional sums — the hist-mode trick, stats cells independent
+    of row count), a 1-row argmax via min_by on a (-gain, t) slot,
+    and a broadcast-back residual update; rounds chain lazily with
+    no driver loop, no collect. The model summary (threshold, leaf
+    values, MSE before/after per round) is the output — at 100 TB
+    rounds add one scan each, and the candidate agg is map-side
+    combined."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    base = li.select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+         .cast("bigint").alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+         .cast("bigint").alias("y_c"),
+    )
+    f0 = base.agg(F.expr("sum(y_c) div count(*)").alias("mu"))
+    d1 = base.crossJoin(F.broadcast(f0)).select(
+        "x1", "x2", (F.col("y_c") - F.col("mu")).alias("r")
+    )
+
+    def boost_round(d, xcol, cands):
+        c = spark.range(1).select(
+            F.explode(F.array(*[F.lit(t) for t in cands])).alias("t")
+        )
+        agg = (
+            d.crossJoin(F.broadcast(c))
+            .groupBy("t")
+            .agg(
+                F.sum(F.when(F.col(xcol) <= F.col("t"), F.col("r"))
+                      .otherwise(0)).cast("decimal(38,0)").alias("sl"),
+                F.sum(F.when(F.col(xcol) <= F.col("t"), 1).otherwise(0))
+                 .cast("decimal(38,0)").alias("nl"),
+                F.sum("r").cast("decimal(38,0)").alias("s"),
+                F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            )
+        )
+        scored = agg.filter(
+            (F.col("nl") > 0) & (F.col("nl") < F.col("n"))
+        ).select(
+            "t", F.col("nl").alias("n_left"),
+            F.expr("sl div nl").alias("vl"),
+            F.expr("(s - sl) div (n - nl)").alias("vr"),
+            F.expr(
+                "-((sl * sl) div nl + ((s - sl) * (s - sl)) div (n - nl))"
+                " * 100 + t"
+            ).alias("key"),
+        )
+        return scored.agg(
+            F.min_by("t", "key").alias("thr"),
+            F.min_by("vl", "key").alias("vl"),
+            F.min_by("vr", "key").alias("vr"),
+            F.min_by("n_left", "key").alias("n_left"),
+        )
+
+    p1 = boost_round(d1, "x1", [5, 10, 15, 20, 25, 30, 35, 40, 45])
+    d2 = d1.crossJoin(F.broadcast(p1)).select(
+        "x1", "x2",
+        (F.col("r") - F.when(F.col("x1") <= F.col("thr"), F.col("vl"))
+         .otherwise(F.col("vr")).cast("bigint")).alias("r"),
+    )
+    p2 = boost_round(d2, "x2", [1, 2, 3, 4, 5, 6, 7, 8, 9])
+    d3 = d2.crossJoin(F.broadcast(p2)).select(
+        (F.col("r") - F.when(F.col("x2") <= F.col("thr"), F.col("vl"))
+         .otherwise(F.col("vr")).cast("bigint")).alias("r"),
+    )
+
+    def mse(d):
+        return d.agg(
+            F.expr(
+                "CAST(sum(CAST(r AS DECIMAL(38,0)) * r) div count(*)"
+                " AS BIGINT)"
+            ).alias("mse")
+        )
+
+    m1, m2, m3 = mse(d1), mse(d2), mse(d3)
+    row1 = (
+        p1.crossJoin(m1.withColumnRenamed("mse", "mse_before"))
+          .crossJoin(m2.withColumnRenamed("mse", "mse_after"))
+          .select(
+              F.lit(1).alias("round"), F.lit("l_quantity").alias("feature"),
+              F.col("thr").cast("bigint").alias("thr"),
+              F.col("n_left").cast("bigint").alias("n_left"),
+              F.col("vl").cast("bigint").alias("leaf_left_c"),
+              F.col("vr").cast("bigint").alias("leaf_right_c"),
+              "mse_before", "mse_after",
+          )
+    )
+    row2 = (
+        p2.crossJoin(m2.withColumnRenamed("mse", "mse_before"))
+          .crossJoin(m3.withColumnRenamed("mse", "mse_after"))
+          .select(
+              F.lit(2).alias("round"),
+              F.lit("l_discount_c").alias("feature"),
+              F.col("thr").cast("bigint").alias("thr"),
+              F.col("n_left").cast("bigint").alias("n_left"),
+              F.col("vl").cast("bigint").alias("leaf_left_c"),
+              F.col("vr").cast("bigint").alias("leaf_right_c"),
+              "mse_before", "mse_after",
+          )
+    )
+    return row1.unionByName(row2)
