@@ -9800,3 +9800,41 @@ def join_dynamic_partition_pruning(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+@query(
+    "sql_named_parameters",
+    oracle="""
+    SELECT l_linestatus, count(*) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_c
+    FROM lineitem
+    WHERE l_quantity >= 25 AND l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def sql_named_parameters(spark, sf_dir):
+    """PARAMETERIZED SQL (Spark 3.4+/4 `spark.sql(text, args=...)`,
+    named `:param` markers) — the injection-safe templating surface a
+    query service puts in front of the engine: parameters bind as
+    TYPED LITERALS during parsing (not string splicing), so a
+    malicious value can never change the query's shape, and Catalyst
+    constant-folds the bound literals exactly as if they were inline
+    — same plan, same pushdown, zero overhead. The oracle runs the
+    literal-inlined equivalent on DuckDB; the hash match pins that
+    binding is semantically identical to inlining. Both named
+    (`:min_qty`) markers here and positional `?` markers exist;
+    named is the production choice (self-documenting, reorderable)."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    li.createOrReplaceTempView("param_lineitem")
+    return spark.sql(
+        """
+        SELECT l_linestatus, count(*) AS n,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM param_lineitem
+        WHERE l_quantity >= :min_qty AND l_returnflag = :flag
+        GROUP BY l_linestatus
+        """,
+        args={"min_qty": 25, "flag": "R"},
+    )

@@ -2634,3 +2634,59 @@ def text_gopher_rules(spark, sf_dir):
             ).otherwise(0)
         ).alias("pass_all"),
     )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS true_lang, {_lang_expr()} AS pred_lang FROM documents
+    ),
+    cm AS (
+      SELECT true_lang, pred_lang, count(*) AS n
+      FROM pred GROUP BY true_lang, pred_lang
+    ),
+    row_tot AS (SELECT true_lang, sum(n) AS n_true FROM cm GROUP BY 1),
+    col_tot AS (SELECT pred_lang, sum(n) AS n_pred FROM cm GROUP BY 1)
+    SELECT cm.true_lang, cm.pred_lang, CAST(cm.n AS BIGINT) AS n,
+           CAST(cm.n * 1000000 // r.n_true AS BIGINT) AS recall_ppm,
+           CAST(cm.n * 1000000 // c.n_pred AS BIGINT) AS precision_ppm
+    FROM cm JOIN row_tot r ON cm.true_lang = r.true_lang
+            JOIN col_tot c ON cm.pred_lang = c.pred_lang
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """CLASSIFIER EVALUATION OF THE ENGINE'S OWN OPERATOR — the
+    lang-id heuristic (text_lang_id's stopword-argmax cascade) scored
+    against the corpus's ground-truth lang column as a full confusion
+    matrix, with per-cell recall (n / row total) and precision (n /
+    column total) in exact integer ppm. This is the eval loop every
+    production labeling operator needs welded on: the diagonal shows
+    where the heuristic works (en/de/fr/es have stopword tables),
+    the 'und' column shows coverage gaps (zh has no table — every zh
+    doc lands there BY DESIGN, visible, not silent), and off-diagonal
+    cells localize confusable pairs. Cost: one narrow scan (the
+    cascade is pure Column arithmetic), one |langs|² hash-agg, two
+    bounded marginal aggs joined back — nothing global, nothing
+    data-sized after the first agg."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    pred = docs.select(
+        F.col("lang").alias("true_lang"),
+        X.lang_id(F.col("text")).alias("pred_lang"),
+    )
+    cm = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = cm.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    col_tot = cm.groupBy("pred_lang").agg(F.sum("n").alias("n_pred"))
+    return (
+        cm.join(F.broadcast(row_tot), "true_lang")
+        .join(F.broadcast(col_tot), "pred_lang")
+        .select(
+            "true_lang", "pred_lang", F.col("n").cast("bigint").alias("n"),
+            F.expr("CAST(n * 1000000 div n_true AS BIGINT)")
+             .alias("recall_ppm"),
+            F.expr("CAST(n * 1000000 div n_pred AS BIGINT)")
+             .alias("precision_ppm"),
+        )
+    )
