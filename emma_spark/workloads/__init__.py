@@ -207,7 +207,15 @@ _PRIORITY = [
     # events_experiment_scorecard, csv_multiline_roundtrip,
     # json_array_file_read, search_mmr_diversify; fourth
     # continuation: sql_recursive_cte_walk (Spark-native WITH
-    # RECURSIVE), sql_pipe_syntax_pricing (Spark 4 |> operators).
+    # RECURSIVE), sql_pipe_syntax_pricing (Spark 4 |> operators),
+    # dedup_semantic_clusters (SemDeDup), io_binaryfile_ingest,
+    # ml_lift_gains_bands, search_ndcg_eval (literal discount table),
+    # text_dsir_affinity (hashed-feature importance),
+    # sketch_hll_merge_rollup, text_gopher_rules,
+    # graph_random_walk_corpus (seeded-hash DeepWalk),
+    # sql_group_by_all_surface, join_dynamic_partition_pruning
+    # (plan-tested DPP), ml_gbdt_residual_boost (2-round boosting),
+    # text_langid_confusion, sql_named_parameters.
     # The whole registry is tri-SF diff-checked (sf0.001 / vanilla
     # sf0.01 / sf0.1); every queued name is ready for any window.
     "stream_watermark_append",

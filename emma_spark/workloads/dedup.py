@@ -1004,3 +1004,68 @@ def dedup_boilerplate_lines(spark, sf_dir):
             " AS DECIMAL(38,0)) * 1000000 div sum(cnt) AS BIGINT)"
         ).alias("boilerplate_ppm"),
     )
+
+
+@query(
+    "dedup_quality_keeper",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {sql_md5_long('text')} AS content_hash, doc_id,
+             n_chars * 1000
+               + len(list_filter(['the','a','of','and','to','in','is','it',
+                                  'for','on'],
+                     w -> list_contains({SQL_TOKS}, w))) AS q_score
+      FROM documents
+    )
+    SELECT content_hash,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(max(q_score * 100000000 + (99999999 - doc_id)) % 100000000
+                AS BIGINT) AS keeper_inv,
+           CAST(99999999 - max(q_score * 100000000 + (99999999 - doc_id))
+                % 100000000 AS BIGINT) AS keeper_id,
+           CAST(max(q_score * 100000000 + (99999999 - doc_id))
+                // 100000000 AS BIGINT) AS keeper_score
+    FROM scored GROUP BY content_hash
+    """,
+)
+def dedup_quality_keeper(spark, sf_dir):
+    """QUALITY-AWARE representative selection — the curation decision
+    dedup_exact's min(doc_id) keeper sidesteps: within each exact-dup
+    group, KEEP THE BEST COPY (highest quality score; here chars·1000
+    + distinct-stopword hits, any richer score composes), not the
+    accidental lowest id — the policy real corpus builds use because
+    duplicate crawls differ in truncation and boilerplate. The argmax
+    is ONE slot-packed max per group — q_score·10^8 + (10^8-1 -
+    doc_id), score dominates, LOWER id wins exact score ties (the
+    inverted-id trick from events_attribution, collision-free while
+    doc_id < 10^8; at warehouse id ranges widen the slot to
+    DECIMAL) — so quality-keeper dedup costs exactly what min-keeper
+    dedup costs: one uniform hash shuffle, no join-back, no window.
+    keeper_inv rides along to expose the raw slot for auditability."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    from ..llm.text import md5_long, tokens as tok
+
+    stops = ("array('the','a','of','and','to','in','is','it',"
+             "'for','on')")
+    scored = docs.select(
+        md5_long(F.col("text")).alias("content_hash"),
+        "doc_id",
+        (
+            F.col("n_chars") * 1000
+            + F.size(F.filter(
+                F.expr(stops),
+                lambda w: F.array_contains(tok(F.col("text")), w),
+            ))
+        ).alias("q_score"),
+    )
+    slot = F.col("q_score") * 100000000 + (F.lit(99999999) - F.col("doc_id"))
+    return scored.groupBy("content_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        (F.max(slot) % 100000000).cast("bigint").alias("keeper_inv"),
+        (F.lit(99999999) - F.max(slot) % 100000000).cast("bigint")
+         .alias("keeper_id"),
+        F.expr(
+            f"CAST(max(q_score * 100000000 + (99999999 - doc_id))"
+            f" div 100000000 AS BIGINT)"
+        ).alias("keeper_score"),
+    )

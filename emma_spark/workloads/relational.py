@@ -9838,3 +9838,86 @@ def sql_named_parameters(spark, sf_dir):
         """,
         args={"min_qty": 25, "flag": "R"},
     )
+
+
+@query(
+    "io_schema_evolution_merge",
+    oracle="""
+    WITH both_batches AS (
+      SELECT n_nationkey, n_name, NULL::BIGINT AS n_regionkey
+      FROM nation
+      UNION ALL
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+    )
+    SELECT coalesce(n_regionkey, -1) AS region_or_missing,
+           count(*) AS n, min(n_name) AS first_name
+    FROM both_batches GROUP BY 1
+    """,
+)
+def io_schema_evolution_merge(spark, sf_dir):
+    """SCHEMA EVOLUTION on a parquet directory — the table-lifecycle
+    event every long-lived 100 TB dataset hits: an early batch was
+    written WITHOUT a column (here n_regionkey), a later batch WITH
+    it, and `mergeSchema=true` reads both under the union schema,
+    NULL-filling the missing column for old files (per-file schemas
+    are reconciled at footer-read time; mergeSchema costs one extra
+    footer pass, which is why production tables pin the contract in
+    a metastore/Delta log instead — this query pins the raw-parquet
+    mechanics that those systems build on). The oracle replays the
+    union semantics directly; the -1 sentinel keys the driver-
+    hashable census of old-batch vs new-batch rows."""
+    import tempfile
+
+    n = io.read_parquet(spark, f"{sf_dir}/nation.parquet").df
+    base = tempfile.mkdtemp(prefix="emma_pq_evo_")
+    n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(
+        f"{base}/batch=1"
+    )
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/batch=1", f"{base}/batch=2"
+    )
+    return back.groupBy(
+        F.coalesce("n_regionkey", F.lit(-1)).alias("region_or_missing")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+@query(
+    "io_parquet_zstd_roundtrip",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_c
+    FROM lineitem WHERE l_orderkey % 13 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def io_parquet_zstd_roundtrip(spark, sf_dir):
+    """Parquet CODEC surface — write with zstd (the modern default
+    for warehouse tables: ~30%% smaller than snappy at comparable
+    scan speed, the knob that matters at 100 TB where storage and
+    scan bytes dominate cost), read back, aggregate; the hash match
+    against the ORIGINAL table proves the codec is bit-lossless
+    through the full write/read cycle. Codec choice is per-write
+    (`option("compression", "zstd")`), decode is transparent at
+    scan — no reader coordination needed, old snappy files and new
+    zstd files coexist in one table."""
+    import tempfile
+
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    sample = li.filter(F.col("l_orderkey") % 13 == 0)
+    path = tempfile.mkdtemp(prefix="emma_pq_zstd_") + "/li"
+    sample.write.option("compression", "zstd").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("rev_c"),
+    )
