@@ -1863,3 +1863,98 @@ def graph_random_walk_corpus(spark, sf_dir):
             ).alias("path"),
         )
     return w.select("seed", F.col("cur").alias("end_node"), "path")
+
+
+def _treach_step_sql(prev: str, out: str) -> str:
+    """One earliest-arrival relaxation: extend every known arrival
+    along edges departing no earlier than it, keep the per-(seed, node)
+    minimum across old and new arrivals."""
+    return f"""
+    {out}_ext AS (
+      SELECT p.seed, e.dst AS node, min(e.t) AS arr
+      FROM {prev} p JOIN tedges e
+        ON p.node = e.src AND e.t >= p.arr
+      GROUP BY p.seed, e.dst
+    ),
+    {out} AS (
+      SELECT seed, node, min(arr) AS arr FROM (
+        SELECT seed, node, arr FROM {prev}
+        UNION ALL
+        SELECT seed, node, arr FROM {out}_ext
+      ) GROUP BY seed, node
+    )"""
+
+
+@query(
+    "graph_temporal_reachability",
+    oracle=f"""
+    WITH RECURSIVE tedges AS MATERIALIZED (
+      SELECT user_id % 30 AS src,
+             (user_id * 7 + event_id) % 30 AS dst,
+             epoch_us(ts) AS t
+      FROM events
+      WHERE user_id % 30 != (user_id * 7 + event_id) % 30
+    ),
+    r0 AS (
+      SELECT seed, seed AS node, CAST(-1 AS BIGINT) AS arr
+      FROM (SELECT unnest([0, 1, 2, 3, 4]) AS seed)
+    ),
+    {_treach_step_sql('r0', 'r1')},
+    {_treach_step_sql('r1', 'r2')},
+    {_treach_step_sql('r2', 'r3')}
+    SELECT seed, count(*) AS n_reached,
+           CAST(min(arr) FILTER (arr >= 0) AS BIGINT) AS first_arrival_us,
+           CAST(max(arr) AS BIGINT) AS last_arrival_us
+    FROM r3 GROUP BY seed
+    """,
+)
+def graph_temporal_reachability(spark, sf_dir):
+    """TIME-RESPECTING reachability on a TEMPORAL graph — the
+    contact-tracing / information-diffusion primitive static closure
+    cannot express: v is reachable from seed only through a path
+    whose edge TIMESTAMPS are non-decreasing (you cannot ride an
+    edge that departed before you arrived). Computed as 3 rounds of
+    EARLIEST-ARRIVAL relaxation — extend every known arrival along
+    edges with t >= arrival, take the per-(seed, node) min over old
+    and new — which is temporal Bellman-Ford: each round is one
+    range-predicated hash-join on the static src key (the t >= arr
+    residual rides the equi-join, no BNLJ) + one grouped min.
+    Per-seed census (nodes reached, first/last arrival) keys the
+    output. At 100 TB: the frontier is (seed, node, arr) triples —
+    bounded by seeds × nodes, not by the edge multiset — and the
+    edge table partitions by src once and is reused every round
+    (pin()-able); rounds extend to any horizon exactly like
+    plans/iterate.py fixpoints. Oracle replays the identical
+    relaxation with MATERIALIZED CTEs."""
+    ev = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    tedges = ev.select(
+        (F.col("user_id") % 30).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 30).alias("dst"),
+        F.expr("unix_micros(ts)").alias("t"),
+    ).filter(F.col("src") != F.col("dst"))
+    seeds = spark.range(5).select(F.col("id").alias("seed"))
+    r = seeds.select(
+        "seed", F.col("seed").alias("node"),
+        F.lit(-1).cast("bigint").alias("arr"),
+    )
+    for _ in range(3):
+        ext = (
+            r.join(
+                tedges,
+                (r.node == tedges.src) & (tedges.t >= r.arr),
+            )
+            .groupBy("seed", "dst")
+            .agg(F.min("t").alias("arr"))
+            .select("seed", F.col("dst").alias("node"), "arr")
+        )
+        r = (
+            r.unionByName(ext)
+            .groupBy("seed", "node")
+            .agg(F.min("arr").alias("arr"))
+        )
+    return r.groupBy("seed").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.min(F.when(F.col("arr") >= 0, F.col("arr")))
+         .cast("bigint").alias("first_arrival_us"),
+        F.max("arr").cast("bigint").alias("last_arrival_us"),
+    )

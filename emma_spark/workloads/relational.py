@@ -9921,3 +9921,91 @@ def io_parquet_zstd_roundtrip(spark, sf_dir):
             " AS BIGINT)"
         ).alias("rev_c"),
     )
+
+
+@query(
+    "events_diff_in_diff",
+    oracle="""
+    WITH cut AS (
+      SELECT min(epoch_us(ts)) + 15 * 86400000000 AS t_cut FROM events
+    ),
+    cells AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN epoch_us(ts) >= cut.t_cut THEN 1 ELSE 0 END
+               AS post,
+             count(*) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 1000000
+                  // count(*) AS BIGINT) AS mean_c_ppm
+      FROM events, cut GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN treated = 1 AND post = 0 THEN mean_c_ppm END) AS tp0,
+        max(CASE WHEN treated = 1 AND post = 1 THEN mean_c_ppm END) AS tp1,
+        max(CASE WHEN treated = 0 AND post = 0 THEN mean_c_ppm END) AS cp0,
+        max(CASE WHEN treated = 0 AND post = 1 THEN mean_c_ppm END) AS cp1,
+        CAST(sum(n) AS BIGINT) AS n_total
+      FROM cells
+    )
+    SELECT n_total, tp0 AS treat_pre_ppm, tp1 AS treat_post_ppm,
+           cp0 AS ctrl_pre_ppm, cp1 AS ctrl_post_ppm,
+           (tp1 - tp0) - (cp1 - cp0) AS did_ppm
+    FROM w
+    """,
+)
+def events_diff_in_diff(spark, sf_dir):
+    """DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator
+    for rollouts WITHOUT randomization (feature shipped to a cohort
+    at time T): effect = (treated post − treated pre) − (control
+    post − control pre), which cancels both the permanent group
+    difference and the common time trend, leaving the causal effect
+    under parallel trends. Completes the experimentation family next
+    to the randomized-path tools (events_cuped_adjusted_lift's
+    variance reduction, events_srm_check's validity gate,
+    events_experiment_scorecard): DiD is what you reach for when SRM
+    would be meaningless because assignment was never random.
+    Mechanics: ONE scan into a 2×2 (treated × pre/post) cell agg
+    with exact integer ppm means (sum·10^6 div n), then a 4-cell
+    pivot and pure integer subtraction — the estimator is two
+    shuffles end to end at any scale. The period cut derives from
+    the data's min timestamp (+15 days) so the query is SF-portable."""
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    cut = e.agg(
+        (F.min(F.expr("unix_micros(ts)")) + 15 * 86400000000)
+        .alias("t_cut")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(cut))
+        .groupBy(
+            (F.col("user_id") % 2 == 1).cast("int").alias("treated"),
+            (F.expr("unix_micros(ts)") >= F.col("t_cut"))
+            .cast("int").alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))"
+                " * 1000000 div count(*) AS BIGINT)"
+            ).alias("mean_c_ppm"),
+        )
+    )
+    w = cells.agg(
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 0),
+                     F.col("mean_c_ppm"))).alias("tp0"),
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 1),
+                     F.col("mean_c_ppm"))).alias("tp1"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 0),
+                     F.col("mean_c_ppm"))).alias("cp0"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 1),
+                     F.col("mean_c_ppm"))).alias("cp1"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return w.select(
+        "n_total",
+        F.col("tp0").alias("treat_pre_ppm"),
+        F.col("tp1").alias("treat_post_ppm"),
+        F.col("cp0").alias("ctrl_pre_ppm"),
+        F.col("cp1").alias("ctrl_post_ppm"),
+        ((F.col("tp1") - F.col("tp0")) - (F.col("cp1") - F.col("cp0")))
+        .alias("did_ppm"),
+    )
