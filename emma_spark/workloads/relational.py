@@ -10009,3 +10009,119 @@ def events_diff_in_diff(spark, sf_dir):
         ((F.col("tp1") - F.col("tp0")) - (F.col("cp1") - F.col("cp0")))
         .alias("did_ppm"),
     )
+
+
+@query(
+    "orders_forecast_reconcile",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+               AS mo,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1, 2
+    ),
+    bot AS (
+      SELECT o_orderpriority,
+             CAST(list_reduce(list(rev_c ORDER BY mo),
+                              (acc, x) -> (3 * x + 7 * acc) // 10)
+                  AS BIGINT) AS fc_c
+      FROM m GROUP BY o_orderpriority
+    ),
+    tot_m AS (SELECT mo, sum(rev_c) AS rev_c FROM m GROUP BY mo),
+    top_fc AS (
+      SELECT CAST(list_reduce(list(rev_c ORDER BY mo),
+                              (acc, x) -> (3 * x + 7 * acc) // 10)
+                  AS BIGINT) AS top_c
+      FROM tot_m
+    ),
+    b AS (SELECT sum(fc_c) AS bsum FROM bot),
+    alloc AS (
+      SELECT o_orderpriority, fc_c,
+             CAST(top_c::HUGEINT * fc_c // bsum AS BIGINT) AS q,
+             CAST(top_c::HUGEINT * fc_c % bsum AS HUGEINT) AS rem,
+             top_c
+      FROM bot, top_fc, b
+    ),
+    d AS (SELECT CAST(max(top_c) - sum(q) AS BIGINT) AS deficit FROM alloc),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, o_orderpriority)
+               AS rk
+      FROM alloc
+    )
+    SELECT o_orderpriority, CAST(fc_c AS BIGINT) AS bottom_fc_c,
+           CAST(q AS BIGINT) AS floor_share_c,
+           CAST(q + CASE WHEN rk <= d.deficit THEN 1 ELSE 0 END AS BIGINT)
+             AS reconciled_c,
+           CAST(top_c AS BIGINT) AS top_fc_c
+    FROM ranked, d
+    """,
+)
+def orders_forecast_reconcile(spark, sf_dir):
+    """HIERARCHICAL FORECAST RECONCILIATION (proportional top-down
+    with exact COHERENCE): per-priority SES forecasts and an
+    INDEPENDENTLY-fit total-level SES forecast never sum to each
+    other — a planning system must emit numbers that do. Reconciled
+    share_i = top·bottom_i/Σbottom allocated by the LARGEST-REMAINDER
+    method: integer floor shares plus +1 to the `deficit` rows with
+    the biggest remainders (deterministic remainder-desc, priority
+    tie-break), so Σ reconciled == top EXACTLY — in cents, not
+    approximately (the property float scaling cannot give; same
+    method a seat-apportionment or budget-split job uses; fractional
+    shares in text_mixture_allocation tolerate drift, a financial
+    plan cannot). Mechanics: the two SES folds reuse the bounded
+    month-array recursion (orders_ses_level_fold), allocation is a
+    5-row broadcast arithmetic pass, and the remainder ranking is a
+    window over ≤|priorities| rows — nothing global, nothing
+    data-sized past the month agg. Forecast completes the family:
+    fit (SES/Holt/Croston), backtest, MASE eval, decomposition, and
+    now coherent multi-level publication."""
+    from pyspark.sql import Window
+
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    m = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+         .cast("date").alias("mo"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+         .cast("bigint").alias("rev_c")
+    )
+
+    def ses(df, keys):
+        arr = df.groupBy(*keys).agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(mo, rev_c))), s -> s.rev_c),"
+                " CAST(0 AS BIGINT), (acc, x) -> (3 * x + 7 * acc) div 10)"
+            ).alias("fc_c")
+        )
+        return arr
+
+    bot = ses(m, ["o_orderpriority"])
+    tot_m = m.groupBy("mo").agg(F.sum("rev_c").alias("rev_c"))
+    top = ses(tot_m, []).withColumnRenamed("fc_c", "top_c")
+    b = bot.agg(F.sum("fc_c").alias("bsum"))
+    alloc = bot.crossJoin(F.broadcast(top)).crossJoin(F.broadcast(b)).select(
+        "o_orderpriority", "fc_c", "top_c",
+        F.expr(
+            "CAST(CAST(top_c AS DECIMAL(38,0)) * fc_c div bsum AS BIGINT)"
+        ).alias("q"),
+        F.expr(
+            "CAST(CAST(top_c AS DECIMAL(38,0)) * fc_c % bsum"
+            " AS DECIMAL(38,0))"
+        ).alias("rem"),
+    )
+    d = alloc.agg(
+        (F.max("top_c") - F.sum("q")).cast("bigint").alias("deficit")
+    )
+    w = Window.orderBy(F.desc("rem"), "o_orderpriority")
+    ranked = alloc.withColumn("rk", F.row_number().over(w))
+    return ranked.crossJoin(F.broadcast(d)).select(
+        "o_orderpriority",
+        F.col("fc_c").cast("bigint").alias("bottom_fc_c"),
+        F.col("q").cast("bigint").alias("floor_share_c"),
+        (F.col("q") + F.when(F.col("rk") <= F.col("deficit"), 1)
+         .otherwise(0)).cast("bigint").alias("reconciled_c"),
+        F.col("top_c").cast("bigint").alias("top_fc_c"),
+    )
