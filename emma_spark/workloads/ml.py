@@ -2604,6 +2604,7 @@ def _gbdt_round_sql(data: str, rcol: str, xcol: str, cands: str,
            CAST(m2.mse AS BIGINT), CAST(m3.mse AS BIGINT)
     FROM p2, m2, m3
     """,
+    headline=True,
 )
 def ml_gbdt_residual_boost(spark, sf_dir):
     """GRADIENT BOOSTING (two rounds of regression stumps on squared
