@@ -1828,10 +1828,12 @@ def graph_random_walk_corpus(spark, sf_dir):
     (seed, cur) pairs hash-partitioned by cur against a
     pre-partitioned adjacency — L shuffles for length-L walks,
     independent of walker count."""
+    from ..plans.cache import pin
+
     und = _hash_edges(spark, sf_dir)
-    edges = und.select(F.col("u"), F.col("v").alias("nbr")).unionByName(
+    edges = pin(und.select(F.col("u"), F.col("v").alias("nbr")).unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("nbr"))
-    )
+    ))  # the adjacency is joined once per hop
     nodes = und.select("u").unionByName(
         und.select(F.col("v").alias("u"))
     ).distinct()
@@ -1927,11 +1929,13 @@ def graph_temporal_reachability(spark, sf_dir):
     plans/iterate.py fixpoints. Oracle replays the identical
     relaxation with MATERIALIZED CTEs."""
     ev = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
-    tedges = ev.select(
+    from ..plans.cache import pin
+
+    tedges = pin(ev.select(
         (F.col("user_id") % 30).alias("src"),
         ((F.col("user_id") * 7 + F.col("event_id")) % 30).alias("dst"),
         F.expr("unix_micros(ts)").alias("t"),
-    ).filter(F.col("src") != F.col("dst"))
+    ).filter(F.col("src") != F.col("dst")))  # reused every round
     seeds = spark.range(5).select(F.col("id").alias("seed"))
     r = seeds.select(
         "seed", F.col("seed").alias("node"),

@@ -1799,11 +1799,13 @@ def dedup_semantic_clusters(spark, sf_dir):
         )
         return F.slice(F.array_sort(cands), 1, 1).getField("cid")[0]
 
-    assign = emb.select(
+    from ..plans.cache import pin
+
+    assign = pin(emb.select(
         "vec_id",
         S.as_double(F.col("embedding")).alias("cv"),
         top_cid(S.as_double(F.col("embedding"))).alias("cid"),
-    )
+    ))  # consumed 3x (both join sides + census) — one scan, not three
     l, r = assign.alias("l"), assign.alias("r")
     pairs = (
         l.join(r, (F.col("l.cid") == F.col("r.cid"))
