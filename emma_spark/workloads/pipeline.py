@@ -376,3 +376,211 @@ def pipeline_rag_corpus_prep(spark, sf_dir):
             )
         )
     )
+
+
+_V2_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, n_chars, {SQL_TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, lang, text, n_chars, toks,
+         len(toks) AS n_words,
+         list_sum(list_transform(toks, x -> length(x))) AS n_tok_chars,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+           AS n_alpha_words,
+         length(text) - length(replace(text, '#', ''))
+           + (length(text) - length(replace(text, '...', ''))) // 3
+           AS n_symbols,
+         len(list_filter(['the','a','of','and','to','in','is','it',
+                          'for','on'],
+                         w -> list_contains(toks, w))) AS n_stops
+  FROM t
+),
+pass AS (
+  SELECT doc_id, lang, text, n_chars, toks, n_words, n_stops FROM m
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND n_tok_chars >= 3 * n_words AND n_tok_chars <= 10 * n_words
+    AND n_symbols * 10 <= n_words
+    AND n_alpha_words * 5 >= n_words * 4
+    AND n_stops >= 2
+),
+keep AS (
+  SELECT doc_id, lang, toks, n_words FROM (
+    SELECT doc_id, lang, toks, n_words,
+           row_number() OVER (
+             PARTITION BY {sql_md5_long('text')}
+             ORDER BY n_chars * 1000 + n_stops DESC, doc_id) AS rk
+    FROM pass
+  ) WHERE rk = 1
+),
+bg AS (
+  SELECT DISTINCT doc_id, lang,
+         {sql_md5_long("'dsir|' || b[1] || '|' || b[2]")} % 1024 AS f
+  FROM (
+    SELECT doc_id, lang,
+           unnest([[toks[i], toks[i + 1]] FOR i IN range(1, len(toks))])
+             AS b
+    FROM keep WHERE len(toks) >= 2
+  )
+),
+tgt AS (SELECT f, count(*) AS tgt_cnt FROM bg WHERE lang = 'en' GROUP BY f),
+pool AS (SELECT f, count(*) AS all_cnt FROM bg GROUP BY f),
+aff AS (
+  SELECT bg.doc_id, bg.lang,
+         sum((coalesce(tgt.tgt_cnt, 0) + 1) * 1000000
+             // (pool.all_cnt + 1)) // count(*) AS aff_ppm
+  FROM bg JOIN pool USING (f) LEFT JOIN tgt USING (f)
+  GROUP BY bg.doc_id, bg.lang
+),
+per_lang AS (
+  SELECT k.lang,
+         count(*) AS n_kept,
+         sum(k.n_words) AS n_tokens,
+         sum(a.aff_ppm) // count(*) AS mean_aff_ppm
+  FROM keep k JOIN aff a ON k.doc_id = a.doc_id
+  GROUP BY k.lang
+),
+tot AS (SELECT sum(n_tokens) AS tok_sum FROM per_lang),
+alloc AS (
+  SELECT per_lang.*,
+         CAST(1000000::HUGEINT * n_tokens // tot.tok_sum AS BIGINT) AS q,
+         CAST(1000000::HUGEINT * n_tokens % tot.tok_sum AS HUGEINT)
+           AS rem
+  FROM per_lang, tot
+),
+d AS (SELECT CAST(1000000 - sum(q) AS BIGINT) AS deficit FROM alloc),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM alloc
+)
+SELECT lang, CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(mean_aff_ppm AS BIGINT) AS mean_aff_ppm,
+       CAST(q + CASE WHEN rk <= d.deficit THEN 1 ELSE 0 END AS BIGINT)
+         AS budget_tokens
+FROM ranked, d
+"""
+
+
+@query("pipeline_curation_v2", oracle=_V2_ORACLE)
+def pipeline_curation_v2(spark, sf_dir):
+    """The fourth-continuation ops composed into ONE lazy curation
+    plan — proof the new pieces are pipeline stages, not demo
+    islands: Gopher rule gate (text_gopher_rules' integer
+    cross-multiplied card, applied as a FILTER before anything
+    shuffles) → quality-keeper exact dedup (best surviving copy per
+    content hash — here via the rk=1 window form so the kept doc's
+    PAYLOAD rides along; dedup_quality_keeper's slot-packed argmax
+    is the payload-free census twin) → DSIR hashed-bigram affinity
+    scored ON THE KEPT SET (frequency tables rebuilt post-dedup —
+    scoring pre-dedup would let duplicate crawls vote their own
+    features up) → per-language census with an EXACTLY-COHERENT
+    10^6-token budget split (largest-remainder, as
+    orders_forecast_reconcile: Σ budget_tokens == 1,000,000 in every
+    run, at every SF). Stage order is the cost order: the narrow
+    gate drops rows first, the dedup shuffle sees only survivors,
+    the bigram explode only keepers, and the allocation window runs
+    over ≤|langs| rows. One content-hash shuffle + two bounded
+    feature aggs end to end."""
+    from pyspark.sql import Window
+
+    from ..llm.text import md5_long, tokens as tok
+    from ..plans.cache import pin
+
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    toks = tok(F.col("text"))
+    stops = ("array('the','a','of','and','to','in','is','it',"
+             "'for','on')")
+    m = docs.select(
+        "doc_id", "lang", "text", "n_chars", toks.alias("tk"),
+        F.size(toks).alias("n_words"),
+        F.expr(
+            "aggregate(transform(filter(split(lower(text), '\\\\s+'),"
+            " t -> t != ''), t -> length(t)), 0, (a, x) -> a + x)"
+        ).alias("n_tok_chars"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+         .alias("n_alpha_words"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+            + (F.length("text")
+               - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
+        ).cast("bigint").alias("n_symbols"),
+        F.size(F.filter(F.expr(stops),
+                        lambda w: F.array_contains(toks, w)))
+         .alias("n_stops"),
+    )
+    passed = m.filter(
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+        & (F.col("n_tok_chars") >= 3 * F.col("n_words"))
+        & (F.col("n_tok_chars") <= 10 * F.col("n_words"))
+        & (F.col("n_symbols") * 10 <= F.col("n_words"))
+        & (F.col("n_alpha_words") * 5 >= F.col("n_words") * 4)
+        & (F.col("n_stops") >= 2)
+    )
+    w = Window.partitionBy(md5_long(F.col("text"))).orderBy(
+        F.desc(F.col("n_chars") * 1000 + F.col("n_stops")), "doc_id"
+    )
+    keep = pin(
+        passed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", "tk", "n_words")
+    )
+    bg = keep.filter(F.size("tk") >= 2).select(
+        "doc_id", "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id", "lang",
+        (F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir|"), F.col("b.w1"),
+                               F.lit("|"), F.col("b.w2"))), 1, 14),
+            16, 10,
+        ).cast("bigint") % 1024).alias("f"),
+    ).distinct()
+    bg = pin(bg)
+    tgt = bg.filter(F.col("lang") == "en").groupBy("f").agg(
+        F.count(F.lit(1)).alias("tgt_cnt"))
+    pool = bg.groupBy("f").agg(F.count(F.lit(1)).alias("all_cnt"))
+    aff = (
+        bg.join(F.broadcast(pool), "f")
+        .join(F.broadcast(tgt), "f", "left")
+        .groupBy("doc_id")
+        .agg(F.expr(
+            "sum((coalesce(tgt_cnt, 0) + 1) * 1000000 div (all_cnt + 1))"
+            " div count(*)").alias("aff_ppm"))
+    )
+    per_lang = (
+        keep.join(aff, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_words").alias("n_tokens"),
+            F.expr("sum(aff_ppm) div count(*)").alias("mean_aff_ppm"),
+        )
+    )
+    tot = per_lang.agg(F.sum("n_tokens").alias("tok_sum"))
+    alloc = per_lang.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_tokens div tok_sum"
+            " AS BIGINT)").alias("q"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_tokens % tok_sum"
+            " AS DECIMAL(38,0))").alias("rem"),
+    )
+    d = alloc.agg((F.lit(1000000) - F.sum("q")).cast("bigint")
+                  .alias("deficit"))
+    rw = Window.orderBy(F.desc("rem"), "lang")
+    ranked = alloc.withColumn("rk", F.row_number().over(rw))
+    return ranked.crossJoin(F.broadcast(d)).select(
+        "lang",
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("mean_aff_ppm").cast("bigint").alias("mean_aff_ppm"),
+        (F.col("q") + F.when(F.col("rk") <= F.col("deficit"), 1)
+         .otherwise(0)).cast("bigint").alias("budget_tokens"),
+    )
