@@ -2720,3 +2720,133 @@ def ml_gbdt_residual_boost(spark, sf_dir):
           )
     )
     return row1.unionByName(row2)
+
+
+def _als_half_sql(rat: str, fixed: str, fixed_key: str, out: str,
+                  out_key: str) -> str:
+    """One ALS half-step: solve the rank-1 least squares for every
+    row of `out_key` with the `fixed` factor held constant —
+    u_i = Σ r·v / Σ v² as exact micro-unit integers
+    (N·10^12 // D on HUGEINT; factors live in 1e-6 units)."""
+    return f"""
+    {out} AS (
+      SELECT r.{out_key},
+             CAST(sum(r.qty * f.w)::HUGEINT * 1000000000000
+                  // sum(f.w::HUGEINT * f.w) AS BIGINT) AS w
+      FROM {rat} r JOIN {fixed} f ON r.{fixed_key} = f.{fixed_key}
+      GROUP BY r.{out_key}
+    )"""
+
+
+@query(
+    "ml_als_rank1",
+    oracle=f"""
+    WITH rat AS (
+      SELECT l_suppkey AS s, l_partkey AS p,
+             CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    v0 AS (SELECT DISTINCT p, CAST(1000000 AS BIGINT) AS w FROM rat),
+    {_als_half_sql('rat', 'v0', 'p', 'u1', 's')},
+    {_als_half_sql('rat', 'u1', 's', 'v1', 'p')},
+    {_als_half_sql('rat', 'v1', 'p', 'u2', 's')},
+    {_als_half_sql('rat', 'u2', 's', 'v2', 'p')},
+    pred AS (
+      SELECT r.qty, u2.w AS uw, v2.w AS vw
+      FROM rat r JOIN u2 ON r.s = u2.s JOIN v2 ON r.p = v2.p
+    ),
+    sse AS (
+      SELECT count(*) AS n_cells,
+             CAST(sum(
+               (qty * 1000000 - uw::HUGEINT * vw // 1000000)
+               * (qty * 1000000 - uw::HUGEINT * vw // 1000000)
+             ) // count(*) // 1000000000000 AS BIGINT) AS mse_q
+      FROM pred
+    )
+    SELECT sse.n_cells, sse.mse_q,
+           (SELECT count(*) FROM u2) AS n_users,
+           (SELECT count(*) FROM v2) AS n_items,
+           (SELECT CAST(sum(w) // count(*) AS BIGINT) FROM v2)
+             AS mean_item_factor_u
+    FROM sse
+    """,
+)
+def ml_als_rank1(spark, sf_dir):
+    """ALTERNATING LEAST SQUARES, rank 1 — the collaborative-
+    filtering trainer (Spark MLlib's flagship recommender) as exact
+    dataflow: factorize the supplier×part quantity matrix r ≈ u·vᵀ
+    by alternating closed-form solves, u_i = Σr·v / Σv² with v
+    fixed, then symmetrically v with u fixed — rank 1 makes each
+    solve a pure ratio of two grouped sums, so NO matrix inverse and
+    no float linear algebra; factors live on the 1e-6 integer grid
+    (micro-units, N·10^12 HUGEINT/DECIMAL integral divide, the
+    quantized-Lloyd convention) and every engine reproduces them
+    bit-for-bit. Two full alternations, then the fit report: cell
+    count, quantized MSE of u·vᵀ against the ratings, factor counts,
+    mean item factor. Each half-step is ONE ratings⋈factor hash-join
+    + ONE grouped agg — the factor tables are model-sized (|users|,
+    |items| rows), ratings partition by the join key, and steps
+    chain lazily exactly like the pagerank/kmeans fixpoints. At
+    rank k this generalizes to k×k normal-equation accumulators per
+    group (still joins + aggs); rank 1 keeps the oracle replayable
+    to the last bit."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    rat = li.groupBy(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+    from ..plans.cache import pin
+
+    rat = pin(rat)  # the ratings matrix feeds every half-step
+    v = rat.select("p").distinct().select(
+        "p", F.lit(1000000).cast("bigint").alias("w")
+    )
+
+    def half(fixed, fixed_key, out_key):
+        # pin: factor tables are model-sized, each feeds the next
+        # half-step AND the final report — materializing also keeps
+        # the reused `rat` lineage from being re-analyzed per step
+        return pin(
+            rat.join(fixed, fixed_key)
+            .groupBy(out_key)
+            .agg(
+                F.expr(
+                    "CAST(CAST(sum(qty * w) AS DECIMAL(38,0))"
+                    " * 1000000000000"
+                    " div sum(CAST(w AS DECIMAL(38,0)) * w) AS BIGINT)"
+                ).alias("w")
+            )
+        )
+
+    u = half(v, "p", "s")
+    v = half(u, "s", "p")
+    u = half(v, "p", "s")
+    v = half(u, "s", "p")
+    pred = rat.join(u, "s").join(
+        v.withColumnRenamed("w", "vw"), "p"
+    ).select(
+        "qty", F.col("w").alias("uw"), "vw"
+    )
+    sse = pred.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        # Spark `div` on decimals yields LONG, so the diff must be
+        # re-lifted to DECIMAL before squaring or the sum overflows
+        F.expr(
+            "CAST(sum("
+            " CAST(qty * 1000000 - CAST(uw AS DECIMAL(38,0)) * vw"
+            "      div 1000000 AS DECIMAL(38,0))"
+            " * (qty * 1000000 - CAST(uw AS DECIMAL(38,0)) * vw"
+            "    div 1000000)"
+            ") div count(*) div 1000000000000 AS BIGINT)"
+        ).alias("mse_q"),
+    )
+    nu = u.agg(F.count(F.lit(1)).alias("n_users"))
+    nv = v.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr("CAST(sum(w) div count(*) AS BIGINT)")
+         .alias("mean_item_factor_u"),
+    )
+    return (
+        sse.crossJoin(F.broadcast(nu)).crossJoin(F.broadcast(nv))
+        .select("n_cells", "mse_q", "n_users", "n_items",
+                "mean_item_factor_u")
+    )
