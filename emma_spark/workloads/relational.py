@@ -10125,3 +10125,40 @@ def orders_forecast_reconcile(spark, sf_dir):
          .otherwise(0)).cast("bigint").alias("reconciled_c"),
         F.col("top_c").cast("bigint").alias("top_fc_c"),
     )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT s.s_nationkey AS nation, count(*) AS n,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_c
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def join_shuffle_hash_hint(spark, sf_dir):
+    """JOIN-STRATEGY HINT surface — `hint("shuffle_hash")` forces a
+    ShuffledHashJoin where the planner would default to sort-merge
+    (asserted in tests/test_plans.py): both sides still shuffle on
+    the key, but the smaller side builds a hash table per partition
+    instead of BOTH sides sorting — the right call when one side is
+    much smaller than the other yet too big to broadcast (the
+    fact⋈medium-dim shape here: lineitem ⋈ supplier). This is the
+    third point on the join-strategy dial the repo now pins —
+    broadcast (join_broadcast), sort-merge (every large join), and
+    shuffled-hash — and at 100 TB choosing SHJ over SMJ on a
+    skew-free medium dim saves the dominant sort. The hash match
+    proves the hint changes the PHYSICAL plan only, never the
+    result."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    su = io.read_parquet(spark, f"{sf_dir}/supplier.parquet").df
+    j = li.join(su.hint("shuffle_hash"),
+                li.l_suppkey == su.s_suppkey)
+    return j.groupBy(F.col("s_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("rev_c"),
+    )

@@ -488,3 +488,11 @@ def test_dynamic_partition_pruning_subquery_in_fact_scan(spark, registry):
     df = registry["join_dynamic_partition_pruning"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_shuffle_hash_hint_plans_shj(spark, registry):
+    """hint('shuffle_hash') must produce a ShuffledHashJoin (not the
+    SMJ default, not a broadcast)."""
+    df = registry["join_shuffle_hash_hint"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "ShuffledHashJoin" in plan, plan[:1500]
