@@ -2690,3 +2690,93 @@ def text_langid_confusion(spark, sf_dir):
              .alias("precision_ppm"),
         )
     )
+
+
+@query(
+    "text_collocation_lift",
+    oracle=f"""
+    WITH t AS (
+      SELECT {SQL_TOKS} AS toks FROM documents
+    ), bg AS (
+      SELECT unnest([[toks[i], toks[i + 1]] FOR i IN range(1, len(toks))])
+               AS b
+      FROM t WHERE len(toks) >= 2
+    ), bc AS (
+      SELECT b[1] AS w1, b[2] AS w2, count(*) AS n12
+      FROM bg GROUP BY b[1], b[2]
+    ), uni AS (
+      SELECT w, sum(n) AS nw FROM (
+        SELECT w1 AS w, sum(n12) AS n FROM bc GROUP BY w1
+        UNION ALL
+        SELECT w2 AS w, sum(n12) AS n FROM bc GROUP BY w2
+      ) GROUP BY w
+    ), tot AS (SELECT sum(n12) AS nb FROM bc)
+    SELECT w1, w2, CAST(n12 AS BIGINT) AS n12,
+           CAST(n12::HUGEINT * tot.nb * 1000000
+                // (l.nw::HUGEINT * r.nw) AS BIGINT) AS lift_ppm
+    FROM bc JOIN uni l ON bc.w1 = l.w JOIN uni r ON bc.w2 = r.w
+    CROSS JOIN tot
+    WHERE n12 >= 5
+    ORDER BY CAST(n12::HUGEINT * tot.nb * 1000000
+                  // (l.nw::HUGEINT * r.nw) AS BIGINT) DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_collocation_lift(spark, sf_dir):
+    """COLLOCATION MINING — which word pairs co-occur MORE than their
+    individual frequencies predict (the PMI family, in its exact
+    rational form): lift(w1,w2) = P(w1w2) / (P(w1)·P(w2)) =
+    n12·N / (n1·n2), emitted in integer ppm with the cross-products
+    lifted to HUGEINT/DECIMAL before the single integral divide — so
+    no logarithm is ever taken and both engines rank identically
+    (log PMI is monotone in lift, so the RANKING is exactly PMI's).
+    text_bigram_lm gives the directional conditional P(w2|w1); lift
+    is the symmetric association strength that finds multiword
+    expressions. Unigram marginals come from summing the bigram
+    table itself (positional occurrences), keeping one explode; the
+    marginal joins are plain hash joins — the vocabulary is NOT
+    broadcastable at web scale (10^8+ distinct tokens).
+    Support floor n12 >= 5 (standard collocation practice) kills the
+    noise tail; the top-20 report is TakeOrdered on the lift slot
+    with word tie-breaks — never a global sort of the vocabulary."""
+    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    toks = X.tokens(F.col("text"))
+    n = F.size(toks)
+    pairs = docs.select(toks.alias("tk"), n.alias("n")).filter(F.col("n") >= 2)
+    bg = pairs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.col("n") - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, F.col("n") - 1).alias("w2"),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    from ..plans.cache import pin
+
+    bc = pin(bc)  # feeds marginals, totals, and the final join
+    uni = (
+        bc.groupBy(F.col("w1").alias("w")).agg(F.sum("n12").alias("n"))
+        .unionByName(
+            bc.groupBy(F.col("w2").alias("w")).agg(F.sum("n12").alias("n"))
+        )
+        .groupBy("w")
+        .agg(F.sum("n").alias("nw"))
+    )
+    tot = bc.agg(F.sum("n12").alias("nb"))
+    l = uni.select(F.col("w").alias("w1"), F.col("nw").alias("n1"))
+    r = uni.select(F.col("w").alias("w2"), F.col("nw").alias("n2"))
+    j = (
+        bc.filter(F.col("n12") >= 5)
+        .join(l, "w1")
+        .join(r, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", F.col("n12").cast("bigint").alias("n12"),
+            F.expr(
+                "CAST(CAST(n12 AS DECIMAL(38,0)) * nb * 1000000"
+                " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return j.orderBy(F.desc("lift_ppm"), "w1", "w2").limit(20)
