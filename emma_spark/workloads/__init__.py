@@ -215,7 +215,16 @@ _PRIORITY = [
     # graph_random_walk_corpus (seeded-hash DeepWalk),
     # sql_group_by_all_surface, join_dynamic_partition_pruning
     # (plan-tested DPP), ml_gbdt_residual_boost (2-round boosting),
-    # text_langid_confusion, sql_named_parameters.
+    # text_langid_confusion, sql_named_parameters,
+    # dedup_quality_keeper, io_schema_evolution_merge,
+    # io_parquet_zstd_roundtrip, graph_temporal_reachability,
+    # events_diff_in_diff, orders_forecast_reconcile,
+    # pipeline_curation_v2 (composes the new ops), ml_als_rank1,
+    # join_shuffle_hash_hint (plan-tested SHJ),
+    # text_collocation_lift. All tri-SF green at add time; full
+    # sweeps this continuation: sf0.001 376/376, sf0.01 vanilla
+    # 396/396, sf0.1 397/397 — every queued name stays
+    # window-ready.
     # The whole registry is tri-SF diff-checked (sf0.001 / vanilla
     # sf0.01 / sf0.1); every queued name is ready for any window.
     "stream_watermark_append",
