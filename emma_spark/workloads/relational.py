@@ -10162,3 +10162,124 @@ def join_shuffle_hash_hint(spark, sf_dir):
             " AS BIGINT)"
         ).alias("rev_c"),
     )
+
+
+# Packed-slot constants for the weighted-average costing fold:
+# state = cost_c * 2^20 + on_hand; event = (qty * 2^34 + price_c) * 2
+# + is_issue. Bounds at harness SFs: per-part cost sums < 2^43 so the
+# state stays far under 2^63 (widen the slot to DECIMAL(38,0) past
+# sf1, as the Holt fold does).
+_WAC_H = 1 << 20
+_WAC_P = 1 << 34
+
+
+def _wac_step(acc: str, e: str) -> str:
+    """One costing event applied to the packed state (engine-neutral
+    integer SQL; `//` is substituted per engine): receipts add
+    quantity and cost; issues remove min(qty, on_hand) at the current
+    truncating average cost."""
+    H, P = _WAC_H, _WAC_P
+    hand = f"({acc} % {H})"
+    cost = f"({acc} :DIV: {H})"
+    qty = f"({e} :DIV: {2 * P})"
+    price = f"(({e} :DIV: 2) % {P})"
+    iss = f"(CASE WHEN {qty} < {hand} THEN {qty} ELSE {hand} END)"
+    rel = (f"(CASE WHEN {hand} > 0 THEN {iss} * {cost} :DIV: {hand}"
+           f" ELSE 0 END)")
+    return (
+        f"CASE WHEN {e} % 2 = 1"
+        f" THEN ({cost} - {rel}) * {H} + ({hand} - {iss})"
+        f" ELSE ({cost} + {price}) * {H} + ({hand} + {qty}) END"
+    )
+
+
+@query(
+    "part_wavg_costing",
+    oracle=f"""
+    WITH ev AS (
+      SELECT l_partkey,
+             CAST(l_shipdate AS DATE) AS d, l_orderkey, l_linenumber,
+             (CAST(l_quantity AS BIGINT) * {2 * _WAC_P}
+              + CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 2
+              + CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS e
+      FROM lineitem WHERE l_partkey < 20
+    ),
+    arr AS (
+      SELECT l_partkey,
+             list(e ORDER BY d, l_orderkey, l_linenumber) AS es,
+             count(*)::BIGINT AS n_events,
+             CAST(sum(CASE WHEN e % 2 = 0 THEN (e // 2) % {_WAC_P}
+                      ELSE 0 END) AS BIGINT) AS receipts_cost_c
+      FROM ev GROUP BY l_partkey
+    ),
+    folded AS (
+      SELECT l_partkey, n_events, receipts_cost_c,
+             list_reduce(list_concat([0::BIGINT], es),
+               (acc, e) -> {_wac_step('acc', 'e').replace(':DIV:', '//')})
+               AS r
+      FROM arr
+    )
+    SELECT l_partkey, n_events, receipts_cost_c,
+           CAST(r % {_WAC_H} AS BIGINT) AS ending_on_hand,
+           CAST(r // {_WAC_H} AS BIGINT) AS ending_value_c,
+           CAST(receipts_cost_c - r // {_WAC_H} AS BIGINT) AS cogs_c
+    FROM folded
+    """,
+)
+def part_wavg_costing(spark, sf_dir):
+    """WEIGHTED-AVERAGE inventory COSTING — the ERP valuation
+    recursion (IAS 2's other permitted method next to FIFO): receipts
+    add quantity and cost, issues relieve stock at the CURRENT
+    average unit cost, so the running (on_hand, total_cost) pair is
+    a genuinely sequential state — each issue's cost depends on
+    every prior event, no windowed form exists. Both state variables
+    pack into one BIGINT slot (cost·2²⁰ + on_hand) and each line
+    event into another ((qty·2³⁴ + price)·2 + is_issue), so the
+    whole recursion is ONE list_reduce/aggregate fold over the
+    per-part event array, ordered by (shipdate, orderkey,
+    linenumber) — the packed-fold family's first two-variable
+    FINANCIAL state (joins SES/Holt smoothing, amortization, token
+    bucket, clamped inventory). Issues are clamped to available
+    stock, release cost truncates (iss·cost div hand — identical
+    truncation both engines), and the COGS report is receipts minus
+    ending value, so valuation ties out by construction. One
+    (part)-keyed agg; sequential tail bounded by per-part line
+    counts. Property-tested against a plain Python replay."""
+    li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
+    ev = li.filter(F.col("l_partkey") < 20).select(
+        "l_partkey",
+        F.col("l_shipdate").cast("date").alias("d"),
+        "l_orderkey", "l_linenumber",
+        (
+            F.col("l_quantity").cast("bigint") * (2 * _WAC_P)
+            + F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+              .cast("bigint") * 2
+            + F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("e"),
+    )
+    arr = ev.groupBy("l_partkey").agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "struct(d, l_orderkey, l_linenumber, e))), s -> s.e)"
+        ).alias("es"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr(
+            f"CAST(sum(CASE WHEN e % 2 = 0 THEN (e div 2) % {_WAC_P}"
+            f" ELSE 0 END) AS BIGINT)"
+        ).alias("receipts_cost_c"),
+    )
+    step = _wac_step("acc", "e").replace(":DIV:", "div")
+    folded = arr.select(
+        "l_partkey", "n_events", "receipts_cost_c",
+        F.expr(
+            f"aggregate(es, CAST(0 AS BIGINT), (acc, e) -> {step})"
+        ).alias("r"),
+    )
+    return folded.select(
+        "l_partkey", "n_events", "receipts_cost_c",
+        (F.col("r") % _WAC_H).cast("bigint").alias("ending_on_hand"),
+        F.expr(f"CAST(r div {_WAC_H} AS BIGINT)").alias("ending_value_c"),
+        F.expr(
+            f"CAST(receipts_cost_c - r div {_WAC_H} AS BIGINT)"
+        ).alias("cogs_c"),
+    )

@@ -1029,3 +1029,46 @@ def test_gbdt_round_never_increases_mse(rows):
         (r - (vl if x <= thr else vr)) ** 2 for x, r in rows
     )
     assert sse_after <= sse_before
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 50), st.integers(1, 10**7),
+                  st.booleans()),
+        min_size=0, max_size=80,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_wavg_costing_packed_fold_matches_plain_recursion(events):
+    """part_wavg_costing: the packed-slot fold must equal the plain
+    (on_hand, cost) recursion, state must stay in the slot's range,
+    and valuation must tie out (receipts == cogs + ending value)."""
+    H, P = 1 << 20, 1 << 34
+    # plain recursion
+    hand, cost = 0, 0
+    receipts = 0
+    for qty, price, is_issue in events:
+        if is_issue:
+            iss = min(qty, hand)
+            rel = iss * cost // hand if hand > 0 else 0
+            cost -= rel
+            hand -= iss
+        else:
+            cost += price
+            hand += qty
+            receipts += price
+    # packed fold (the engines' step, replayed)
+    acc = 0
+    for qty, price, is_issue in events:
+        e = (qty * P + price) * 2 + (1 if is_issue else 0)
+        a_hand, a_cost = acc % H, acc // H
+        q, p = e // (2 * P), (e // 2) % P
+        if e % 2 == 1:
+            iss = q if q < a_hand else a_hand
+            rel = iss * a_cost // a_hand if a_hand > 0 else 0
+            acc = (a_cost - rel) * H + (a_hand - iss)
+        else:
+            acc = (a_cost + p) * H + (a_hand + q)
+    assert acc % H == hand and acc // H == cost
+    assert 0 <= hand < H and cost >= 0
+    assert 0 <= cost <= receipts  # issues only RELEASE cost
