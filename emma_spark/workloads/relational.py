@@ -10283,3 +10283,40 @@ def part_wavg_costing(spark, sf_dir):
             f"CAST(receipts_cost_c - r div {_WAC_H} AS BIGINT)"
         ).alias("cogs_c"),
     )
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS max_price_c
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_execute_immediate(spark, sf_dir):
+    """DYNAMIC SQL — `EXECUTE IMMEDIATE` (Spark 4) runs a query held
+    in a STRING with positional `?` parameters bound at execution,
+    the surface a metadata-driven job builder uses when the query
+    text itself is data (stored report definitions, rule tables).
+    Completes the templating triple: inline literals, named-parameter
+    binding (sql_named_parameters), and now fully dynamic text —
+    with the same guarantee, pinned by the hash match against the
+    static oracle: the dynamic path parses, binds, and optimizes to
+    exactly the plan the static query gets. Parameters bind as typed
+    values (not splices), so the injection-safety story carries
+    over."""
+    li = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    li.createOrReplaceTempView("exec_imm_orders")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority, count(*) AS n,
+                CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) AS max_price_c
+         FROM exec_imm_orders WHERE o_orderstatus = ?
+         GROUP BY o_orderpriority'
+        USING 'F'
+        """
+    )
