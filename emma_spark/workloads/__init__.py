@@ -221,7 +221,9 @@ _PRIORITY = [
     # events_diff_in_diff, orders_forecast_reconcile,
     # pipeline_curation_v2 (composes the new ops), ml_als_rank1,
     # join_shuffle_hash_hint (plan-tested SHJ),
-    # text_collocation_lift. All tri-SF green at add time; full
+    # text_collocation_lift, part_wavg_costing (packed 2-var
+    # financial fold), sql_execute_immediate. All tri-SF green at
+    # add time; full
     # sweeps this continuation: sf0.001 376/376, sf0.01 vanilla
     # 396/396, sf0.1 397/397 — every queued name stays
     # window-ready.
