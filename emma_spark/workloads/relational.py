@@ -10320,3 +10320,93 @@ def sql_execute_immediate(spark, sf_dir):
         USING 'F'
         """
     )
+
+
+@query(
+    "events_watermark_lateness_audit",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             max(epoch_us(ts)) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) // 600000000,
+                        CAST(concat('0x', substr(md5('arr|' ||
+                          CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS hwm
+      FROM events
+    ),
+    lat AS (
+      SELECT CASE
+               WHEN hwm IS NULL OR t >= hwm THEN 0
+               ELSE hwm - t END AS late_us
+      FROM seq
+    )
+    SELECT count(*) AS n_events,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           CAST(sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_at_5m,
+           CAST(sum(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_at_15m,
+           CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_at_1h,
+           CAST(max(late_us) AS BIGINT) AS max_late_us
+    FROM lat
+    """,
+)
+def events_watermark_lateness_audit(spark, sf_dir):
+    """WATERMARK SIZING AUDIT — the batch analysis every streaming
+    deployment should run BEFORE picking `withWatermark`'s delay:
+    replay the event log in ARRIVAL order — simulated as 10-minute
+    ingest batches with hash-shuffled order inside each batch, the
+    shape a collector actually delivers (the raw log is already
+    event-time-sorted, so an identity proxy would show zero lateness
+    and audit nothing) — track each key's running event-time
+    high-water mark, and
+    measure how late each out-of-order event arrives behind it. The
+    one-row report counts events that a 5-minute / 15-minute / 1-hour
+    watermark would silently DROP, plus the worst straggler — read
+    it as the completeness-vs-state-size tradeoff curve at three
+    candidate operating points (this corpus's streaming queries use
+    10-30 min delays; the audit shows what those choices cost).
+    Mechanics: one per-key ordered window (partitioned by user —
+    never global), then a single scan-level census; at 100 TB the
+    window runs per key-partition exactly like the sessionizers.
+    Spark's own dropped-row metrics (observe/streaming progress)
+    tell you AFTER the fact; this predicts it from history."""
+    from pyspark.sql import Window
+
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    arr_h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("arr|"), F.col("event_id").cast("string"))),
+            1, 14),
+        16, 10,
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("unix_micros(ts) div 600000000"), arr_h)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        F.expr("unix_micros(ts)").alias("t"),
+        F.max(F.expr("unix_micros(ts)")).over(w).alias("hwm"),
+    )
+    lat = seq.select(
+        F.when(
+            F.col("hwm").isNull() | (F.col("t") >= F.col("hwm")), 0
+        ).otherwise(F.col("hwm") - F.col("t")).alias("late_us")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+         .cast("bigint").alias("n_out_of_order"),
+        F.sum(F.when(F.col("late_us") > 300000000, 1).otherwise(0))
+         .cast("bigint").alias("dropped_at_5m"),
+        F.sum(F.when(F.col("late_us") > 900000000, 1).otherwise(0))
+         .cast("bigint").alias("dropped_at_15m"),
+        F.sum(F.when(F.col("late_us") > 3600000000, 1).otherwise(0))
+         .cast("bigint").alias("dropped_at_1h"),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+    )
