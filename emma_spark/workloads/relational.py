@@ -10410,3 +10410,104 @@ def events_watermark_lateness_audit(spark, sf_dir):
          .cast("bigint").alias("dropped_at_1h"),
         F.max("late_us").cast("bigint").alias("max_late_us"),
     )
+
+
+@query(
+    "events_mta_linear_credit",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS cid, user_id, epoch_us(ts) AS ct,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_c
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS tid, user_id, epoch_us(ts) AS tt, event_type
+      FROM events WHERE event_type != 'purchase'
+    ),
+    tw AS (
+      SELECT c.cid, c.val_c, t.event_type,
+             row_number() OVER (
+               PARTITION BY c.cid ORDER BY t.tt, t.tid) AS rk,
+             count(*) OVER (PARTITION BY c.cid) AS n_touch
+      FROM conv c JOIN touch t
+        ON c.user_id = t.user_id
+       AND t.tt < c.ct AND t.tt >= c.ct - 604800000000
+    ),
+    credited AS (
+      SELECT event_type,
+             val_c // n_touch
+               + CASE WHEN rk <= val_c % n_touch THEN 1 ELSE 0 END
+               AS credit_c
+      FROM tw
+    ),
+    direct AS (
+      SELECT 'direct' AS event_type, val_c AS credit_c
+      FROM conv WHERE cid NOT IN (SELECT DISTINCT cid FROM tw)
+    )
+    SELECT event_type, count(*) AS n_credits,
+           CAST(sum(credit_c) AS BIGINT) AS credit_c
+    FROM (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+    GROUP BY event_type
+    """,
+)
+def events_mta_linear_credit(spark, sf_dir):
+    """MULTI-TOUCH ATTRIBUTION, linear model — every touchpoint in
+    the 7 days before a purchase shares the conversion value EQUALLY,
+    the ad-tech credit model between the two single-touch extremes
+    events_attribution pins (first/last). Exactness is the point:
+    each conversion's cents split as val div n plus +1 cent to the
+    `val mod n` EARLIEST touches (the largest-remainder allocation
+    at per-conversion grain — orders_forecast_reconcile's trick
+    reused row-scale), so Σ credited cents == Σ converted cents TO
+    THE CENT, with converting-but-untouched purchases flowing to a
+    'direct' bucket to keep the books closed. Mechanics: the
+    touch-window join rides the user equi-join with the time range
+    as residual (hash join, no BNLJ), the rank/count windows
+    partition per conversion (bounded by one user's week of events,
+    never global), and the report is one census agg over touch
+    types. This is the revenue-reconciliation property every
+    attribution pipeline is audited on — float credit splits leak
+    cents at warehouse scale."""
+    from pyspark.sql import Window
+
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"),
+        F.expr("unix_micros(ts)").alias("ct"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+         .cast("bigint").alias("val_c"),
+    )
+    touch = e.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("tid"), F.col("user_id").alias("tu"),
+        F.expr("unix_micros(ts)").alias("tt"), "event_type",
+    )
+    tw = conv.join(
+        touch,
+        (F.col("cu") == F.col("tu"))
+        & (F.col("tt") < F.col("ct"))
+        & (F.col("tt") >= F.col("ct") - 604800000000),
+    )
+    wr = Window.partitionBy("cid").orderBy("tt", "tid")
+    wc = Window.partitionBy("cid")
+    credited = tw.select(
+        "cid", "val_c", "event_type",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_touch"),
+    ).select(
+        "event_type",
+        (
+            F.expr("val_c div n_touch")
+            + F.when(F.col("rk") <= F.col("val_c") % F.col("n_touch"), 1)
+               .otherwise(0)
+        ).alias("credit_c"),
+    )
+    direct = conv.join(
+        tw.select("cid").distinct(), "cid", "left_anti"
+    ).select(
+        F.lit("direct").alias("event_type"),
+        F.col("val_c").alias("credit_c"),
+    )
+    return credited.unionByName(direct).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum("credit_c").cast("bigint").alias("credit_c"),
+    )
