@@ -10511,3 +10511,114 @@ def events_mta_linear_credit(spark, sf_dir):
         F.count(F.lit(1)).alias("n_credits"),
         F.sum("credit_c").cast("bigint").alias("credit_c"),
     )
+
+
+@query(
+    "events_mta_time_decay",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS cid, user_id, epoch_us(ts) AS ct,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_c
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS tid, user_id, epoch_us(ts) AS tt, event_type
+      FROM events WHERE event_type != 'purchase'
+    ),
+    tw AS (
+      SELECT c.cid, c.val_c, t.event_type, t.tt, t.tid,
+             (1::BIGINT << CAST(6 - (c.ct - t.tt) // 86400000000 AS INT))
+               AS w
+      FROM conv c JOIN touch t
+        ON c.user_id = t.user_id
+       AND t.tt < c.ct AND t.tt >= c.ct - 604800000000
+    ),
+    ws AS (
+      SELECT cid, val_c, event_type, w,
+             sum(w) OVER (PARTITION BY cid) AS wsum,
+             row_number() OVER (
+               PARTITION BY cid ORDER BY w DESC, tt DESC, tid) AS rk
+      FROM tw
+    ),
+    credited AS (
+      SELECT event_type,
+             CAST(val_c::HUGEINT * w // wsum AS BIGINT)
+               + CASE WHEN rk <= val_c
+                        - CAST(sum(val_c::HUGEINT * w // wsum)
+                               OVER (PARTITION BY cid) AS BIGINT)
+                      THEN 1 ELSE 0 END AS credit_c
+      FROM ws
+    )
+    SELECT event_type, count(*) AS n_credits,
+           CAST(sum(credit_c) AS BIGINT) AS credit_c
+    FROM credited GROUP BY event_type
+    """,
+)
+def events_mta_time_decay(spark, sf_dir):
+    """TIME-DECAY multi-touch attribution — recent touches earn
+    exponentially more credit (half-life 1 day), completing the
+    attribution model family: first/last (events_attribution),
+    linear (events_mta_linear_credit), and now decay. The
+    exponential is EXACT because ages quantize to whole days inside
+    the 7-day window, so the weight is a power of two (1 << (6 -
+    age_days)) — no exp(), no floats — and each conversion's cents
+    allocate by weight share with the largest-remainder residual
+    going to the heaviest-weight touches (weight desc, recency,
+    id tie-break), so Σ credited == Σ floor-shares + residual ==
+    conversion value to the cent per conversion. Same
+    one-hash-join + per-conversion-window shape as the linear
+    model; the weight-share products lift to HUGEINT/DECIMAL before
+    the integral divide. Conversions with no in-window touches keep
+    their value (no row — they are the linear query's 'direct'
+    bucket; the two reports compose)."""
+    from pyspark.sql import Window
+
+    e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"),
+        F.expr("unix_micros(ts)").alias("ct"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+         .cast("bigint").alias("val_c"),
+    )
+    touch = e.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("tid"), F.col("user_id").alias("tu"),
+        F.expr("unix_micros(ts)").alias("tt"), "event_type",
+    )
+    tw = conv.join(
+        touch,
+        (F.col("cu") == F.col("tu"))
+        & (F.col("tt") < F.col("ct"))
+        & (F.col("tt") >= F.col("ct") - 604800000000),
+    ).select(
+        "cid", "val_c", "event_type", "tt", "tid",
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT),"
+            " CAST(6 - (ct - tt) div 86400000000 AS INT))"
+        ).alias("w"),
+    )
+    wsum = Window.partitionBy("cid")
+    wr = Window.partitionBy("cid").orderBy(
+        F.desc("w"), F.desc("tt"), "tid"
+    )
+    ws = tw.select(
+        "cid", "val_c", "event_type", "w",
+        F.sum("w").over(wsum).alias("wsum"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    base = F.expr(
+        "CAST(CAST(val_c AS DECIMAL(38,0)) * w div wsum AS BIGINT)"
+    )
+    credited = ws.select(
+        "event_type", "rk", "val_c",
+        base.alias("b"),
+        F.sum(base).over(wsum).alias("bsum"),
+    ).select(
+        "event_type",
+        (F.col("b") + F.when(
+            F.col("rk") <= F.col("val_c") - F.col("bsum"), 1
+        ).otherwise(0)).alias("credit_c"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum("credit_c").cast("bigint").alias("credit_c"),
+    )
