@@ -10622,3 +10622,64 @@ def events_mta_time_decay(spark, sf_dir):
         F.count(F.lit(1)).alias("n_credits"),
         F.sum("credit_c").cast("bigint").alias("credit_c"),
     )
+
+
+@query(
+    "orders_npv_by_priority",
+    oracle="""
+    WITH yr AS (
+      SELECT o_orderpriority,
+             year(CAST(o_orderdate AS DATE))
+               - (SELECT min(year(CAST(o_orderdate AS DATE))) FROM orders)
+               AS t,
+             CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cf_c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_years,
+           CAST(sum(cf_c) AS BIGINT) AS undiscounted_c,
+           CAST(sum(cf_c::HUGEINT
+                    * CAST(pow(10, t) AS HUGEINT)
+                    // CAST(pow(11, t) AS HUGEINT)) AS BIGINT) AS npv_c
+    FROM yr GROUP BY o_orderpriority
+    """,
+)
+def orders_npv_by_priority(spark, sf_dir):
+    """NET PRESENT VALUE — discounted cash flow with the discount
+    factor as an EXACT RATIONAL: at a 10%% rate, 1/(1.1)^t is
+    (10/11)^t, so each year's cash flow discounts as cf·10^t div
+    11^t — integer powers, one truncating divide per term, no
+    float pow, no compounding drift (the same year-bucket exactness
+    trick as the amortization fold, applied to valuation instead of
+    scheduling). Per priority class: the undiscounted total
+    alongside the NPV, t measured from the corpus's first year
+    (bounded 0..6 here; 11^t fits HUGEINT/DECIMAL far past any
+    realistic horizon — 11^30 < 10^32). One year-bucket hash-agg +
+    one bounded per-class agg; pow(10,t)/pow(11,t) evaluate on
+    INTEGER arguments where both engines are exact (DuckDB pow
+    returns a double, but doubles represent every integer below
+    2^53 exactly and 11^7 = 1.9e7 is nowhere close)."""
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    base_yr = o.agg(
+        F.expr("min(year(CAST(o_orderdate AS DATE)))").alias("y0")
+    )
+    yr = (
+        o.crossJoin(F.broadcast(base_yr))
+        .groupBy(
+            "o_orderpriority",
+            F.expr("year(CAST(o_orderdate AS DATE)) - y0").alias("t"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("bigint").alias("cf_c")
+        )
+    )
+    return yr.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_years"),
+        F.sum("cf_c").cast("bigint").alias("undiscounted_c"),
+        F.expr(
+            "CAST(sum(CAST(cf_c AS DECIMAL(38,0))"
+            " * CAST(pow(10, t) AS DECIMAL(38,0))"
+            " div CAST(pow(11, t) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("npv_c"),
+    )
