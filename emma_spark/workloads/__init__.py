@@ -222,8 +222,10 @@ _PRIORITY = [
     # pipeline_curation_v2 (composes the new ops), ml_als_rank1,
     # join_shuffle_hash_hint (plan-tested SHJ),
     # text_collocation_lift, part_wavg_costing (packed 2-var
-    # financial fold), sql_execute_immediate. All tri-SF green at
-    # add time; full
+    # financial fold), sql_execute_immediate,
+    # events_watermark_lateness_audit, events_mta_linear_credit,
+    # events_mta_time_decay, orders_npv_by_priority. All tri-SF
+    # green at add time; full
     # sweeps this continuation: sf0.001 376/376, sf0.01 vanilla
     # 396/396, sf0.1 397/397 — every queued name stays
     # window-ready.
