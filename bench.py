@@ -110,6 +110,13 @@ def main() -> None:
         sf = None
 
     total = round(sum(timings.values()), 3)
+    # normalized twin of every timing: query_time / calibration_scan —
+    # a dimensionless machine-speed-independent number, so cross-round
+    # and cross-container comparisons stop needing forensic A/Bs
+    # (r5 verdict ask #7). Raw seconds stay the headline metric.
+    norm = (
+        {n: round(t / calib, 2) for n, t in timings.items()} if calib else {}
+    )
     print(
         json.dumps(
             {
@@ -119,6 +126,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "calibration_scan_sec": calib,
+                "queries_normalized": norm,
+                "normalized_total": round(total / calib, 2) if calib else None,
             }
         )
     )

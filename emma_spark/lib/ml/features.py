@@ -19,8 +19,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def tokenize(text: Column, pattern: str = r"\W+", lowercase: bool = True) -> Column:
-    """(``tokenize.scala``) split + drop empties."""
+def tokenize(
+    text: Column, pattern: str = r"[^a-zA-Z0-9_]+", lowercase: bool = True
+) -> Column:
+    """(``tokenize.scala``) split + drop empties. The default pattern is
+    the EXPLICIT spelling of ``\\W+`` — Java and RE2 agree on ASCII
+    ``\\W`` today, but shorthand classes are exactly where engines
+    diverge (the r5 ``\\s`` driver reds), so oracles and engine share
+    one literal class."""
     t = F.lower(text) if lowercase else text
     return F.filter(F.split(t, pattern), lambda x: x != "")
 

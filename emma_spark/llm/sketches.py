@@ -68,7 +68,15 @@ def countmin_build(
     build cost on a heavy-tailed corpus) without changing a single
     cell value."""
     hexh = _md5_hex(F.col(key_col), "cm")
-    wcol = F.col(weight_col) if weight_col else F.lit(1).cast("bigint")
+    # weights must land as non-null BIGINT: double/decimal weights would
+    # silently change countmin_estimate's min() arithmetic type, and an
+    # all-NULL cell would return NULL where the count path returns a
+    # number (ADVICE r5) — cast row-side, coalesce NULL weight to 0
+    wcol = (
+        F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0).cast("bigint"))
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
     pairs = [
         F.struct(
             F.lit(i).alias("row"),

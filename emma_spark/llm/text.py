@@ -19,6 +19,21 @@ from pyspark.sql import functions as F
 
 from ..plans.cache import pin
 
+# THE whitespace contract. Java regex `\s` is `[ \t\n\x0B\f\r]` while
+# DuckDB's RE2 `\s` is `[\t\n\f\r ]` — they disagree on \x0B (and any
+# future engine may disagree on Unicode space). One edge character in
+# one document shifts every downstream token count, so every
+# tokenization in the engine AND every DuckDB oracle splits on this
+# ONE explicit class (the reference's own WordCount uses an explicit
+# pattern for the same reason: emma-examples/.../text/WordCount.scala:26-30).
+# WS_SET is the raw char-class body (backslash escapes left literal so
+# BOTH regex engines interpret them); WS_RE is the bracketed class;
+# WS_RE_EXPR is the double-escaped form for strings that pass through
+# Spark SQL literal parsing (F.expr), which eats one backslash level.
+WS_SET = r" \t\n\x0b\f\r"
+WS_RE = "[" + WS_SET + "]"
+WS_RE_EXPR = WS_RE.replace("\\", "\\\\")
+
 # languages scored by stopword hits; fixed preference order breaks ties
 STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
@@ -36,8 +51,11 @@ def _rd(col: Column, dp: int) -> Column:
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization, lowercased, empty tokens dropped."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    """Whitespace tokenization, lowercased, empty tokens dropped.
+
+    Splits on the explicit ``WS_RE`` class — never ``\\s`` — so Spark
+    and every SQL oracle agree byte-for-byte on token boundaries."""
+    return F.filter(F.split(F.lower(text), WS_RE + "+"), lambda t: t != "")
 
 
 def bpe_ish_tokens(text: Column) -> Column:
@@ -46,7 +64,10 @@ def bpe_ish_tokens(text: Column) -> Column:
     counting; real BPE needs a vocab file — see multimodal.decode for
     the stub pattern)."""
     pieces = F.split(
-        F.regexp_replace(F.lower(text), r"([0-9]+|[^\sa-z0-9]+)", r" $1 "), r"\s+"
+        F.regexp_replace(
+            F.lower(text), "([0-9]+|[^" + WS_SET + "a-z0-9]+)", r" $1 "
+        ),
+        WS_RE + "+",
     )
     return F.filter(pieces, lambda t: t != "")
 
@@ -96,7 +117,7 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     toks = tokens(text)
     n_tok = F.size(toks)
     n_chars = F.length(text)
-    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    punct = F.length(F.regexp_replace(text, "[a-zA-Z0-9" + WS_SET + "]", ""))
     alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
     stop_all = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
     return {
@@ -120,7 +141,7 @@ def md5_long(col: Column, salt: str | None = None) -> Column:
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (stable under reflow), as a bigint."""
-    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(text)), WS_RE + "+", " ")
     return md5_long(norm)
 
 

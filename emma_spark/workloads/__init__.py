@@ -83,68 +83,48 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # Everything past position 50 carries a green driver row from r1-r4 and
 # stays verified by tools/diffcheck.py --vanilla each round.
 _PRIORITY = [
-    # (a) the r4 red: arrays now ','-joined scalars on both engines
-    "array_hof_surface",
-    # (b) never driver-checked (landed after the r4 window froze)
-    "text_pack_sequences", "text_bm25_scores", "text_decontaminate",
-    "text_weighted_sample", "q11_important_parts", "q20_qualified_suppliers",
-    "agg_argmax_surface", "grouping_sets_orders", "fuzzy_name_pairs",
-    "graph_sssp_bounded", "q6_forecast_revenue", "q8_market_share",
-    "q9_profit_by_nation_year", "q10_returned_item_customers",
-    "q14_promo_revenue_share", "q15_top_supplier", "embedding_normalize",
-    "stream_state_ttl_closed",
-    # (c) changed this round: de-globalized windows, pin() rewiring,
-    # NTZ nested normalization touches every parquet read
-    "text_vocab_coverage", "ml_encode_dict_freq", "dedup_minhash_pairs",
-    "dedup_ngram_jaccard", "embedding_neardup", "pipeline_corpus_curation",
-    "zip_with_index_ordered", "ann_ivf_topk", "ann_ivf_trained",
-    # (c') NEW this round (first driver rows): portable HLL, binned
-    # quantile sketch, time-RANGE window, SCD2 history, bigram LM,
-    # embedding centroids, k-core peeling — all dual-SF local-green
-    "sketch_hll_distinct", "sketch_quantile_bins",
-    "window_rolling_30d_revenue", "scd2_status_history", "text_bigram_lm",
-    "embedding_centroids", "graph_kcore", "window_ntile_quartiles",
-    "events_attribution", "dq_profile_orders", "incremental_agg_maintenance",
-    "stream_hll_windowed_distinct", "ml_pca_power_top",
-    # (c'') late r5 additions that fit after swapping unchanged
-    # r4-green keepers out: forward as-of (native-ASOF oracle),
-    # resample+ffill, Bloom-prefiltered join (exercises the resliced
-    # bloom_build), label propagation, the Python UDTF surface
-    "asof_forward_conversion", "events_resample_ffill",
-    "join_bloom_prefilter", "graph_label_propagation",
-    "udtf_expand_props",
-    # (d) keepers: the streaming flagship (io/NTZ path changed this
-    # round) + both sketch probes (hash slicing changed) + the
-    # iterative-graph representative. Everything else carries green
-    # r1-r4 rows and rotates out, still swept by
-    # tools/diffcheck.py --vanilla each round. QUEUED FOR THE R6
-    # WINDOW (never driver-checked; all local-green at sf0.01+sf0.1):
-    # the 6 r5-mid additions (multimodal_chunk_dedup,
-    # scd2_point_in_time_lookup, dq_observed_ingest,
-    # layout_zorder_clustering, text_mixture_allocation,
-    # sketch_quantile_bins_grouped) plus the r5-continuation batch:
-    # q5_local_supplier_volume, dq_drift_snapshots,
-    # events_retention_cohorts, events_anomaly_zscore,
-    # graph_cc_twophase, dedup_paragraph_exact, text_chunk_windows,
-    # text_sparse_cosine_pairs, text_winsorize_p90, ml_knn_classify,
-    # embedding_negative_sample, jsonl_roundtrip_agg,
-    # events_interval_merge, multimodal_shard_plan, text_bigram_score,
-    # stream_cdc_merge_snapshot, graph_jaccard_neighbors,
-    # basket_brand_affinity, dq_join_explosion_audit,
-    # embedding_quantize_int8, text_keyword_scan,
-    # events_heatmap_hour_dow, text_clean_normalize, graph_hits,
-    # events_markov_transitions, ml_decision_stump, orc_roundtrip_agg,
-    # null_semantics_surface, pipeline_incremental_update,
-    # events_user_ltv_decay, orders_lorenz_curve, text_ngram_novelty,
-    # join_asof_nearest, events_sliding_batch_counts,
-    # graph_modularity, ml_auc_exact, text_bpe_apply (r5-late).
-    # Rotation recipe unchanged: reds -> never-checked -> changed ->
-    # keepers; with ~40 queued, r6 and r7 windows are already full.
-    # SECOND-CONTINUATION additions (registry 238 -> 267, all
-    # dual/tri-SF local-green, queued behind the list above):
-    # dedup_prefix_jaccard_exact, dedup_lsh_recall_eval,
-    # orders_rfm_segmentation, text_char_diversity, udf_map_in_arrow,
-    # events_point_in_interval, events_resample_linear, text_pii_scrub,
+    # ---- R6 WINDOW. Recipe unchanged (reds -> never-checked ->
+    # changed -> keepers); registry growth FROZEN this round per the
+    # r5 verdict — every slot below converges verification debt.
+    # (a) the three r5 reds, re-hardened this round: tokenization now
+    # splits on ONE explicit whitespace class on both engines
+    # (llm/text.py WS_RE — Java `\s` and RE2 `\s` disagree on \x0B),
+    # the bigram oracle lost its DuckDB list-comprehension (now
+    # portable list_transform(generate_series)), and the UDTF oracle
+    # extracts bare-key paths with explicit truncation semantics.
+    "text_pack_sequences", "text_bigram_lm", "udtf_expand_props",
+    # (b) hardened with the same driver-red classes this round:
+    # variant coercion now truncates identically cross-engine; the MTA
+    # decay window bound is strict (no shift-by--1 edge, r5 ADVICE)
+    "variant_ops_surface", "events_mta_time_decay",
+    # (c) representatives of the tokenization-contract change (their
+    # values CAN change on driver data with edge whitespace — both
+    # engines must still agree) + oracles rewritten portably
+    "flatmap_wordcount", "text_repetition_quality", "text_decontaminate",
+    "pipeline_rag_corpus_prep",
+    # (d) the r6 queue: never driver-checked, all tri-SF local-green
+    "multimodal_chunk_dedup", "scd2_point_in_time_lookup",
+    "dq_observed_ingest", "layout_zorder_clustering",
+    "text_mixture_allocation", "sketch_quantile_bins_grouped",
+    "q5_local_supplier_volume", "dq_drift_snapshots",
+    "events_retention_cohorts", "events_anomaly_zscore",
+    "graph_cc_twophase", "dedup_paragraph_exact", "text_chunk_windows",
+    "text_sparse_cosine_pairs", "text_winsorize_p90", "ml_knn_classify",
+    "embedding_negative_sample", "jsonl_roundtrip_agg",
+    "events_interval_merge", "multimodal_shard_plan", "text_bigram_score",
+    "stream_cdc_merge_snapshot", "graph_jaccard_neighbors",
+    "basket_brand_affinity", "dq_join_explosion_audit",
+    "embedding_quantize_int8", "text_keyword_scan",
+    "events_heatmap_hour_dow", "text_clean_normalize", "graph_hits",
+    "events_markov_transitions", "ml_decision_stump", "orc_roundtrip_agg",
+    "null_semantics_surface", "pipeline_incremental_update",
+    "events_user_ltv_decay", "orders_lorenz_curve", "text_ngram_novelty",
+    "join_asof_nearest", "events_sliding_batch_counts", "graph_modularity",
+    # R7 QUEUE (next never-checked batch, in rotation order):
+    # ml_auc_exact, text_bpe_apply, dedup_prefix_jaccard_exact,
+    # dedup_lsh_recall_eval, orders_rfm_segmentation,
+    # text_char_diversity, udf_map_in_arrow, events_point_in_interval,
+    # events_resample_linear, text_pii_scrub,
     # stream_stream_left_outer_join, ml_gridsearch_ridge,
     # ml_target_encoding_loo, events_changepoint_cusum,
     # sql_lateral_topk, pipeline_dpo_pairs, orders_survival_hazard,
@@ -153,87 +133,13 @@ _PRIORITY = [
     # graph_ppr_seed, events_conversion_delay, orders_price_volume_mix,
     # text_span_corruption_plan, ann_recall_eval,
     # window_value_range_band, graph_assortativity, ml_learning_curve,
-    # events_gap_histogram, stream_chained_window_aggs; wave 3:
+    # events_gap_histogram, stream_chained_window_aggs,
     # pyds_custom_source_agg, pyds_stream_source_counts,
     # pyds_stream_sink_roundtrip, csv_gzip_read_agg,
     # pipeline_split_leakage_audit, events_bitmap_dau,
     # events_rolling_wau_bitmap, text_tokenizer_fertility,
-    # events_burst_viterbi, lineitem_ship_latency,
-    # orders_price_drift_chi2, text_pair_lcs_similarity,
-    # graph_scc_closure, ml_pinball_quantile_eval, part_abc_xyz_matrix,
-    # lineitem_returns_pchart, text_length_outliers_mad,
-    # ml_grouped_ols_slopes, embedding_dim_variance_audit,
-    # pipeline_dataset_fingerprint, orders_seasonal_mase_eval,
-    # sketch_cms_merge_rollup, orders_benford_audit,
-    # events_daily_autocorr, multimodal_scene_cuts; wave 4:
-    # text_mattr_diversity, orders_weekday_anova, orders_jarque_bera,
-    # ml_bootstrap_ci_poisson, events_conformance_score,
-    # orders_fiscal_445_rollup, text_hapax_ratio,
-    # io_wholetext_documents, stream_two_source_union,
-    # dedup_lsh_bucket_stats, sample_topk_per_group_hash,
-    # events_slo_burn_rate, text_char_coverage_vocab,
-    # events_cumulative_unique_users, lineitem_skyline_price_qty,
-    # graph_ktruss, orders_ks_drift, orders_progressive_fee_bands.
-    # THIRD-CONTINUATION additions (registry 312 -> 337, all tri-SF
-    # local-green, queued behind the lists above): geo_radius_join,
-    # geo_tile_rollup, geo_nearest_facility, dq_k_anonymity,
-    # events_srm_check, layout_zone_map_pruning,
-    # dedup_containment_pairs, events_interval_overlap_join,
-    # ml_kmeans_elbow, ml_nearest_centroid_confusion, search_mrr_eval,
-    # graph_copurchase_projection, dedup_substring_coverage,
-    # stream_windowed_topk_users, orders_holt_trend_fold,
-    # ml_isotonic_calibration, parquet_partitioned_roundtrip,
-    # text_quality_classifier_hashed, embedding_random_projection,
-    # udf_grouped_agg_median, sketch_kmv_audience_overlap,
-    # dq_freshness_completeness, part_croston_intermittent,
-    # graph_greedy_matching, orders_forecast_backtest,
-    # part_inventory_simulation, pipeline_curation_funnel,
-    # events_alert_debounce, multimodal_phash_neardup,
-    # orders_rolling_median_7d, window_first_last_nth_surface,
-    # agg_mode_exact, embedding_corr_matrix, events_bounce_rate,
-    # graph_degree_distribution, orders_seasonal_decompose,
-    # graph_clustering_coefficient, orders_segment_migration,
-    # stream_scd2_temporal_enrich, events_power_analysis_mde,
-    # dedup_similarity_histogram, ml_cohens_kappa,
-    # events_dispersion_index, dedup_winnowing_fingerprints,
-    # orders_percent_of_total, supplier_herfindahl_index,
-    # orders_revenue_streaks, dedup_boilerplate_lines,
-    # graph_reciprocity, part_hierarchy_rollup,
-    # text_source_vocab_overlap, rollup_grouping_id_surface,
-    # geo_dbscan_clusters, ann_ivf_pq_topk,
-    # ml_feature_hash_collision_audit, pipeline_rag_corpus_prep,
-    # geo_kde_heat_grid, udtf_table_argument,
-    # orders_loan_amortization, events_token_bucket_sim,
-    # events_experiment_scorecard, csv_multiline_roundtrip,
-    # json_array_file_read, search_mmr_diversify; fourth
-    # continuation: sql_recursive_cte_walk (Spark-native WITH
-    # RECURSIVE), sql_pipe_syntax_pricing (Spark 4 |> operators),
-    # dedup_semantic_clusters (SemDeDup), io_binaryfile_ingest,
-    # ml_lift_gains_bands, search_ndcg_eval (literal discount table),
-    # text_dsir_affinity (hashed-feature importance),
-    # sketch_hll_merge_rollup, text_gopher_rules,
-    # graph_random_walk_corpus (seeded-hash DeepWalk),
-    # sql_group_by_all_surface, join_dynamic_partition_pruning
-    # (plan-tested DPP), ml_gbdt_residual_boost (2-round boosting),
-    # text_langid_confusion, sql_named_parameters,
-    # dedup_quality_keeper, io_schema_evolution_merge,
-    # io_parquet_zstd_roundtrip, graph_temporal_reachability,
-    # events_diff_in_diff, orders_forecast_reconcile,
-    # pipeline_curation_v2 (composes the new ops), ml_als_rank1,
-    # join_shuffle_hash_hint (plan-tested SHJ),
-    # text_collocation_lift, part_wavg_costing (packed 2-var
-    # financial fold), sql_execute_immediate,
-    # events_watermark_lateness_audit, events_mta_linear_credit,
-    # events_mta_time_decay, orders_npv_by_priority. All tri-SF
-    # green at add time; full
-    # sweeps this continuation: sf0.001 376/376, sf0.01 vanilla
-    # 396/396, sf0.1 397/397 — every queued name stays
-    # window-ready.
-    # The whole registry is tri-SF diff-checked (sf0.001 / vanilla
-    # sf0.01 / sf0.1); every queued name is ready for any window.
-    "stream_watermark_append",
-    "sketch_countmin_tokens", "sketch_bloom_membership",
-    "graph_pagerank",
+    # events_burst_viterbi, lineitem_ship_latency — then the wave-3/4
+    # and continuation lists below in their original order.
 ]
 
 

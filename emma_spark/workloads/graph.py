@@ -217,6 +217,10 @@ def _pagerank_iter_sql(prev: str, out: str) -> str:
 
 @query(
     "graph_pagerank",
+    # bench headliner since r6 (verdict ask #8): the iterative-fixpoint
+    # representative — measures driver-loop + auto-cache overhead per
+    # round, the reference's signature execution pattern
+    headline=True,
     oracle=f"""
     WITH pr_nodes AS (SELECT n_nationkey AS id FROM nation),
     pr_edges AS (

@@ -10,6 +10,7 @@ from ..llm import pipeline as P
 from ..sources import io
 from . import query
 from .dedup import _sig_sql
+from ..llm.text import WS_RE, WS_RE_EXPR
 from .text import SQL_TOKS, sql_md5_long
 
 _ORACLE = f"""
@@ -57,7 +58,7 @@ def pipeline_corpus_curation(spark, sf_dir):
     return P.corpus_stats(curated, by="lang")
 
 
-_FP = sql_md5_long(r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')")
+_FP = sql_md5_long(f"regexp_replace(trim(lower(text)), '{WS_RE}+', ' ', 'g')")
 
 _INC_ORACLE = f"""
 WITH corpus AS (
@@ -283,7 +284,7 @@ ex AS (
 ),
 toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
                      t -> t != '') AS tk
   FROM ex
 ),
@@ -418,7 +419,7 @@ bg AS (
          {sql_md5_long("'dsir|' || b[1] || '|' || b[2]")} % 1024 AS f
   FROM (
     SELECT doc_id, lang,
-           unnest([[toks[i], toks[i + 1]] FOR i IN range(1, len(toks))])
+           unnest(list_transform(generate_series(1, (len(toks)) - 1), i -> [toks[i], toks[i + 1]]))
              AS b
     FROM keep WHERE len(toks) >= 2
   )
@@ -494,7 +495,7 @@ def pipeline_curation_v2(spark, sf_dir):
         "doc_id", "lang", "text", "n_chars", toks.alias("tk"),
         F.size(toks).alias("n_words"),
         F.expr(
-            "aggregate(transform(filter(split(lower(text), '\\\\s+'),"
+            f"aggregate(transform(filter(split(lower(text), '{WS_RE_EXPR}+'),"
             " t -> t != ''), t -> length(t)), 0, (a, x) -> a + x)"
         ).alias("n_tok_chars"),
         F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))

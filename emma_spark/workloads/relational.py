@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core import DataBag
+from ..llm.text import WS_RE
 from ..functions import alg
 from ..sources import io
 from . import qsum, qsum_sql, query, rd, rd_sql
@@ -71,9 +72,9 @@ def filter_pushdown(spark, sf_dir):
 
 @query(
     "flatmap_wordcount",
-    oracle="""
+    oracle=f"""
     SELECT word, count(*) AS n FROM (
-      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+      SELECT unnest(regexp_split_to_array(lower(text), '{WS_RE}+')) AS word
       FROM documents
     ) WHERE word != '' GROUP BY word
     """,
@@ -86,7 +87,7 @@ def flatmap_wordcount(spark, sf_dir):
     tiny regardless of corpus size."""
     docs = T(spark, sf_dir, "documents")["documents"]
     return (
-        docs.flat_map(lambda x: F.split(F.lower(x.text), r"\s+"))
+        docs.flat_map(lambda x: F.split(F.lower(x.text), WS_RE + "+"))
         .filter(lambda x: x.value != "")
         .group_by(lambda x: {"word": x.value})
         .agg(alg.Size(name="n"))
@@ -1589,7 +1590,7 @@ def unpivot_quantities(spark, sf_dir):
     )
     SELECT o_orderkey,
            json_extract_string(doc, '$.status') AS status,
-           CAST(json_extract(doc, '$.price') AS BIGINT) AS price_cents
+           CAST(json_extract_string(doc, '$.price') AS BIGINT) AS price_cents
     FROM j
     """,
 )
@@ -3393,12 +3394,31 @@ def layout_zorder_clustering(spark, sf_dir):
 
 @query(
     "udtf_expand_props",
+    # Portability contract (r5 driver red, hardened r6): the oracle
+    # extracts with a BARE-KEY path (json_extract_string(j, k) treats a
+    # non-$ path as one literal key — no '$.' || k concat, which breaks
+    # on keys containing '.' or quotes), and numeric coercion is
+    # TRUNCATION toward zero on both engines: integer-literal strings
+    # cast directly (no double round-trip precision loss), anything
+    # else goes through TRY_CAST(DOUBLE) + trunc (NULL when
+    # non-numeric, e.g. JSON bools/strings) — exactly what the UDTF's
+    # eval() replicates row for row. CAST(json AS BIGINT) is banned:
+    # DuckDB ROUNDS there while Python int() truncates.
     oracle="""
-    SELECT t.k AS prop_key, count(*) AS n,
-           sum(CAST(json_extract(e.props, '$.' || t.k) AS BIGINT)) AS total
-    FROM events e, unnest(json_keys(e.props)) AS t(k)
-    WHERE e.event_id % 101 = 0
-    GROUP BY t.k
+    WITH kv AS (
+      SELECT t.k AS prop_key,
+             json_extract_string(e.props, t.k) AS s
+      FROM events e, unnest(json_keys(e.props)) AS t(k)
+      WHERE e.event_id % 101 = 0
+    )
+    SELECT prop_key, count(*) AS n,
+           CAST(sum(CASE
+             WHEN s IS NULL THEN NULL
+             WHEN regexp_matches(s, '^-?[0-9]+$') THEN CAST(s AS BIGINT)
+             ELSE TRY_CAST(trunc(TRY_CAST(s AS DOUBLE)) AS BIGINT)
+           END) AS BIGINT) AS total
+    FROM kv
+    GROUP BY prop_key
     """,
 )
 def udtf_expand_props(spark, sf_dir):
@@ -3415,6 +3435,7 @@ def udtf_expand_props(spark, sf_dir):
     The per-key counts aggregate AFTER the expansion — expansion is
     narrow, the single shuffle is the aggregation."""
     import json
+    import re as _re
     import uuid as _uuid
 
     from pyspark.sql.functions import udtf
@@ -3423,11 +3444,31 @@ def udtf_expand_props(spark, sf_dir):
 
     @udtf(returnType="prop_key string, prop_val bigint")
     class ExpandProps:
+        # mirrors the oracle's coercion EXACTLY: ints pass through,
+        # numeric strings/floats truncate toward zero (int() == trunc),
+        # bools/None/non-numerics become NULL — never int(v) alone,
+        # whose float path truncates while CAST(json AS BIGINT) rounds
+        @staticmethod
+        def _to_long(v):
+            if v is None or isinstance(v, bool):
+                return None
+            if isinstance(v, int):
+                return v
+            if isinstance(v, float):
+                return int(v)
+            s = str(v).strip()
+            if _re.fullmatch(r"-?[0-9]+", s):
+                return int(s)
+            try:
+                return int(float(s))
+            except (ValueError, OverflowError):
+                return None
+
         def eval(self, props: str):
             if not props:
                 return
             for k, v in json.loads(props).items():
-                yield k, int(v)
+                yield k, self._to_long(v)
 
     fname = f"expand_props_{_uuid.uuid4().hex[:8]}"
     spark.udtf.register(fname, ExpandProps)
@@ -4402,15 +4443,39 @@ def parquet_schema_evolution(spark, sf_dir):
 
 @query(
     "variant_ops_surface",
+    # The oracle replays Spark's try_variant_get(..., 'bigint')
+    # coercion EXACTLY, branching on the JSON value type: numbers
+    # TRUNCATE toward zero (never CAST(json AS BIGINT), which rounds in
+    # DuckDB), booleans map to 1/0, strings convert only when they are
+    # integer literals (Spark nulls "9.5"), everything else is NULL.
+    # Hardened r6 with the udtf_expand_props driver-red class.
     oracle="""
+    WITH kv AS (
+      SELECT event_type,
+             json_extract_string(props, '$.k') AS s,
+             json_type(props, '$.k') AS t,
+             json_extract(props, '$.missing') AS miss
+      FROM events WHERE event_id % 13 = 0
+    ), coerced AS (
+      SELECT event_type, miss,
+             CASE t
+               WHEN 'BOOLEAN' THEN CASE s WHEN 'true' THEN 1 ELSE 0 END
+               WHEN 'BIGINT'  THEN CAST(s AS BIGINT)
+               WHEN 'UBIGINT' THEN TRY_CAST(s AS BIGINT)
+               WHEN 'DOUBLE'  THEN TRY_CAST(trunc(CAST(s AS DOUBLE)) AS BIGINT)
+               WHEN 'VARCHAR' THEN CASE
+                 WHEN regexp_matches(trim(s), '^[+-]?[0-9]+$')
+                   THEN TRY_CAST(trim(s) AS BIGINT) ELSE NULL END
+               ELSE NULL
+             END AS k
+      FROM kv
+    )
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-             AS k_sum,
-           count(*) FILTER (json_extract(props, '$.missing') IS NULL)
-             AS n_missing,
-           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
-    FROM events WHERE event_id % 13 = 0
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           count(*) FILTER (miss IS NULL) AS n_missing,
+           max(k) AS k_max
+    FROM coerced
     GROUP BY event_type
     """,
 )
@@ -10431,7 +10496,7 @@ def events_watermark_lateness_audit(spark, sf_dir):
              count(*) OVER (PARTITION BY c.cid) AS n_touch
       FROM conv c JOIN touch t
         ON c.user_id = t.user_id
-       AND t.tt < c.ct AND t.tt >= c.ct - 604800000000
+       AND t.tt < c.ct AND t.tt > c.ct - 604800000000
     ),
     credited AS (
       SELECT event_type,
@@ -10485,7 +10550,7 @@ def events_mta_linear_credit(spark, sf_dir):
         touch,
         (F.col("cu") == F.col("tu"))
         & (F.col("tt") < F.col("ct"))
-        & (F.col("tt") >= F.col("ct") - 604800000000),
+        & (F.col("tt") > F.col("ct") - 604800000000),
     )
     wr = Window.partitionBy("cid").orderBy("tt", "tid")
     wc = Window.partitionBy("cid")
@@ -10531,7 +10596,7 @@ def events_mta_linear_credit(spark, sf_dir):
                AS w
       FROM conv c JOIN touch t
         ON c.user_id = t.user_id
-       AND t.tt < c.ct AND t.tt >= c.ct - 604800000000
+       AND t.tt < c.ct AND t.tt > c.ct - 604800000000
     ),
     ws AS (
       SELECT cid, val_c, event_type, w,
@@ -10588,7 +10653,7 @@ def events_mta_time_decay(spark, sf_dir):
         touch,
         (F.col("cu") == F.col("tu"))
         & (F.col("tt") < F.col("ct"))
-        & (F.col("tt") >= F.col("ct") - 604800000000),
+        & (F.col("tt") > F.col("ct") - 604800000000),
     ).select(
         "cid", "val_c", "event_type", "tt", "tid",
         F.expr(

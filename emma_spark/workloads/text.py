@@ -7,11 +7,16 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..llm import text as X
+from ..llm.text import WS_RE, WS_RE_EXPR, WS_SET
 from ..sources import io
 from . import query
 
-# SQL fragment: lowercased whitespace tokens, empties dropped
-SQL_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')"
+# SQL fragment: lowercased whitespace tokens, empties dropped.
+# Splits on the explicit WS_RE class (llm/text.py) — never `\s`, whose
+# membership differs between Java regex and DuckDB's RE2.
+SQL_TOKS = (
+    f"list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'), t -> t != '')"
+)
 # SQL fragment: md5 -> 56-bit bigint
 def sql_md5_long(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 14)) AS BIGINT)"
@@ -38,7 +43,7 @@ def text_token_count(spark, sf_dir):
            CASE WHEN len({SQL_TOKS}) > 0
                 THEN floor(length(text)::DOUBLE / len({SQL_TOKS}) * 10000 + 0.5) / 10000
                 ELSE 0.0 END AS avg_token_len,
-           floor(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE
+           floor(length(regexp_replace(text, '[a-zA-Z0-9{WS_SET}]', '', 'g'))::DOUBLE
                  / greatest(length(text), 1) * 1000000 + 0.5) / 1000000 AS punct_ratio,
            floor(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
                  / greatest(length(text), 1) * 1000000 + 0.5) / 1000000 AS alpha_ratio,
@@ -83,7 +88,7 @@ def text_lang_id(spark, sf_dir):
     return docs.select("doc_id", X.lang_id(F.col("text")).alias("lang_guess"))
 
 
-_FP_NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+_FP_NORM = f"regexp_replace(trim(lower(text)), '{WS_RE}+', ' ', 'g')"
 
 
 @query(
@@ -212,14 +217,12 @@ def text_vocab_coverage(spark, sf_dir):
     ), g AS (
       SELECT doc_id, len(toks) AS n,
              len(list_distinct(toks)) AS nd,
-             list_sort([toks[i] || ' ' || toks[i+1]
-                        FOR i IN range(1, len(toks))]) AS sg
+             list_sort(list_transform(generate_series(1, (len(toks)) - 1), i -> toks[i] || ' ' || toks[i+1])) AS sg
       FROM t
     ), d AS (
       SELECT doc_id, n, nd, len(sg) AS ng,
              CASE WHEN len(sg) > 1 THEN
-               list_sum([CASE WHEN sg[i] = sg[i+1] THEN 1 ELSE 0 END
-                         FOR i IN range(1, len(sg))])
+               list_sum(list_transform(generate_series(1, (len(sg)) - 1), i -> CASE WHEN sg[i] = sg[i+1] THEN 1 ELSE 0 END))
              ELSE 0 END AS ndup
       FROM g
     )
@@ -420,8 +423,7 @@ def text_bm25_scores(spark, sf_dir):
       SELECT doc_id, {SQL_TOKS} AS tk FROM documents
     ), grams AS (
       SELECT doc_id,
-             unnest([array_to_string(tk[i:i+2], ' ')
-                     FOR i IN range(1, len(tk) - 1)]) AS g
+             unnest(list_transform(generate_series(1, (len(tk) - 1) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS g
       FROM toks WHERE len(tk) >= 3
     ), bench AS (
       SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
@@ -510,7 +512,7 @@ def text_weighted_sample(spark, sf_dir):
     WITH t AS (
       SELECT {SQL_TOKS} AS toks FROM documents
     ), bg AS (
-      SELECT unnest([[toks[i], toks[i + 1]] FOR i IN range(1, len(toks))]) AS b
+      SELECT unnest(list_transform(generate_series(1, (len(toks)) - 1), i -> [toks[i], toks[i + 1]])) AS b
       FROM t WHERE len(toks) >= 2
     ), cnts AS (
       SELECT b[1] AS w1, b[2] AS w2, count(*) AS cnt
@@ -636,7 +638,7 @@ def _bpe_sql(n_merges: int = _BPE_MERGES) -> str:
       FROM w{p}
     ), pc{k} AS (
       SELECT b[1] AS l, b[2] AS r, sum(n) AS cnt FROM (
-        SELECT n, unnest([[tk[i], tk[i + 1]] FOR i IN range(1, len(tk))]) AS b
+        SELECT n, unnest(list_transform(generate_series(1, (len(tk)) - 1), i -> [tk[i], tk[i + 1]])) AS b
         FROM t{k} WHERE len(tk) >= 2
       ) GROUP BY b[1], b[2]
     ), b{k} AS (
@@ -968,7 +970,7 @@ def text_winsorize_p90(spark, sf_dir):
       SELECT doc_id, {SQL_TOKS} AS toks FROM documents
     ), bg AS (
       SELECT doc_id,
-             unnest([[toks[i], toks[i + 1]] FOR i IN range(1, len(toks))]) AS b
+             unnest(list_transform(generate_series(1, (len(toks)) - 1), i -> [toks[i], toks[i + 1]])) AS b
       FROM t WHERE len(toks) >= 2
     ), db AS (
       SELECT doc_id, b[1] AS w1, b[2] AS w2, count(*) AS m
@@ -1293,7 +1295,7 @@ def text_rouge1_recall(spark, sf_dir):
              {sql_md5_long("b[1] || ' ' || b[2]")} % 64 AS bucket
       FROM (
         SELECT doc_id, lang,
-               unnest([[toks[i], toks[i + 1]] FOR i IN range(1, len(toks))])
+               unnest(list_transform(generate_series(1, (len(toks)) - 1), i -> [toks[i], toks[i + 1]]))
                  AS b
         FROM t WHERE len(toks) >= 2
       )
@@ -1552,8 +1554,7 @@ def _bf_decon_pos(j_expr: str, key_expr: str) -> str:
     ),
     grams AS (
       SELECT doc_id, source,
-             unnest([array_to_string(tk[i:i+2], ' ')
-                     FOR i IN range(1, len(tk) - 1)]) AS g
+             unnest(list_transform(generate_series(1, (len(tk) - 1) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS g
       FROM toks WHERE len(tk) >= 3
     ),
     js AS (SELECT unnest([0, 1, 2]) AS j),
@@ -1911,8 +1912,8 @@ def text_span_corruption_plan(spark, sf_dir):
 
 
 SQL_BPE_TOKS = (
-    r"list_filter(regexp_split_to_array(regexp_replace(lower(text), "
-    r"'([0-9]+|[^\sa-z0-9]+)', ' \1 ', 'g'), '\s+'), t -> t != '')"
+    "list_filter(regexp_split_to_array(regexp_replace(lower(text), "
+    rf"'([0-9]+|[^{WS_SET}a-z0-9]+)', ' \1 ', 'g'), '{WS_RE}+'), t -> t != '')"
 )
 
 
@@ -2014,7 +2015,9 @@ def text_pair_lcs_similarity(spark, sf_dir):
     At scale this runs per CANDIDATE PAIR (bounded by blocking),
     never all pairs; cost is capped by the token window."""
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
-    toks40 = lambda: F.expr("slice(filter(split(lower(text), '\\\\s+'), t -> t != ''), 1, 40)")
+    toks40 = lambda: F.expr(
+        f"slice(filter(split(lower(text), '{WS_RE_EXPR}+'), t -> t != ''), 1, 40)"
+    )
     a = docs.filter(F.col("doc_id") % 34 == 0).select(
         F.expr("doc_id div 34").alias("pid"), toks40().alias("ta"))
     b = docs.filter(F.col("doc_id") % 34 == 17).select(
@@ -2432,7 +2435,7 @@ def text_source_vocab_overlap(spark, sf_dir):
              {sql_md5_long("'dsir|' || b[1] || '|' || b[2]")} % 1024 AS f
       FROM (
         SELECT doc_id, lang,
-               unnest([[toks[i], toks[i + 1]] FOR i IN range(1, len(toks))])
+               unnest(list_transform(generate_series(1, (len(toks)) - 1), i -> [toks[i], toks[i + 1]]))
                  AS b
         FROM t WHERE len(toks) >= 2
       )
@@ -2591,7 +2594,7 @@ def text_gopher_rules(spark, sf_dir):
         "lang",
         F.size(toks).alias("n_words"),
         F.expr(
-            "aggregate(transform(filter(split(lower(text), '\\\\s+'),"
+            f"aggregate(transform(filter(split(lower(text), '{WS_RE_EXPR}+'),"
             " t -> t != ''), t -> length(t)), 0, (a, x) -> a + x)"
         ).alias("n_tok_chars"),
         F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
@@ -2698,7 +2701,7 @@ def text_langid_confusion(spark, sf_dir):
     WITH t AS (
       SELECT {SQL_TOKS} AS toks FROM documents
     ), bg AS (
-      SELECT unnest([[toks[i], toks[i + 1]] FOR i IN range(1, len(toks))])
+      SELECT unnest(list_transform(generate_series(1, (len(toks)) - 1), i -> [toks[i], toks[i + 1]]))
                AS b
       FROM t WHERE len(toks) >= 2
     ), bc AS (

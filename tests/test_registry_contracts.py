@@ -1,0 +1,98 @@
+"""Registry-wide driver-contract guards.
+
+Two hazard classes the per-query differential CANNOT catch locally:
+
+1. Version-sensitive oracle constructs (the r5 driver reds): local
+   DuckDB accepts them, the driver's engine/data disagrees. Guarded by
+   tools/oraclelint.py, run here so a new query can't merge dirty.
+2. Complex-typed output columns (the r4 ``array_hof_surface`` red):
+   the driver's pandas canonicalizer mangles array/map/struct cells, so
+   every registry query must serialize them to scalars (joined strings
+   / JSON) before returning. Guarded by walking every query's SCHEMA
+   (plan-only where possible) at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def test_oracle_lint_clean():
+    from tools.oraclelint import lint_oracles
+
+    problems = lint_oracles()
+    assert not problems, "\n".join(problems)
+
+
+def test_whitespace_tokenization_contract(spark, tmp_path):
+    """The r5 driver-red mechanism, reproduced and guarded: Java `\\s`
+    includes \\x0B, DuckDB RE2 `\\s` does not, so documents containing
+    edge whitespace tokenized differently per engine. The explicit
+    WS_RE class must agree byte-for-byte on data the testdata corpus
+    cannot provide (it contains only plain spaces)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from emma_spark.llm.text import tokens
+    from emma_spark.workloads.text import SQL_TOKS
+
+    docs = [
+        (0, "plain space tokens"),
+        (1, "vertical\x0btab and form\x0cfeed"),
+        (2, "tab\tnewline\ncarriage\rreturn"),
+        (3, "nbsp stays line sep ideographic　space"),
+        (4, "NEL\x85char and​zwsp"),
+        (5, "  leading trailing  "),
+        (6, "mixed \x0b\t\n all together"),
+    ]
+    path = str(tmp_path / "ws_docs.parquet")
+    pq.write_table(
+        pa.table(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+        ),
+        path,
+    )
+    df = spark.read.parquet(path)
+    got = {
+        r["doc_id"]: list(r["toks"])
+        for r in df.select(
+            "doc_id", tokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    want = dict(
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, {SQL_TOKS} FROM read_parquet('{path}')"
+            " ORDER BY doc_id"
+        )
+        .fetchall()
+    )
+    for k, toks in got.items():
+        assert toks == list(want[k]), (k, toks, want[k])
+
+
+def test_no_complex_output_columns(spark):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from emma_spark.workloads import load_all
+
+    bad: list[str] = []
+    errs: list[str] = []
+    for name, q in load_all().items():
+        try:
+            schema = q.fn(spark, SF_DIR).schema
+        except Exception as ex:  # noqa: BLE001 — collect, don't abort the sweep
+            errs.append(f"{name}: {ex!r}"[:200])
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not errs, "\n".join(errs)
+    assert not bad, (
+        "complex-typed output columns break the driver canonicalizer "
+        "(serialize to strings/JSON on both engines):\n" + "\n".join(bad)
+    )

@@ -1,0 +1,78 @@
+"""Oracle portability lint — bans the construct classes behind every
+cross-engine hash red to date (r5 verdict #4).
+
+Each rule targets a way two engines (or two versions of one engine) can
+legally disagree while both "work":
+
+- regex shorthand classes (``\\s`` etc.): Java regex ``\\s`` is
+  ``[ \\t\\n\\x0B\\f\\r]`` while DuckDB's RE2 ``\\s`` is ``[\\t\\n\\f\\r ]``
+  — one edge character shifts every downstream token count. Use the
+  explicit class ``emma_spark.llm.text.WS_RE``.
+- DuckDB list comprehensions (``[x FOR i IN range(..)]``): version-
+  sensitive syntax; rewrite as
+  ``list_transform(generate_series(a, b), i -> x)``.
+- string-built JSON paths (``'$.' || k``): break on keys containing
+  ``.`` or quotes; pass the bare key (``json_extract_string(j, k)``).
+- ``CAST(json_extract(..) AS <numeric>``: DuckDB ROUNDS json->int where
+  Python/Spark truncate; extract as string and make the truncation
+  explicit (see udtf_expand_props / variant_ops_surface).
+
+Usage: ``python tools/oraclelint.py`` — exits non-zero on any hit.
+Also imported by tests/test_oracle_lint.py so new queries cannot
+reintroduce the classes.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+RULES: list[tuple[str, re.Pattern[str]]] = [
+    (
+        "regex shorthand class (use the explicit WS_RE class)",
+        # \s \S \w \W \d \D \b \B — but allow \1.. backrefs
+        re.compile(r"\\[sSwWdDbB]"),
+    ),
+    (
+        "DuckDB list comprehension (use list_transform(generate_series))",
+        re.compile(r"\bFOR\s+\w+\s+IN\b"),
+    ),
+    (
+        "string-built JSON path (pass the bare key instead)",
+        re.compile(r"'\$\.'\s*\|\|"),
+    ),
+    (
+        "CAST(json_extract(..)) — DuckDB rounds where Spark truncates;"
+        " extract as string + explicit trunc",
+        re.compile(r"CAST\s*\(\s*json_extract\s*\(", re.IGNORECASE),
+    ),
+]
+
+
+def lint_oracles() -> list[str]:
+    sys.path.insert(0, "/root/repo")
+    from emma_spark.workloads import load_all
+
+    problems = []
+    for name, q in load_all().items():
+        if not q.oracle:
+            continue
+        for label, pat in RULES:
+            m = pat.search(q.oracle)
+            if m:
+                ctx = q.oracle[max(0, m.start() - 40) : m.end() + 40]
+                problems.append(f"{name}: {label}: ...{ctx!r}...")
+    return problems
+
+
+def main() -> int:
+    problems = lint_oracles()
+    for p in problems:
+        print(f"LINT  {p}")
+    n = len(problems)
+    print(f"{n} problem(s) across the oracle registry" if n else "oracle lint clean")
+    return 1 if n else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
