@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ...llm.text import ascii_lower
+
 
 def tokenize(
     text: Column, pattern: str = r"[^a-zA-Z0-9_]+", lowercase: bool = True
@@ -27,7 +29,7 @@ def tokenize(
     ``\\W`` today, but shorthand classes are exactly where engines
     diverge (the r5 ``\\s`` driver reds), so oracles and engine share
     one literal class."""
-    t = F.lower(text) if lowercase else text
+    t = ascii_lower(text) if lowercase else text
     return F.filter(F.split(t, pattern), lambda x: x != "")
 
 

@@ -34,6 +34,26 @@ WS_SET = r" \t\n\x0b\f\r"
 WS_RE = "[" + WS_SET + "]"
 WS_RE_EXPR = WS_RE.replace("\\", "\\\\")
 
+# THE case-fold contract (same engine-divergence class as WS_RE):
+# full Unicode lowercasing is engine-sensitive — Java's toLowerCase
+# maps İ (U+0130) → "i"+combining-dot and applies Greek final-sigma
+# context (ΣΙΣΥΦΟΣ → σισυφος), while DuckDB maps İ → i and Σ → σ
+# unconditionally (probed live, r6). Any compared text therefore folds
+# ONLY A-Z, via translate() — identical, locale-free semantics on both
+# engines. Non-ASCII letters pass through unchanged.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: "Column") -> "Column":
+    """ASCII-only case fold (see the contract note above)."""
+    return F.translate(col, ASCII_UPPER, ASCII_LOWER)
+
+
+def sql_ascii_lower(expr: str) -> str:
+    """DuckDB twin of :func:`ascii_lower`."""
+    return f"translate({expr}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+
 # languages scored by stopword hits; fixed preference order breaks ties
 STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
@@ -55,7 +75,7 @@ def tokens(text: Column) -> Column:
 
     Splits on the explicit ``WS_RE`` class — never ``\\s`` — so Spark
     and every SQL oracle agree byte-for-byte on token boundaries."""
-    return F.filter(F.split(F.lower(text), WS_RE + "+"), lambda t: t != "")
+    return F.filter(F.split(ascii_lower(text), WS_RE + "+"), lambda t: t != "")
 
 
 def bpe_ish_tokens(text: Column) -> Column:
@@ -65,7 +85,7 @@ def bpe_ish_tokens(text: Column) -> Column:
     the stub pattern)."""
     pieces = F.split(
         F.regexp_replace(
-            F.lower(text), "([0-9]+|[^" + WS_SET + "a-z0-9]+)", r" $1 "
+            ascii_lower(text), "([0-9]+|[^" + WS_SET + "a-z0-9]+)", r" $1 "
         ),
         WS_RE + "+",
     )
@@ -79,7 +99,7 @@ def token_count(text: Column) -> Column:
 def char_ngrams(text: Column, n: int = 3, lowercase: bool = True) -> Column:
     """Character n-gram array (sliding window over the raw string,
     1-based substring — identical semantics in DuckDB for the oracle)."""
-    t = F.lower(text) if lowercase else text
+    t = ascii_lower(text) if lowercase else text
     # guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty
     return F.when(
         F.length(t) >= n,
@@ -141,7 +161,7 @@ def md5_long(col: Column, salt: str | None = None) -> Column:
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (stable under reflow), as a bigint."""
-    norm = F.regexp_replace(F.trim(F.lower(text)), WS_RE + "+", " ")
+    norm = F.regexp_replace(F.trim(ascii_lower(text)), WS_RE + "+", " ")
     return md5_long(norm)
 
 

@@ -14,10 +14,10 @@ N_HASHES = 4
 SHINGLE = 5
 
 def sql_shingles(shingle: int = SHINGLE) -> str:
-    """SQL fragment: char n-gram shingles of lower(text)."""
+    """SQL fragment: char n-gram shingles of translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')."""
     return (
-        f"list_transform(range(1, greatest(len(lower(text)) - {shingle - 2}, 1)), "
-        f"i -> substr(lower(text), i, {shingle}))"
+        f"list_transform(range(1, greatest(len(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) - {shingle - 2}, 1)), "
+        f"i -> substr(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), i, {shingle}))"
     )
 
 
@@ -831,9 +831,9 @@ def dedup_similarity_histogram(spark, sf_dir):
         "doc_id",
         F.array_distinct(
             F.expr(
-                "CASE WHEN length(lower(text)) >= 10 THEN"
-                " transform(sequence(1, length(lower(text)) - 9),"
-                " i -> substring(lower(text), i, 10))"
+                "CASE WHEN length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) >= 10 THEN"
+                " transform(sequence(1, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) - 9),"
+                " i -> substring(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), i, 10))"
                 " ELSE CAST(array() AS array<string>) END"
             )
         ).alias("sh"),
@@ -908,9 +908,9 @@ def dedup_winnowing_fingerprints(spark, sf_dir):
     h = docs.select(
         "doc_id",
         F.expr(
-            "CASE WHEN length(lower(text)) >= 8 THEN"
-            " transform(sequence(1, length(lower(text)) - 7),"
-            " i -> CAST(conv(substring(md5(substring(lower(text), i, 8)),"
+            "CASE WHEN length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) >= 8 THEN"
+            " transform(sequence(1, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) - 7),"
+            " i -> CAST(conv(substring(md5(substring(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), i, 8)),"
             " 1, 14), 16, 10) AS BIGINT))"
             " ELSE CAST(array() AS array<bigint>) END"
         ).alias("hs"),

@@ -140,7 +140,7 @@ def ml_naive_bayes_train(spark, sf_dir):
     "ml_encode_dict_freq",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9_]+'),
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-zA-Z0-9_]+'),
                                         t -> t != '')) AS term
       FROM documents
     ), vocab AS (

@@ -58,7 +58,7 @@ def pipeline_corpus_curation(spark, sf_dir):
     return P.corpus_stats(curated, by="lang")
 
 
-_FP = sql_md5_long(f"regexp_replace(trim(lower(text)), '{WS_RE}+', ' ', 'g')")
+_FP = sql_md5_long(f"regexp_replace(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '{WS_RE}+', ' ', 'g')")
 
 _INC_ORACLE = f"""
 WITH corpus AS (
@@ -284,7 +284,7 @@ ex AS (
 ),
 toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{WS_RE}+'),
                      t -> t != '') AS tk
   FROM ex
 ),
@@ -495,7 +495,7 @@ def pipeline_curation_v2(spark, sf_dir):
         "doc_id", "lang", "text", "n_chars", toks.alias("tk"),
         F.size(toks).alias("n_words"),
         F.expr(
-            f"aggregate(transform(filter(split(lower(text), '{WS_RE_EXPR}+'),"
+            f"aggregate(transform(filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{WS_RE_EXPR}+'),"
             " t -> t != ''), t -> length(t)), 0, (a, x) -> a + x)"
         ).alias("n_tok_chars"),
         F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))

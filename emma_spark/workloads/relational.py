@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core import DataBag
-from ..llm.text import WS_RE
+from ..llm.text import ascii_lower, WS_RE
 from ..functions import alg
 from ..sources import io
 from . import qsum, qsum_sql, query, rd, rd_sql
@@ -74,7 +74,7 @@ def filter_pushdown(spark, sf_dir):
     "flatmap_wordcount",
     oracle=f"""
     SELECT word, count(*) AS n FROM (
-      SELECT unnest(regexp_split_to_array(lower(text), '{WS_RE}+')) AS word
+      SELECT unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{WS_RE}+')) AS word
       FROM documents
     ) WHERE word != '' GROUP BY word
     """,
@@ -87,7 +87,7 @@ def flatmap_wordcount(spark, sf_dir):
     tiny regardless of corpus size."""
     docs = T(spark, sf_dir, "documents")["documents"]
     return (
-        docs.flat_map(lambda x: F.split(F.lower(x.text), WS_RE + "+"))
+        docs.flat_map(lambda x: F.split(ascii_lower(x.text), WS_RE + "+"))
         .filter(lambda x: x.value != "")
         .group_by(lambda x: {"word": x.value})
         .agg(alg.Size(name="n"))
@@ -889,7 +889,7 @@ def zip_with_index_ordered(spark, sf_dir):
            floor((p_retailprice * 0.9 + p_size % 7) * 10000 + 0.5) / 10000 AS arith,
            (NOT (p_size > 20) OR p_brand = 'Brand#13')   AS boole,
            CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS bucket,
-           lower(p_brand)                                AS lb,
+           translate(p_brand, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')                                AS lb,
            abs(p_size - 25)                              AS ab
     FROM part
     """,
@@ -909,7 +909,7 @@ def scalar_expr_surface(spark, sf_dir):
             "arith": rd(x.p_retailprice * 0.9 + x.p_size % 7, 4),
             "boole": ~(x.p_size > 20) | (x.p_brand == "Brand#13"),
             "bucket": F.when(x.p_size < 10, "S").when(x.p_size < 30, "M").otherwise("L"),
-            "lb": F.lower(x.p_brand),
+            "lb": ascii_lower(x.p_brand),
             "ab": F.abs(x.p_size - 25),
         }
     ).df

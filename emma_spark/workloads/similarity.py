@@ -938,7 +938,7 @@ def embedding_dim_variance_audit(spark, sf_dir):
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+             list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+'),
                          t -> t != '') AS tk
       FROM documents
     ),

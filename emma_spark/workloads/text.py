@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..llm import text as X
-from ..llm.text import WS_RE, WS_RE_EXPR, WS_SET
+from ..llm.text import ascii_lower, WS_RE, WS_RE_EXPR, WS_SET
 from ..sources import io
 from . import query
 
@@ -15,7 +15,7 @@ from . import query
 # Splits on the explicit WS_RE class (llm/text.py) — never `\s`, whose
 # membership differs between Java regex and DuckDB's RE2.
 SQL_TOKS = (
-    f"list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'), t -> t != '')"
+    f"list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{WS_RE}+'), t -> t != '')"
 )
 # SQL fragment: md5 -> 56-bit bigint
 def sql_md5_long(expr: str) -> str:
@@ -88,7 +88,7 @@ def text_lang_id(spark, sf_dir):
     return docs.select("doc_id", X.lang_id(F.col("text")).alias("lang_guess"))
 
 
-_FP_NORM = f"regexp_replace(trim(lower(text)), '{WS_RE}+', ' ', 'g')"
+_FP_NORM = f"regexp_replace(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '{WS_RE}+', ' ', 'g')"
 
 
 @query(
@@ -1095,11 +1095,11 @@ def text_keyword_scan(spark, sf_dir):
     "text_clean_normalize",
     oracle=r"""
     SELECT doc_id,
-           trim(regexp_replace(regexp_replace(lower(text),
+           trim(regexp_replace(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean,
-           length(trim(regexp_replace(regexp_replace(lower(text),
+           length(trim(regexp_replace(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS n_clean_chars,
-           length(text) - length(replace(replace(lower(text), 'a', ''),
+           length(text) - length(replace(replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'a', ''),
                                          'e', '')) AS n_ae
     FROM documents WHERE doc_id % 11 = 0
     """,
@@ -1118,12 +1118,12 @@ def text_clean_normalize(spark, sf_dir):
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     clean = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            F.regexp_replace(ascii_lower(F.col("text")), "[^a-z0-9 ]", " "),
             " +", " ",
         )
     )
     n_ae = F.length("text") - F.length(
-        F.replace(F.replace(F.lower(F.col("text")), F.lit("a"), F.lit("")),
+        F.replace(F.replace(ascii_lower(F.col("text")), F.lit("a"), F.lit("")),
                   F.lit("e"), F.lit(""))
     )
     return docs.filter(F.col("doc_id") % 11 == 0).select(
@@ -1645,7 +1645,7 @@ def text_decontaminate_bloom(spark, sf_dir):
 @query(
     "text_char_diversity",
     oracle="""
-    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    WITH d AS (SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM documents),
     x AS (
       SELECT doc_id, t,
              list_filter(list_distinct(string_split(t, '')), c -> c != '')
@@ -1683,7 +1683,7 @@ def text_char_diversity(spark, sf_dir):
     map with zero shuffles, the shape you want for a 100 TB quality
     gate applied before anything wide."""
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
-    t = F.lower(F.col("text"))
+    t = ascii_lower(F.col("text"))
     d = docs.select("doc_id", t.alias("t")).withColumn(
         "dc", F.filter(F.array_distinct(F.split(F.col("t"), "")), lambda c: c != "")
     )
@@ -1912,7 +1912,7 @@ def text_span_corruption_plan(spark, sf_dir):
 
 
 SQL_BPE_TOKS = (
-    "list_filter(regexp_split_to_array(regexp_replace(lower(text), "
+    "list_filter(regexp_split_to_array(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
     rf"'([0-9]+|[^{WS_SET}a-z0-9]+)', ' \1 ', 'g'), '{WS_RE}+'), t -> t != '')"
 )
 
@@ -2016,7 +2016,7 @@ def text_pair_lcs_similarity(spark, sf_dir):
     never all pairs; cost is capped by the token window."""
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     toks40 = lambda: F.expr(
-        f"slice(filter(split(lower(text), '{WS_RE_EXPR}+'), t -> t != ''), 1, 40)"
+        f"slice(filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{WS_RE_EXPR}+'), t -> t != ''), 1, 40)"
     )
     a = docs.filter(F.col("doc_id") % 34 == 0).select(
         F.expr("doc_id div 34").alias("pid"), toks40().alias("ta"))
@@ -2248,7 +2248,7 @@ def text_hapax_ratio(spark, sf_dir):
     "text_char_coverage_vocab",
     oracle="""
     WITH ch AS (
-      SELECT unnest(string_split(lower(text), '')) AS c FROM documents
+      SELECT unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '')) AS c FROM documents
     ),
     cf AS (SELECT c, count(*)::HUGEINT AS n FROM ch WHERE c != ''
            GROUP BY c),
@@ -2276,7 +2276,7 @@ def text_char_coverage_vocab(spark, sf_dir):
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     dec = "decimal(38,0)"
     cf = (
-        docs.select(F.explode(F.split(F.lower(F.col("text")), "")).alias("c"))
+        docs.select(F.explode(F.split(ascii_lower(F.col("text")), "")).alias("c"))
         .filter(F.col("c") != "")
         .groupBy("c").agg(F.count(F.lit(1)).cast(dec).alias("n"))
     )
@@ -2594,7 +2594,7 @@ def text_gopher_rules(spark, sf_dir):
         "lang",
         F.size(toks).alias("n_words"),
         F.expr(
-            f"aggregate(transform(filter(split(lower(text), '{WS_RE_EXPR}+'),"
+            f"aggregate(transform(filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '{WS_RE_EXPR}+'),"
             " t -> t != ''), t -> length(t)), 0, (a, x) -> a + x)"
         ).alias("n_tok_chars"),
         F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))

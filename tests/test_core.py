@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from emma_spark.llm.text import WS_RE
+from emma_spark.llm.text import WS_RE, ascii_lower
 from pyspark.sql import functions as F
 
 from emma_spark import DataBag, alg
@@ -40,14 +40,14 @@ def test_filter(tables, duck):
 def test_flat_map_split(tables, duck):
     b = (
         tables["documents"]
-        .flat_map(lambda x: F.split(F.lower(x.text), WS_RE + "+"))
+        .flat_map(lambda x: F.split(ascii_lower(x.text), WS_RE + "+"))
         .filter(lambda x: x.value != "")
     )
     assert_bag_equal(
         b.df,
         duck,
         """SELECT value FROM (
-             SELECT unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) AS value FROM documents
+             SELECT unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0b\\f\\r]+')) AS value FROM documents
            ) WHERE value != ''""",
     )
 

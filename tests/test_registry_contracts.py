@@ -48,6 +48,12 @@ def test_whitespace_tokenization_contract(spark, tmp_path):
         (4, "NEL\x85char and​zwsp"),
         (5, "  leading trailing  "),
         (6, "mixed \x0b\t\n all together"),
+        # the case-fold contract: Java toLowerCase maps İ→i+combining
+        # dot and applies Greek final-sigma context; DuckDB does not —
+        # ascii_lower/translate must agree where lower() cannot
+        (7, "İstanbul DOTTED İ"),
+        (8, "ΣΙΣΥΦΟΣ greek FINAL sigma"),
+        (9, "MIXED Case ASCII Words"),
     ]
     path = str(tmp_path / "ws_docs.parquet")
     pq.write_table(

@@ -46,6 +46,12 @@ RULES: list[tuple[str, re.Pattern[str]]] = [
         " extract as string + explicit trunc",
         re.compile(r"CAST\s*\(\s*json_extract\s*\(", re.IGNORECASE),
     ),
+    (
+        "lower()/upper() — Unicode case mapping is engine-sensitive"
+        " (Java: İ→i+dot, final-sigma context; DuckDB: neither);"
+        " use translate() ASCII folding (llm/text.sql_ascii_lower)",
+        re.compile(r"(?<![\w.])(?:lower|upper)\s*\("),
+    ),
 ]
 
 
