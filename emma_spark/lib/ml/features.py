@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ...llm.text import ascii_lower
+from ...llm.text import ascii_lower, let_
 
 
 def tokenize(
@@ -65,16 +65,24 @@ def build_dict(df: DataFrame, toks_col: str = "toks") -> DataFrame:
 
 def encode_freq_hash(toks: Column, n: int = 1 << 10) -> Column:
     """Hashing-trick frequency vector as map<int,double>
-    (``encode.freq`` with the native hash; here portable xxhash64)."""
+    (``encode.freq`` with the native hash; here portable xxhash64).
+    The hashed-index array is let-bound (``llm/text.let_``): unbound,
+    the lambda would re-hash every token once per DISTINCT index —
+    O(n·d) hashes per document."""
     idx = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(n)).cast("int"))
-    return F.map_from_entries(
-        F.transform(
-            F.array_distinct(idx),
-            lambda k: F.struct(
-                k.alias("k"),
-                F.size(F.filter(idx, lambda j: j == k)).cast("double").alias("v"),
-            ),
-        )
+    return let_(
+        idx,
+        lambda ix: F.map_from_entries(
+            F.transform(
+                F.array_distinct(ix),
+                lambda k: F.struct(
+                    k.alias("k"),
+                    F.size(F.filter(ix, lambda j: j == k))
+                    .cast("double")
+                    .alias("v"),
+                ),
+            )
+        ),
     )
 
 

@@ -45,6 +45,16 @@ ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
 
 
+def let_(col: "Column", body) -> "Column":
+    """Per-row LET-BINDING for Column expressions: evaluate ``col``
+    once, pass the bound value to ``body``. Spark has no native let;
+    a free column referenced inside a higher-order-function lambda is
+    re-evaluated PER ELEMENT (measured 5× wall on the minhash shingle
+    path), while a lambda variable holds its evaluated value — so a
+    1-element ``transform`` is a let."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 def ascii_lower(col: "Column") -> "Column":
     """ASCII-only case fold (see the contract note above)."""
     return F.translate(col, ASCII_UPPER, ASCII_LOWER)
@@ -108,18 +118,15 @@ def char_ngrams(text: Column, n: int = 3, lowercase: bool = True) -> Column:
     evaluated value."""
     src = ascii_lower(text) if lowercase else text
     # guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty
-    return F.element_at(
-        F.transform(
-            F.array(src),
-            lambda t: F.when(
-                F.length(t) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.length(t) - (n - 1)),
-                    lambda i: F.substring(t, i, n),
-                ),
-            ).otherwise(F.array().cast("array<string>")),
-        ),
-        1,
+    return let_(
+        src,
+        lambda t: F.when(
+            F.length(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                lambda i: F.substring(t, i, n),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
 
 
