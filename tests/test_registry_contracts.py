@@ -81,6 +81,38 @@ def test_whitespace_tokenization_contract(spark, tmp_path):
         assert toks == list(want[k]), (k, toks, want[k])
 
 
+def test_no_decimal_typed_oracle_outputs():
+    """DECIMAL/HUGEINT oracle output columns arrive in pandas as
+    ``object``-dtype ``Decimal``s and stringify differently than the
+    Spark side's float/int (``Decimal('0.5000')`` vs ``0.5``) — the
+    same canonicalizer class as complex types. The repo rule (SCALE.md
+    'HUGEINT transfer trap') says CAST every aggregate to BIGINT /
+    DOUBLE; this pins it with a LIMIT-0 type probe, no Spark needed."""
+    import duckdb
+
+    from emma_spark.workloads import load_all
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    bad = []
+    for name, q in load_all().items():
+        if not q.oracle:
+            continue
+        res = con.execute(f"SELECT * FROM ({q.oracle}) LIMIT 0")
+        for cname, dtype, *_ in res.description:
+            ds = str(dtype).upper()
+            if "DECIMAL" in ds or ds in ("HUGEINT", "UHUGEINT"):
+                bad.append(f"{name}.{cname}: {ds}")
+    assert not bad, "\n".join(bad)
+
+
 def test_no_complex_output_columns(spark):
     from pyspark.sql.types import ArrayType, MapType, StructType
 
