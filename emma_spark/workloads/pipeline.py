@@ -58,7 +58,7 @@ def pipeline_corpus_curation(spark, sf_dir):
     return P.corpus_stats(curated, by="lang")
 
 
-_FP = sql_md5_long(f"regexp_replace(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '{WS_RE}+', ' ', 'g')")
+_FP = sql_md5_long(f"regexp_replace(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '{WS_RE}+', ' ', 'g')")
 
 _INC_ORACLE = f"""
 WITH corpus AS (

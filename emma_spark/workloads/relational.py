@@ -3397,25 +3397,34 @@ def layout_zorder_clustering(spark, sf_dir):
     # Portability contract (r5 driver red, hardened r6): the oracle
     # extracts with a BARE-KEY path (json_extract_string(j, k) treats a
     # non-$ path as one literal key — no '$.' || k concat, which breaks
-    # on keys containing '.' or quotes), and numeric coercion is
-    # TRUNCATION toward zero on both engines: integer-literal strings
-    # cast directly (no double round-trip precision loss), anything
-    # else goes through TRY_CAST(DOUBLE) + trunc (NULL when
-    # non-numeric, e.g. JSON bools/strings) — exactly what the UDTF's
-    # eval() replicates row for row. CAST(json AS BIGINT) is banned:
-    # DuckDB ROUNDS there while Python int() truncates.
+    # on keys containing '.' or quotes), and numeric coercion follows
+    # ONE EXPLICIT GRAMMAR on both engines, never the engines' native
+    # string->number parsers: Python int()/float() strip UNICODE
+    # whitespace and accept '_' separators, DuckDB TRY_CAST strips only
+    # ASCII whitespace and accepts '9_0'/'inf' — so both sides strip
+    # the explicit ASCII class, regex-gate with explicit [0-9] classes,
+    # and truncate toward zero. Integer literals cast directly (no
+    # double round-trip); TRY_CAST on the result turns int64 overflow
+    # into NULL. CAST(json AS BIGINT) is banned: DuckDB ROUNDS there
+    # while Python int() truncates.
     oracle="""
     WITH kv AS (
       SELECT t.k AS prop_key,
-             json_extract_string(e.props, t.k) AS s
+             trim(json_extract_string(e.props, t.k),
+                  ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))
+               AS s
       FROM events e, unnest(json_keys(e.props)) AS t(k)
       WHERE e.event_id % 101 = 0
     )
     SELECT prop_key, count(*) AS n,
            CAST(sum(CASE
              WHEN s IS NULL THEN NULL
-             WHEN regexp_matches(s, '^-?[0-9]+$') THEN CAST(s AS BIGINT)
-             ELSE TRY_CAST(trunc(TRY_CAST(s AS DOUBLE)) AS BIGINT)
+             WHEN regexp_matches(s, '^[+-]?[0-9]+$')
+               THEN TRY_CAST(s AS BIGINT)
+             WHEN regexp_matches(s,
+               '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$')
+               THEN TRY_CAST(trunc(TRY_CAST(s AS DOUBLE)) AS BIGINT)
+             ELSE NULL
            END) AS BIGINT) AS total
     FROM kv
     GROUP BY prop_key
@@ -3444,25 +3453,37 @@ def udtf_expand_props(spark, sf_dir):
 
     @udtf(returnType="prop_key string, prop_val bigint")
     class ExpandProps:
-        # mirrors the oracle's coercion EXACTLY: ints pass through,
-        # numeric strings/floats truncate toward zero (int() == trunc),
-        # bools/None/non-numerics become NULL — never int(v) alone,
-        # whose float path truncates while CAST(json AS BIGINT) rounds
+        # mirrors the oracle's explicit numeric grammar EXACTLY: strip
+        # the ASCII whitespace class (str.strip() default strips
+        # UNICODE spaces — DuckDB does not), regex-gate before parsing
+        # (Python int()/float() accept '_' separators and unicode
+        # spaces — DuckDB does not), truncate toward zero, NULL on
+        # int64 overflow (mirroring TRY_CAST AS BIGINT)
         @staticmethod
         def _to_long(v):
+            def fit(iv):
+                return iv if -(1 << 63) <= iv < (1 << 63) else None
+
             if v is None or isinstance(v, bool):
                 return None
             if isinstance(v, int):
-                return v
+                return fit(v)
             if isinstance(v, float):
-                return int(v)
-            s = str(v).strip()
-            if _re.fullmatch(r"-?[0-9]+", s):
-                return int(s)
-            try:
-                return int(float(s))
-            except (ValueError, OverflowError):
-                return None
+                try:
+                    return fit(int(v))
+                except (ValueError, OverflowError):
+                    return None
+            s = str(v).strip(" \t\n\r\f\x0b")
+            if _re.fullmatch(r"[+-]?[0-9]+", s):
+                return fit(int(s))
+            if _re.fullmatch(
+                r"[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?", s
+            ):
+                try:
+                    return fit(int(float(s)))
+                except (ValueError, OverflowError):
+                    return None
+            return None
 
         def eval(self, props: str):
             if not props:
@@ -4464,8 +4485,13 @@ def parquet_schema_evolution(spark, sf_dir):
                WHEN 'UBIGINT' THEN TRY_CAST(s AS BIGINT)
                WHEN 'DOUBLE'  THEN TRY_CAST(trunc(CAST(s AS DOUBLE)) AS BIGINT)
                WHEN 'VARCHAR' THEN CASE
-                 WHEN regexp_matches(trim(s), '^[+-]?[0-9]+$')
-                   THEN TRY_CAST(trim(s) AS BIGINT) ELSE NULL END
+                 WHEN regexp_matches(
+                        trim(s, ' ' || chr(9) || chr(10) || chr(13)
+                               || chr(12) || chr(11)),
+                        '^[+-]?[0-9]+$')
+                   THEN TRY_CAST(trim(s, ' ' || chr(9) || chr(10)
+                               || chr(13) || chr(12) || chr(11)) AS BIGINT)
+                 ELSE NULL END
                ELSE NULL
              END AS k
       FROM kv

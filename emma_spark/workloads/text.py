@@ -88,7 +88,7 @@ def text_lang_id(spark, sf_dir):
     return docs.select("doc_id", X.lang_id(F.col("text")).alias("lang_guess"))
 
 
-_FP_NORM = f"regexp_replace(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '{WS_RE}+', ' ', 'g')"
+_FP_NORM = f"regexp_replace(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '{WS_RE}+', ' ', 'g')"
 
 
 @query(
@@ -1096,9 +1096,9 @@ def text_keyword_scan(spark, sf_dir):
     oracle=r"""
     SELECT doc_id,
            trim(regexp_replace(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
-                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean,
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' ') AS clean,
            length(trim(regexp_replace(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
-                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS n_clean_chars,
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' ')) AS n_clean_chars,
            length(text) - length(replace(replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'a', ''),
                                          'e', '')) AS n_ae
     FROM documents WHERE doc_id % 11 = 0

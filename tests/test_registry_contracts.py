@@ -81,6 +81,94 @@ def test_whitespace_tokenization_contract(spark, tmp_path):
         assert toks == list(want[k]), (k, toks, want[k])
 
 
+def test_text_contract_unicode_fuzz(spark, tmp_path):
+    """Randomized differential over the WHOLE text contract — 400
+    fixed-seed documents drawn from an alphabet of contested
+    characters (ASCII + the \\s-divergent controls + Unicode spaces +
+    case-exotic letters + CJK/Cyrillic/Greek + astral emoji), compared
+    field-by-field between Spark and DuckDB: tokens, token_count,
+    fingerprint, char 3-grams, BPE-ish tokens. This fuzz found the
+    1-arg trim() divergence (DuckDB strips U+1680/U+00A0/U+3000,
+    Spark does not) that the fixed-case tests missed."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from emma_spark.llm.text import (
+        bpe_ish_tokens,
+        char_ngrams,
+        fingerprint,
+        sql_ascii_lower,
+        token_count,
+        tokens,
+    )
+    from emma_spark.workloads.text import (
+        _FP_NORM,
+        SQL_BPE_TOKS,
+        SQL_TOKS,
+        sql_md5_long,
+    )
+
+    rng = random.Random(20260814)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " \t\n\x0b\x0c\r"
+        "\xa0    ​　"
+        "İıΣσςßẞÅåÉéŁł"
+        "'\".,;:!?-_#()[]{}@/\\|"
+        "日本語中文한국어"
+        "αβγдружба"
+        "\U0001f600\U0001f389"
+    )
+    docs = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60))))
+        for i in range(400)
+    ]
+    path = str(tmp_path / "fuzz.parquet")
+    pq.write_table(
+        pa.table(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+        ),
+        path,
+    )
+    df = spark.read.parquet(path)
+    sp = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            tokens(F.col("text")).alias("toks"),
+            token_count(F.col("text")).alias("n"),
+            fingerprint(F.col("text")).alias("fp"),
+            char_ngrams(F.col("text"), n=3).alias("g3"),
+            bpe_ish_tokens(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    lo = sql_ascii_lower("text")
+    g3_sql = (
+        f"CASE WHEN len({lo}) >= 3 THEN list_transform("
+        f"generate_series(1, len({lo}) - 2), i -> substr({lo}, i, 3))"
+        " ELSE [] END"
+    )
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT doc_id, {SQL_TOKS} AS toks, len({SQL_TOKS}) AS n,
+               {sql_md5_long(_FP_NORM)} AS fp, {g3_sql} AS g3,
+               {SQL_BPE_TOKS} AS bpe
+        FROM read_parquet('{path}') ORDER BY doc_id
+        """
+    ).fetchall()
+    for doc_id, dtoks, dn, dfp, dg3, dbpe in rows:
+        s = sp[doc_id]
+        assert list(s["toks"]) == list(dtoks), (doc_id, "toks")
+        assert s["n"] == dn, (doc_id, "n")
+        assert s["fp"] == dfp, (doc_id, "fp", docs[doc_id][1])
+        assert list(s["g3"]) == list(dg3), (doc_id, "g3")
+        assert list(s["bpe"]) == list(dbpe), (doc_id, "bpe")
+
+
 def test_no_decimal_typed_oracle_outputs():
     """DECIMAL/HUGEINT oracle output columns arrive in pandas as
     ``object``-dtype ``Decimal``s and stringify differently than the

@@ -52,7 +52,28 @@ RULES: list[tuple[str, re.Pattern[str]]] = [
         " use translate() ASCII folding (llm/text.sql_ascii_lower)",
         re.compile(r"(?<![\w.])(?:lower|upper)\s*\("),
     ),
+    # one-arg trim handled below (needs paren matching, not a regex)
 ]
+
+
+def _one_arg_trim(sql: str) -> re.Match | None:
+    """DuckDB's 1-arg trim strips UNICODE space characters (U+00A0,
+    U+1680, U+3000, ...) while Spark's F.trim strips only ASCII space —
+    found by the r6 unicode fuzz. Require the explicit 2-arg form."""
+    for m in re.finditer(r"\btrim\s*\(", sql):
+        i, depth, has_second = m.end(), 1, False
+        while depth and i < len(sql):
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1:
+                has_second = True
+            i += 1
+        if not has_second:
+            return m
+    return None
 
 
 def lint_oracles() -> list[str]:
@@ -68,6 +89,14 @@ def lint_oracles() -> list[str]:
             if m:
                 ctx = q.oracle[max(0, m.start() - 40) : m.end() + 40]
                 problems.append(f"{name}: {label}: ...{ctx!r}...")
+        m = _one_arg_trim(q.oracle)
+        if m:
+            ctx = q.oracle[max(0, m.start() - 40) : m.end() + 40]
+            problems.append(
+                f"{name}: 1-arg trim() strips Unicode spaces in DuckDB"
+                f" but not in Spark — use trim(x, ' ' || chr(9)...) or"
+                f" trim(x, ' '): ...{ctx!r}..."
+            )
     return problems
 
 
