@@ -3416,17 +3416,23 @@ def layout_zorder_clustering(spark, sf_dir):
       FROM events e, unnest(json_keys(e.props)) AS t(k)
       WHERE e.event_id % 101 = 0
     )
+    , coerced AS (
+      SELECT prop_key,
+             CASE
+               WHEN s IS NULL THEN NULL
+               WHEN regexp_matches(s, '^[+-]?[0-9]+$')
+                 THEN TRY_CAST(s AS BIGINT)
+               WHEN regexp_matches(s,
+                 '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$')
+                 THEN TRY_CAST(trunc(TRY_CAST(s AS DOUBLE)) AS BIGINT)
+               ELSE NULL
+             END AS v
+      FROM kv
+    )
     SELECT prop_key, count(*) AS n,
-           CAST(sum(CASE
-             WHEN s IS NULL THEN NULL
-             WHEN regexp_matches(s, '^[+-]?[0-9]+$')
-               THEN TRY_CAST(s AS BIGINT)
-             WHEN regexp_matches(s,
-               '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$')
-               THEN TRY_CAST(trunc(TRY_CAST(s AS DOUBLE)) AS BIGINT)
-             ELSE NULL
-           END) AS BIGINT) AS total
-    FROM kv
+           CAST(sum(CASE WHEN v BETWEEN -2147483647 AND 2147483647 THEN v END)
+                AS BIGINT) AS total
+    FROM coerced
     GROUP BY prop_key
     """,
 )
@@ -3461,8 +3467,13 @@ def udtf_expand_props(spark, sf_dir):
         # int64 overflow (mirroring TRY_CAST AS BIGINT)
         @staticmethod
         def _to_long(v):
+            # int32-range clamp: property counters beyond ±2^31 are
+            # NULLed on BOTH engines so the aggregate sum can never
+            # overflow int64 on any engine (Spark ANSI sum raises,
+            # DuckDB HUGEINT->BIGINT cast raises — neither is a
+            # comparable value)
             def fit(iv):
-                return iv if -(1 << 63) <= iv < (1 << 63) else None
+                return iv if -2147483647 <= iv <= 2147483647 else None
 
             if v is None or isinstance(v, bool):
                 return None
@@ -4498,9 +4509,10 @@ def parquet_schema_evolution(spark, sf_dir):
     )
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(k) AS BIGINT) AS k_sum,
+           CAST(sum(CASE WHEN k BETWEEN -2147483647 AND 2147483647 THEN k END)
+                AS BIGINT) AS k_sum,
            count(*) FILTER (miss IS NULL) AS n_missing,
-           max(k) AS k_max
+           max(CASE WHEN k BETWEEN -2147483647 AND 2147483647 THEN k END) AS k_max
     FROM coerced
     GROUP BY event_type
     """,
@@ -4522,7 +4534,12 @@ def variant_ops_surface(spark, sf_dir):
     v = e.filter(F.col("event_id") % 13 == 0).select(
         "event_type", F.parse_json("props").alias("pv")
     )
-    k = F.variant_get(F.col("pv"), "$.k", "bigint")
+    # try_variant_get, not variant_get: a non-castable value must yield
+    # NULL like the oracle's CASE, never raise; the int32-range clamp
+    # keeps the ANSI sum from overflowing on any engine (same contract
+    # as udtf_expand_props)
+    k0 = F.try_variant_get(F.col("pv"), "$.k", "bigint")
+    k = F.when(k0.between(-2147483647, 2147483647), k0)
     missing = F.try_variant_get(F.col("pv"), "$.missing", "string")
     return v.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

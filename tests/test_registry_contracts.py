@@ -169,6 +169,75 @@ def test_text_contract_unicode_fuzz(spark, tmp_path):
         assert list(s["bpe"]) == list(dbpe), (doc_id, "bpe")
 
 
+def test_json_numeric_grammar_fuzz(spark, tmp_path):
+    """Adversarial differential for the JSON numeric-coercion contract
+    (the r5 ``udtf_expand_props`` driver-red class): props values
+    spanning ±2^70 ints, floats, int/float/exp strings with ASCII and
+    UNICODE whitespace, '9_0'/'0x10'/inf/nan, bools, nulls, nested
+    objects/arrays — and keys containing dots, spaces, quotes, and
+    non-ASCII. Both the UDTF expansion and the variant surface must
+    match their oracles exactly (the int32-range clamp keeps every
+    engine's sum finite)."""
+    import json
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emma_spark.workloads import load_all
+
+    rng = random.Random(99)
+    pool = [
+        69, -3, 0, 2**40, 2**63 - 1, -(2**63), 2**70,
+        69.5, -2.7, 0.5, 1e20, 1e-9, 123.456,
+        "9", "+9", "-9", " 9 ", "\t9\n", "9\xa0", "\xa09", "9.5",
+        " 9.5 ", "1e3", "1E3", "inf", "-inf", "nan", "9_0", "0x10",
+        ".5", "5.", "", "abc", "9a", True, False, None, [1, 2], {"x": 1},
+    ]
+    keys = ["k", "a.b", "with space", 'q"z', "längé", "k2"]
+    rows = []
+    for i in range(200):
+        props = {}
+        for j in range(rng.randint(1, 4)):
+            key = rng.choice(keys)
+            if key in props:
+                key = key + str(j)
+            props[key] = pool[rng.randint(0, len(pool) - 1)]
+        # id divisible by both 101 (udtf filter) and 13 (variant filter)
+        rows.append((i * 1313, "click", 0, 0.0, props))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [r[0] for r in rows],
+                "event_type": [r[1] for r in rows],
+                "props": [json.dumps(r[4]) for r in rows],
+            }
+        ),
+        str(sf / "events.parquet"),
+    )
+    qs = load_all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    for name in ("udtf_expand_props", "variant_ops_surface"):
+        sdf = qs[name].fn(spark, str(sf))
+        srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+        drows = sorted(
+            tuple(str(x) for x in r)
+            for r in con.execute(qs[name].oracle).fetchall()
+        )
+        assert srows == drows, (
+            name,
+            [r for r in srows if r not in drows][:4],
+            [r for r in drows if r not in srows][:4],
+        )
+
+
 def test_no_decimal_typed_oracle_outputs():
     """DECIMAL/HUGEINT oracle output columns arrive in pandas as
     ``object``-dtype ``Decimal``s and stringify differently than the
