@@ -559,8 +559,12 @@ def pipeline_split_leakage_audit(spark, sf_dir):
     )
     pair_stats = tagged.agg(
         F.count(F.lit(1)).alias("n_neardup_pairs"),
-        F.sum(F.when(F.col("ta") != F.col("tb"), 1).otherwise(0))
-          .alias("n_cross_split"),
+        # coalesce: sum over ZERO pair rows is NULL while the oracle's
+        # count(*) FILTER is 0 — an empty near-dup set must report 0
+        F.coalesce(
+            F.sum(F.when(F.col("ta") != F.col("tb"), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_cross_split"),
         F.countDistinct(
             F.when(F.col("ta") != F.col("tb"),
                    F.when(~F.col("ta"), F.col("doc_a"))
@@ -585,10 +589,15 @@ def pipeline_split_leakage_audit(spark, sf_dir):
     oracle=f"""
     WITH sig AS ({_sig_sql(shingle=5)}),
     buckets AS (
-      SELECT 0 AS band, mh0 * 4294967311 + mh1 AS key FROM sig
+      -- HUGEINT lift: mh < 2^32 times the >32-bit prime can exceed
+      -- int64 (found by the r6 fuzz on short-doc corpora, where
+      -- signature minima stay large); the Spark side lifts to
+      -- decimal(38,0) for the same reason
+      SELECT 0 AS band, mh0::HUGEINT * 4294967311 + mh1 AS key FROM sig
         WHERE mh0 IS NOT NULL
       UNION ALL
-      SELECT 1, mh2 * 4294967311 + mh3 FROM sig WHERE mh2 IS NOT NULL
+      SELECT 1, mh2::HUGEINT * 4294967311 + mh3 FROM sig
+        WHERE mh2 IS NOT NULL
     ),
     bs AS (SELECT band, key, count(*)::HUGEINT AS sz
            FROM buckets GROUP BY 1, 2)

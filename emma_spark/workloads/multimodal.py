@@ -477,7 +477,7 @@ def multimodal_phash_neardup(spark, sf_dir):
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT) AS h56
-    FROM documents WHERE doc_id % 29 = 0
+    FROM documents WHERE doc_id % 29 = 0 AND length(text) > 0
     """,
 )
 def io_binaryfile_ingest(spark, sf_dir):
@@ -507,7 +507,12 @@ def io_binaryfile_ingest(spark, sf_dir):
     from ..sources import io as eio
 
     d = eio.read_parquet(spark, f"{sf_dir}/documents.parquet").df
-    sample = d.filter(F.col("doc_id") % 29 == 0).select("doc_id", "text")
+    # empty documents are excluded from the roundtrip contract: Spark's
+    # binaryFile source silently skips zero-byte files (r6 fuzz), so an
+    # empty blob cannot round-trip on any engine
+    sample = d.filter(
+        (F.col("doc_id") % 29 == 0) & (F.length("text") > 0)
+    ).select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="emma_binfile_")
     for r in sample.collect():  # bounded: |documents| / 29 files
         with open(os.path.join(base, f"{r.doc_id}.txt"), "wb") as f:

@@ -813,9 +813,12 @@ def text_chunk_windows(spark, sf_dir):
         F.least(F.lit(32), F.size("toks") - F.col("start") * 24)
         .cast("bigint")
         .alias("n_toks"),
-        F.element_at("toks", F.col("start") * 24 + 1).alias("head"),
-        F.element_at(
-            "toks", F.least(F.col("start") * 24 + 32, F.size("toks"))
+        # F.get (0-based) — never raises: an EMPTY document yields index
+        # 0/-1 here, where element_at errors under ANSI; DuckDB's
+        # toks[0] / toks[beyond] return NULL, and get() matches that
+        F.get("toks", F.col("start") * 24).alias("head"),
+        F.get(
+            "toks", F.least(F.col("start") * 24 + 32, F.size("toks")) - 1
         ).alias("tail"),
     )
 
@@ -1993,7 +1996,7 @@ def text_tokenizer_fertility(spark, sf_dir):
       FROM p
     )
     SELECT pid, na, nb, lcs_len,
-           CAST(lcs_len * 1000000 // greatest(na, nb) AS BIGINT) AS lcs_ppm
+           CAST(lcs_len * 1000000 // greatest(na, nb, 1) AS BIGINT) AS lcs_ppm
     FROM l
     """,
 )
@@ -2027,7 +2030,13 @@ def text_pair_lcs_similarity(spark, sf_dir):
         "pid",
         F.size("ta").cast("bigint").alias("na"),
         F.size("tb").cast("bigint").alias("nb"),
+        # empty-side short-circuit: sequence(1, 0) in Spark is the
+        # DESCENDING [1, 0], so an empty token list would drive
+        # element_at(ta, 1)/element_at(row, 0) out of bounds (found by
+        # the r6 registry-wide unicode fuzz); LCS with an empty side
+        # is 0 by definition, matching the oracle's empty-fold result
         F.expr("""
+          IF(size(ta) = 0 OR size(tb) = 0, CAST(0 AS BIGINT),
           CAST(element_at(
             aggregate(
               transform(sequence(1, size(ta)),
@@ -2042,11 +2051,11 @@ def text_pair_lcs_similarity(spark, sf_dir):
                 array(0),
                 (acc, e) -> concat(acc, array(greatest(e, element_at(acc, size(acc)))))
               )
-            ), -1) AS BIGINT) AS lcs_len"""),
+            ), -1) AS BIGINT)) AS lcs_len"""),
     )
     return l.select(
         "pid", "na", "nb", "lcs_len",
-        F.expr("CAST(lcs_len * 1000000 div greatest(na, nb) AS BIGINT)")
+        F.expr("CAST(lcs_len * 1000000 div greatest(na, nb, 1) AS BIGINT)")
           .alias("lcs_ppm"),
     )
 
@@ -2309,9 +2318,10 @@ def text_char_coverage_vocab(spark, sf_dir):
     ),
     s AS (
       SELECT doc_id, lang,
-             CAST(list_sum(list_transform(feats,
+             coalesce(CAST(list_sum(list_transform(feats,
                t -> CAST(concat('0x', substr(md5('qw' || '|' || t), 1, 14))
-                         AS BIGINT) % 2001 - 1000)) AS BIGINT) AS score_milli
+                         AS BIGINT) % 2001 - 1000)) AS BIGINT), 0)
+               AS score_milli
       FROM f
     )
     SELECT doc_id, lang, score_milli,
