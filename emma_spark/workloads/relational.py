@@ -949,7 +949,13 @@ def events_sessionize(spark, sf_dir):
     )
     new_sess = F.when(
         F.lag("ts").over(w).isNull()
-        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+        # exact-microsecond gap: the oracle compares ts - lag(ts) >
+        # INTERVAL 30 MINUTE at full precision; a second-floored diff
+        # disagrees in the 1800.0-1801.0s band (r6 events fuzz)
+        | (
+            F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(w)
+            > 1800000000
+        ),
         1,
     ).otherwise(0)
     return (
@@ -1343,7 +1349,12 @@ def directors_muses_shape(spark, sf_dir):
     SELECT date_trunc('day', ts) AS bucket_ts, event_type,
            count(*) AS n,
            sum(floor(value * 1000000 + 0.5)) / 1000000 AS v_sum,
-           min(value) AS v_min, max(value) AS v_max
+           -- quantized min/max: the Spark side quantizes value BEFORE
+           -- the rollup, and floor-quantization is monotonic, so
+           -- min(quantized) == quantized(min) — raw min(value) would
+           -- diverge on sub-microunit values (r6 events fuzz)
+           floor(min(value) * 1000000 + 0.5) / 1000000 AS v_min,
+           floor(max(value) * 1000000 + 0.5) / 1000000 AS v_max
     FROM events GROUP BY 1, 2
     """,
 )
@@ -4124,7 +4135,7 @@ def null_semantics_surface(spark, sf_dir):
     WITH d AS (
       SELECT user_id,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
-             least((19753 - epoch_us(ts) // 86400000000) // 7, 62) AS w
+             greatest(least((19753 - epoch_us(ts) // 86400000000) // 7, 62), 0) AS w
       FROM events
     )
     SELECT user_id,
@@ -4151,7 +4162,12 @@ def events_user_ltv_decay(spark, sf_dir):
         "user_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("value_c"),
         F.expr(
-            "least((19753 - unix_micros(ts) div 86400000000) div 7, 62)"
+            # clamped to [0, 62]: events AFTER the observation day would
+            # otherwise shift by a NEGATIVE amount — DuckDB errors,
+            # Spark masks (the r5 MTA ADVICE class, found again by the
+            # r6 events fuzz)
+            "greatest(least((19753 - unix_micros(ts) div 86400000000)"
+            " div 7, 62), 0)"
         ).alias("w"),
     )
     return d.groupBy("user_id").agg(
@@ -5380,7 +5396,13 @@ def events_point_in_interval(spark, sf_dir):
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     new_sess = F.when(
         F.lag("ts").over(w).isNull()
-        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+        # exact-microsecond gap: the oracle compares ts - lag(ts) >
+        # INTERVAL 30 MINUTE at full precision; a second-floored diff
+        # disagrees in the 1800.0-1801.0s band (r6 events fuzz)
+        | (
+            F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(w)
+            > 1800000000
+        ),
         1,
     ).otherwise(0)
     iv = (
@@ -5995,7 +6017,9 @@ def orders_ses_level_fold(spark, sf_dir):
       WHERE e.event_type = 'purchase' GROUP BY 1
     ),
     d AS (
-      SELECT (CAST(epoch(p.pt) AS BIGINT) - CAST(epoch(s.st) AS BIGINT)) // 60
+      -- epoch_us // 1000000, never CAST(epoch() AS BIGINT): epoch()
+      -- is DOUBLE seconds and the cast ROUNDS where Spark's floors
+      SELECT (epoch_us(p.pt) // 1000000 - epoch_us(s.st) // 1000000) // 60
                AS m
       FROM p JOIN s ON p.user_id = s.user_id
     ),
@@ -6037,7 +6061,10 @@ def events_conversion_delay(spark, sf_dir):
         .groupBy("user_id").agg(F.min("ts").alias("pt"))
     )
     d = p.join(s, "user_id").select(
-        F.expr("(CAST(pt AS LONG) - CAST(st AS LONG)) div 60").alias("m")
+        F.expr(
+            "(unix_micros(pt) div 1000000 - unix_micros(st) div 1000000)"
+            " div 60"
+        ).alias("m")
     )
     h = d.groupBy("m").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
@@ -6217,10 +6244,14 @@ def events_gap_histogram(spark, sf_dir):
     output is |types| x ~25 octaves."""
     e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # unix_micros div 1000000, NOT cast(ts AS long): the cast floors
+    # toward -inf while DuckDB's epoch_us // truncates toward zero —
+    # they disagree on pre-1970 timestamps (r6 events fuzz); the repo
+    # epoch convention (exactness rules) uses div on microseconds
+    sec = F.expr("unix_micros(ts) div 1000000")
     g = e.select(
         "event_type",
-        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
-          .alias("gap_s"),
+        (sec - F.lag(sec).over(w)).alias("gap_s"),
     ).filter(F.col("gap_s").isNotNull())
     return g.groupBy(
         "event_type",
@@ -8818,7 +8849,8 @@ def events_bounce_rate(spark, sf_dir):
         "user_id", "ts",
         F.when(
             prev.isNull()
-            | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+            | (F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(w)
+               > 1800000000),
             1,
         ).otherwise(0).alias("new_session"),
     )
