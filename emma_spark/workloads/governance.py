@@ -361,7 +361,7 @@ def dq_freshness_completeness(spark, sf_dir):
              sum(CASE WHEN arm = 0 THEN v END)::HUGEINT AS s0,
              sum(CASE WHEN arm = 1 THEN v END)::HUGEINT AS s1,
              count(*)::HUGEINT AS n, sum(v)::HUGEINT AS s,
-             sum(v * v)::HUGEINT AS ss
+             sum(v::HUGEINT * v)::HUGEINT AS ss
       FROM ev
     )
     SELECT CAST(srm.u0 AS BIGINT) AS users_a,
@@ -417,11 +417,14 @@ def events_experiment_scorecard(spark, sf_dir):
     m = ev.agg(
         F.count(F.when(F.col("arm") == 0, 1)).cast(dec).alias("n0"),
         F.count(F.when(F.col("arm") == 1, 1)).cast(dec).alias("n1"),
-        F.sum(F.when(F.col("arm") == 0, F.col("v"))).cast(dec).alias("s0"),
-        F.sum(F.when(F.col("arm") == 1, F.col("v"))).cast(dec).alias("s1"),
+        # lift INSIDE the aggregate: a LONG sum overflows at 100 TB row
+        # counts even for everyday cent values
+        F.sum(F.when(F.col("arm") == 0, F.col("v").cast(dec))).alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("v").cast(dec))).alias("s1"),
         F.count(F.lit(1)).cast(dec).alias("n"),
         F.sum(F.col("v").cast(dec)).alias("s"),
-        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("ss"),
+        # cast BEFORE the square: LONG v*v overflows per-row at ~3e9 cents
+        F.sum(F.col("v").cast(dec) * F.col("v").cast(dec)).alias("ss"),
     )
     chi2 = "CAST((u0 - u1) * (u0 - u1) * 1000000 div (u0 + u1) AS BIGINT)"
     return srm.crossJoin(m).select(

@@ -9039,7 +9039,7 @@ def orders_segment_migration(spark, sf_dir):
     ),
     m AS (
       SELECT count(*)::HUGEINT AS n, sum(v)::HUGEINT AS s,
-             sum(v * v)::HUGEINT AS ss
+             sum(v::HUGEINT * v)::HUGEINT AS ss
       FROM u
     ),
     v AS (
@@ -9080,7 +9080,10 @@ def events_power_analysis_mde(spark, sf_dir):
     m = u.agg(
         F.count(F.lit(1)).cast(dec).alias("n"),
         F.sum(F.col("v").cast(dec)).alias("s"),
-        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("ss"),
+        # cast BEFORE the square: a LONG v*v overflows at |v| >= ~3e9
+        # cents per row, and the SUM of squares overflows LONG at 100 TB
+        # row counts even for everyday values — decimal(38,0) holds both
+        F.sum(F.col("v").cast(dec) * F.col("v").cast(dec)).alias("ss"),
     )
     v = m.select(
         F.expr("CAST((n * ss - s * s) div (n * n) AS BIGINT)").alias(
