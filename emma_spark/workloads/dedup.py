@@ -14,7 +14,8 @@ N_HASHES = 4
 SHINGLE = 5
 
 def sql_shingles(shingle: int = SHINGLE) -> str:
-    """SQL fragment: char n-gram shingles of translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')."""
+    """SQL fragment: char n-gram shingles of the ASCII-folded text
+    (translate A-Z, the ``llm/text.ascii_lower`` contract)."""
     return (
         f"list_transform(range(1, greatest(len(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) - {shingle - 2}, 1)), "
         f"i -> substr(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), i, {shingle}))"
