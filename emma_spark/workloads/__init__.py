@@ -83,54 +83,51 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # Everything past position 50 carries a green driver row from r1-r4 and
 # stays verified by tools/diffcheck.py --vanilla each round.
 _PRIORITY = [
-    # ---- R6 WINDOW. Recipe unchanged (reds -> never-checked ->
-    # changed -> keepers); registry growth FROZEN this round per the
-    # r5 verdict — every slot below converges verification debt.
-    # (a) the three r5 reds, re-hardened this round: tokenization now
-    # splits on ONE explicit whitespace class on both engines
-    # (llm/text.py WS_RE — Java `\s` and RE2 `\s` disagree on \x0B),
-    # the bigram oracle lost its DuckDB list-comprehension (now
-    # portable list_transform(generate_series)), and the UDTF oracle
-    # extracts bare-key paths with explicit truncation semantics.
-    "text_pack_sequences", "text_bigram_lm", "udtf_expand_props",
-    # (b) hardened with the same driver-red classes this round:
-    # variant coercion now truncates identically cross-engine; the MTA
-    # decay window bound is strict (no shift-by--1 edge, r5 ADVICE)
-    "variant_ops_surface", "events_mta_time_decay",
-    # (c) representatives of the tokenization-contract change (their
-    # values CAN change on driver data with edge whitespace — both
-    # engines must still agree) + oracles rewritten portably
-    "flatmap_wordcount", "text_repetition_quality", "text_decontaminate",
-    "pipeline_rag_corpus_prep",
-    # (d) the r6 queue: never driver-checked, all tri-SF local-green
-    "multimodal_chunk_dedup", "scd2_point_in_time_lookup",
-    "dq_observed_ingest", "layout_zorder_clustering",
-    "text_mixture_allocation", "sketch_quantile_bins_grouped",
-    "q5_local_supplier_volume", "dq_drift_snapshots",
-    "events_retention_cohorts", "events_anomaly_zscore",
-    "graph_cc_twophase", "dedup_paragraph_exact", "text_chunk_windows",
-    "text_sparse_cosine_pairs", "text_winsorize_p90", "ml_knn_classify",
-    "embedding_negative_sample", "jsonl_roundtrip_agg",
-    "events_interval_merge", "multimodal_shard_plan", "text_bigram_score",
-    "stream_cdc_merge_snapshot", "graph_jaccard_neighbors",
-    "basket_brand_affinity", "dq_join_explosion_audit",
-    "embedding_quantize_int8", "text_keyword_scan",
-    "events_heatmap_hour_dow", "text_clean_normalize", "graph_hits",
-    "events_markov_transitions", "ml_decision_stump", "orc_roundtrip_agg",
-    "null_semantics_surface", "pipeline_incremental_update",
-    "events_user_ltv_decay", "orders_lorenz_curve", "text_ngram_novelty",
-    "join_asof_nearest", "events_sliding_batch_counts", "graph_modularity",
-    # R7 QUEUE (next never-checked batch, in rotation order):
-    # ml_auc_exact, text_bpe_apply, dedup_prefix_jaccard_exact,
-    # dedup_lsh_recall_eval, orders_rfm_segmentation,
-    # text_char_diversity, udf_map_in_arrow, events_point_in_interval,
-    # events_resample_linear, text_pii_scrub,
-    # stream_stream_left_outer_join, ml_gridsearch_ridge,
-    # ml_target_encoding_loo, events_changepoint_cusum,
-    # sql_lateral_topk, pipeline_dpo_pairs, orders_survival_hazard,
+    # ---- R7 WINDOW. Recipe unchanged (reds -> never-checked ->
+    # changed -> keepers); registry growth stays FROZEN — every slot
+    # converges verification debt.
+    # (a) the 14 r6 reds. Root cause (one mechanism, all 14): an
+    # oracle output column typed HUGEINT (DuckDB promotes sum(BIGINT)
+    # and window sums) or DOUBLE where Spark emits BIGINT — the
+    # driver's pandas fetchdf() canonicalizes HUGEINT as float64
+    # ('124750.0' vs int64 '124750'), a hash mismatch at any
+    # magnitude. Every flagged column is now CAST(... AS BIGINT) at
+    # the oracle's outermost select; the repaired tools/diffcheck.py
+    # (fetchdf + DESCRIBE type-identity gate) and
+    # tests/test_registry_contracts.py::test_output_type_identity
+    # make reintroduction impossible.
+    "text_pack_sequences", "text_bigram_lm", "dq_observed_ingest",
+    "text_mixture_allocation", "dq_drift_snapshots",
+    "text_sparse_cosine_pairs", "text_winsorize_p90",
+    "jsonl_roundtrip_agg", "events_interval_merge",
+    "multimodal_shard_plan", "text_bigram_score",
+    "embedding_quantize_int8", "ml_decision_stump", "orc_roundtrip_agg",
+    # (b) the 23 latent type-mismatched queries the same DESCRIBE scan
+    # caught before the driver ever checked them — same cast sweep,
+    # never driver-checked, all green through the strict comparator
+    "text_bpe_train", "text_bpe_apply", "geo_radius_join",
+    "geo_tile_rollup", "dq_k_anonymity", "dq_freshness_completeness",
+    "ml_feature_importance_stumps", "ml_threshold_sweep_f1",
+    "events_feature_store_pit", "udf_map_in_arrow",
+    "events_resample_linear", "events_interval_overlap_join",
+    "parquet_partitioned_roundtrip", "events_alert_debounce",
+    "orders_rolling_median_7d", "agg_mode_exact",
+    "orders_seasonal_decompose", "orders_segment_migration",
+    "orders_percent_of_total", "join_dynamic_partition_pruning",
+    "ann_pq_adc_topk", "embedding_outlier_zscore", "ann_ivf_pq_topk",
+    # (c) next never-checked batch from the standing queue, tri-SF
+    # green through the repaired (type-strict) comparator
+    "ml_auc_exact", "dedup_prefix_jaccard_exact",
+    "dedup_lsh_recall_eval", "orders_rfm_segmentation",
+    "text_char_diversity", "events_point_in_interval", "text_pii_scrub",
+    "stream_stream_left_outer_join", "ml_gridsearch_ridge",
+    "ml_target_encoding_loo", "events_changepoint_cusum",
+    "sql_lateral_topk", "pipeline_dpo_pairs",
+    # R8 QUEUE (next never-checked batch, in rotation order):
+    # events_conversion_delay, orders_survival_hazard,
     # agg_listagg_ordered, orders_duplicate_invoice_detect,
     # events_cuped_adjusted_lift, orders_ses_level_fold,
-    # graph_ppr_seed, events_conversion_delay, orders_price_volume_mix,
+    # graph_ppr_seed, orders_price_volume_mix,
     # text_span_corruption_plan, ann_recall_eval,
     # window_value_range_band, graph_assortativity, ml_learning_curve,
     # events_gap_histogram, stream_chained_window_aggs,

@@ -90,7 +90,7 @@ def _xy_sql(key_expr: str, tag: str) -> str:
     SELECT s_suppkey,
            count(*) AS n_within,
            min(d2)  AS min_d2,
-           sum(d2)  AS sum_d2
+           CAST(sum(d2) AS BIGINT) AS sum_d2
     FROM p GROUP BY s_suppkey
     """,
 )
@@ -166,7 +166,7 @@ def geo_radius_join(spark, sf_dir):
            CASE WHEN GROUPING(tile_y16) = 1 THEN -1 ELSE tile_y16 END
              AS tile_y16,
            count(*) AS n_points,
-           sum(bal_c) AS sum_bal_c
+           CAST(sum(bal_c) AS BIGINT) AS sum_bal_c
     FROM t
     GROUP BY GROUPING SETS ((tile_x4, tile_y4, tile_x16, tile_y16),
                             (tile_x4, tile_y4))

@@ -31,11 +31,11 @@ _K = 5  # k-anonymity threshold
       SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS sz
       FROM qi GROUP BY 1, 2, 3
     )
-    SELECT sum(sz) AS n_rows,
+    SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
            count(*) AS n_classes,
            count(CASE WHEN sz < {_K} THEN 1 END) AS n_unsafe_classes,
-           coalesce(sum(CASE WHEN sz < {_K} THEN sz END), 0)
-             AS rows_at_risk,
+           CAST(coalesce(sum(CASE WHEN sz < {_K} THEN sz END), 0)
+             AS BIGINT) AS rows_at_risk,
            CAST(coalesce(sum(CASE WHEN sz < {_K} THEN sz END), 0)
                 ::HUGEINT * 1000000 // sum(sz) AS BIGINT) AS risk_ppm,
            min(sz) AS min_class_size
@@ -269,7 +269,8 @@ def layout_zone_map_pruning(spark, sf_dir):
     SELECT p.event_type,
            (epoch_us(g.gmax) - epoch_us(p.tmax)) // 60000000
              AS freshness_lag_min,
-           t.last_n, t.trail_n, t.trail_days,
+           CAST(t.last_n AS BIGINT) AS last_n,
+           CAST(t.trail_n AS BIGINT) AS trail_n, t.trail_days,
            CAST(t.last_n::HUGEINT * t.trail_days * 1000000 // t.trail_n
                 AS BIGINT) AS completeness_ppm
     FROM per p JOIN trail t ON p.event_type = t.event_type, g

@@ -741,7 +741,7 @@ def ml_knn_classify(spark, sf_dir):
     SELECT min_by(dim, err * 4096 + dim * 64 + bin) AS best_dim,
            min_by(bin, err * 4096 + dim * 64 + bin) AS best_bin,
            min_by(thr_c, err * 4096 + dim * 64 + bin) AS thr_c,
-           min(err) AS best_err
+           CAST(min(err) AS BIGINT) AS best_err
     FROM scored
     """,
 )
@@ -1199,7 +1199,7 @@ def ml_calibration_bins(spark, sf_dir):
                  + least(t.ap - cp, (t.at - ct) - (t.ap - cp))) AS best_err
       FROM cum, tot t GROUP BY dim
     )
-    SELECT dim, best_err FROM per_dim
+    SELECT dim, CAST(best_err AS BIGINT) AS best_err FROM per_dim
     ORDER BY best_err, dim LIMIT 10
     """,
 )
@@ -1283,7 +1283,8 @@ def ml_feature_importance_stumps(spark, sf_dir):
       WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
     ),
     scored AS (
-      SELECT bin, tp, fp, fn,
+      SELECT bin, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             CAST(fn AS BIGINT) AS fn,
              CAST(2 * tp::HUGEINT * 1000000 // (2 * tp + fp + fn) AS BIGINT)
                AS f1_ppm
       FROM cum WHERE tp + fp > 0 AND 2 * tp + fp + fn > 0

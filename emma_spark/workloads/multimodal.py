@@ -213,8 +213,9 @@ def multimodal_chunk_dedup(spark, sf_dir):
                - n_bytes AS off
       FROM blobs
     )
-    SELECT off // 16384 AS shard_id, count(*) AS n_blobs,
-           sum(n_bytes) AS shard_bytes, min(id) AS first_id, max(id) AS last_id
+    SELECT CAST(off // 16384 AS BIGINT) AS shard_id, count(*) AS n_blobs,
+           CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+           min(id) AS first_id, max(id) AS last_id
     FROM c GROUP BY off // 16384
     """,
 )

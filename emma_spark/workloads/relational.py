@@ -3315,7 +3315,8 @@ def scd2_point_in_time_lookup(spark, sf_dir):
            count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS n_nonpositive,
            count(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END)
              AS n_bad_status,
-           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_c
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_c
     FROM orders
     """,
 )
@@ -3589,10 +3590,12 @@ def q5_local_supplier_volume(spark, sf_dir):
     SELECT o_orderpriority,
            count(*) FILTER (o_orderdate <  TIMESTAMP '1998-01-01') AS n_h1,
            count(*) FILTER (o_orderdate >= TIMESTAMP '1998-01-01') AS n_h2,
-           coalesce(sum(floor(o_totalprice * 100 + 0.5))
-                    FILTER (o_orderdate <  TIMESTAMP '1998-01-01'), 0) AS price_c_h1,
-           coalesce(sum(floor(o_totalprice * 100 + 0.5))
-                    FILTER (o_orderdate >= TIMESTAMP '1998-01-01'), 0) AS price_c_h2,
+           CAST(coalesce(sum(floor(o_totalprice * 100 + 0.5))
+                    FILTER (o_orderdate <  TIMESTAMP '1998-01-01'), 0)
+                AS BIGINT) AS price_c_h1,
+           CAST(coalesce(sum(floor(o_totalprice * 100 + 0.5))
+                    FILTER (o_orderdate >= TIMESTAMP '1998-01-01'), 0)
+                AS BIGINT) AS price_c_h2,
            count(DISTINCT o_custkey)
              FILTER (o_orderdate <  TIMESTAMP '1998-01-01') AS nd_cust_h1,
            count(DISTINCT o_custkey)
@@ -3733,7 +3736,8 @@ def events_anomaly_zscore(spark, sf_dir):
 @query(
     "jsonl_roundtrip_agg",
     oracle="""
-    SELECT lang, source, count(*) AS n, sum(n_chars) AS chars,
+    SELECT lang, source, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
            CAST(sum(length(text)) AS BIGINT) AS text_len
     FROM documents GROUP BY lang, source
     """,
@@ -3783,7 +3787,8 @@ def jsonl_roundtrip_agg(spark, sf_dir):
                                    ROWS UNBOUNDED PRECEDING) AS island
       FROM marked
     )
-    SELECT user_id, island, min(s) AS start_s, max(e) AS end_s,
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           min(s) AS start_s, max(e) AS end_s,
            count(*) AS n_events
     FROM grp GROUP BY user_id, island
     """,
@@ -4030,7 +4035,7 @@ def events_markov_transitions(spark, sf_dir):
     "orc_roundtrip_agg",
     oracle="""
     SELECT c_mktsegment, count(*) AS n,
-           sum(floor(c_acctbal * 100 + 0.5)) AS bal_c,
+           CAST(sum(floor(c_acctbal * 100 + 0.5)) AS BIGINT) AS bal_c,
            count(DISTINCT c_nationkey) AS n_nations
     FROM customer GROUP BY c_mktsegment
     """,
@@ -4629,7 +4634,8 @@ def events_session_window_builtin(spark, sf_dir):
       WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
-    SELECT event_id AS label_id, user_id, n_prior, value_c_prior,
+    SELECT event_id AS label_id, user_id, n_prior,
+           CAST(value_c_prior AS BIGINT) AS value_c_prior,
            n_prior_errors
     FROM seq WHERE event_type = 'purchase'
     """,
@@ -5293,8 +5299,8 @@ def orders_rfm_segmentation(spark, sf_dir):
     "udf_map_in_arrow",
     oracle="""
     SELECT l_returnflag,
-           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-                    AS BIGINT)) AS revenue_cents,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents,
            count(*)::BIGINT AS n
     FROM lineitem WHERE l_quantity < 10
     GROUP BY l_returnflag
@@ -5472,9 +5478,9 @@ def events_point_in_interval(spark, sf_dir):
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT user_id, bucket,
-           CASE WHEN v_c IS NOT NULL THEN v_c
+           CAST(CASE WHEN v_c IS NOT NULL THEN v_c
                 ELSE (v0 * (t1 - t) + v1 * (t - t0)) // (t1 - t0)
-           END AS interp_c,
+           END AS BIGINT) AS interp_c,
            v_c IS NOT NULL AS observed
     FROM f
     """,
@@ -7939,7 +7945,8 @@ def events_did_estimate(spark, sf_dir):
              least(a.e, b.e) - greatest(a.s, b.s) AS ov
       FROM a JOIN b ON greatest(a.s, b.s) < least(a.e, b.e)
     )
-    SELECT a_id, count(*) AS n_overlaps, sum(ov) AS overlap_s
+    SELECT a_id, count(*) AS n_overlaps,
+           CAST(sum(ov) AS BIGINT) AS overlap_s
     FROM p GROUP BY a_id
     """,
 )
@@ -8104,7 +8111,7 @@ def orders_holt_trend_fold(spark, sf_dir):
 @query(
     "parquet_partitioned_roundtrip",
     oracle="""
-    SELECT source, count(*) AS n, sum(n_chars) AS chars
+    SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
     FROM documents WHERE lang IN ('en', 'de')
     GROUP BY source
     """,
@@ -8560,7 +8567,7 @@ def part_inventory_simulation(spark, sf_dir):
       FROM events WHERE event_type = 'error' GROUP BY 1
     ),
     thr AS MATERIALIZED (
-      SELECT sum(n) // count(*) + 2 AS t FROM h
+      SELECT CAST(sum(n) // count(*) + 2 AS BIGINT) AS t FROM h
     ),
     cand AS MATERIALIZED (
       SELECT hr FROM h, thr WHERE h.n >= thr.t
@@ -8651,7 +8658,7 @@ def events_alert_debounce(spark, sf_dir):
                                AND CURRENT ROW) AS win
       FROM d
     )
-    SELECT day, rev_c,
+    SELECT day, CAST(rev_c AS BIGINT) AS rev_c,
            len(win)::BIGINT AS n_win,
            CAST(CASE WHEN len(win) % 2 = 1
                 THEN list_sort(win)[(len(win) + 1) // 2]
@@ -8761,7 +8768,7 @@ def window_first_last_nth_surface(spark, sf_dir):
     slot AS (
       SELECT o_orderpriority,
              max(n * 1000 + (ascii(o_orderstatus) - ascii('A'))) AS s,
-             sum(n) AS total
+             CAST(sum(n) AS BIGINT) AS total
       FROM c GROUP BY 1
     )
     SELECT o_orderpriority,
@@ -8901,8 +8908,10 @@ def events_bounce_rate(spark, sf_dir):
       SELECT moy, sum(detr) // count(*) AS seasonal
       FROM det WHERE detr IS NOT NULL GROUP BY moy
     )
-    SELECT d.idx, d.moy, d.x, d.trend, s.seasonal,
-           d.x - d.trend - s.seasonal AS residual
+    SELECT d.idx, d.moy, CAST(d.x AS BIGINT) AS x,
+           CAST(d.trend AS BIGINT) AS trend,
+           CAST(s.seasonal AS BIGINT) AS seasonal,
+           CAST(d.x - d.trend - s.seasonal AS BIGINT) AS residual
     FROM det d JOIN seas s ON d.moy = s.moy
     WHERE d.trend IS NOT NULL
     """,
@@ -8974,7 +8983,7 @@ def orders_seasonal_decompose(spark, sf_dir):
     ),
     seg AS (
       SELECT o_custkey, period,
-             least(spend_c // 50000000, 4) AS segment
+             CAST(least(spend_c // 50000000, 4) AS BIGINT) AS segment
       FROM s
     ),
     t0 AS (SELECT o_custkey, segment FROM seg WHERE period = 0),
@@ -9178,7 +9187,7 @@ def events_dispersion_index(spark, sf_dir):
              sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
       FROM orders GROUP BY 1, 2
     )
-    SELECT yr, o_orderpriority, rev_c,
+    SELECT yr, o_orderpriority, CAST(rev_c AS BIGINT) AS rev_c,
            CAST(rev_c::HUGEINT * 1000000
                 // sum(rev_c) OVER (PARTITION BY yr) AS BIGINT)
              AS share_ppm,
@@ -9904,7 +9913,7 @@ def sql_group_by_all_surface(spark, sf_dir):
 @query(
     "join_dynamic_partition_pruning",
     oracle="""
-    SELECT d.lang, count(*) AS n, sum(d.n_chars) AS chars
+    SELECT d.lang, count(*) AS n, CAST(sum(d.n_chars) AS BIGINT) AS chars
     FROM documents d
     JOIN (SELECT DISTINCT lang FROM documents WHERE doc_id % 97 = 3) s
       ON d.lang = s.lang

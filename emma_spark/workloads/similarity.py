@@ -409,10 +409,11 @@ def embedding_negative_sample(spark, sf_dir):
            floor(amax * 1000000 + 0.5) / 1000000 AS amax_q,
            codes[1] AS code0,
            len(list_filter(codes, c -> abs(c) = 127)) AS n_sat,
-           list_sum(list_transform(range(1, len(codes) + 1),
+           CAST(list_sum(list_transform(range(1, len(codes) + 1),
              i -> CAST(floor((v[i] - codes[i] * amax / 127)
                              * (v[i] - codes[i] * amax / 127)
-                             * 1000000000000 + 0.5) AS BIGINT))) AS sse_pq
+                             * 1000000000000 + 0.5) AS BIGINT)))
+                AS BIGINT) AS sse_pq
     FROM coded
     """,
 )
@@ -574,7 +575,8 @@ def embedding_pq_codes(spark, sf_dir):
       WHERE codes.vec_id != adc.qid
       GROUP BY 1, 2
     )
-    SELECT qid AS query_id, neighbor_id, adist, rk AS rank FROM (
+    SELECT qid AS query_id, neighbor_id,
+           CAST(adist AS BIGINT) AS adist, rk AS rank FROM (
       SELECT *, row_number() OVER (PARTITION BY qid
                                    ORDER BY adist, neighbor_id) AS rk
       FROM scored
@@ -738,7 +740,7 @@ def embedding_semdedup_prune(spark, sf_dir):
              sum(d_s::HUGEINT * d_s) AS s2
       FROM dist GROUP BY label
     )
-    SELECT d.vec_id, d.label, d.d_s,
+    SELECT d.vec_id, d.label, CAST(d.d_s AS BIGINT) AS d_s,
            (st.n::HUGEINT * d.d_s - st.s)
              * (st.n::HUGEINT * d.d_s - st.s)
              > 4 * (st.n::HUGEINT * st.s2 - st.s::HUGEINT * st.s)
@@ -1409,7 +1411,8 @@ def embedding_corr_matrix(spark, sf_dir):
               AND adc.cid = codes.code
       GROUP BY 1, 2
     )
-    SELECT qid AS query_id, neighbor_id, adist, rk AS rank FROM (
+    SELECT qid AS query_id, neighbor_id,
+           CAST(adist AS BIGINT) AS adist, rk AS rank FROM (
       SELECT *, row_number() OVER (PARTITION BY qid
                                    ORDER BY adist, neighbor_id) AS rk
       FROM scored

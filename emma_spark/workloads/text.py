@@ -263,7 +263,9 @@ def text_repetition_quality(spark, sf_dir):
                AS pack_offset
       FROM t
     )
-    SELECT doc_id, n_tokens, pack_offset // 2048 AS pack_id, pack_offset
+    SELECT doc_id, n_tokens,
+           CAST(pack_offset // 2048 AS BIGINT) AS pack_id,
+           CAST(pack_offset AS BIGINT) AS pack_offset
     FROM c
     """,
 )
@@ -520,7 +522,8 @@ def text_weighted_sample(spark, sf_dir):
     ), tot AS (
       SELECT w1, sum(cnt) AS n_w1 FROM cnts GROUP BY w1
     )
-    SELECT c.w1, c.w2, c.cnt, c.cnt * 1000000 // t.n_w1 AS cond_ppm
+    SELECT c.w1, c.w2, c.cnt,
+           CAST(c.cnt * 1000000 // t.n_w1 AS BIGINT) AS cond_ppm
     FROM cnts c JOIN tot t ON c.w1 = t.w1
     ORDER BY c.cnt DESC, c.w1, c.w2 LIMIT 50
     """,
@@ -570,11 +573,13 @@ def text_bigram_lm(spark, sf_dir):
              sum(len({SQL_TOKS})) AS n_tokens
       FROM documents GROUP BY source
     ), tot AS (SELECT sum(w) AS sw FROM per_src)
-    SELECT p.source, p.n_docs, p.n_tokens,
-           1000000 * p.w // t.sw AS target_tokens,
-           least(1000000::BIGINT,
-                 (1000000 * p.w // t.sw) * 1000000 // p.n_tokens) AS rate_ppm,
-           (1000000 * p.w // t.sw) * 100 // p.n_tokens AS epochs_x100
+    SELECT p.source, p.n_docs, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+           CAST(1000000 * p.w // t.sw AS BIGINT) AS target_tokens,
+           CAST(least(1000000::HUGEINT,
+                 (1000000 * p.w // t.sw) * 1000000 // p.n_tokens)
+                AS BIGINT) AS rate_ppm,
+           CAST((1000000 * p.w // t.sw) * 100 // p.n_tokens AS BIGINT)
+             AS epochs_x100
     FROM per_src p CROSS JOIN tot t
     """,
 )
@@ -650,7 +655,8 @@ def _bpe_sql(n_merges: int = _BPE_MERGES) -> str:
       FROM w{p} w CROSS JOIN b{k} b
     )""")
         sel.append(
-            f"SELECT {k} AS rank, l AS left_tok, r AS right_tok, cnt FROM b{k}"
+            f"SELECT {k} AS rank, l AS left_tok, r AS right_tok, "
+            f"CAST(cnt AS BIGINT) AS cnt FROM b{k}"
         )
     merges_select = "\nUNION ALL\n".join(sel)
     return "WITH" + ",".join(parts) + "\n", merges_select
@@ -664,7 +670,7 @@ def _bpe_train_sql() -> str:
 def _bpe_apply_sql() -> str:
     chain, _ = _bpe_sql()
     return chain + f"""
-    SELECT tok, sum(n) AS cnt FROM (
+    SELECT tok, CAST(sum(n) AS BIGINT) AS cnt FROM (
       SELECT n, unnest(list_filter(string_split(seq, ' '), x -> x != '')) AS tok
       FROM w{_BPE_MERGES}
     ) GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
@@ -837,7 +843,7 @@ def text_chunk_windows(spark, sf_dir):
       FROM tf a JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT doc_a, doc_b, num,
+    SELECT doc_a, doc_b, CAST(num AS BIGINT) AS num,
            floor(num / sqrt(na.nsq * nb.nsq) * 10000 + 0.5) / 10000 AS sim
     FROM pairs
     JOIN norms na ON pairs.doc_a = na.doc_id
@@ -916,8 +922,8 @@ def text_sparse_cosine_pairs(spark, sf_dir):
       GROUP BY c.lang
     )
     SELECT d.lang, thr.p90, count(*) AS n_docs,
-           sum(d.n_chars) AS raw_sum,
-           sum(least(d.n_chars, thr.p90)) AS winsorized_sum
+           CAST(sum(d.n_chars) AS BIGINT) AS raw_sum,
+           CAST(sum(least(d.n_chars, thr.p90)) AS BIGINT) AS winsorized_sum
     FROM documents d JOIN thr ON d.lang = thr.lang
     GROUP BY d.lang, thr.p90
     """,
@@ -987,8 +993,8 @@ def text_winsorize_p90(spark, sf_dir):
              CAST(c.cnt::HUGEINT * 1000000 // t.n_w1 AS BIGINT) AS cond_ppm
       FROM cnts c JOIN tot t ON c.w1 = t.w1
     )
-    SELECT db.doc_id, sum(db.m) AS n_bigrams,
-           sum(db.m * model.cond_ppm) // sum(db.m) AS avg_ppm
+    SELECT db.doc_id, CAST(sum(db.m) AS BIGINT) AS n_bigrams,
+           CAST(sum(db.m * model.cond_ppm) // sum(db.m) AS BIGINT) AS avg_ppm
     FROM db JOIN model ON db.w1 = model.w1 AND db.w2 = model.w2
     GROUP BY db.doc_id
     """,

@@ -238,36 +238,50 @@ def test_json_numeric_grammar_fuzz(spark, tmp_path):
         )
 
 
-def test_no_decimal_typed_oracle_outputs():
-    """DECIMAL/HUGEINT oracle output columns arrive in pandas as
-    ``object``-dtype ``Decimal``s and stringify differently than the
-    Spark side's float/int (``Decimal('0.5000')`` vs ``0.5``) — the
-    same canonicalizer class as complex types. The repo rule (SCALE.md
-    'HUGEINT transfer trap') says CAST every aggregate to BIGINT /
-    DOUBLE; this pins it with a LIMIT-0 type probe, no Spark needed."""
+def test_output_type_identity(spark):
+    """Every oracle output column's DuckDB type must land in the SAME
+    pandas dtype family as the Spark column — the r6 driver-red class.
+
+    The predecessor test read the DBAPI cursor ``description``, which
+    reports the generic ``'NUMBER'`` for every numeric type, so its
+    ``ds in ("HUGEINT", ...)`` check could never fire: 35 HUGEINT
+    oracles (DuckDB silently promotes ``sum(BIGINT)`` and window sums)
+    sailed through, and each one the driver checked redded — HUGEINT
+    arrives via ``fetchdf()`` as float64 (``124750.0``) while Spark
+    delivers int64 (``124750``), a hash mismatch at ANY magnitude.
+    Only ``DESCRIBE SELECT * FROM (...)`` sees the real types; the
+    walk also bans complex types (LIST/STRUCT/MAP) on BOTH sides and
+    float-vs-int family disagreements like DOUBLE-vs-bigint."""
+    from tools.typecheck import connect_views, scan_all
+
+    problems = scan_all(spark, connect_views(SF_DIR), SF_DIR)
+    assert not problems, "\n".join(problems)
+
+
+def test_diffcheck_catches_hugeint_oracle(spark):
+    """Regression for the r6 red class: the local comparator must FAIL
+    a query whose oracle column is HUGEINT even when every value is
+    numerically identical — ``fetchall()``-based comparison could not
+    see it (HUGEINT -> Python int) and called 14 driver reds green
+    locally, twice. ``compare_one`` fetches via ``fetchdf()`` and
+    asserts type identity, so this deliberately-uncast oracle must
+    fail BOTH the type gate and (float64 '124750.0' vs int64
+    '124750') the value hash."""
     import duckdb
 
-    from emma_spark.workloads import load_all
+    from tools.diffcheck import compare_one
 
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem "
-        "events documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-    bad = []
-    for name, q in load_all().items():
-        if not q.oracle:
-            continue
-        res = con.execute(f"SELECT * FROM ({q.oracle}) LIMIT 0")
-        for cname, dtype, *_ in res.description:
-            ds = str(dtype).upper()
-            if "DECIMAL" in ds or ds in ("HUGEINT", "UHUGEINT"):
-                bad.append(f"{name}.{cname}: {ds}")
-    assert not bad, "\n".join(bad)
+
+    def spark_fn(s, _sf):
+        return s.range(500).selectExpr("sum(id) AS total")
+
+    bad_oracle = "SELECT sum(x) AS total FROM range(500) t(x)"  # HUGEINT
+    good_oracle = "SELECT CAST(sum(x) AS BIGINT) AS total FROM range(500) t(x)"
+    status, detail = compare_one(spark, con, "hug", spark_fn, bad_oracle, SF_DIR)
+    assert status == "fail" and "HUGEINT" in detail, (status, detail)
+    status, detail = compare_one(spark, con, "ok", spark_fn, good_oracle, SF_DIR)
+    assert status == "ok", (status, detail)
 
 
 def test_no_complex_output_columns(spark):

@@ -1,49 +1,128 @@
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — pandas-faithful.
 
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` twin on DuckDB over the same parquet dir, then
-compares row count, column names, and an order-insensitive value hash
-(columns sorted by name, rows sorted, values normalized). Usage:
+compares row count, column names, output TYPES, and an
+order-insensitive value hash.
 
-    python tools/diffcheck.py [sf_dir] [query ...]
+Canonicalization matches the driver's observed path, which the r5/r6
+reds proved is pandas-based: the DuckDB side is fetched via
+``fetchdf()`` (NOT ``fetchall()`` — ``fetchall`` converts HUGEINT to
+Python int and hides exactly the divergence the driver sees: HUGEINT
+arrives in pandas as float64, ``124750.0`` vs Spark's int64
+``124750``) and the Spark side via Arrow ``toPandas()``. Floats are
+stringified at full precision via ``repr`` — integer-valued floats are
+NOT collapsed to ints, and no significant-digit rounding is applied.
+On top of the value hash, Spark's schema and DuckDB's DESCRIBE types
+must land in the same pandas dtype family (tools/typecheck.py), so a
+type-only divergence fails here even when the stringified values
+happen to agree at this SF.
+
+Usage:
+
+    python tools/diffcheck.py [--vanilla] [sf_dir] [query ...]
 
 Defaults to /root/testdata/sf0.01 and all queries.
 """
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
+from tools.typecheck import duck_output_types, pair_problems  # noqa: E402
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def _norm(v):
-    if v is None:
+def _pnorm(v):
+    """Stringify one pandas cell the way a dtype-sensitive hasher sees
+    it. float64(124750.0) -> '124750.0', int64(124750) -> '124750':
+    the two MUST differ, that asymmetry is the whole point."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return "\x00"
-    if isinstance(v, bool):
-        return "1" if v else "0"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+    if isinstance(v, (np.bool_, bool)):
+        return "True" if v else "False"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if f != f:  # NaN — also how pandas encodes SQL NULL in floats
+            return "\x00"
+        return repr(f)
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_pnorm(x) for x in v.tolist()) + "]"
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm(x) for x in v) + "]"
+        return "[" + ",".join(_pnorm(x) for x in v) + "]"
     if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{_norm(v[k])}" for k in sorted(v)) + "}"
-    if isinstance(v, bytes):
-        return v.hex()
+        return "{" + ",".join(f"{k}:{_pnorm(v[k])}" for k in sorted(v)) + "}"
+    try:
+        if pd.isna(v):
+            return "\x00"
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
 
-def bag(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("\x01".join(_norm(r[i]) for i in order) for r in rows)
+def pdf_bag(pdf) -> list[str]:
+    """Order-insensitive canonical rows: columns sorted by name, each
+    cell normalized dtype-sensitively, rows sorted."""
+    cols = sorted(pdf.columns)
+    out = []
+    for row in pdf[cols].itertuples(index=False, name=None):
+        out.append("\x01".join(_pnorm(v) for v in row))
+    out.sort()
+    return out
+
+
+def compare_one(spark, con, name, fn, oracle, sf_dir):
+    """Run one query both ways; return (status, detail).
+
+    status: 'ok' | 'rows-only' | 'fail'. Mirrors the driver's checks
+    (rows / schema / value hash) plus the stricter type-identity gate.
+    """
+    spark.catalog.clearCache()
+    try:
+        sdf = fn(spark, sf_dir)
+        sfields = [(f.name, f.dataType.simpleString()) for f in sdf.schema.fields]
+        spdf = sdf.toPandas()
+    except Exception as ex:  # noqa: BLE001 — this is a reporting tool
+        return "fail", f"spark error: {ex!r}"[:500]
+    if oracle is None:
+        return "rows-only", f"{len(spdf)} rows"
+    try:
+        dfields = duck_output_types(con, oracle)
+        dpdf = con.execute(oracle).fetchdf()
+    except Exception as ex:  # noqa: BLE001
+        return "fail", f"duckdb error: {ex!r}"[:500]
+
+    problems = []
+    scols, dcols = list(spdf.columns), list(dpdf.columns)
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+    if len(spdf) != len(dpdf):
+        problems.append(f"rowcount spark={len(spdf)} duck={len(dpdf)}")
+    problems += pair_problems(name, sfields, dfields)
+    if not problems:
+        sb, db = pdf_bag(spdf), pdf_bag(dpdf)
+        if sb != db:
+            diffs = [i for i, (a, b) in enumerate(zip(sb, db)) if a != b][:3]
+            detail = "; ".join(
+                f"row{i} spark={sb[i][:120]!r} duck={db[i][:120]!r}" for i in diffs
+            )
+            problems.append(f"values differ ({detail})")
+    if problems:
+        return "fail", "; ".join(problems)
+    return "ok", f"{len(spdf)} rows"
 
 
 def main() -> int:
@@ -82,46 +161,17 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        spark.catalog.clearCache()
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as ex:
-            print(f"FAIL  {name}: spark error: {ex!r}"[:500])
-            n_fail += 1
-            continue
-        if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (rows-only) [{time.time()-t0:.1f}s]")
-            n_rows_only += 1
-            continue
-        try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-        except Exception as ex:
-            print(f"FAIL  {name}: duckdb error: {ex!r}"[:500])
-            n_fail += 1
-            continue
-        problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if not problems:
-            sb, db = bag(srows, scols), bag(drows, dcols)
-            if sb != db:
-                diffs = [i for i, (a, b) in enumerate(zip(sb, db)) if a != b][:3]
-                detail = "; ".join(
-                    f"row{i} spark={sb[i][:120]!r} duck={db[i][:120]!r}" for i in diffs
-                )
-                problems.append(f"values differ ({detail})")
-        if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)}"[:600])
-            n_fail += 1
-        else:
-            print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+        status, detail = compare_one(spark, con, name, fn, oracles.get(name), sf_dir)
+        dt = time.time() - t0
+        if status == "ok":
+            print(f"ok    {name}: {detail} [{dt:.1f}s]")
             n_pass += 1
+        elif status == "rows-only":
+            print(f"rows  {name}: {detail} (rows-only) [{dt:.1f}s]")
+            n_rows_only += 1
+        else:
+            print(f"FAIL  {name}: {detail}"[:600])
+            n_fail += 1
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL")
     spark.stop()
     return 1 if n_fail else 0
