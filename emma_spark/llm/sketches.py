@@ -66,7 +66,11 @@ def countmin_build(
     caller already owns a key-count aggregate, this moves the md5
     work from one-per-instance to one-per-DISTINCT-key (the dominant
     build cost on a heavy-tailed corpus) without changing a single
-    cell value."""
+    cell value. Weights are an INTEGER contract: the column is cast
+    to BIGINT row-side (fractional weights would silently change
+    countmin_estimate's min() arithmetic type and its NULL behavior),
+    so a fractional weight is truncated — pre-scale to integer units
+    (e.g. cents, ppm) before passing a fractional measure."""
     hexh = _md5_hex(F.col(key_col), "cm")
     # weights must land as non-null BIGINT: double/decimal weights would
     # silently change countmin_estimate's min() arithmetic type, and an

@@ -1,0 +1,62 @@
+"""Fixed-seed subset of the adversarial fuzz harnesses, in-suite.
+
+tools/fuzzcheck.py and tools/fuzzcheck_events.py found 11 latent
+cross-engine bugs in r6 that the real testdata can never trigger (it
+is pure ASCII with no empty docs and no edge timestamps) — but they
+only ran when remembered. This pins a contract-heavy subset into the
+default gate so the machinery fires on every commit; the full sweeps
+remain the ad-hoc tools. Comparator: the SAME driver-faithful path as
+tools/diffcheck.py (fetchdf/toPandas + type-identity + full-precision
+floats).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools import fuzzcheck, fuzzcheck_events  # noqa: E402
+from tools.fuzzcore import run_fuzz  # noqa: E402
+
+# contract-heavy picks: tokenization/case-fold (the r5 seam), cumsum
+# packing (the r6 red), array HOFs on empty docs (two r6 crashes),
+# dedup hashing, percentile/window arithmetic, PII regex classes
+_DOC_SUBSET = {
+    "flatmap_wordcount", "text_clean_normalize", "text_repetition_quality",
+    "text_pack_sequences", "text_bigram_lm", "text_chunk_windows",
+    "text_winsorize_p90", "text_char_diversity", "text_pii_scrub",
+    "text_keyword_scan", "dedup_paragraph_exact", "text_stratified_sample",
+}
+
+# edge-timestamp picks: gaps-and-islands (interval merge), epoch
+# division (resample), windows over sparse calendars, decay sums
+_EVENT_SUBSET = {
+    "events_interval_merge", "events_anomaly_zscore",
+    "events_resample_linear", "events_markov_transitions",
+    "events_heatmap_hour_dow", "events_alert_debounce",
+    "events_changepoint_cusum", "events_retention_cohorts",
+    "events_feature_store_pit", "events_interval_overlap_join",
+}
+
+
+def test_fuzz_documents_subset(spark):
+    path = fuzzcheck.build_corpus()
+    con = fuzzcheck.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, {"documents"}, only=_DOC_SUBSET, quiet=True
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok + n_skip == len(_DOC_SUBSET), (n_ok, n_skip)
+    assert n_ok >= len(_DOC_SUBSET) - 2, f"too many skips: {n_skip}"
+
+
+def test_fuzz_events_subset(spark):
+    path = fuzzcheck_events.build_corpus()
+    con = fuzzcheck_events.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, {"events"}, only=_EVENT_SUBSET, quiet=True
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok + n_skip == len(_EVENT_SUBSET), (n_ok, n_skip)
+    assert n_ok >= len(_EVENT_SUBSET) - 2, f"too many skips: {n_skip}"

@@ -27,6 +27,7 @@ Defaults to /root/testdata/sf0.01 and all queries.
 
 from __future__ import annotations
 
+import datetime
 import sys
 import time
 
@@ -57,6 +58,12 @@ def _pnorm(v):
         return str(int(v))
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        # DuckDB fetchdf() renders DATE as a midnight datetime64 while
+        # Spark toPandas() keeps datetime.date objects; the driver
+        # hashes these EQUAL (click_count_diffs was driver-green in r3
+        # with a date output), so canonicalize date -> midnight form
+        return f"{v.isoformat()}T00:00:00"
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     if isinstance(v, np.ndarray):

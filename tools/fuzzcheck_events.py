@@ -1,8 +1,8 @@
 """Adversarial events-table differential — the sibling of
 tools/fuzzcheck.py for the events table: edge timestamps (epoch
-boundaries, exact midnights, microsecond extremes, pre-1970, 2038),
-rounding-edge and domain-limit values, against every events-only batch
-query's oracle.
+boundaries, exact midnights, microsecond extremes), rounding-edge and
+domain-limit values, against every events-only batch query's oracle —
+through the SAME driver-faithful comparator as tools/diffcheck.py.
 
 r6 findings (all fixed): second-floored session gaps vs the oracle's
 exact INTERVAL comparison, CAST(epoch()) rounding vs timestamp-cast
@@ -11,15 +11,25 @@ and unquantized oracle min/max. Run after touching any events/time
 contract:
 
     python tools/fuzzcheck_events.py [query ...]
-"""
-import sys, random, math, datetime, json
-sys.path.insert(0, "/root/repo")
-from emma_spark.session import get_spark
-from emma_spark.workloads import load_all
-import duckdb, pyarrow as pa, pyarrow.parquet as pq
-import os
 
-rng = random.Random(777)
+A fixed-seed subset also runs in the pytest suite
+(tests/test_fuzz_differential.py).
+"""
+import datetime
+import json
+import os
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+from tools.fuzzcore import run_fuzz  # noqa: E402
+
+FUZZ_DIR = "/tmp/emma_fuzz_ev"
 
 # timestamps stay inside a ~1-month observation window (the domain the
 # resample/grid/decay queries contract on — a 69-year span makes their
@@ -38,91 +48,91 @@ TYPES = ["click", "view", "purchase", "signup", "error"]
 # value domain contract (docs/SCALE.md): |value| <= 1e9 — beyond that,
 # 1e-6-unit quantized sums exceed exact-int64/double-exact ranges on
 # EVERY engine (Spark saturates or raises under ANSI, DuckDB HUGEINT
-# casts overflow) — not a portability seam but an input-domain limit
+# casts overflow) — not a portability seam but an input-domain limit.
 # variance-family outputs (var in cents^2) bound the metric domain
 # tightest: |value| <= 1e6 keeps var_c2 inside BIGINT on every engine
 VALUES = [0.0, 0.005, 0.015, -1.0, -123.455, 2.675, 1e6, 0.001, 327.53, 1e-9]
 
-rows = []
-base = datetime.datetime(2024, 1, 1)
-for i in range(3000):
-    if rng.random() < 0.1:
-        ts = rng.choice(EDGE_TS)
-    else:
-        ts = base + datetime.timedelta(seconds=rng.randint(0, 30 * 86400),
-                                       microseconds=rng.randint(0, 999999))
-    val = rng.choice(VALUES) if rng.random() < 0.3 else round(rng.uniform(0, 400), 2)
-    rows.append((i, ts, rng.randint(0, 24), rng.choice(TYPES), val,
-                 json.dumps({"k": rng.randint(0, 99)})))
+# graph_* derive a hash-graph from event ids; adversarial events
+# densify it and the recursive-CTE oracles explode combinatorially
+# (input pathology, not an engine seam) — covered by graph tests.
+# stream_/pyds_ queries drive streaming sinks / custom datasources —
+# out of scope for a batch differential.
+EXCLUDE_PREFIXES = ("stream_", "pyds_", "graph_")
 
-os.makedirs("/tmp/emma_fuzz_ev", exist_ok=True)
-pq.write_table(
-    pa.table({
-        "event_id": pa.array([r[0] for r in rows], pa.int64()),
-        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
-        "user_id": pa.array([r[2] for r in rows], pa.int64()),
-        "event_type": pa.array([r[3] for r in rows], pa.string()),
-        "value": pa.array([r[4] for r in rows], pa.float64()),
-        "props": pa.array([r[5] for r in rows], pa.string()),
-    }),
-    "/tmp/emma_fuzz_ev/events.parquet",
-)
 
-def norm(v):
-    if v is None: return "\x00"
-    if isinstance(v, bool): return "1" if v else "0"
-    if isinstance(v, float):
-        if math.isnan(v): return "nan"
-        if v == int(v) and abs(v) < 1e15: return str(int(v))
-        return f"{v:.6g}"
-    if isinstance(v, (list, tuple)): return "[" + ",".join(norm(x) for x in v) + "]"
-    return str(v)
+def build_corpus(path: str = FUZZ_DIR, n_rows: int = 3000, seed: int = 777):
+    rng = random.Random(seed)
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for i in range(n_rows):
+        if rng.random() < 0.1:
+            ts = rng.choice(EDGE_TS)
+        else:
+            ts = base + datetime.timedelta(
+                seconds=rng.randint(0, 30 * 86400),
+                microseconds=rng.randint(0, 999999),
+            )
+        val = (
+            rng.choice(VALUES)
+            if rng.random() < 0.3
+            else round(rng.uniform(0, 400), 2)
+        )
+        rows.append(
+            (
+                i,
+                ts,
+                rng.randint(0, 24),
+                rng.choice(TYPES),
+                val,
+                json.dumps({"k": rng.randint(0, 99)}),
+            )
+        )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        f"{path}/events.parquet",
+    )
+    return path
 
-spark = get_spark("fuzzev"); spark.sparkContext.setLogLevel("ERROR")
-con = duckdb.connect()
-con.execute("CREATE VIEW events AS SELECT * FROM read_parquet('/tmp/emma_fuzz_ev/events.parquet')")
 
-qs = load_all()
-only = set(sys.argv[1:]) if len(sys.argv) > 1 else None
-n_ok = n_skip = n_fail = 0
-for name, q in qs.items():
-    if only and name not in only: continue
-    if not q.oracle: continue
-    # graph_* derive a hash-graph from event ids; adversarial events
-    # densify it and the recursive-CTE oracles explode combinatorially
-    # (input pathology, not an engine seam) — covered by graph tests
-    if name.startswith(("stream_", "pyds_", "graph_")): continue
-    o = q.oracle.lower()
-    if "events" not in o: continue
-    if any(t in o for t in ["documents", "lineitem", "orders", "customer",
-                            "supplier", " nation", " region", "embeddings", " part"]):
-        continue
-    spark.catalog.clearCache()
-    try:
-        sdf = q.fn(spark, "/tmp/emma_fuzz_ev")
-        scols = sorted(sdf.columns)
-        srows = sorted("\x01".join(norm(r[c]) for c in scols) for r in (row.asDict() for row in sdf.collect()))
-    except Exception as ex:
-        print(f"SKIP  {name}: spark error {repr(ex)[:140]}")
-        n_skip += 1
-        continue
-    try:
-        res = con.execute(q.oracle)
-        cols = [d[0] for d in res.description]
-        order = sorted(range(len(cols)), key=lambda i: cols[i])
-        drows = sorted("\x01".join(norm(r[i]) for i in order) for r in res.fetchall())
-    except Exception as ex:
-        print(f"SKIP  {name}: duck error {repr(ex)[:140]}")
-        n_skip += 1
-        continue
-    if srows == drows:
-        n_ok += 1
-    else:
-        n_fail += 1
-        print(f"FAIL  {name}: {len(srows)} vs {len(drows)} rows")
-        sset = [r for r in srows if r not in drows][:2]
-        dset = [r for r in drows if r not in srows][:2]
-        for r in sset: print("   spark-only:", repr(r)[:140])
-        for r in dset: print("   duck-only :", repr(r)[:140])
-print(f"\n{n_ok} ok, {n_skip} skipped, {n_fail} FAIL")
-spark.stop()
+def connect(path: str = FUZZ_DIR):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{path}/events.parquet')"
+    )
+    return con
+
+
+def main() -> int:
+    from emma_spark.session import get_spark
+
+    build_corpus()
+    spark = get_spark("fuzzev")
+    spark.sparkContext.setLogLevel("ERROR")
+    only = set(sys.argv[1:]) if len(sys.argv) > 1 else None
+    n_ok, n_skip, failures = run_fuzz(
+        spark,
+        connect(),
+        FUZZ_DIR,
+        {"events"},
+        only=only,
+        exclude_prefixes=EXCLUDE_PREFIXES,
+    )
+    print(f"\n{n_ok} ok, {n_skip} skipped, {len(failures)} FAIL")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
