@@ -81,11 +81,26 @@ def page_rank_int(
     div N in exact ints. A driver loop over DataFrame joins — emma's
     iteration model (SURVEY §2.8): the loop is control flow, each
     step is a plan. Every node here must have out-edges (no
-    dangling-mass term)."""
+    dangling-mass term).
+
+    Each iteration's rank table is PINNED (lineage truncation): pr_i
+    is consumed twice per round (the contribution join and the node
+    left-join), so an unpinned chain re-evaluates pr_{i-1} twice per
+    level — a 2^iters blowup that is invisible on a toy graph and
+    fatal on an sf-scaled one. The edge and degree tables are pinned
+    once (consumed every round). Pinning is SIZE-GATED on the node
+    count we compute anyway: under ~1000 nodes the 2^iters recompute
+    of toy-sized joins costs microseconds while each localCheckpoint
+    costs a fixed materialization round — the blowup only wins past
+    that."""
+    from ..plans.cache import pin as _pin
+
     n = nodes.count()
+    pin = _pin if n >= 1000 else (lambda df: df)
     d100 = round(damping * 100)
     teleport = (unit - d100 * unit // 100) // n
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+    edges = pin(edges)
+    deg = pin(edges.groupBy("src").agg(F.count(F.lit(1)).alias("__d")))
     pr = nodes.select(F.col("id"), F.lit(unit // n).cast("bigint").alias("pr"))
     for _ in range(iters):
         contrib = (
@@ -95,12 +110,14 @@ def page_rank_int(
             .groupBy("id")
             .agg(F.sum("__c").alias("__c"))
         )
-        pr = nodes.join(contrib, "id", "left").select(
-            F.col("id"),
-            (
-                F.lit(teleport)
-                + F.expr(f"({d100} * coalesce(__c, 0)) div 100")
-            ).cast("bigint").alias("pr"),
+        pr = pin(
+            nodes.join(contrib, "id", "left").select(
+                F.col("id"),
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({d100} * coalesce(__c, 0)) div 100")
+                ).cast("bigint").alias("pr"),
+            )
         )
     return pr
 

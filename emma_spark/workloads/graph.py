@@ -254,6 +254,90 @@ def graph_pagerank(spark, sf_dir):
     return page_rank_int(edges, nodes, iters=3, damping=0.85)
 
 
+def _spr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.id, CAST(tp.t + (85 * coalesce(s.c2, 0)) // 100 AS BIGINT)
+               AS pr
+      FROM spr_nodes n CROSS JOIN spr_tp tp LEFT JOIN (
+        SELECT e.dst AS id, sum(p.pr // d.d) AS c2
+        FROM spr_edges e JOIN {prev} p ON e.src = p.id
+        JOIN spr_deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) s ON n.id = s.id
+    )"""
+
+
+@query(
+    "graph_pagerank_sf",
+    # bench headliner (r6 verdict ask #6): the 25-node graph_pagerank
+    # measures driver-loop + auto-cache OVERHEAD; this one's node set
+    # is every customer and its edge set grows with sf (two synthetic
+    # out-edges per customer so no node dangles, plus one order-derived
+    # edge per order row), so each power iteration is a shuffle-sized
+    # join + hash-agg — iterative dataflow at data scale, not loop
+    # bookkeeping.
+    headline=True,
+    oracle=f"""
+    WITH spr_c AS (SELECT count(*) AS c FROM customer),
+    spr_nodes AS (SELECT c_custkey AS id FROM customer),
+    spr_edges AS (
+      SELECT c_custkey AS src, (c_custkey * 6 + 1) % c AS dst
+      FROM customer, spr_c
+      UNION ALL
+      SELECT c_custkey, (c_custkey * 13 + 7) % c FROM customer, spr_c
+      UNION ALL
+      SELECT o_custkey, o_orderkey % c FROM orders, spr_c
+    ),
+    spr_deg AS (SELECT src, count(*) AS d FROM spr_edges GROUP BY src),
+    spr_tp AS (
+      SELECT CAST(1000000000000 // c AS BIGINT) AS p0,
+             CAST((1000000000000 - (85 * 1000000000000) // 100) // c
+                  AS BIGINT) AS t
+      FROM spr_c
+    ),
+    spr0 AS (SELECT id, p0 AS pr FROM spr_nodes, spr_tp),
+    {_spr_iter_sql('spr0', 'spr1')},
+    {_spr_iter_sql('spr1', 'spr2')},
+    {_spr_iter_sql('spr2', 'spr3')}
+    SELECT id, pr FROM spr3
+    """,
+)
+def graph_pagerank_sf(spark, sf_dir):
+    """PageRank over an SF-PROPORTIONAL graph (3 power iterations,
+    d=0.85, lib/graphs.page_rank_int): nodes are all customers
+    (0..C-1, C = |customer|), edges are two deterministic synthetic
+    out-edges per customer (every node has out-degree >= 2 — the
+    no-dangling-mass contract) plus one order-derived edge per order
+    row (o_custkey -> o_orderkey mod C), so |E| ~ 2|customer| +
+    |orders| and every iteration's contribution join + hash-agg
+    shuffles data proportional to sf. Per-iteration rank tables are
+    pinned (lineage truncation — pr is consumed twice per round), the
+    structural tables once; the C scalar rides a 1-row broadcast,
+    never a collect. Exact integer micro-units end to end, so the SQL
+    oracle replays all three iterations bit-for-bit."""
+    from ..lib.graphs import page_rank_int
+
+    cust = io.read_parquet(spark, f"{sf_dir}/customer.parquet").df
+    orders = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
+    cnt = cust.agg(F.count(F.lit(1)).alias("c"))
+    k = F.col("c_custkey")
+    e1 = cust.crossJoin(F.broadcast(cnt)).select(
+        k.alias("src"), ((k * 6 + 1) % F.col("c")).alias("dst")
+    )
+    e2 = cust.crossJoin(F.broadcast(cnt)).select(
+        k.alias("src"), ((k * 13 + 7) % F.col("c")).alias("dst")
+    )
+    e3 = orders.crossJoin(F.broadcast(cnt)).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % F.col("c")).alias("dst"),
+    )
+    nodes = cust.select(k.alias("id"))
+    return page_rank_int(
+        e1.unionByName(e2).unionByName(e3), nodes, iters=3, damping=0.85
+    )
+
+
 def _kcore_level_sql(prev: str, out: str) -> str:
     return f"""
     {out} AS (
