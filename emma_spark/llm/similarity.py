@@ -52,6 +52,25 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda v: v.cast("double"))
 
 
+def nonzero(vec: Column) -> Column:
+    """Zero-norm gate: TRUE iff any coordinate is nonzero.
+
+    Cosine of a zero-norm vector is undefined — under ANSI the 0/0
+    raises DIVIDE_BY_ZERO (found by tools/fuzzcheck_embeddings.py; a
+    100 TB corpus WILL contain zero embeddings from empty documents or
+    padding rows). Every similarity entry point EXCLUDES zero vectors:
+    the algebraic form of the ingest-time reject production vector
+    stores apply. any-nonzero ⟺ norm² > 0 exactly for float32 inputs
+    widened to double (the smallest subnormal squares to ~1e-90,
+    representable). SQL twin: ``llm/similarity.SQL_NONZERO``."""
+    return F.exists(vec, lambda v: v != 0.0)
+
+
+def sql_nonzero(col: str) -> str:
+    """DuckDB spelling of :func:`nonzero` for the oracle side."""
+    return f"len(list_filter({col}, x -> x != 0)) > 0"
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,10 +88,10 @@ def brute_force_topk(
     noise can't flip ranks."""
     from pyspark.sql import Window
 
-    q = queries.select(
+    q = queries.filter(nonzero(F.col(vec_col))).select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
+    c = corpus.filter(nonzero(F.col(vec_col))).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
     sims = (
@@ -144,7 +163,7 @@ def lsh_topk(
     from pyspark.sql import Window
 
     def with_bucket(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        return df.select(
+        return df.filter(nonzero(F.col(vec_col))).select(
             F.col(id_col).alias(id_alias),
             as_double(F.col(vec_col)).alias(vec_alias),
             hyperplane_bucket(F.col(vec_col), dim, planes).alias("bucket"),
@@ -218,25 +237,27 @@ def ivf_topk(
             )
             return F.slice(F.array_sort(cands), 1, n).getField("cid")
 
-        assign = corpus.select(
+        assign = corpus.filter(nonzero(F.col(vec_col))).select(
             F.col(id_col).alias("neighbor_id"),
             as_double(F.col(vec_col)).alias("cv"),
             top_cids(as_double(F.col(vec_col)), 1)[0].alias("cid"),
         )
-        probes = queries.select(
+        probes = queries.filter(nonzero(F.col(vec_col))).select(
             F.col(id_col).alias("query_id"),
             as_double(F.col(vec_col)).alias("qv"),
             F.explode(top_cids(as_double(F.col(vec_col)), nprobe)).alias("cid"),
         )
     else:
         cents = F.broadcast(
-            corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+            corpus.filter(
+                (F.col(id_col) % centroid_mod == 0) & nonzero(F.col(vec_col))
+            ).select(
                 F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cvv")
             )
         )
 
         def nearest(df: DataFrame, id_alias: str, vec_alias: str, n: int) -> DataFrame:
-            base = df.select(
+            base = df.filter(nonzero(F.col(vec_col))).select(
                 F.col(id_col).alias(id_alias), as_double(F.col(vec_col)).alias(vec_alias)
             )
             w = Window.partitionBy(id_alias).orderBy(
@@ -290,7 +311,7 @@ def embedding_neardup_pairs(
         blk = F.col(id_col) % blocks
     else:
         raise ValueError(f"blocking must be 'lsh' or 'mod', got {blocking!r}")
-    base = df.select(
+    base = df.filter(nonzero(F.col(vec_col))).select(
         F.col(id_col), blk.alias("__blk"), as_double(F.col(vec_col)).alias("v")
     )
     if blocking == "lsh":

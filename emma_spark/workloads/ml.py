@@ -633,9 +633,11 @@ def ml_pca_power_top(spark, sf_dir):
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
                       label AS true_label
-               FROM embeddings WHERE vec_id < 20),
+               FROM embeddings WHERE vec_id < 20
+                 AND len(list_filter(embedding, x -> x != 0)) > 0),
     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label
-          FROM embeddings WHERE vec_id >= 20),
+          FROM embeddings WHERE vec_id >= 20
+            AND len(list_filter(embedding, x -> x != 0)) > 0),
     sims AS (
       SELECT query_id, neighbor_id, label,
              floor((list_sum(list_transform(range(1, len(qv)+1),

@@ -25,6 +25,11 @@ def sql_cos(a: str = "qv", b: str = "cv") -> str:
 
 SQL_COS = sql_cos("qv", "cv")
 
+# zero-norm gate (the fuzzcheck_embeddings finding): cosine of a zero
+# vector is 0/0 — every similarity oracle excludes zero vectors exactly
+# like the engine side (llm/similarity.nonzero)
+NZ = S.sql_nonzero
+
 
 def _bucket_sql(vcol: str, planes: int = 6, dim: int = 64, seed: int = 7) -> str:
     """SQL twin of llm/similarity.hyperplane_bucket: the SAME md5-derived
@@ -49,8 +54,9 @@ def _bucket_sql(vcol: str, planes: int = 6, dim: int = 64, seed: int = 7) -> str
     "ann_topk_cosine",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+               FROM embeddings WHERE vec_id < 10 AND {NZ('embedding')}),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE {NZ('embedding')}),
     sims AS (
       SELECT query_id, neighbor_id, floor(({SQL_COS}) * 10000 + 0.5) / 10000 AS sim
       FROM q CROSS JOIN c WHERE query_id != neighbor_id
@@ -75,7 +81,8 @@ def ann_topk_cosine(spark, sf_dir):
 @query(
     "embedding_neardup",
     oracle=f"""
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE {NZ('embedding')}),
     b AS (SELECT vec_id, v, {_bucket_sql('v', planes=6, dim=64)} AS blk FROM base),
     pairs AS (
       SELECT l.vec_id AS a, r.vec_id AS b, l.v AS qv, r.v AS cv
@@ -101,7 +108,8 @@ def embedding_neardup(spark, sf_dir):
 @query(
     "ann_lsh_topk",
     oracle=f"""
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE {NZ('embedding')}),
     b AS (SELECT vec_id, v, {_bucket_sql('v', planes=6, dim=64)} AS bucket FROM base),
     q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
     c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket AS bucket_c FROM b),
@@ -134,9 +142,10 @@ def ann_lsh_topk(spark, sf_dir):
     oracle=f"""
     WITH cents AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cvv
-      FROM embeddings WHERE vec_id % 61 = 0
+      FROM embeddings WHERE vec_id % 61 = 0 AND {NZ('embedding')}
     ),
-    corp AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    corp AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE {NZ('embedding')}),
     assign AS (
       SELECT neighbor_id, cv, cid FROM (
         SELECT corp.neighbor_id, corp.cv, cents.cid,
@@ -148,7 +157,7 @@ def ann_lsh_topk(spark, sf_dir):
       ) WHERE rk = 1
     ),
     q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-          FROM embeddings WHERE vec_id < 10),
+          FROM embeddings WHERE vec_id < 10 AND {NZ('embedding')}),
     probes AS (
       SELECT query_id, qv, cid FROM (
         SELECT q.query_id, q.qv, cents.cid,
@@ -190,7 +199,8 @@ def _ivf_trained_oracle() -> str:
     return f"""
     WITH {_kmeans_fit_ctes(iters=2, k=4, dims=64)},
     cvec AS (SELECT cid, list(value ORDER BY pos) AS cvv FROM centq GROUP BY cid),
-    corp AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    corp AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE {NZ('embedding')}),
     assign AS (
       SELECT neighbor_id, cv, cid FROM (
         SELECT corp.neighbor_id, corp.cv, cvec.cid,
@@ -202,7 +212,7 @@ def _ivf_trained_oracle() -> str:
       ) WHERE rk = 1
     ),
     q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-          FROM embeddings WHERE vec_id < 10),
+          FROM embeddings WHERE vec_id < 10 AND {NZ('embedding')}),
     probes AS (
       SELECT query_id, qv, cid FROM (
         SELECT q.query_id, q.qv, cvec.cid,
@@ -263,6 +273,7 @@ def ann_ivf_trained(spark, sf_dir):
                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                  * 1000000 + 0.5) / 1000000 AS first_unit
     FROM embeddings
+    WHERE len(list_filter(embedding, x -> x != 0)) > 0
     """,
 )
 def embedding_normalize(spark, sf_dir):
@@ -271,10 +282,13 @@ def embedding_normalize(spark, sf_dir):
     embedding-preprocessing step every ANN path assumes, entirely
     JVM-side Column math (no UDF, no shuffle, whole-stage codegen).
     float32→float64 BEFORE squaring on both engines (DuckDB list_sum
-    would otherwise accumulate in float32 and diverge)."""
-    from ..llm.similarity import _norm, as_double
+    would otherwise accumulate in float32 and diverge). Zero-norm
+    vectors are EXCLUDED (their unit vector is 0/0 — the ingest
+    reject, llm/similarity.nonzero)."""
+    from ..llm.similarity import _norm, as_double, nonzero
 
     emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
+    emb = emb.filter(nonzero(F.col("embedding")))
     v = as_double(F.col("embedding"))
     n = _norm(v)
     return emb.select(
@@ -666,7 +680,7 @@ def ann_pq_adc_topk(spark, sf_dir):
     WITH base AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      FROM embeddings WHERE {NZ('embedding')}
     ),
     keep AS (
       SELECT label, min(vec_id) AS rep_id FROM base GROUP BY label
@@ -697,10 +711,12 @@ def embedding_semdedup_prune(spark, sf_dir):
     economics as the LSH paths). Threshold 0.55 keeps a nonzero
     pruned set on the synthetic clusters; sims 4dp-quantized for the
     cross-engine compare."""
-    from ..llm.similarity import as_double, cosine, _rd
+    from ..llm.similarity import as_double, cosine, nonzero, _rd
 
     emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
-    base = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    base = emb.filter(nonzero(F.col("embedding"))).select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
     keep = base.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
     rep = F.broadcast(
         keep.join(
@@ -804,7 +820,8 @@ def embedding_outlier_zscore(spark, sf_dir):
 @query(
     "ann_recall_eval",
     oracle=f"""
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE {NZ('embedding')}),
     q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 10),
     c AS (SELECT vec_id AS neighbor_id, v AS cv FROM base),
     truth AS (
@@ -1053,7 +1070,8 @@ def search_hybrid_rrf(spark, sf_dir):
 @query(
     "search_mrr_eval",
     oracle=f"""
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE {NZ('embedding')}),
     q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 10),
     c AS (SELECT vec_id AS neighbor_id, v AS cv FROM base),
     truth AS (
@@ -1543,7 +1561,8 @@ _MMR_PICKS = 3    # diversified picks
 @query(
     "search_mmr_diversify",
     oracle=f"""
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE {NZ('embedding')}),
     q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < {_MMR_Q}),
     c AS (SELECT vec_id AS cid, v AS cv FROM base),
     cand AS (
@@ -1625,10 +1644,12 @@ def search_mmr_diversify(spark, sf_dir):
     table is candidates² per query — 64 rows, never corpus-scale."""
     from pyspark.sql import Window
 
-    from ..llm.similarity import as_double
+    from ..llm.similarity import as_double, nonzero
 
     emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
-    base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    base = emb.filter(nonzero(F.col("embedding"))).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
     q = base.filter(F.col("vec_id") < _MMR_Q).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
@@ -1727,7 +1748,8 @@ def _semantic_assign_ctes() -> str:
     return f"""{_kmeans_fit_ctes(iters=2, k=4, dims=64)},
     cvec AS (SELECT cid, list(value ORDER BY pos) AS cvv
              FROM centq GROUP BY cid),
-    corp AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    corp AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+             WHERE {NZ('embedding')}),
     assign AS (
       SELECT vec_id, cv, cid FROM (
         SELECT corp.vec_id, corp.cv, cvec.cid,
@@ -1804,7 +1826,7 @@ def dedup_semantic_clusters(spark, sf_dir):
 
     from ..plans.cache import pin
 
-    assign = pin(emb.select(
+    assign = pin(emb.filter(S.nonzero(F.col("embedding"))).select(
         "vec_id",
         S.as_double(F.col("embedding")).alias("cv"),
         top_cid(S.as_double(F.col("embedding"))).alias("cid"),
@@ -1843,7 +1865,8 @@ def _ndcg_oracle() -> str:
     idcg = sum((10 - i) * d for i, d in enumerate(disc))
     lit = "[" + ", ".join(str(d) for d in disc) + "]"
     return f"""
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE {NZ('embedding')}),
     q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 10),
     c AS (SELECT vec_id AS neighbor_id, v AS cv FROM base),
     truth AS (

@@ -16,7 +16,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from tools import fuzzcheck, fuzzcheck_events  # noqa: E402
+from tools import fuzzcheck, fuzzcheck_embeddings, fuzzcheck_events  # noqa: E402
 from tools.fuzzcore import run_fuzz  # noqa: E402
 
 # contract-heavy picks: tokenization/case-fold (the r5 seam), cumsum
@@ -49,6 +49,27 @@ def test_fuzz_documents_subset(spark):
     assert not failures, "\n".join(failures)
     assert n_ok + n_skip == len(_DOC_SUBSET), (n_ok, n_skip)
     assert n_ok >= len(_DOC_SUBSET) - 2, f"too many skips: {n_skip}"
+
+
+# zero-norm / duplicate / degenerate vectors: the corpus class that
+# found the 13 DIVIDE_BY_ZERO crashes (r7) — similarity ops must gate
+# zero vectors identically on both engines
+_EMB_SUBSET = {
+    "ann_topk_cosine", "ann_lsh_topk", "embedding_neardup",
+    "embedding_normalize", "embedding_semdedup_prune", "ml_knn_classify",
+    "embedding_quantize_int8", "ann_recall_eval",
+}
+
+
+def test_fuzz_embeddings_subset(spark):
+    path = fuzzcheck_embeddings.build_corpus()
+    con = fuzzcheck_embeddings.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, {"embeddings"}, only=_EMB_SUBSET, quiet=True
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok + n_skip == len(_EMB_SUBSET), (n_ok, n_skip)
+    assert n_ok >= len(_EMB_SUBSET) - 2, f"too many skips: {n_skip}"
 
 
 def test_fuzz_events_subset(spark):
