@@ -1693,7 +1693,7 @@ def ml_learning_curve(spark, sf_dir):
     WITH o AS (
       SELECT o_orderpriority AS pri,
              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ),
     h AS (SELECT pri, y, count(*) AS cnt FROM o GROUP BY 1, 2),
     tot AS (SELECT pri, sum(cnt) AS n FROM h GROUP BY pri),
@@ -1732,7 +1732,10 @@ def ml_pinball_quantile_eval(spark, sf_dir):
     should demonstrate on itself before scoring real models. Value
     histogram + ceil-rank quantiles (the bounded-domain pattern), one
     broadcast join back, exact integer cents throughout."""
-    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df.select(
+    o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df.filter(
+        F.col("o_totalprice").isNotNull()  # a NULL y would order
+        # differently in the two engines' cumulative windows (fuzz)
+    ).select(
         F.col("o_orderpriority").alias("pri"),
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
     )

@@ -728,7 +728,8 @@ def window_topn_per_group(spark, sf_dir):
     oracle="""
     SELECT o_custkey, o_orderkey,
            sum(floor(o_totalprice * 10000 + 0.5)) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000 AS running
     FROM orders
     """,
@@ -789,7 +790,8 @@ def window_rolling_30d_revenue(spark, sf_dir):
     WITH marked AS (
       SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
              lag(o_orderstatus) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ) AS prev_status
       FROM orders WHERE o_custkey % 23 = 0
     ), changes AS (
@@ -799,10 +801,12 @@ def window_rolling_30d_revenue(spark, sf_dir):
     )
     SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
            lead(o_orderdate) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey
            ) AS valid_to,
            lead(o_orderdate) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey
            ) IS NULL AS is_current
     FROM changes
     """,
@@ -1010,7 +1014,11 @@ def comprehension_join_derivation(spark, sf_dir):
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
     ), p AS (
       SELECT user_id, ts, min_by(value, event_id) AS value
-      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+      -- value IS NOT NULL: Spark min_by keeps a NULL value at the
+      -- argmin row where DuckDB arg_min skips it (events fuzz); a
+      -- value-less purchase is not an attributable conversion
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY user_id, ts
     ), j AS (
       SELECT c.event_id, c.user_id, c.ts AS c_ts, p.ts AS p_ts, p.value
       FROM c ASOF LEFT JOIN p
@@ -1040,7 +1048,10 @@ def asof_forward_conversion(spark, sf_dir):
         "event_id", "user_id", "ts"
     )
     purch = (
-        e.filter(F.col("event_type") == "purchase")
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
         .groupBy("user_id", "ts")
         .agg(F.min_by("value", "event_id").alias("value"))
     )
@@ -1674,7 +1685,8 @@ def datetime_ops_surface(spark, sf_dir):
              map(list(o_orderstatus ORDER BY o_orderstatus),
                  list(cnt ORDER BY o_orderstatus)) AS status_counts
       FROM (SELECT o_custkey, o_orderstatus, count(*) AS cnt
-            FROM orders GROUP BY o_custkey, o_orderstatus)
+            FROM orders WHERE o_orderstatus IS NOT NULL
+            GROUP BY o_custkey, o_orderstatus)
       GROUP BY o_custkey
     )
     SELECT o_custkey,
@@ -1691,7 +1703,11 @@ def map_ops_surface(spark, sf_dir):
     built from SORTED entry arrays and compared through extracted
     scalars, so engine-internal map ordering can't flip the hash."""
     o = T(spark, sf_dir, "orders")["orders"]
-    per = o.df.groupBy("o_custkey", "o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
+    # NULL can't be a map key (map_from_entries raises; DuckDB map()
+    # likewise) — a missing status simply has no entry
+    per = o.df.filter(F.col("o_orderstatus").isNotNull()).groupBy(
+        "o_custkey", "o_orderstatus"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
     m = per.groupBy("o_custkey").agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct(F.col("o_orderstatus"), F.col("cnt"))))
@@ -1815,7 +1831,8 @@ def string_ops_surface(spark, sf_dir):
            lead(o_orderkey) OVER w AS next_o
     FROM orders
     WHERE o_custkey % 211 = 0
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     """,
 )
 def window_rank_variants(spark, sf_dir):
@@ -2901,7 +2918,8 @@ def q15_top_supplier(spark, sf_dir):
     oracle="""
     SELECT o_custkey, o_orderkey,
            ntile(4) OVER (
-             PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+             PARTITION BY o_custkey
+             ORDER BY o_totalprice NULLS FIRST, o_orderkey
            ) AS quartile
     FROM orders WHERE o_custkey % 29 = 0
     """,
@@ -2934,7 +2952,7 @@ def window_ntile_quartiles(spark, sf_dir):
              AS last_touch,
            count(*) AS n_events,
            sum(floor(value * 10000 + 0.5)) / 10000 AS total_value
-    FROM events GROUP BY user_id
+    FROM events WHERE event_type IS NOT NULL GROUP BY user_id
     """,
 )
 def events_attribution(spark, sf_dir):
@@ -2951,6 +2969,10 @@ def events_attribution(spark, sf_dir):
     okey = F.unix_micros(F.col("ts")).cast("decimal(38,0)") * F.lit(
         1000000000000
     ) + F.col("event_id")
+    # an untyped event can't be a touch: Spark min_by/max_by RETURN a
+    # NULL value at the arg-extreme row where DuckDB arg_min/arg_max
+    # skip NULL values entirely (events fuzz)
+    e = e.filter(F.col("event_type").isNotNull())
     return e.groupBy("user_id").agg(
         F.min_by("event_type", okey).alias("first_touch"),
         F.max_by("event_type", okey).alias("last_touch"),
@@ -3245,7 +3267,8 @@ def join_bloom_prefilter(spark, sf_dir):
     WITH marked AS (
       SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
              lag(o_orderstatus) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ) AS prev_status
       FROM orders WHERE o_custkey % 31 = 0
     ), intervals AS (
@@ -5956,7 +5979,9 @@ def events_cuped_adjusted_lift(spark, sf_dir):
       SELECT o_orderpriority,
              CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mo,
              sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
-      FROM orders GROUP BY 1, 2
+      -- a monthly series has no slot for a dateless order; a NULL
+      -- month would also sort differently in list() vs sort_array()
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     ),
     arr AS (
       SELECT o_orderpriority,
@@ -5987,7 +6012,7 @@ def orders_ses_level_fold(spark, sf_dir):
     ((3x + 7s) div 10 — truncation, both operands non-negative so
     Spark div == DuckDB //); the big scan is one month hash-agg."""
     o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
-    m = o.groupBy(
+    m = o.filter(F.col("o_orderdate").isNotNull()).groupBy(
         "o_orderpriority",
         F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")
           .alias("mo"),
@@ -6351,13 +6376,19 @@ def csv_gzip_read_agg(spark, sf_dir):
     # executor-side sharded .csv.gz write — one gz member per
     # partition, the landing-zone layout that keeps file-wise
     # parallelism despite gzip's unsplittability
+    # nullValue sentinel on BOTH sides: CSV's default cannot tell NULL
+    # from '' (both land as an empty field, read back as NULL) — the
+    # orders fuzz corpus carries both and silently merged two groups.
+    # The \\N sentinel (the classic MySQL/Hive convention) makes the
+    # round-trip lossless: NULL -> \\N, '' -> empty field -> ''.
     o.write.mode("overwrite").option("header", True).option(
         "compression", "gzip"
-    ).csv(path)
+    ).option("nullValue", "\\N").csv(path)
     back = io.read_csv(
         spark, path,
         schema="o_orderkey bigint, o_orderstatus string, o_totalprice double",
         header=True,
+        null_value="\\N",
     )
     return back.df.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
@@ -7705,6 +7736,7 @@ def lineitem_skyline_price_qty(spark, sf_dir):
                AS bin,
              count(*)::HUGEINT AS c
       FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+        AND o_totalprice IS NOT NULL
       GROUP BY 1, 2
     ),
     g AS (
@@ -7751,6 +7783,7 @@ def orders_ks_drift(spark, sf_dir):
     b = (
         o.withColumn("yr", F.year(F.col("o_orderdate").cast("date")).cast("bigint"))
         .filter(F.col("yr").isin(1996, 1997))
+        .filter(F.col("o_totalprice").isNotNull())  # a NULL bin orders differently in the cum window (orders fuzz)
         .groupBy(
             "yr",
             F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 1000000")
@@ -8029,7 +8062,7 @@ _HOLT_STEP_DUCK = (
       SELECT o_orderpriority,
              CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mo,
              sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
-      FROM orders GROUP BY 1, 2
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     ),
     arr AS (
       SELECT o_orderpriority,
@@ -8075,7 +8108,7 @@ def orders_holt_trend_fold(spark, sf_dir):
     = one month hash-agg; the sequential tail is domain-bounded
     (~80 months), never row-scale."""
     o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
-    m = o.groupBy(
+    m = o.filter(F.col("o_orderdate").isNotNull()).groupBy(
         "o_orderpriority",
         F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")
           .alias("mo"),
@@ -8148,7 +8181,9 @@ def parquet_partitioned_roundtrip(spark, sf_dir):
     WITH v AS (
       SELECT event_type,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
-      FROM events
+      -- median over PRESENT values: a NULL would become NaN inside
+      -- the pandas seam and garbage under to_numpy(int64)
+      FROM events WHERE value IS NOT NULL
     ),
     s AS (
       SELECT event_type, count(*) AS n,
@@ -8195,7 +8230,7 @@ def udf_grouped_agg_median(spark, sf_dir):
         return len(v)
 
     e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
-    v = e.select(
+    v = e.filter(F.col("value").isNotNull()).select(
         "event_type",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_c"),
     )
@@ -8354,7 +8389,7 @@ def part_croston_intermittent(spark, sf_dir):
              CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
                AS mo,
              sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
-      FROM orders GROUP BY 1, 2
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     ),
     arr AS (
       SELECT o_orderpriority, list(rev_c ORDER BY mo) AS xs,
@@ -8390,7 +8425,7 @@ def orders_forecast_backtest(spark, sf_dir):
     is one further bounded agg; swapping the folded recursion swaps
     the model under test."""
     o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
-    m = o.groupBy(
+    m = o.filter(F.col("o_orderdate").isNotNull()).groupBy(
         "o_orderpriority",
         F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")
           .alias("mo"),
@@ -8649,8 +8684,9 @@ def events_alert_debounce(spark, sf_dir):
     WITH d AS (
       SELECT epoch_us(time_bucket(INTERVAL 1 DAY,
                CAST(o_orderdate AS TIMESTAMP))) // 86400000000 AS day,
-             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
-      FROM orders GROUP BY 1
+             coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+               AS rev_c
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     w AS (
       SELECT day, rev_c,
@@ -8685,14 +8721,20 @@ def orders_rolling_median_7d(spark, sf_dir):
     from pyspark.sql import Window
 
     o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
-    d = o.groupBy(
+    d = o.filter(F.col("o_orderdate").isNotNull()).groupBy(
         F.expr(
             "unix_micros(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP))"
             " div 86400000000"
         ).alias("day")
     ).agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
-          .alias("rev_c")
+        # coalesce: a day whose only orders carry NULL prices must be a
+        # 0-revenue day, not a NULL — Spark collect_list SKIPS NULLs
+        # where DuckDB list() keeps them, so a NULL rev_c silently
+        # shrinks the rolling window on one engine only (orders fuzz)
+        F.coalesce(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")),
+            F.lit(0),
+        ).alias("rev_c")
     )
     w = Window.orderBy("day").rangeBetween(-6, 0)
     # window over the DAILY aggregate (bounded), never over raw rows
@@ -8722,7 +8764,8 @@ def orders_rolling_median_7d(spark, sf_dir):
            nth_value(o_orderkey, 3) OVER w AS third_o
     FROM orders
     WHERE o_custkey % 211 = 0
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -9300,7 +9343,7 @@ def supplier_herfindahl_index(spark, sf_dir):
       SELECT epoch_us(time_bucket(INTERVAL 1 DAY,
                CAST(o_orderdate AS TIMESTAMP))) // 86400000000 AS day,
              sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     thr AS (SELECT sum(rev_c) // count(*) AS mean_c FROM d),
     q AS (
@@ -9334,7 +9377,7 @@ def orders_revenue_streaks(spark, sf_dir):
     from pyspark.sql import Window
 
     o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
-    d = o.groupBy(
+    d = o.filter(F.col("o_orderdate").isNotNull()).groupBy(
         F.expr(
             "unix_micros(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP))"
             " div 86400000000"
@@ -10171,7 +10214,7 @@ def events_diff_in_diff(spark, sf_dir):
              CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
                AS mo,
              sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
-      FROM orders GROUP BY 1, 2
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     ),
     bot AS (
       SELECT o_orderpriority,
@@ -10231,7 +10274,7 @@ def orders_forecast_reconcile(spark, sf_dir):
     from pyspark.sql import Window
 
     o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
-    m = o.groupBy(
+    m = o.filter(F.col("o_orderdate").isNotNull()).groupBy(
         "o_orderpriority",
         F.date_trunc("month", F.col("o_orderdate").cast("date"))
          .cast("date").alias("mo"),

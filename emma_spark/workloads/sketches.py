@@ -212,7 +212,8 @@ _QB_BINS = 128
     "sketch_quantile_bins",
     oracle=f"""
     WITH pc AS (
-      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice IS NOT NULL
     ), mm AS (
       SELECT min(c) AS lo, max(c) AS hi, count(*) AS n FROM pc
     ), binned AS (
@@ -257,7 +258,7 @@ def sketch_quantile_bins(spark, sf_dir):
     percentile (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, 4dp
     quantized) rides along as ground truth."""
     o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
-    pc = o.select(
+    pc = o.filter(F.col("o_totalprice").isNotNull()).select(
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("c")
     )
     approx = SK.binned_quantiles(pc, "c", qs=[0.5, 0.9, 0.99], bins=_QB_BINS)
@@ -281,7 +282,7 @@ def sketch_quantile_bins(spark, sf_dir):
     WITH pc AS (
       SELECT o_orderpriority AS grp,
              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ), mm AS (
       SELECT grp, min(c) AS lo, max(c) AS hi, count(*) AS n
       FROM pc GROUP BY grp
@@ -319,7 +320,7 @@ def sketch_quantile_bins_grouped(spark, sf_dir):
     from pyspark.sql import Window
 
     o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
-    pc = o.select(
+    pc = o.filter(F.col("o_totalprice").isNotNull()).select(
         F.col("o_orderpriority").alias("grp"),
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
     )

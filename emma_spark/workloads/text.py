@@ -906,7 +906,7 @@ def text_sparse_cosine_pairs(spark, sf_dir):
     oracle="""
     WITH vh AS (
       SELECT lang, n_chars AS v, count(*) AS cnt
-      FROM documents GROUP BY 1, 2
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
     ),
     tot AS (SELECT lang, sum(cnt) AS n FROM vh GROUP BY lang),
     cum AS (
@@ -925,6 +925,7 @@ def text_sparse_cosine_pairs(spark, sf_dir):
            CAST(sum(d.n_chars) AS BIGINT) AS raw_sum,
            CAST(sum(least(d.n_chars, thr.p90)) AS BIGINT) AS winsorized_sum
     FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE d.n_chars IS NOT NULL
     GROUP BY d.lang, thr.p90
     """,
 )
@@ -943,6 +944,7 @@ def text_winsorize_p90(spark, sf_dir):
     (cum >= ceil(0.9 n)) matches percentile_disc semantics on both
     engines."""
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    docs = docs.filter(F.col("n_chars").isNotNull())
     vh = docs.groupBy("lang", F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -1408,7 +1410,8 @@ def text_dsir_importance(spark, sf_dir):
 @query(
     "text_domain_cap_sketch",
     oracle="""
-    WITH pc AS (SELECT source, n_chars AS c FROM documents),
+    WITH pc AS (SELECT source, n_chars AS c FROM documents
+                WHERE n_chars IS NOT NULL),
     mm AS (
       SELECT source, min(c) AS lo, max(c) AS hi, count(*) AS n
       FROM pc GROUP BY source
@@ -1434,6 +1437,7 @@ def text_dsir_importance(spark, sf_dir):
     SELECT d.source, t.cutoff, count(*) AS n_total,
            count(*) FILTER (d.n_chars >= t.cutoff) AS n_kept
     FROM documents d JOIN thr t ON d.source = t.source
+    WHERE d.n_chars IS NOT NULL
     GROUP BY d.source, t.cutoff
     """,
 )
@@ -1454,6 +1458,9 @@ def text_domain_cap_sketch(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    # a doc with unknown length can't be quality-capped; a NULL would
+    # also order differently in the two engines' cum windows (fuzz)
+    docs = docs.filter(F.col("n_chars").isNotNull())
     pc = docs.select("source", F.col("n_chars").alias("c"))
     mm = pc.groupBy("source").agg(
         F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("c").alias("n")
@@ -2069,7 +2076,8 @@ def text_pair_lcs_similarity(spark, sf_dir):
 @query(
     "text_length_outliers_mad",
     oracle="""
-    WITH d AS (SELECT doc_id, lang, n_chars::BIGINT AS x FROM documents),
+    WITH d AS (SELECT doc_id, lang, n_chars::BIGINT AS x FROM documents
+               WHERE n_chars IS NOT NULL),
     h AS (SELECT lang, x, count(*) AS cnt FROM d GROUP BY 1, 2),
     tot AS (SELECT lang, sum(cnt) AS n FROM h GROUP BY lang),
     med AS (
@@ -2116,7 +2124,9 @@ def text_length_outliers_mad(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
-    d = docs.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("x"))
+    d = docs.filter(F.col("n_chars").isNotNull()).select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("x")
+    )
 
     def _median(df, col, out):
         h = df.groupBy("lang", F.col(col).alias("v")).agg(

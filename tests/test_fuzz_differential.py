@@ -16,7 +16,12 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from tools import fuzzcheck, fuzzcheck_embeddings, fuzzcheck_events  # noqa: E402
+from tools import (  # noqa: E402
+    fuzzcheck,
+    fuzzcheck_embeddings,
+    fuzzcheck_events,
+    fuzzcheck_orders,
+)
 from tools.fuzzcore import run_fuzz  # noqa: E402
 
 # contract-heavy picks: tokenization/case-fold (the r5 seam), cumsum
@@ -49,6 +54,29 @@ def test_fuzz_documents_subset(spark):
     assert not failures, "\n".join(failures)
     assert n_ok + n_skip == len(_DOC_SUBSET), (n_ok, n_skip)
     assert n_ok >= len(_DOC_SUBSET) - 2, f"too many skips: {n_skip}"
+
+
+# NULLs in every nullable column + duplicate/skewed keys + edge
+# prices: the corpus that found the r7 null-ordering class (Spark ASC
+# = NULLS FIRST, DuckDB = NULLS LAST), the collect_list-skips-NULLs
+# window seam, the CSV NULL-vs-'' merge, and the NULL-map-key crash
+_ORD_SUBSET = {
+    "window_running_sum", "window_rank_variants", "window_ntile_quartiles",
+    "window_first_last_nth_surface", "scd2_status_history",
+    "orders_ses_level_fold", "orders_rolling_median_7d", "orders_ks_drift",
+    "sketch_quantile_bins_grouped", "csv_gzip_read_agg", "map_ops_surface",
+}
+
+
+def test_fuzz_orders_subset(spark):
+    path = fuzzcheck_orders.build_corpus()
+    con = fuzzcheck_orders.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, {"orders"}, only=_ORD_SUBSET, quiet=True
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok + n_skip == len(_ORD_SUBSET), (n_ok, n_skip)
+    assert n_ok >= len(_ORD_SUBSET) - 2, f"too many skips: {n_skip}"
 
 
 # zero-norm / duplicate / degenerate vectors: the corpus class that

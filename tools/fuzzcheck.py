@@ -69,7 +69,13 @@ def build_corpus(path: str = FUZZ_DIR, n_docs: int = 500, seed: int = 4242):
     docs = []
     for i in range(n_docs):
         t = rand_text()
-        docs.append((i, t, rng.choice(langs), f"src{rng.randint(0, 4)}", len(t)))
+        # NULL tiers (r7) on the ATTRIBUTE columns; text stays non-null
+        # — it is the table's primary dimension (a row without content
+        # is ingest-rejected, like an event without a timestamp)
+        lang = None if rng.random() < 0.05 else rng.choice(langs)
+        src = None if rng.random() < 0.05 else f"src{rng.randint(0, 4)}"
+        n_chars = None if rng.random() < 0.04 else len(t)
+        docs.append((i, t, lang, src, n_chars))
     os.makedirs(path, exist_ok=True)
     pq.write_table(
         pa.table(

@@ -78,16 +78,18 @@ def build_corpus(path: str = FUZZ_DIR, n_rows: int = 3000, seed: int = 777):
             if rng.random() < 0.3
             else round(rng.uniform(0, 400), 2)
         )
-        rows.append(
-            (
-                i,
-                ts,
-                rng.randint(0, 24),
-                rng.choice(TYPES),
-                val,
-                json.dumps({"k": rng.randint(0, 99)}),
-            )
+        # NULL tiers (r7): the real testdata carries no NULLs, so the
+        # NULL-ordering / collect_list-vs-list() / count(col) seam
+        # classes the orders fuzz found could never fire here
+        if rng.random() < 0.05:
+            val = None
+        etype = None if rng.random() < 0.04 else rng.choice(TYPES)
+        props = (
+            None
+            if rng.random() < 0.04
+            else json.dumps({"k": rng.randint(0, 99)})
         )
+        rows.append((i, ts, rng.randint(0, 24), etype, val, props))
     os.makedirs(path, exist_ok=True)
     pq.write_table(
         pa.table(
