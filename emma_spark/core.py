@@ -273,7 +273,9 @@ class DataBag:
             raise ValueError("fan_in must be >= 2")
         if e is not None:
             df = self._df.select(_cols(self._df, e)[0].alias("value"))
-            extract = lambda pdf: list(pdf["value"])
+            # bag model: a NULL cell is an absent element — fold over
+            # present values (NaN reaching init() crashes int())
+            extract = lambda pdf: list(pdf["value"].dropna())
         else:
             df = self._df
             extract = lambda pdf: pdf.to_dict("records")
@@ -658,7 +660,10 @@ class GroupedBag:
             import pickle
 
             acc = zero
-            for v in pdf["__v"]:
+            # the bag model has no nulls: a NULL cell is an ABSENT
+            # element, so folds run over present values only (a NaN
+            # reaching a Python init() crashes int()/indexing)
+            for v in pdf["__v"].dropna():
                 acc = plus(acc, init(v))
             keyvals = [pdf[n].iloc[0] for n in knames]
             return pd.DataFrame([keyvals + [pickle.dumps(acc)]], columns=part_names)

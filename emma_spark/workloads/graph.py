@@ -154,7 +154,10 @@ def graph_triangles(spark, sf_dir):
     oracle="""
     SELECT sn.n_name AS src, cn.n_name AS dst,
            count(*) AS n_collabs,
-           sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100 AS volume,
+           -- coalesce: the Alg sum folds from seed 0, so a group whose
+           -- present values are all NULL yields 0, not SQL-sum's NULL
+           coalesce(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)), 0)
+             / 100 AS volume,
            max(CAST(l_quantity AS BIGINT)) AS max_qty
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey

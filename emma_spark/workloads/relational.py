@@ -478,10 +478,16 @@ def groupby_having(spark, sf_dir):
     "fold_product_user_alg",
     oracle="""
     SELECT l_orderkey,
-           CAST(list_reduce(list(CAST(l_quantity AS HUGEINT)), (a, b) -> a * b)
-                AS VARCHAR) AS prod_qty,
+           -- the Fold contract: fold over PRESENT values, empty fold =
+           -- the zero seed (collect_list drops NULLs engine-side)
+           CASE WHEN count(l_quantity) = 0 THEN '1'
+                ELSE CAST(list_reduce(
+                       list(CAST(l_quantity AS HUGEINT))
+                         FILTER (l_quantity IS NOT NULL),
+                       (a, b) -> a * b) AS VARCHAR) END AS prod_qty,
            count(*) AS n,
-           CAST(sum(CAST(l_quantity * l_quantity AS BIGINT)) AS BIGINT) AS sum_sq
+           CAST(coalesce(sum(CAST(l_quantity * l_quantity AS BIGINT)), 0)
+                AS BIGINT) AS sum_sq
     FROM lineitem WHERE l_linenumber <= 5
     GROUP BY l_orderkey
     """,
@@ -566,7 +572,9 @@ def fold_histogram_pandas_udaf(spark, sf_dir):
     oracle="""
     SELECT max(l_quantity) AS ro_max,
            TRUE AS ro_empty_is_none,
-           count(*) AS n,
+           -- count(l_quantity), not count(*): the Python fold runs
+           -- over PRESENT values (a NULL is an absent bag element)
+           count(l_quantity) AS n,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem
     """,
@@ -630,17 +638,23 @@ def fold_global(spark, sf_dir):
     oracle="""
     WITH ranked AS (
       SELECT l_returnflag, l_quantity, l_extendedprice,
+             -- explicit NULLS: Spark struct comparison treats a NULL
+             -- field as SMALLEST (first under ASC, last under DESC)
              row_number() OVER (PARTITION BY l_returnflag
-                                ORDER BY l_quantity, l_extendedprice) AS rmin,
+                                ORDER BY l_quantity NULLS FIRST,
+                                         l_extendedprice NULLS FIRST) AS rmin,
              row_number() OVER (PARTITION BY l_returnflag
-                                ORDER BY l_quantity DESC, l_extendedprice DESC) AS rmax
+                                ORDER BY l_quantity DESC NULLS LAST,
+                                         l_extendedprice DESC NULLS LAST)
+               AS rmax
       FROM lineitem
     )
     SELECT a.l_returnflag,
            a.l_quantity AS min_qty, a.l_extendedprice AS min_price,
            b.l_quantity AS max_qty, b.l_extendedprice AS max_price
     FROM ranked a JOIN ranked b
-      ON a.l_returnflag = b.l_returnflag AND a.rmin = 1 AND b.rmax = 1
+      ON a.l_returnflag IS NOT DISTINCT FROM b.l_returnflag
+     AND a.rmin = 1 AND b.rmax = 1
     """,
 )
 def fold_minmax_struct_ordering(spark, sf_dir):
@@ -1454,7 +1468,12 @@ def agg_percentiles(spark, sf_dir):
     SELECT a.l_orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
            CAST(a.l_quantity + b.l_quantity AS BIGINT) AS qty_sum
     FROM lineitem a JOIN lineitem b
-      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey = b.l_suppkey
+      -- IS NOT DISTINCT FROM: the comprehension's `==` is the
+      -- reference's Scala VALUE equality (null == null), which the
+      -- engine lowers to eqNullSafe whether the guard becomes a join
+      -- key or a filter — SQL `=` would silently drop NULL-key pairs
+      ON a.l_orderkey = b.l_orderkey
+     AND a.l_suppkey IS NOT DISTINCT FROM b.l_suppkey
      AND a.l_linenumber < b.l_linenumber
     """,
 )
@@ -1532,12 +1551,16 @@ def pivot_status_by_priority(spark, sf_dir):
     SELECT l_orderkey,
            coalesce(array_to_string(list_transform(qs, x -> x * 2), ','), '') AS doubled,
            coalesce(array_to_string(list_filter(qs, x -> x > 25), ','), '')   AS big,
-           CAST(list_sum(qs) AS BIGINT)                                       AS total,
+           CAST(coalesce(list_sum(qs), 0) AS BIGINT)                          AS total,
            coalesce(array_to_string(list_sort(qs), ','), '')                  AS sorted_qs,
            len(qs)                                              AS n,
            list_max(qs)                                         AS mx
     FROM (
-      SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+      -- FILTER: Spark collect_list drops NULL elements; an all-NULL
+      -- group's empty fold is the seed 0, where list_sum([]) is NULL
+      SELECT l_orderkey,
+             list_sort(list(CAST(l_quantity AS BIGINT))
+                       FILTER (l_quantity IS NOT NULL)) AS qs
       FROM lineitem WHERE l_orderkey % 97 = 0 GROUP BY l_orderkey
     )
     """,
@@ -1763,7 +1786,14 @@ def udf_arrow_scalar(spark, sf_dir):
            floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS qp_corr,
            floor(covar_pop(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS qp_covar,
            floor(stddev_pop(l_quantity) * 10000 + 0.5) / 10000 AS q_stddev,
-           floor(skewness(l_quantity) * 10000 + 0.5) / 10000 AS q_skew
+           -- DuckDB's skewness is the bias-CORRECTED sample g1; Spark's
+           -- is population (m3/m2^1.5). Undo the correction factor
+           -- sqrt(n(n-1))/(n-2) — the n≈6000 real-data groups hid the
+           -- difference under 4dp quantization, small fuzz groups don't
+           floor(skewness(l_quantity)
+                 * (count(l_quantity) - 2)
+                 / sqrt(count(l_quantity) * (count(l_quantity) - 1.0))
+                 * 10000 + 0.5) / 10000 AS q_skew
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -6520,6 +6550,11 @@ def events_rolling_wau_bitmap(spark, sf_dir):
              date_diff('day', CAST(o.o_orderdate AS DATE),
                        CAST(li.l_shipdate AS DATE)) AS lat
       FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+      -- an unlabeled priority is not an SLA class and a dateless pair
+      -- has no latency; NULL lat would also order differently in the
+      -- two engines' cumulative windows
+      WHERE o.o_orderpriority IS NOT NULL AND o.o_orderdate IS NOT NULL
+        AND li.l_shipdate IS NOT NULL
     ),
     h AS (SELECT pri, lat, count(*) AS cnt FROM l GROUP BY 1, 2),
     tot AS (SELECT pri, sum(cnt) AS n FROM h GROUP BY pri),
@@ -6552,10 +6587,18 @@ def lineitem_ship_latency(spark, sf_dir):
     percentile_disc on both engines."""
     t = io.load_tables(spark, sf_dir, "lineitem", "orders")
     li, o = t["lineitem"].df, t["orders"].df
-    l = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        F.col("o_orderpriority").alias("pri"),
-        F.datediff(F.col("l_shipdate").cast("date"),
-                   F.col("o_orderdate").cast("date")).alias("lat"),
+    l = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.col("o_orderpriority").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+            & F.col("l_shipdate").isNotNull()
+        )
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.datediff(F.col("l_shipdate").cast("date"),
+                       F.col("o_orderdate").cast("date")).alias("lat"),
+        )
     )
     h = l.groupBy("pri", "lat").agg(F.count(F.lit(1)).alias("cnt"))
     tot = h.groupBy("pri").agg(F.sum("cnt").alias("n"))
@@ -7671,7 +7714,10 @@ def events_cumulative_unique_users(spark, sf_dir):
       SELECT l_orderkey, l_linenumber,
              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
              CAST(l_quantity AS BIGINT) AS qty
+      -- a point missing either coordinate is not on a price/qty
+      -- frontier; a NULL would also order differently in the sweep
       FROM lineitem WHERE l_orderkey % 13 = 0
+        AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ),
     sky AS (
       SELECT p.*,
@@ -7704,7 +7750,11 @@ def lineitem_skyline_price_qty(spark, sf_dir):
     Exact integers; %13 sparsify keeps outputs stable-sized across
     SFs."""
     li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
-    pts = li.filter(F.col("l_orderkey") % 13 == 0).select(
+    pts = li.filter(
+        (F.col("l_orderkey") % 13 == 0)
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    ).select(
         "l_orderkey", "l_linenumber",
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
           .alias("price_c"),
@@ -8265,7 +8315,9 @@ _CROSTON_STEP = (
              (year(CAST(l_shipdate AS DATE)) * 12
               + month(CAST(l_shipdate AS DATE))) AS idx,
              CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS x
-      FROM lineitem WHERE l_partkey < 20 GROUP BY 1, 2
+      FROM lineitem
+      WHERE l_partkey < 20 AND l_shipdate IS NOT NULL
+      GROUP BY 1, 2
     ),
     span AS (
       SELECT (year(CAST(min(l_shipdate) AS DATE)) * 12
@@ -8323,7 +8375,9 @@ def part_croston_intermittent(spark, sf_dir):
         "year(CAST(l_shipdate AS DATE)) * 12 + month(CAST(l_shipdate AS DATE))"
     )
     m = (
-        li.filter(F.col("l_partkey") < 20)
+        li.filter(
+            (F.col("l_partkey") < 20) & F.col("l_shipdate").isNotNull()
+        )
         .groupBy("l_partkey", idx.alias("idx"))
         .agg(
             F.floor(F.sum("l_quantity") * 100 + F.lit(0.5))
@@ -8473,7 +8527,9 @@ def orders_forecast_backtest(spark, sf_dir):
              (year(CAST(l_shipdate AS DATE)) * 12
               + month(CAST(l_shipdate AS DATE))) AS idx,
              CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS demand
-      FROM lineitem WHERE l_partkey < 20 GROUP BY 1, 2
+      FROM lineitem
+      WHERE l_partkey < 20 AND l_shipdate IS NOT NULL
+      GROUP BY 1, 2
     ),
     span AS (
       SELECT (year(CAST(min(l_shipdate) AS DATE)) * 12
@@ -8536,7 +8592,9 @@ def part_inventory_simulation(spark, sf_dir):
         "year(CAST(l_shipdate AS DATE)) * 12 + month(CAST(l_shipdate AS DATE))"
     )
     m = (
-        li.filter(F.col("l_partkey") < 20)
+        li.filter(
+            (F.col("l_partkey") < 20) & F.col("l_shipdate").isNotNull()
+        )
         .groupBy("l_partkey", idx.alias("idx"))
         .agg(
             F.floor(F.sum("l_quantity") + F.lit(0.5))

@@ -20,6 +20,7 @@ from tools import (  # noqa: E402
     fuzzcheck,
     fuzzcheck_embeddings,
     fuzzcheck_events,
+    fuzzcheck_joins,
     fuzzcheck_orders,
 )
 from tools.fuzzcore import run_fuzz  # noqa: E402
@@ -77,6 +78,33 @@ def test_fuzz_orders_subset(spark):
     assert not failures, "\n".join(failures)
     assert n_ok + n_skip == len(_ORD_SUBSET), (n_ok, n_skip)
     assert n_ok >= len(_ORD_SUBSET) - 2, f"too many skips: {n_skip}"
+
+
+# NULL FKs + orphaned FKs + NULL measures across a TPC-H-ish
+# micro-warehouse: the corpus that found the fold-over-NULL crashes
+# (py_fold/fold_py now drop absent elements), the Alg-sum-seed-vs-
+# SQL-NULL seam, the eqNullSafe-vs-`=` oracle divergence, the struct-
+# ordering NULL placement, and the sample-vs-population skewness gap
+_JOIN_SUBSET = {
+    "fold_product_user_alg", "fold_histogram_pandas_udaf",
+    "fold_reduce_option", "fold_minmax_struct_ordering",
+    "comprehension_composite_theta", "array_hof_surface",
+    "agg_stats_moments", "graph_preprocessing_edges",
+    "lineitem_ship_latency", "lineitem_skyline_price_qty",
+    "part_croston_intermittent", "q5_local_supplier_volume",
+}
+
+
+def test_fuzz_joins_subset(spark):
+    path = fuzzcheck_joins.build_corpus()
+    con = fuzzcheck_joins.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, set(fuzzcheck_joins.TABLES),
+        only=_JOIN_SUBSET, quiet=True
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok + n_skip == len(_JOIN_SUBSET), (n_ok, n_skip)
+    assert n_ok >= len(_JOIN_SUBSET) - 2, f"too many skips: {n_skip}"
 
 
 # zero-norm / duplicate / degenerate vectors: the corpus class that
