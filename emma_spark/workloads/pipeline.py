@@ -147,18 +147,18 @@ def pipeline_incremental_update(spark, sf_dir):
     WITH d AS (
       SELECT 'documents' AS tbl, count(*)::HUGEINT AS n,
              sum(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|'
-                  || text), 1, 14)) AS BIGINT) AS HUGEINT)) AS fp
+                  || coalesce(text, '<NULL>')), 1, 14)) AS BIGINT) AS HUGEINT)) AS fp
       FROM documents
       UNION ALL
       SELECT 'orders', count(*)::HUGEINT,
              sum(CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)
-                  || '|' || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
-                  || '|' || o_orderstatus), 1, 14)) AS BIGINT) AS HUGEINT))
+                  || '|' || coalesce(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), '<NULL>')
+                  || '|' || coalesce(o_orderstatus, '<NULL>')), 1, 14)) AS BIGINT) AS HUGEINT))
       FROM orders
       UNION ALL
       SELECT 'embeddings', count(*)::HUGEINT,
              sum(CAST(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR) || '|'
-                  || CAST(len(embedding) AS VARCHAR)), 1, 14)) AS BIGINT) AS HUGEINT))
+                  || coalesce(CAST(len(embedding) AS VARCHAR), '<NULL>')), 1, 14)) AS BIGINT) AS HUGEINT))
       FROM embeddings
     )
     SELECT tbl, CAST(n AS BIGINT) AS n_rows,
@@ -197,15 +197,23 @@ def pipeline_dataset_fingerprint(spark, sf_dir):
             ).alias("fp"),
         )
 
+    # NULLness is row content: every nullable field hashes through a
+    # sentinel (Spark's concat-with-NULL nulls the whole row hash and
+    # sum() silently skips it — a fingerprint that cannot see a field
+    # going NULL; DuckDB's concat() skips the NULL instead, a third
+    # answer). Same sentinel both engines.
     d = fp(t["documents"].df,
-           "concat(CAST(doc_id AS STRING), '|', text)", "documents")
+           "concat(CAST(doc_id AS STRING), '|',"
+           " coalesce(text, '<NULL>'))", "documents")
     o = fp(t["orders"].df,
            "concat(CAST(o_orderkey AS STRING), '|',"
-           " CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING),"
-           " '|', o_orderstatus)", "orders")
+           " coalesce(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+           "          AS STRING), '<NULL>'),"
+           " '|', coalesce(o_orderstatus, '<NULL>'))", "orders")
     e = fp(t["embeddings"].df,
            "concat(CAST(vec_id AS STRING), '|',"
-           " CAST(size(embedding) AS STRING))", "embeddings")
+           " coalesce(CAST(size(embedding) AS STRING), '<NULL>'))",
+           "embeddings")
     return (
         d.unionByName(o).unionByName(e)
         .select(

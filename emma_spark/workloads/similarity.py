@@ -973,12 +973,13 @@ def embedding_dim_variance_audit(spark, sf_dir):
       FROM (SELECT * FROM tscore WHERE tf > 0
             ORDER BY tf DESC, doc_id LIMIT 20)
     ),
-    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = 0 AND {NZ('embedding')}),
     vs AS (
       SELECT vec_id AS doc_id,
              floor(({SQL_COS}) * 10000 + 0.5) / 10000 AS sim
       FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
-            WHERE vec_id != 0) e, q
+            WHERE vec_id != 0 AND {NZ('embedding')}) e, q
     ),
     vcand AS (
       SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rv
@@ -1033,9 +1034,12 @@ def search_hybrid_rrf(spark, sf_dir):
                                                              "doc_id")))
         .select("doc_id", "rt")
     )
-    qv = emb.filter(F.col("vec_id") == 0).select(
+    # zero-norm gate on BOTH legs (the r7 similarity contract): a
+    # zero query vector means an empty vector leg, not a 0/0 crash
+    nz = S.nonzero(F.col("embedding"))
+    qv = emb.filter((F.col("vec_id") == 0) & nz).select(
         F.col("embedding").cast("array<double>").alias("qv"))
-    cv = emb.filter(F.col("vec_id") != 0).select(
+    cv = emb.filter((F.col("vec_id") != 0) & nz).select(
         F.col("vec_id").alias("doc_id"),
         F.col("embedding").cast("array<double>").alias("cv"))
     sim = F.expr(

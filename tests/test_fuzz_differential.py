@@ -18,6 +18,7 @@ sys.path.insert(0, "/root/repo")
 
 from tools import (  # noqa: E402
     fuzzcheck,
+    fuzzcheck_cross,
     fuzzcheck_embeddings,
     fuzzcheck_events,
     fuzzcheck_joins,
@@ -137,3 +138,18 @@ def test_fuzz_events_subset(spark):
     assert not failures, "\n".join(failures)
     assert n_ok + n_skip == len(_EVENT_SUBSET), (n_ok, n_skip)
     assert n_ok >= len(_EVENT_SUBSET) - 2, f"too many skips: {n_skip}"
+
+
+def test_fuzz_cross_family(spark):
+    """The five oracles spanning more than one corpus family — each
+    single-family harness skips them, so they run here on the unified
+    adversarial warehouse (the corpus that found search_hybrid_rrf's
+    zero-norm crash and the fingerprint NULL-content divergence)."""
+    path = fuzzcheck_cross.build_corpus()
+    con = fuzzcheck_cross.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, set(fuzzcheck_cross.TABLES),
+        only=fuzzcheck_cross.CROSS_QUERIES, quiet=True
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok == len(fuzzcheck_cross.CROSS_QUERIES), (n_ok, n_skip)
