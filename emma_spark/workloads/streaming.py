@@ -560,10 +560,21 @@ def stream_quantile_bins_windowed(spark, sf_dir):
     "stream_cdc_merge_snapshot",
     oracle="""
     SELECT user_id,
-           max_by(event_type,
-                  epoch_us(ts)::HUGEINT * 1000000000000 + event_id) AS last_type,
-           max_by(CAST(floor(value * 100 + 0.5) AS BIGINT),
-                  epoch_us(ts)::HUGEINT * 1000000000000 + event_id)
+           -- struct-packed arg_max = ROW semantics: the last change
+           -- record's fields, NULLs included. Bare max_by(col, key)
+           -- SKIPS null values in DuckDB (returns the latest NON-NULL
+           -- type — a different, per-FIELD last-write-wins), while
+           -- Spark's max_by returns the value AT the arg-extreme row;
+           -- the struct itself is never NULL, so both engines agree
+           -- (found by the cross-corpus fuzz: stream_ queries never
+           -- met adversarial NULL events in the events-only harness)
+           (max_by(struct_pack(t := event_type,
+                               v := CAST(floor(value * 100 + 0.5) AS BIGINT)),
+                   epoch_us(ts)::HUGEINT * 1000000000000 + event_id)).t
+             AS last_type,
+           (max_by(struct_pack(t := event_type,
+                               v := CAST(floor(value * 100 + 0.5) AS BIGINT)),
+                   epoch_us(ts)::HUGEINT * 1000000000000 + event_id)).v
              AS last_value_c,
            count(*) AS n_events
     FROM events GROUP BY user_id
