@@ -140,16 +140,25 @@ def test_fuzz_events_subset(spark):
     assert n_ok >= len(_EVENT_SUBSET) - 2, f"too many skips: {n_skip}"
 
 
+# regressions only the UNIFIED corpus can catch: the stream_ queries
+# are excluded from the events-only harness, so stream_cdc_merge_
+# snapshot's per-field-vs-per-row arg_max divergence under NULL
+# events (r7's last find) is pinned here
+_UNIFIED_EXTRAS = {"stream_cdc_merge_snapshot"}
+
+
 def test_fuzz_cross_family(spark):
     """The five oracles spanning more than one corpus family — each
     single-family harness skips them, so they run here on the unified
     adversarial warehouse (the corpus that found search_hybrid_rrf's
-    zero-norm crash and the fingerprint NULL-content divergence)."""
+    zero-norm crash and the fingerprint NULL-content divergence) —
+    plus the excluded-family regressions only this corpus covers."""
     path = fuzzcheck_cross.build_corpus()
     con = fuzzcheck_cross.connect(path)
+    wanted = fuzzcheck_cross.CROSS_QUERIES | _UNIFIED_EXTRAS
     n_ok, n_skip, failures = run_fuzz(
         spark, con, path, set(fuzzcheck_cross.TABLES),
-        only=fuzzcheck_cross.CROSS_QUERIES, quiet=True
+        only=wanted, quiet=True
     )
     assert not failures, "\n".join(failures)
-    assert n_ok == len(fuzzcheck_cross.CROSS_QUERIES), (n_ok, n_skip)
+    assert n_ok == len(wanted), (n_ok, n_skip)
