@@ -2646,21 +2646,34 @@ def ml_gbdt_residual_boost(spark, sf_dir):
     )
 
     def boost_round(d, xcol, cands):
-        c = spark.range(1).select(
-            F.explode(F.array(*[F.lit(t) for t in cands])).alias("t")
+        # hist-mode as COLUMNS, not rows: the 9 candidates' conditional
+        # sums are 2k+2 aggregate columns over ONE pass of the data —
+        # vs the explode-candidates form (broadcast nested-loop join
+        # replicating every row k times before a groupBy(t)), same
+        # per-row comparison count but no k× row materialization and
+        # no join operator at all. The 1-row result unpivots to the
+        # (t, sl, nl, s, n) shape driver-side-free via explode.
+        one = d.agg(
+            *[a for t in cands for a in (
+                F.sum(F.when(F.col(xcol) <= F.lit(t), F.col("r"))
+                      .otherwise(0)).cast("decimal(38,0)").alias(f"sl_{t}"),
+                F.sum(F.when(F.col(xcol) <= F.lit(t), 1).otherwise(0))
+                 .cast("decimal(38,0)").alias(f"nl_{t}"),
+            )],
+            F.sum("r").cast("decimal(38,0)").alias("s"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         )
-        agg = (
-            d.crossJoin(F.broadcast(c))
-            .groupBy("t")
-            .agg(
-                F.sum(F.when(F.col(xcol) <= F.col("t"), F.col("r"))
-                      .otherwise(0)).cast("decimal(38,0)").alias("sl"),
-                F.sum(F.when(F.col(xcol) <= F.col("t"), 1).otherwise(0))
-                 .cast("decimal(38,0)").alias("nl"),
-                F.sum("r").cast("decimal(38,0)").alias("s"),
-                F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-            )
-        )
+        agg = one.select(
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    F.col(f"sl_{t}").alias("sl"),
+                    F.col(f"nl_{t}").alias("nl"),
+                    F.col("s"), F.col("n"),
+                )
+                for t in cands
+            ])).alias("z")
+        ).select("z.*")
         scored = agg.filter(
             (F.col("nl") > 0) & (F.col("nl") < F.col("n"))
         ).select(
