@@ -272,10 +272,16 @@ class DataBag:
         if fan_in < 2:
             raise ValueError("fan_in must be >= 2")
         if e is not None:
-            df = self._df.select(_cols(self._df, e)[0].alias("value"))
-            # bag model: a NULL cell is an absent element — fold over
-            # present values (NaN reaching init() crashes int())
-            extract = lambda pdf: list(pdf["value"].dropna())
+            # bag model: a NULL cell is an absent element — filter it
+            # ENGINE-side (isNotNull), not with pandas dropna(), which
+            # would also drop genuine float NaN values that ARE present
+            # bag elements and that a SQL aggregate over the same
+            # column would see (r7 ADVICE)
+            df = (
+                self._df.select(_cols(self._df, e)[0].alias("value"))
+                .where(F.col("value").isNotNull())
+            )
+            extract = lambda pdf: list(pdf["value"])
         else:
             df = self._df
             extract = lambda pdf: pdf.to_dict("records")
@@ -642,17 +648,24 @@ class GroupedBag:
         import pandas as pd
         from pyspark.sql import types as Ty
 
+        _v = _cols(self._df, e)[0]
         kdf = self._df.select(
             *self._keys,
-            _cols(self._df, e)[0].alias("__v"),
+            _v.alias("__v"),
+            # NULL-presence decided ENGINE-side: pandas cannot tell a
+            # SQL NULL from a float NaN once Arrow converts the batch,
+            # and a NaN is a PRESENT bag element the fold must see
+            # (r7 ADVICE). Rows can't just be filtered out: an
+            # all-NULL group still emits acc == zero.
+            _v.isNotNull().alias("__present"),
             F.spark_partition_id().alias("__pid"),
         )
-        knames = kdf.columns[:-2]
+        knames = kdf.columns[:-3]
         val_struct = Ty.StructType.fromDDL(result_schema)
-        out_fields = list(kdf.schema.fields[:-2]) + list(val_struct.fields)
+        out_fields = list(kdf.schema.fields[:-3]) + list(val_struct.fields)
         schema = Ty.StructType(out_fields)
         names = [f.name for f in out_fields]
-        part_fields = list(kdf.schema.fields[:-2]) + [Ty.StructField("__acc", Ty.BinaryType())]
+        part_fields = list(kdf.schema.fields[:-3]) + [Ty.StructField("__acc", Ty.BinaryType())]
         part_schema = Ty.StructType(part_fields)
         part_names = [f.name for f in part_fields]
 
@@ -661,9 +674,10 @@ class GroupedBag:
 
             acc = zero
             # the bag model has no nulls: a NULL cell is an ABSENT
-            # element, so folds run over present values only (a NaN
-            # reaching a Python init() crashes int()/indexing)
-            for v in pdf["__v"].dropna():
+            # element, so folds run over present values only — via the
+            # engine-computed __present mask, NOT dropna(), which
+            # cannot distinguish SQL NULL from a present float NaN
+            for v in pdf["__v"][pdf["__present"].to_numpy(dtype=bool)]:
                 acc = plus(acc, init(v))
             keyvals = [pdf[n].iloc[0] for n in knames]
             return pd.DataFrame([keyvals + [pickle.dumps(acc)]], columns=part_names)

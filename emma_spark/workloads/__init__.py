@@ -83,60 +83,51 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # Everything past position 50 carries a green driver row from r1-r4 and
 # stays verified by tools/diffcheck.py --vanilla each round.
 _PRIORITY = [
-    # ---- R7 WINDOW. Recipe unchanged (reds -> never-checked ->
-    # changed -> keepers); registry growth stays FROZEN — every slot
-    # converges verification debt.
-    # (a) the 14 r6 reds. Root cause (one mechanism, all 14): an
-    # oracle output column typed HUGEINT (DuckDB promotes sum(BIGINT)
-    # and window sums) or DOUBLE where Spark emits BIGINT — the
-    # driver's pandas fetchdf() canonicalizes HUGEINT as float64
-    # ('124750.0' vs int64 '124750'), a hash mismatch at any
-    # magnitude. Every flagged column is now CAST(... AS BIGINT) at
-    # the oracle's outermost select; the repaired tools/diffcheck.py
-    # (fetchdf + DESCRIBE type-identity gate) and
-    # tests/test_registry_contracts.py::test_output_type_identity
-    # make reintroduction impossible.
-    "text_pack_sequences", "text_bigram_lm", "dq_observed_ingest",
-    "text_mixture_allocation", "dq_drift_snapshots",
-    "text_sparse_cosine_pairs", "text_winsorize_p90",
-    "jsonl_roundtrip_agg", "events_interval_merge",
-    "multimodal_shard_plan", "text_bigram_score",
-    "embedding_quantize_int8", "ml_decision_stump", "orc_roundtrip_agg",
-    # (b) the 23 latent type-mismatched queries the same DESCRIBE scan
-    # caught before the driver ever checked them — same cast sweep,
-    # never driver-checked, all green through the strict comparator
-    "text_bpe_train", "text_bpe_apply", "geo_radius_join",
-    "geo_tile_rollup", "dq_k_anonymity", "dq_freshness_completeness",
-    "ml_feature_importance_stumps", "ml_threshold_sweep_f1",
-    "events_feature_store_pit", "udf_map_in_arrow",
-    "events_resample_linear", "events_interval_overlap_join",
-    "parquet_partitioned_roundtrip", "events_alert_debounce",
-    "orders_rolling_median_7d", "agg_mode_exact",
-    "orders_seasonal_decompose", "orders_segment_migration",
-    "orders_percent_of_total", "join_dynamic_partition_pruning",
-    "ann_pq_adc_topk", "embedding_outlier_zscore", "ann_ivf_pq_topk",
-    # (c) next never-checked batch from the standing queue, tri-SF
-    # green through the repaired (type-strict) comparator
-    "ml_auc_exact", "dedup_prefix_jaccard_exact",
-    "dedup_lsh_recall_eval", "orders_rfm_segmentation",
-    "text_char_diversity", "events_point_in_interval", "text_pii_scrub",
-    "stream_stream_left_outer_join", "ml_gridsearch_ridge",
-    "ml_target_encoding_loo", "events_changepoint_cusum",
-    "sql_lateral_topk", "pipeline_dpo_pairs",
-    # R8 QUEUE (next never-checked batch, in rotation order):
-    # events_conversion_delay, orders_survival_hazard,
-    # agg_listagg_ordered, orders_duplicate_invoice_detect,
-    # events_cuped_adjusted_lift, orders_ses_level_fold,
-    # graph_ppr_seed, orders_price_volume_mix,
-    # text_span_corruption_plan, ann_recall_eval,
-    # window_value_range_band, graph_assortativity, ml_learning_curve,
-    # events_gap_histogram, stream_chained_window_aggs,
-    # pyds_custom_source_agg, pyds_stream_source_counts,
-    # pyds_stream_sink_roundtrip, csv_gzip_read_agg,
-    # pipeline_split_leakage_audit, events_bitmap_dau,
-    # events_rolling_wau_bitmap, text_tokenizer_fertility,
-    # events_burst_viterbi, lineitem_ship_latency — then the wave-3/4
-    # and continuation lists below in their original order.
+    # ---- R8 WINDOW. Recipe unchanged (reds -> changed -> never-
+    # checked -> keepers); registry stays FROZEN. r7 went 50/50 green,
+    # so this window has no reds to re-queue; it spends its slots on
+    # the only two places a regression can hide:
+    # (a) the 25 queries whose Spark code or oracle was REWRITTEN by
+    # the r7 fuzz waves but whose driver-green rows PREDATE the change
+    # (zero-norm gates, NULLS-FIRST ordering, arg_max struct packing,
+    # skewness bias correction, NULL-element fold contracts, ...) —
+    # a stale green is not a green. agg_stats_moments changed AGAIN
+    # this round (n<3 / zero-variance skewness pin, r7 ADVICE).
+    "stream_cdc_merge_snapshot", "agg_stats_moments",
+    "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_ivf_trained", "embedding_neardup", "embedding_normalize",
+    "ml_knn_classify", "events_attribution", "asof_forward_conversion",
+    "map_ops_surface", "window_running_sum", "window_rank_variants",
+    "window_ntile_quartiles", "scd2_status_history",
+    "sketch_quantile_bins", "sketch_quantile_bins_grouped",
+    "fold_histogram_pandas_udaf", "fold_reduce_option",
+    "fold_product_user_alg", "graph_preprocessing_edges",
+    "array_hof_surface", "comprehension_composite_theta",
+    "fold_minmax_struct_ordering",
+    # (b) one DATE-output keeper: the diffcheck date==midnight-
+    # timestamp canonicalization (tools/diffcheck.py) rests on a
+    # single r3 data point — re-confirm the driver still hashes a
+    # DATE column green after the r7 comparator work.
+    "click_count_diffs",
+    # (c) the next 24 never-checked queries from the standing queue,
+    # in rotation order (all tri-SF green through the type-strict
+    # comparator).
+    "events_conversion_delay", "orders_survival_hazard",
+    "agg_listagg_ordered", "orders_duplicate_invoice_detect",
+    "events_cuped_adjusted_lift", "orders_ses_level_fold",
+    "graph_ppr_seed", "orders_price_volume_mix",
+    "text_span_corruption_plan", "ann_recall_eval",
+    "window_value_range_band", "graph_assortativity",
+    "ml_learning_curve", "events_gap_histogram",
+    "stream_chained_window_aggs", "pyds_custom_source_agg",
+    "pyds_stream_source_counts", "pyds_stream_sink_roundtrip",
+    "csv_gzip_read_agg", "pipeline_split_leakage_audit",
+    "events_bitmap_dau", "events_rolling_wau_bitmap",
+    "text_tokenizer_fertility", "events_burst_viterbi",
+    # R9 QUEUE (next never-checked batch, in rotation order):
+    # lineitem_ship_latency, then the wave-3/4 and continuation lists
+    # in their original order (~120 names remaining; see
+    # docs/ROTATION.md for the full schedule to 408/408 by ~r11).
 ]
 
 

@@ -1789,11 +1789,15 @@ def udf_arrow_scalar(spark, sf_dir):
            -- DuckDB's skewness is the bias-CORRECTED sample g1; Spark's
            -- is population (m3/m2^1.5). Undo the correction factor
            -- sqrt(n(n-1))/(n-2) — the n≈6000 real-data groups hid the
-           -- difference under 4dp quantization, small fuzz groups don't
-           floor(skewness(l_quantity)
-                 * (count(l_quantity) - 2)
-                 / sqrt(count(l_quantity) * (count(l_quantity) - 1.0))
-                 * 10000 + 0.5) / 10000 AS q_skew
+           -- difference under 4dp quantization, small fuzz groups don't.
+           -- n<3 → DuckDB NULL vs Spark 0.0, and zero-variance → NULL
+           -- vs NaN (r7 ADVICE): both engines pin those groups to 0.
+           CASE WHEN count(l_quantity) >= 3 AND stddev_pop(l_quantity) > 0
+                THEN floor(skewness(l_quantity)
+                           * (count(l_quantity) - 2)
+                           / sqrt(count(l_quantity) * (count(l_quantity) - 1.0))
+                           * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS q_skew
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1808,7 +1812,12 @@ def agg_stats_moments(spark, sf_dir):
         rd(F.corr("l_quantity", "l_extendedprice"), 4).alias("qp_corr"),
         rd(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qp_covar"),
         rd(F.stddev_pop("l_quantity"), 4).alias("q_stddev"),
-        rd(F.skewness("l_quantity"), 4).alias("q_skew"),
+        F.when(
+            (F.count("l_quantity") >= 3) & (F.stddev_pop("l_quantity") > 0),
+            rd(F.skewness("l_quantity"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("q_skew"),
     )
 
 

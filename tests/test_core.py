@@ -436,6 +436,41 @@ def test_py_fold_grouped_histogram(tables, duck):
     )
 
 
+def test_fold_nan_is_present_null_is_absent(spark):
+    """r7 ADVICE: pandas dropna() silently dropped float NaN values,
+    which are PRESENT bag elements (unlike SQL NULLs, which the bag
+    model treats as absent). Both fold paths must see the NaN."""
+    import math
+
+    from emma_spark.core import DataBag
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", float("nan")), ("a", None), ("b", None)],
+        "k string, v double",
+    ).repartition(2)
+
+    # global fold_py: count + NaN-flag accumulator
+    n, saw_nan = DataBag(df).fold_py(
+        zero=(0, False),
+        init=lambda v: (1, isinstance(v, float) and math.isnan(v)),
+        plus=lambda a, b: (a[0] + b[0], a[1] or b[1]),
+        e="v",
+    )
+    assert n == 2 and saw_nan  # 1.0 and NaN present; two NULLs absent
+
+    # grouped py_fold: all-NULL group still emits zero; NaN counted
+    out = DataBag(df).group_by(["k"]).py_fold(
+        zero=(0, 0),
+        init=lambda v: (1, 1 if isinstance(v, float) and math.isnan(v) else 0),
+        plus=lambda a, b: (a[0] + b[0], a[1] + b[1]),
+        e="v",
+        result_schema="n bigint, nans bigint",
+        finish=tuple,
+    )
+    rows = {r["k"]: (r["n"], r["nans"]) for r in out.df.collect()}
+    assert rows == {"a": (2, 1), "b": (0, 0)}
+
+
 def test_zip_with_index_stable_across_recollect(tables):
     """The __pid-stamped frame is persisted: the mapping row->index is
     identical on a second materialization of the same plan."""

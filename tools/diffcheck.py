@@ -94,8 +94,14 @@ def pdf_bag(pdf) -> list[str]:
 def compare_one(spark, con, name, fn, oracle, sf_dir):
     """Run one query both ways; return (status, detail).
 
-    status: 'ok' | 'rows-only' | 'fail'. Mirrors the driver's checks
-    (rows / schema / value hash) plus the stricter type-identity gate.
+    status: 'ok' | 'rows-only' | 'fail' | 'engine-error'. Mirrors the
+    driver's checks (rows / schema / value hash) plus the stricter
+    type-identity gate. 'engine-error' means one engine raised before
+    a comparison could happen (corpus-shape problems, e.g. a filter
+    leaves zero rows and a downstream min() raises) — distinct from
+    'fail' (a genuine differential mismatch) so callers never have to
+    classify by sniffing the detail string, which can embed row data
+    that itself contains the word 'error'.
     """
     spark.catalog.clearCache()
     try:
@@ -103,14 +109,14 @@ def compare_one(spark, con, name, fn, oracle, sf_dir):
         sfields = [(f.name, f.dataType.simpleString()) for f in sdf.schema.fields]
         spdf = sdf.toPandas()
     except Exception as ex:  # noqa: BLE001 — this is a reporting tool
-        return "fail", f"spark error: {ex!r}"[:500]
+        return "engine-error", f"spark error: {ex!r}"[:500]
     if oracle is None:
         return "rows-only", f"{len(spdf)} rows"
     try:
         dfields = duck_output_types(con, oracle)
         dpdf = con.execute(oracle).fetchdf()
     except Exception as ex:  # noqa: BLE001
-        return "fail", f"duckdb error: {ex!r}"[:500]
+        return "engine-error", f"duckdb error: {ex!r}"[:500]
 
     problems = []
     scols, dcols = list(spdf.columns), list(dpdf.columns)

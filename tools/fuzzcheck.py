@@ -37,7 +37,10 @@ FUZZ_DIR = "/tmp/emma_fuzz_sf"
 
 alphabet = (
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
-    " \t\n\x0b\x0c\r\xa0    ​　\x85"
+    # contested whitespace as ESCAPED literals (r7 ADVICE: a refactor
+    # once silently replaced the invisible chars with plain spaces,
+    # gutting the Java-\s-vs-RE2 coverage this alphabet exists for)
+    " \t\n\x0b\x0c\r\xa0\u1680\u2000\u2028\u2029\u200b\u3000\x85"
     "İıΣσςßẞÅåÉéŁł"
     "'\".,;:!?-_#()[]{}@/\\|"
     "日本語中文한국어αβγдружба"
@@ -63,7 +66,7 @@ def build_corpus(path: str = FUZZ_DIR, n_docs: int = 500, seed: int = 4242):
                         rng.choice(alphabet) for _ in range(rng.randint(1, 8))
                     )
                 )
-        sep = rng.choice([" ", " ", "\t", "\n", " ", "\xa0"])
+        sep = rng.choice([" ", " ", "\t", "\n", "\u1680", "\xa0"])
         return sep.join(parts)
 
     docs = []

@@ -68,9 +68,12 @@ def run_fuzz(
         status, detail = compare_one(spark, con, name, q.fn, q.oracle, sf_dir)
         if status == "ok":
             n_ok += 1
-        elif "error" in detail[:40]:
+        elif status == "engine-error":
             # corpus-shape errors (e.g. a filter leaves zero rows and a
-            # downstream min() raises) are SKIPs, not differential reds
+            # downstream min() raises) are SKIPs, not differential reds.
+            # Branch on the STATUS, never the detail text — mismatch
+            # details embed row data that can contain the word 'error'
+            # (the events corpus generates event_type='error').
             n_skip += 1
             if not quiet:
                 print(f"SKIP  {name}: {detail[:140]}")
