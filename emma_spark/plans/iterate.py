@@ -10,8 +10,20 @@ Spark never auto-caches, so this module is the rebuild of that pass as
 a *runtime service*: :func:`fixpoint` owns persistence of the loop-
 carried bag, truncates lineage each iteration (localCheckpoint — long
 lineage chains are the classic iterative-Spark failure mode), and
-unpersists superseded states (an improvement over the reference, which
+releases superseded states (an improvement over the reference, which
 never unpersists — SURVEY §7.3).
+
+Release is RDD-level, not ``DataFrame.unpersist()``: a local
+checkpoint persists the Dataset's *internal RDD* in the block manager,
+and ``DataFrame.unpersist()`` only evicts CacheManager entries — it is
+a silent no-op for checkpoint blocks (r8 audit: a 6-iteration loop
+left 7 RDDs persisted until JVM GC; on a long-lived 100×-scale driver
+that is unbounded executor-memory growth). We therefore diff the
+SparkContext's persistent-RDD registry around each checkpoint call and
+unpersist the captured ids when — and only when — a newer materialized
+checkpoint makes them unreachable. A state is never released while a
+LAZY successor might still recompute from its blocks (unpersisting a
+local checkpoint destroys the only copy: the lineage was truncated).
 """
 
 from __future__ import annotations
@@ -19,6 +31,30 @@ from __future__ import annotations
 from typing import Callable
 
 from ..core import DataBag  # noqa: F401  (re-export for callers)
+
+
+def _persistent_ids(sc) -> set[int]:
+    """Ids of every RDD currently persisted in this SparkContext."""
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _release_ids(sc, ids) -> None:
+    """Unpersist the given RDD ids (non-blocking); missing ids are
+    fine — the ContextCleaner may have raced us on a GC'd object."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
+def release(bag) -> None:
+    """Free the checkpoint blocks backing a bag returned by
+    :func:`fixpoint` (callers that materialized their final output and
+    no longer need the state table). No-op for anything else."""
+    ids = getattr(bag, "_ckpt_ids", None)
+    if ids:
+        _release_ids(bag.df.sparkSession.sparkContext, ids)
 
 
 def _content_sig(df) -> tuple:
@@ -49,25 +85,67 @@ def fixpoint(
     probe, the reference's usual fixpoint test,
     ``transitiveClosure.scala:27-41``, would falsely converge there).
     Pass ``converged`` for a cheaper problem-specific probe (e.g. the
-    monotone label-sum in connected components)."""
+    monotone label-sum in connected components).
+
+    Persistence contract: the returned bag is always checkpoint-backed
+    (materialized, lineage-truncated); every INTERMEDIATE state's
+    blocks have been released by the time this returns, so the block
+    manager holds exactly one state table afterwards. Free that last
+    one with :func:`release` when done."""
     from ..core import DataBag as DB
 
-    state = DB(init.df.localCheckpoint(eager=True))
+    sc = init.df.sparkSession.sparkContext
+
+    def ckpt(df):
+        before = _persistent_ids(sc)
+        out = df.localCheckpoint(eager=True)
+        return out, _persistent_ids(sc) - before
+
+    def finish(bag, bag_ids, superseded_ids):
+        """Return path: hand back a checkpoint-backed bag and release
+        everything else."""
+        if bag_ids is None:  # not checkpointed this iteration
+            df2, bag_ids = ckpt(bag.df)  # materializes; prior now safe
+            bag = DB(df2)
+        _release_ids(sc, superseded_ids)
+        bag._ckpt_ids = bag_ids
+        return bag
+
+    # cur_ids: the most recent MATERIALIZED checkpoint — the anchor
+    # every lazy successor plan hangs from; never released while any
+    # live plan might recompute through it. state_backed: whether
+    # `state` IS that checkpoint (false only between boundaries when
+    # checkpoint_every > 1).
+    state_df, cur_ids = ckpt(init.df)
+    state = DB(state_df)
+    state_backed = True
     prev_sig = _content_sig(state.df) if converged is None else None
     for i in range(max_iter):
         nxt = step(state)
+        nxt_backed, new_ids = False, None
         if (i + 1) % checkpoint_every == 0:
-            nxt = DB(nxt.df.localCheckpoint(eager=True))
-        if converged is not None:
-            if converged(state, nxt):
-                state.df.unpersist()
-                return nxt
-        else:
-            sig = _content_sig(nxt.df)
-            if sig == prev_sig:
-                state.df.unpersist()
-                return nxt
+            ndf, new_ids = ckpt(nxt.df)
+            nxt = DB(ndf)
+            nxt_backed = True
+        done = (
+            converged(state, nxt)
+            if converged is not None
+            else (sig := _content_sig(nxt.df)) == prev_sig
+        )
+        if converged is None:
             prev_sig = sig
-        state.df.unpersist()
-        state = nxt
-    return state
+        if done:
+            # finish() materializes a lazy nxt off cur_ids FIRST, so
+            # releasing cur_ids afterwards is safe in both shapes
+            return finish(nxt, new_ids if nxt_backed else None, cur_ids)
+        if nxt_backed:
+            # nxt is materialized and independent of state: the old
+            # anchor is unreachable — release it NOW (with
+            # checkpoint_every=k only every k-th iteration swaps)
+            _release_ids(sc, cur_ids)
+            cur_ids = new_ids
+        state, state_backed = nxt, nxt_backed
+    if state_backed:
+        state._ckpt_ids = cur_ids
+        return state
+    return finish(state, None, cur_ids)

@@ -496,3 +496,77 @@ def test_shuffle_hash_hint_plans_shj(spark, registry):
     df = registry["join_shuffle_hash_hint"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert "ShuffledHashJoin" in plan, plan[:1500]
+
+
+# ---------------------------------------------------------- pin release audit
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_fixpoint_releases_superseded_checkpoints(spark):
+    """SURVEY §7.3 / r7 verdict ask: DataFrame.unpersist() is a silent
+    no-op for localCheckpoint BLOCKS (they live in the block manager,
+    not the CacheManager), so before the r8 RDD-level release a
+    6-iteration loop left every iteration's state pinned until JVM GC
+    — unbounded executor-memory growth on a long-lived driver. The
+    contract now: after fixpoint returns, exactly ONE state table
+    (the returned, checkpoint-backed one) is persisted above baseline,
+    in EVERY cadence (checkpoint_every 1/2/3, custom converged probe,
+    max_iter exhaustion), and release() frees that last one."""
+    from pyspark.sql import functions as F
+
+    from emma_spark.core import DataBag
+    from emma_spark.plans.iterate import fixpoint, release
+
+    base = _n_persistent(spark)
+    init = DataBag(spark.range(3).select(F.col("id").cast("long").alias("x")))
+    step = lambda b: DataBag(
+        b.df.select(F.least(F.col("x") + 1, F.lit(5)).alias("x"))
+    )
+
+    shapes = [
+        dict(max_iter=20, checkpoint_every=1),
+        dict(max_iter=20, checkpoint_every=2),
+        dict(max_iter=20, checkpoint_every=3),
+        dict(max_iter=2, checkpoint_every=3),  # exhaustion, state lazy
+        dict(
+            max_iter=20,
+            checkpoint_every=2,
+            converged=lambda a, b: b.df.agg(F.min("x")).collect()[0][0] >= 5,
+        ),
+    ]
+    for kw in shapes:
+        out = fixpoint(init, step, **kw)
+        vals = sorted(r["x"] for r in out.df.collect())
+        if kw["max_iter"] > 2:
+            assert vals == [5, 5, 5], (kw, vals)
+        assert _n_persistent(spark) == base + 1, kw
+        release(out)
+        assert _n_persistent(spark) == base, kw
+
+
+def test_iterative_workloads_do_not_accumulate_pins(spark, registry):
+    """Workload-level audit: each iterative query's RETURNED state
+    stays pinned while its consumers may still read it (freed async by
+    the ContextCleaner after GC — correct), but SUPERSEDED per-
+    iteration states must be released deterministically. The 100×-
+    scale failure mode is ACCUMULATION: repeated iterative queries on
+    one driver ratcheting the block manager up by N tables per run.
+    Two full passes over three fixpoint workloads must therefore stay
+    bounded by a small constant, not grow linearly (pagerank alone
+    runs 3 iterations × 2 rank tables per pass)."""
+    import gc
+
+    base = _n_persistent(spark)
+    high = 0
+    for _ in range(2):
+        for name in ("graph_kcore", "graph_pagerank", "graph_pagerank_sf"):
+            df = registry[name].fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            high = max(high, _n_persistent(spark))
+            del df
+            gc.collect()
+    # 6 query executions, ≥15 iteration states created in total; only
+    # the per-query live state (plus cleaner lag) may remain at any
+    # point. Without the r8 release fix `high` reaches base + ~15.
+    assert high <= base + 4, (base, high)
