@@ -84,14 +84,22 @@ def main() -> None:
     calib = round(calib, 3)
     print(f"# calibration_scan: {calib}s", file=sys.stderr)
 
+    # Variance protocol (r7 verdict ask): queries that are DRIVER-LOOP
+    # bound (many small jobs, convergence probes, per-iteration
+    # checkpoints) showed ±25% run-to-run variance even as min-of-3 —
+    # scheduler/GC noise multiplies across their dozens of tiny jobs
+    # instead of averaging out within one big one. Those take
+    # min-of-5; everything else stays min-of-3 (r4 A/B: run1 can read
+    # 3.1s where steady state is 0.95s, the min is the steady-state
+    # number). Cross-round comparisons should use queries_normalized
+    # (÷ calibration_scan_sec) and treat <±25% moves on the LOOPY set
+    # as noise-band.
+    LOOPY = {"ml_kmeans_assign", "ml_gbdt_residual_boost"}
+
     timings: dict[str, float] = {}
     for name, q in headline.items():
         best = None
-        # best-of-3: single runs vary up to 3-4x under page-cache/JIT/
-        # GC noise on a shared box; the minimum is the steady-state
-        # number (r4 A/B: run1 could read 3.1s where steady state was
-        # 0.95s)
-        for _ in range(3):
+        for _ in range(5 if name in LOOPY else 3):
             # queries are independent jobs: drop any persisted
             # intermediates (auto-cache is per-query state)
             spark.catalog.clearCache()

@@ -78,12 +78,16 @@ def filter_by_meta(df: DataFrame, predicate: Column) -> DataFrame:
 
 def size_bucket(meta: Column, edges: list[int] = [64, 256, 1024]) -> Column:
     """Bucket images by max dimension (partitioning/batching key so
-    same-shaped media co-locate — decode batches stay uniform)."""
+    same-shaped media co-locate — decode batches stay uniform).
+
+    NULL metadata buckets to NULL, not to the largest bucket: an
+    unknown-size blob must be routable to a quarantine path, not
+    silently co-located with the big decodes (r8 blob fuzz)."""
     m = F.greatest(meta["width"], meta["height"])
     expr = F.lit(len(edges))
     for i in reversed(range(len(edges))):
         expr = F.when(m <= edges[i], F.lit(i)).otherwise(expr)
-    return expr
+    return F.when(m.isNull(), F.lit(None)).otherwise(expr)
 
 
 # ---------------------------------------------------------------- decode plumbing
@@ -139,8 +143,16 @@ def image_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # undecodable rows (NULL blob / missing metadata) yield
+            # NULL features instead of killing the batch — at 100 TB a
+            # corpus WILL contain them, and one poison row must not
+            # fail a 10k-row Arrow batch (r8 blob fuzz)
             feats = [
-                decode(blob, m["width"], m["height"], m["channels"])
+                None
+                if blob is None or m is None
+                or m["width"] is None or m["height"] is None
+                or m["channels"] is None
+                else decode(blob, m["width"], m["height"], m["channels"])
                 for blob, m in zip(pdf[blob_col], pdf[meta_col])
             ]
             yield pd.DataFrame({"id": pdf[id_col], "features": feats})
@@ -161,7 +173,12 @@ def frame_sample_plan(
     over the blob — at scale this two-phase shape avoids decoding
     frames that get dropped."""
     n = df[meta_col]["n_frames"]
-    frames = F.sequence(F.lit(0), (n - 1).cast("long"), F.lit(every_n))
+    # zero-frame and NULL-frame-count videos yield no rows; an
+    # unguarded sequence(0, -1, k) is an executor-side
+    # IllegalArgumentException that fails the whole job (r8 blob fuzz)
+    frames = F.when(
+        n >= 1, F.sequence(F.lit(0), (n - 1).cast("long"), F.lit(every_n))
+    )
     return df.select(
         F.col(id_col).alias("video_id"),
         F.explode(frames).alias("frame_no"),
@@ -204,8 +221,13 @@ def audio_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # same poison-row contract as image_features: undecodable
+            # rows yield NULL features, never a batch-killing raise
             feats = [
-                decode(blob, m["sample_rate"], m["n_samples"])
+                None
+                if blob is None or m is None
+                or m["sample_rate"] is None or m["n_samples"] is None
+                else decode(blob, m["sample_rate"], m["n_samples"])
                 for blob, m in zip(pdf[blob_col], pdf[meta_col])
             ]
             yield pd.DataFrame({"id": pdf[id_col], "features": feats})

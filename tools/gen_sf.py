@@ -49,11 +49,12 @@ def gen(out: str, copies: int = 10) -> None:
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
 
-    def copy_union(table: str, select_tpl: str, n_copies: int) -> None:
+    def copy_union(table: str, select_tpl: str, n_copies: int, extra=None) -> None:
         """Write UNION ALL of n key-shifted copies; {i} is the copy
-        index available to the per-copy SELECT template."""
+        index available to the per-copy SELECT template (plus any
+        per-copy keys from ``extra(i)``)."""
         parts = [
-            f"SELECT {select_tpl.format(i=i)} "
+            f"SELECT {select_tpl.format(i=i, **(extra(i) if extra else {}))} "
             f"FROM read_parquet('{SRC}/{table}.parquet')"
             for i in range(n_copies)
         ]
@@ -115,16 +116,27 @@ def gen(out: str, copies: int = 10) -> None:
         "event_type, value, props",
         copies,
     )
-    # text salted per copy so near/exact-dup rates stay at the source
-    # corpus's natural level instead of jumping to (copies-1)/copies
+    # text decorrelated per copy: a short suffix salt is NOT enough —
+    # a near-identical copy keeps ~all shingles, so every doc gains
+    # (copies-1) MinHash near-twins and LSH bucket sizes grow ×copies
+    # (Σ|bucket|² then grows ×copies², which measured as a bogus 17×
+    # "super-linear" dedup_minhash_pairs at 10× data). A per-copy
+    # PERMUTATION of the frequent letters rewrites ~half the
+    # characters, so every shingle (and thus every band signature)
+    # becomes copy-specific while length and word shape stay intact —
+    # the dup structure of the scaled corpus matches the source's.
+    _LETTERS = "etaoinshr"
+    perms = ["etaoinshr", "taoinshre", "aoinshret", "oinshreta",
+             "inshretao", "nshretaoi", "shretaoin", "hretaoins",
+             "retaoinsh", "etaoinsrh"]
     copy_union(
         "documents",
         f"doc_id + {{i}} * {CARD['documents']} AS doc_id, "
         "CASE WHEN {i} = 0 THEN text "
-        "     ELSE text || ' c{i}' END AS text, "
-        "lang, source, "
-        "CASE WHEN {i} = 0 THEN n_chars ELSE n_chars + 3 END AS n_chars",
+        f"     ELSE translate(text, '{_LETTERS}', '{{perm}}') END AS text, "
+        "lang, source, n_chars",
         copies,
+        extra=lambda i: {"perm": perms[i % len(perms)]},
     )
     # embeddings scale ×4 in the driver's own sf0.01→sf0.1 step; nudge
     # one component per copy so replicas are not exact twins
