@@ -23,11 +23,17 @@ def rd(col, dp: int):
 
     Unlike ``round()`` (whose half-way/ULP behavior differs between
     engines), every step here is a deterministic IEEE op — identical
-    inputs give identical doubles in Spark and DuckDB."""
+    inputs give identical doubles in Spark and DuckDB.
+
+    NaN propagates: Spark's ``floor`` returns LONG and silently maps
+    NaN→0 (even under ANSI) where DuckDB's floor keeps NaN — without
+    the guard a stray NaN quietly becomes a zero in the output instead
+    of loudly poisoning it (r8 NaN fuzz, tools/fuzzcheck_nan.py)."""
     from pyspark.sql import functions as F
 
     s = 10 ** dp
-    return F.floor(col * s + F.lit(0.5)) / F.lit(s)
+    q = F.floor(col * s + F.lit(0.5)) / F.lit(s)
+    return F.when(F.isnan(col.cast("double")), F.lit(float("nan"))).otherwise(q)
 
 
 def rd_sql(expr: str, dp: int) -> str:
@@ -39,11 +45,19 @@ def qsum(col, dp: int = 4):
     """Order-independent double sum: quantize per row to 10^-dp units
     (exact integers), sum exactly, rescale. Immune to the summation-
     order nondeterminism of float aggregation across engines AND across
-    Spark partitionings. Exact while |Σ| < 2^52 / 10^dp."""
+    Spark partitionings. Exact while |Σ| < 2^52 / 10^dp.
+
+    NaN propagates (as a DuckDB ``sum`` over NaN would): the integer
+    sum stays the exact-arithmetic path, a parallel ``max(isnan)`` flag
+    flips the result to NaN when any present element is NaN — Spark's
+    floor would otherwise silently count NaN rows as 0 (r8 NaN fuzz)."""
     from pyspark.sql import functions as F
 
     s = 10 ** dp
-    return F.sum(F.floor(col * s + F.lit(0.5))) / F.lit(s)
+    exact = F.sum(F.floor(col * s + F.lit(0.5))) / F.lit(s)
+    return F.when(
+        F.max(F.isnan(col.cast("double"))), F.lit(float("nan"))
+    ).otherwise(exact)
 
 
 def qsum_sql(expr: str, dp: int = 4) -> str:

@@ -162,3 +162,31 @@ def test_fuzz_cross_family(spark):
     )
     assert not failures, "\n".join(failures)
     assert n_ok == len(wanted), (n_ok, n_skip)
+
+
+def test_fuzz_nan_subset(spark):
+    """NaN tier on the double measures (tools/fuzzcheck_nan.py, r7
+    ADVICE): NaN is a PRESENT non-NULL value, and Spark's floor maps
+    it to 0 silently — without the rd/qsum NaN guards a stray NaN
+    becomes a zero inside quantized sums instead of poisoning them.
+    fold_global must MATCH (NaN-propagating qsum both engines); the
+    domain-error names must be loud engine-errors (both engines
+    reject, or a user fold fn is not NaN-total), never silent FAILs."""
+    from tools import fuzzcheck_nan as N
+    from tools.diffcheck import compare_one
+    from emma_spark.workloads import load_all
+
+    from tools import fuzzcheck_joins as J
+
+    path = N.build_corpus()
+    con = J.connect(N.FUZZ_DIR)
+    qs = load_all()
+    st, detail = compare_one(
+        spark, con, "fold_global", qs["fold_global"].fn,
+        qs["fold_global"].oracle, path)
+    assert st == "ok", (st, detail)
+    for name in ("fold_product_user_alg", "fold_histogram_pandas_udaf",
+                 "fold_reduce_option", "agg_stats_moments"):
+        st, detail = compare_one(
+            spark, con, name, qs[name].fn, qs[name].oracle, path)
+        assert st == "engine-error", (name, st, detail[:200])
