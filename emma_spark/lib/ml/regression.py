@@ -64,8 +64,18 @@ def linreg_normal(
     (linreg.scala's semantics, zero iterations): a single map-side
     partial + final aggregate over any data size; nothing iterative,
     nothing on the driver. Returns a 1-row DataFrame (slope, intercept)
-    so it composes with grouped variants via the same aggregate exprs."""
+    so it composes with grouped variants via the same aggregate exprs.
+
+    Degenerate-input safe: under ANSI, ``regr_slope`` on constant (or
+    single-row) x is a job-killing DIVIDE_BY_ZERO, so the slope is the
+    explicit cov/var ratio through ``try_divide`` — NULL on a
+    degenerate fit, same values as regr_slope otherwise, still one
+    aggregation pass (r8 degenerate-group fuzz)."""
+    y, x = F.col(label_col), F.col(x_col)
+    xpc = F.when(y.isNotNull(), x)  # pair-complete x, matching covar
+    ypc = F.when(x.isNotNull(), y)
+    slope = F.try_divide(F.covar_pop(x, y), F.var_pop(xpc))
     return instances.agg(
-        F.regr_slope(F.col(label_col), F.col(x_col)).alias("slope"),
-        F.regr_intercept(F.col(label_col), F.col(x_col)).alias("intercept"),
+        slope.alias("slope"),
+        (F.avg(ypc) - slope * F.avg(xpc)).alias("intercept"),
     )

@@ -64,6 +64,49 @@ def qsum_sql(expr: str, dp: int = 4) -> str:
     s = 10 ** dp
     return f"sum(floor(({expr}) * {s} + 0.5)) / {s}"
 
+
+# Degenerate-group guards for ratio-of-moments aggregates. Under ANSI
+# Spark, corr / regr_slope / skewness on a zero-variance (or, for
+# corr, single-pair) group raise a job-killing DIVIDE_BY_ZERO, where
+# DuckDB returns NULL — and a CASE around the aggregate does NOT help:
+# Catalyst evaluates every aggregate referenced anywhere in the
+# projection, branch taken or not (r8 degenerate-group fuzz). The
+# working mechanism is masking the INPUT rows with a window-computed
+# group-level predicate BEFORE the aggregation: the dangerous groups
+# then aggregate over zero rows and return NULL without a division
+# ever executing. The window partitions by the same keys as the
+# subsequent groupBy, so the exchange is reused — one shuffle total.
+
+
+def corr_mask(x, y, keys):
+    """Window boolean: both inputs have positive variance over the
+    PAIR-COMPLETE subset in this group — exactly DuckDB's corr NULL
+    boundary (NULL for n=1 or either side constant)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(*keys)
+    return (F.stddev_pop(F.when(y.isNotNull(), x)).over(w) > 0) & (
+        F.stddev_pop(F.when(x.isNotNull(), y)).over(w) > 0
+    )
+
+
+def regr_mask(y, x, keys):
+    """Window boolean for regr_slope/intercept(y, x): var(x) > 0 over
+    the pair-complete rows (a constant y is fine — slope 0)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(*keys)
+    return F.stddev_pop(F.when(y.isNotNull(), x)).over(w) > 0
+
+
+def skew_mask(q, keys):
+    """Window boolean for skewness(q): n >= 3 and var > 0 (matches the
+    oracle's CASE pin; constant groups would divide by m2 = 0)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(*keys)
+    return (F.count(q).over(w) >= 3) & (F.stddev_pop(q).over(w) > 0)
+
 REGISTRY: dict[str, "Query"] = {}
 
 

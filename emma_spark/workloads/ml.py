@@ -14,7 +14,7 @@ from ..lib import stats
 from ..lib.ml import features as feat
 from ..lib.ml.naive_bayes import naive_bayes
 from ..sources import io
-from . import query, rd
+from . import query, rd, regr_mask
 
 # 4 fixed centroids in the embeddings' 8-dim space (first 8 dims used)
 CENTROIDS = [
@@ -297,9 +297,18 @@ def ml_linreg_closed_form(spark, sf_dir):
     price ~ quantity per return flag. One hash aggregate with map-side
     partials — the exact-solution path that needs no SGD loop."""
     li = io.load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    return li.df.groupBy("l_returnflag").agg(
-        rd(F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias("slope"),
-        rd(F.regr_intercept(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias("intercept"),
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    masked = li.df.select(
+        "l_returnflag", "l_quantity", "l_extendedprice",
+        # var(x)=0 groups must aggregate over zero rows: ANSI
+        # regr_slope divides by it and a CASE around the aggregate
+        # cannot prevent the evaluation (window mask, exchange reused)
+        regr_mask(y, x, ["l_returnflag"]).alias("__ok"),
+    )
+    ok = F.col("__ok")
+    return masked.groupBy("l_returnflag").agg(
+        rd(F.regr_slope(F.when(ok, y), F.when(ok, x)), 4).alias("slope"),
+        rd(F.regr_intercept(F.when(ok, y), F.when(ok, x)), 4).alias("intercept"),
     )
 
 
@@ -349,14 +358,15 @@ def ml_kfold_crossval(spark, sf_dir):
         F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"), "fold"
     )
     ks = spark.range(5).select(F.col("id").cast("int").alias("k"))
-    models = (
+    expanded = (
         t.crossJoin(ks)
         .filter(F.col("fold") != F.col("k"))
-        .groupBy("k")
-        .agg(
-            rd(F.regr_slope(F.col("y"), F.col("x")), 4).alias("m"),
-            rd(F.regr_intercept(F.col("y"), F.col("x")), 4).alias("c"),
-        )
+        .withColumn("__ok", regr_mask(F.col("y"), F.col("x"), ["k"]))
+    )
+    ok = F.col("__ok")
+    models = expanded.groupBy("k").agg(
+        rd(F.regr_slope(F.when(ok, F.col("y")), F.when(ok, F.col("x"))), 4).alias("m"),
+        rd(F.regr_intercept(F.when(ok, F.col("y")), F.when(ok, F.col("x"))), 4).alias("c"),
     )
     err = F.col("y") - (F.col("m") * F.col("x") + F.col("c"))
     sq = F.floor(err * err * 100 + F.lit(0.5))

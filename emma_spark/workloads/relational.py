@@ -21,7 +21,7 @@ from ..core import DataBag
 from ..llm.text import ascii_lower, WS_RE
 from ..functions import alg
 from ..sources import io
-from . import qsum, qsum_sql, query, rd, rd_sql
+from . import corr_mask, qsum, qsum_sql, query, rd, rd_sql, skew_mask
 
 
 def T(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataBag]:
@@ -1808,16 +1808,25 @@ def agg_stats_moments(spark, sf_dir):
     emma-lib/.../stats/stat.scala:23-62); both engines' moment
     formulations agree to the 4dp quantization on this data."""
     li = T(spark, sf_dir, "lineitem")["lineitem"]
-    return li.df.groupBy("l_returnflag").agg(
-        rd(F.corr("l_quantity", "l_extendedprice"), 4).alias("qp_corr"),
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    masked = li.df.select(
+        "l_returnflag", "l_quantity", "l_extendedprice",
+        # group-level safety decided BEFORE the agg (a CASE around the
+        # aggregate cannot stop ANSI corr/skewness from dividing by a
+        # zero variance — the window mask is the working mechanism;
+        # partitioned by the same key, so the exchange is reused)
+        corr_mask(q, p, ["l_returnflag"]).alias("__okc"),
+        skew_mask(q, ["l_returnflag"]).alias("__oks"),
+    )
+    return masked.groupBy("l_returnflag").agg(
+        rd(
+            F.corr(F.when(F.col("__okc"), q), F.when(F.col("__okc"), p)), 4
+        ).alias("qp_corr"),
         rd(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qp_covar"),
         rd(F.stddev_pop("l_quantity"), 4).alias("q_stddev"),
-        F.when(
-            (F.count("l_quantity") >= 3) & (F.stddev_pop("l_quantity") > 0),
-            rd(F.skewness("l_quantity"), 4),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("q_skew"),
+        F.coalesce(
+            rd(F.skewness(F.when(F.col("__oks"), q)), 4), F.lit(0.0)
+        ).alias("q_skew"),
     )
 
 

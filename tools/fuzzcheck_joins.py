@@ -151,6 +151,19 @@ def build_corpus(path: str = FUZZ_DIR, seed: int = 777_001):
             None if rng.random() < 0.02
             else base + datetime.timedelta(days=rng.randint(0, 2000)),
         ))
+    # degenerate-group tier (r8): a ZERO-VARIANCE group 'Z' (constant
+    # quantity AND price) and a SINGLE-ROW group 'Y'. Under ANSI Spark
+    # corr/regr_slope on such groups is a job-killing DIVIDE_BY_ZERO
+    # while DuckDB returns NULL — the qcorr/qregr guards exist for
+    # exactly this corpus shape.
+    for _ in range(30):
+        l_rows.append((rng.randrange(n_ord), fk(n_part), fk(n_supp),
+                       1, 5.0, 1000.0, 0.02, 0.01, "Z", "O",
+                       base + datetime.timedelta(days=100)))
+    l_rows.append((rng.randrange(n_ord), fk(n_part), fk(n_supp),
+                   1, 7.0, 1234.56, 0.03, 0.0, "Y", "F",
+                   base + datetime.timedelta(days=200)))
+
     write("lineitem", {
         "l_orderkey": pa.array([r[0] for r in l_rows], pa.int64()),
         "l_partkey": pa.array([r[1] for r in l_rows], pa.int64()),
