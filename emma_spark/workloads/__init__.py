@@ -25,15 +25,30 @@ def rd(col, dp: int):
     engines), every step here is a deterministic IEEE op — identical
     inputs give identical doubles in Spark and DuckDB.
 
-    NaN propagates: Spark's ``floor`` returns LONG and silently maps
-    NaN→0 (even under ANSI) where DuckDB's floor keeps NaN — without
-    the guard a stray NaN quietly becomes a zero in the output instead
-    of loudly poisoning it (r8 NaN fuzz, tools/fuzzcheck_nan.py)."""
+    Non-finite values propagate: Spark's ``floor`` returns LONG and
+    silently maps NaN→0 and ±inf→±Long.MaxValue (even under ANSI)
+    where DuckDB's floor keeps them — without the guard a stray NaN
+    quietly becomes a zero (and an inf a garbage clamp) in the output
+    instead of loudly poisoning it (r8 NaN/inf fuzz,
+    tools/fuzzcheck_nan.py)."""
     from pyspark.sql import functions as F
 
     s = 10 ** dp
+    d = col.cast("double")
     q = F.floor(col * s + F.lit(0.5)) / F.lit(s)
-    return F.when(F.isnan(col.cast("double")), F.lit(float("nan"))).otherwise(q)
+    return F.when(_nonfinite(d), d).otherwise(q)
+
+
+def _nonfinite(d):
+    """NaN or ±inf (``d`` must already be DOUBLE). isnan misses inf;
+    equality catches it (NaN == x is false in both engines' CASE)."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.isnan(d)
+        | (d == F.lit(float("inf")))
+        | (d == F.lit(float("-inf")))
+    )
 
 
 def rd_sql(expr: str, dp: int) -> str:
@@ -47,17 +62,22 @@ def qsum(col, dp: int = 4):
     order nondeterminism of float aggregation across engines AND across
     Spark partitionings. Exact while |Σ| < 2^52 / 10^dp.
 
-    NaN propagates (as a DuckDB ``sum`` over NaN would): the integer
-    sum stays the exact-arithmetic path, a parallel ``max(isnan)`` flag
-    flips the result to NaN when any present element is NaN — Spark's
-    floor would otherwise silently count NaN rows as 0 (r8 NaN fuzz)."""
+    Non-finite values propagate (as a DuckDB ``sum`` over them would:
+    inf, or NaN when mixed/NaN): the integer sum runs over the FINITE
+    rows only — the exact-arithmetic path, and also crash-avoidance,
+    since aggregates evaluate regardless of any CASE around them and
+    summing floor(inf) = Long.MaxValue overflows under ANSI — while a
+    parallel IEEE sum of just the non-finite doubles supplies the
+    propagated value (finite terms cannot change a sum containing an
+    inf/NaN, so the split is exact; r8 NaN/inf fuzz)."""
     from pyspark.sql import functions as F
 
     s = 10 ** dp
-    exact = F.sum(F.floor(col * s + F.lit(0.5))) / F.lit(s)
-    return F.when(
-        F.max(F.isnan(col.cast("double"))), F.lit(float("nan"))
-    ).otherwise(exact)
+    d = col.cast("double")
+    fin = F.when(~_nonfinite(d), col)
+    exact = F.sum(F.floor(fin * s + F.lit(0.5))) / F.lit(s)
+    bad = F.sum(F.when(_nonfinite(d), d))
+    return F.when(F.max(_nonfinite(d)), bad).otherwise(exact)
 
 
 def qsum_sql(expr: str, dp: int = 4) -> str:

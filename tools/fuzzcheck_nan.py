@@ -41,11 +41,15 @@ def build_corpus(path: str = FUZZ_DIR, seed: int = 424_242):
     rng = random.Random(seed + 1)
 
     def inject(table: str, cols: list[str], p: float = 0.02):
+        # ~2% NaN plus ~1% ±inf: Spark floor maps NaN→0 and
+        # inf→±Long.MaxValue silently, so both tiers probe the same
+        # silent-zero/garbage class in quantized arithmetic
+        specials = [float("nan"), float("nan"), float("inf"), float("-inf")]
         t = pq.read_table(f"{path}/{table}.parquet")
         d = t.to_pydict()
         for c in cols:
             d[c] = [
-                float("nan") if v is not None and rng.random() < p else v
+                rng.choice(specials) if v is not None and rng.random() < 1.5 * p else v
                 for v in d[c]
             ]
         import pyarrow as pa
