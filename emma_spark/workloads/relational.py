@@ -552,8 +552,18 @@ def fold_histogram_pandas_udaf(spark, sf_dir):
     one key shuffle."""
 
     def init(q):
+        # TOTAL over doubles (r8 NaN/inf fuzz): the oracle's CASE
+        # chain routes NaN and +inf to b4 (both engines compare NaN
+        # greater than any number) and -inf to b0; int() of a
+        # non-finite raises, so branch before converting
         b = [0] * 5
-        b[min(int((q - 1) // 10), 4)] += 1
+        if q != q or q == float("inf"):  # NaN (NaN != NaN in Python) or +inf
+            i = 4
+        elif q == float("-inf"):
+            i = 0
+        else:
+            i = min(max(int((q - 1) // 10), 0), 4)
+        b[i] += 1
         return b
 
     li = T(spark, sf_dir, "lineitem")["lineitem"]
@@ -571,11 +581,26 @@ def fold_histogram_pandas_udaf(spark, sf_dir):
     "fold_reduce_option",
     oracle="""
     SELECT max(l_quantity) AS ro_max,
-           TRUE AS ro_empty_is_none,
+           -- data-honest emptiness probe: the sub-zero bag is only
+           -- empty when no negative quantities exist (-inf rows in
+           -- the fuzz corpus DO land in it — a hardcoded TRUE broke
+           -- there, r8 inf fuzz)
+           count(CASE WHEN l_quantity < 0 THEN 1 END) = 0
+             AS ro_empty_is_none,
            -- count(l_quantity), not count(*): the Python fold runs
            -- over PRESENT values (a NULL is an absent bag element)
            count(l_quantity) AS n,
-           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           -- int-sum over FINITE values only + an explicit poison-row
+           -- count: CAST(NaN AS BIGINT) is an error in both engines,
+           -- so a total fold must route non-finite elements to a
+           -- counter instead of the integer sum (r8 NaN/inf fuzz —
+           -- the complete-with-poison-report pattern a 100TB job
+           -- needs instead of aborting)
+           CAST(sum(CASE WHEN isfinite(l_quantity)
+                    THEN CAST(l_quantity AS BIGINT) END) AS BIGINT)
+             AS sum_qty,
+           count(CASE WHEN NOT isfinite(l_quantity) THEN 1 END)
+             AS n_nonfinite
     FROM lineitem
     """,
 )
@@ -588,20 +613,27 @@ def fold_reduce_option(spark, sf_dir):
     (DataBag.fold_py: per-partition Arrow partials, driver merge over
     <=#partitions accumulators) computing (count, integer-sum) in one
     pass."""
+    import math
+
     li = T(spark, sf_dir, "lineitem")["lineitem"]
     ro_max = li.reduce_option(lambda a, b: F.greatest(a, b), e="l_quantity")
     ro_empty = li.filter(lambda x: x.l_quantity < 0).reduce_option(
         lambda a, b: F.greatest(a, b), e="l_quantity"
     )
-    n, sq = li.fold_py(
-        zero=(0, 0),
-        init=lambda q: (1, int(q)),
-        plus=lambda a, b: (a[0] + b[0], a[1] + b[1]),
+    n, sq, bad = li.fold_py(
+        zero=(0, 0, 0),
+        # TOTAL init (r8 NaN/inf fuzz): finite values feed the exact
+        # integer sum, non-finite PRESENT elements are counted, never
+        # int()-cast (which raises) and never silently dropped
+        init=lambda q: (1, int(q), 0) if math.isfinite(q) else (1, 0, 1),
+        plus=lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
         e="l_quantity",
     )
     return spark.createDataFrame(
-        [(ro_max, ro_empty is None, n, sq)],
-        schema="ro_max double, ro_empty_is_none boolean, n bigint, sum_qty bigint",
+        # SQL sum over zero (finite) rows is NULL, a fold's zero is 0
+        [(ro_max, ro_empty is None, n, sq if n - bad > 0 else None, bad)],
+        schema="ro_max double, ro_empty_is_none boolean, n bigint, "
+               "sum_qty bigint, n_nonfinite bigint",
     )
 
 

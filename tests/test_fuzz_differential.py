@@ -181,12 +181,16 @@ def test_fuzz_nan_subset(spark):
     path = N.build_corpus()
     con = J.connect(N.FUZZ_DIR)
     qs = load_all()
-    st, detail = compare_one(
-        spark, con, "fold_global", qs["fold_global"].fn,
-        qs["fold_global"].oracle, path)
-    assert st == "ok", (st, detail)
-    for name in ("fold_product_user_alg", "fold_histogram_pandas_udaf",
-                 "fold_reduce_option", "agg_stats_moments"):
+    for name in ("fold_global", "fold_histogram_pandas_udaf",
+                 "fold_reduce_option"):
+        # NaN/inf-TOTAL folds: non-finite elements route to the same
+        # bucket/counter in both engines instead of crashing int()
+        st, detail = compare_one(
+            spark, con, name, qs[name].fn, qs[name].oracle, path)
+        assert st == "ok", (name, st, detail[:200])
+    for name in ("fold_product_user_alg", "agg_stats_moments"):
+        # documented domain errors: CAST(NaN AS BIGINT) is rejected by
+        # BOTH engines; DuckDB's own STDDEV_POP range-errors on NaN
         st, detail = compare_one(
             spark, con, name, qs[name].fn, qs[name].oracle, path)
         assert st == "engine-error", (name, st, detail[:200])
