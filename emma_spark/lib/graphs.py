@@ -92,16 +92,50 @@ def page_rank_int(
     count we compute anyway: under ~1000 nodes the 2^iters recompute
     of toy-sized joins costs microseconds while each localCheckpoint
     costs a fixed materialization round — the blowup only wins past
-    that."""
-    from ..plans.cache import pin as _pin
+    that.
 
+    Pins are RELEASED deterministically (r8, same block-manager
+    accounting as plans/iterate.fixpoint — DataFrame.unpersist is a
+    no-op for checkpoint blocks): each iteration's pin is eager, the
+    superseded rank table's blocks are freed as soon as its successor
+    is materialized, and the structural edge/degree pins are freed
+    once the FINAL rank table exists — so the block manager holds one
+    rank table at exit, not iters+2 tables until JVM GC."""
     n = nodes.count()
-    pin = _pin if n >= 1000 else (lambda df: df)
     d100 = round(damping * 100)
     teleport = (unit - d100 * unit // 100) // n
-    edges = pin(edges)
-    deg = pin(edges.groupBy("src").agg(F.count(F.lit(1)).alias("__d")))
-    pr = nodes.select(F.col("id"), F.lit(unit // n).cast("bigint").alias("pr"))
+    pr0 = nodes.select(F.col("id"), F.lit(unit // n).cast("bigint").alias("pr"))
+    return _power_iterate(
+        edges, nodes, pr0, F.lit(teleport), d100, iters, gate=n >= 1000
+    )
+
+
+def _power_iterate(edges, nodes, pr0, teleport_col, d100, iters, gate):
+    """Shared exact-integer power-iteration loop (uniform and
+    personalized PageRank): one contribution join + hash-agg per
+    round. Size-gated pins with DETERMINISTIC release (same block-
+    manager accounting as plans/iterate.fixpoint — DataFrame.unpersist
+    is a no-op for checkpoint blocks): each iteration's pin is eager,
+    the superseded rank table's blocks are freed as soon as its
+    successor is materialized, and the structural edge/degree pins
+    are freed once the FINAL rank table exists — the block manager
+    holds one rank table at exit, not iters+2 tables until JVM GC."""
+    from ..plans.cache import pin as _pin
+    from ..plans.iterate import _persistent_ids, _release_ids
+
+    sc = edges.sparkSession.sparkContext
+
+    def pin(df):
+        if not gate:
+            return df, set()
+        before = _persistent_ids(sc)
+        out = _pin(df, eager=True)
+        return out, _persistent_ids(sc) - before
+
+    edges, e_ids = pin(edges)
+    deg, d_ids = pin(edges.groupBy("src").agg(F.count(F.lit(1)).alias("__d")))
+    pr = pr0
+    prev_ids: set = set()
     for _ in range(iters):
         contrib = (
             edges.join(pr, edges["src"] == pr["id"])
@@ -110,15 +144,22 @@ def page_rank_int(
             .groupBy("id")
             .agg(F.sum("__c").alias("__c"))
         )
-        pr = pin(
+        pr, new_ids = pin(
             nodes.join(contrib, "id", "left").select(
                 F.col("id"),
                 (
-                    F.lit(teleport)
+                    teleport_col
                     + F.expr(f"({d100} * coalesce(__c, 0)) div 100")
                 ).cast("bigint").alias("pr"),
             )
         )
+        # new pr is materialized (eager pin): its predecessor's blocks
+        # are unreachable now — free them instead of waiting for GC
+        _release_ids(sc, prev_ids)
+        prev_ids = new_ids
+    # the final pr is checkpoint-backed: the structural pins are no
+    # longer needed by anything reachable
+    _release_ids(sc, e_ids | d_ids)
     return pr
 
 
@@ -186,28 +227,19 @@ def personalized_page_rank_int(
     div-based integer flow, bit-identical on any engine; an SQL
     oracle unrolls the iterations. At scale the per-iteration plan is
     unchanged from uniform PageRank (one join + one hash-agg); only
-    the teleport vector differs."""
+    the teleport vector differs — it shares _power_iterate and thus
+    the same size-gated pin + deterministic-release discipline (r8:
+    previously this variant never pinned, a 2^iters recompute blowup
+    waiting for the first large caller)."""
     d100 = round(damping * 100)
     teleport = unit - d100 * unit // 100
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
-    pr = nodes.select(
+    n = nodes.count()
+    pr0 = nodes.select(
         F.col("id"),
         F.when(F.col("id") == seed, F.lit(unit)).otherwise(F.lit(0))
           .cast("bigint").alias("pr"),
     )
-    for _ in range(iters):
-        contrib = (
-            edges.join(pr, edges["src"] == pr["id"])
-            .join(deg, "src")
-            .select(F.col("dst").alias("id"), F.expr("pr div __d").alias("__c"))
-            .groupBy("id")
-            .agg(F.sum("__c").alias("__c"))
-        )
-        pr = nodes.join(contrib, "id", "left").select(
-            F.col("id"),
-            (
-                F.when(F.col("id") == seed, F.lit(teleport)).otherwise(F.lit(0))
-                + F.expr(f"({d100} * coalesce(__c, 0)) div 100")
-            ).cast("bigint").alias("pr"),
-        )
-    return pr
+    tele_col = F.when(F.col("id") == seed, F.lit(teleport)).otherwise(F.lit(0))
+    return _power_iterate(
+        edges, nodes, pr0, tele_col, d100, iters, gate=n >= 1000
+    )
