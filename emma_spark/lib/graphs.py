@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..core import DataBag
-from ..plans.iterate import fixpoint
+from ..plans.iterate import carry_ckpt, fixpoint
 
 
 def transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -31,7 +31,8 @@ def transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         return p.union(ext).distinct()
 
-    return fixpoint(paths, step, max_iter=max_iter).df
+    bag = fixpoint(paths, step, max_iter=max_iter)
+    return carry_ckpt(bag.df, bag)
 
 
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
@@ -55,9 +56,9 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             == old.df.agg(F.sum("comp")).collect()[0][0]
         )
 
-    out = fixpoint(labels, step, converged=converged, max_iter=max_iter).df
+    bag = fixpoint(labels, step, converged=converged, max_iter=max_iter)
     ue.unpersist()
-    return out
+    return carry_ckpt(bag.df, bag)
 
 
 def page_rank_int(
@@ -160,6 +161,12 @@ def _power_iterate(edges, nodes, pr0, teleport_col, d100, iters, gate):
     # the final pr is checkpoint-backed: the structural pins are no
     # longer needed by anything reachable
     _release_ids(sc, e_ids | d_ids)
+    # hand the caller the final pin's release handle (mirrors
+    # fixpoint's _ckpt_ids contract — r8 ADVICE): without it each
+    # large-graph pagerank call leaves one checkpointed rank table
+    # pinned until JVM GC. Empty when the size gate never pinned.
+    if prev_ids:
+        pr._ckpt_ids = prev_ids
     return pr
 
 

@@ -49,12 +49,18 @@ def scores_df(df: DataFrame, label_col: str = "label", pred_col: str = "predicti
     )
     rd = lambda col: F.floor(col * s + F.lit(0.5)) / s
     tp, fp, fn, tn = (F.col(k).cast("double") for k in ("tp", "fp", "fn", "tn"))
-    prec = tp / (tp + fp)
-    rec = tp / (tp + fn)
+    # try_divide throughout: every denominator is data-dependent (a
+    # degenerate corpus can have zero positive predictions), and under
+    # ANSI a plain double division by zero CRASHES Spark where the
+    # DuckDB oracle's `/` returns NULL — try_divide(x, 0) == NULL is
+    # exactly DuckDB's contract, so the engines stay aligned on
+    # degenerate confusion tables (r9 zero-denominator sweep).
+    prec = F.try_divide(tp, tp + fp)
+    rec = F.try_divide(tp, tp + fn)
     return c.select(
         "tp", "fp", "fn", "tn",
-        rd((tp + tn) / (tp + fp + fn + tn)).alias("accuracy"),
+        rd(F.try_divide(tp + tn, tp + fp + fn + tn)).alias("accuracy"),
         rd(prec).alias("precision"),
         rd(rec).alias("recall"),
-        rd(2 * prec * rec / (prec + rec)).alias("f1"),
+        rd(F.try_divide(2 * prec * rec, prec + rec)).alias("f1"),
     )

@@ -49,12 +49,31 @@ def _release_ids(sc, ids) -> None:
 
 
 def release(bag) -> None:
-    """Free the checkpoint blocks backing a bag returned by
-    :func:`fixpoint` (callers that materialized their final output and
-    no longer need the state table). No-op for anything else."""
+    """Free the checkpoint blocks backing a bag/DataFrame carrying a
+    ``_ckpt_ids`` handle (returned by :func:`fixpoint`,
+    ``lib.graphs`` iterative algorithms, or propagated with
+    :func:`carry_ckpt`). Call it only AFTER the final output has been
+    materialized (collected / written / re-checkpointed): the handle's
+    blocks are the only copy of the state — any still-lazy plan over
+    them would recompute into nothing. No-op for anything else."""
     ids = getattr(bag, "_ckpt_ids", None)
     if ids:
-        _release_ids(bag.df.sparkSession.sparkContext, ids)
+        df = getattr(bag, "df", bag)  # DataBag or plain DataFrame
+        _release_ids(df.sparkSession.sparkContext, ids)
+
+
+def carry_ckpt(df, src):
+    """Propagate the checkpoint-release handle from ``src`` (a
+    fixpoint result bag, or anything else carrying ``_ckpt_ids``) onto
+    a DataFrame DERIVED from it, so the eventual consumer — who alone
+    knows when the result has been materialized — can free the state
+    blocks via :func:`release`. Without this, lib functions returning
+    ``bag.df`` would drop the only handle and leak one pinned state
+    table per invocation on a long-lived driver (r8 VERDICT ask #8)."""
+    ids = getattr(src, "_ckpt_ids", None)
+    if ids:
+        df._ckpt_ids = ids
+    return df
 
 
 def _content_sig(df) -> tuple:

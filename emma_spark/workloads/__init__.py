@@ -30,13 +30,19 @@ def rd(col, dp: int):
     where DuckDB's floor keeps them — without the guard a stray NaN
     quietly becomes a zero (and an inf a garbage clamp) in the output
     instead of loudly poisoning it (r8 NaN/inf fuzz,
-    tools/fuzzcheck_nan.py)."""
+    tools/fuzzcheck_nan.py).
+
+    Returns DOUBLE for ANY input type (the non-finite branch forces
+    the CASE's type unification to double) — callers quantizing a
+    DECIMAL column who need a decimal-typed result must quantize
+    explicitly instead (r8 ADVICE: the cast here makes that contract
+    visible rather than an accident of branch unification)."""
     from pyspark.sql import functions as F
 
     s = 10 ** dp
     d = col.cast("double")
     q = F.floor(col * s + F.lit(0.5)) / F.lit(s)
-    return F.when(_nonfinite(d), d).otherwise(q)
+    return F.when(_nonfinite(d), d).otherwise(q).cast("double")
 
 
 def _nonfinite(d):
@@ -69,15 +75,22 @@ def qsum(col, dp: int = 4):
     summing floor(inf) = Long.MaxValue overflows under ANSI — while a
     parallel IEEE sum of just the non-finite doubles supplies the
     propagated value (finite terms cannot change a sum containing an
-    inf/NaN, so the split is exact; r8 NaN/inf fuzz)."""
+    inf/NaN, so the split is exact; r8 NaN/inf fuzz).
+
+    TWO aggregates, not three (r8 shipped a third ``max(_nonfinite)``
+    selector; r8 bench showed the guard cost 1.35× on the Q1
+    headliner): ``bad`` — an IEEE sum over ONLY the non-finite rows —
+    is NULL exactly when the group has no non-finite row (SQL sum over
+    zero input rows is NULL, and a sum that saw an inf/NaN is inf or
+    NaN, never NULL), so ``coalesce(bad, exact)`` IS the selector."""
     from pyspark.sql import functions as F
 
     s = 10 ** dp
     d = col.cast("double")
-    fin = F.when(~_nonfinite(d), col)
-    exact = F.sum(F.floor(fin * s + F.lit(0.5))) / F.lit(s)
-    bad = F.sum(F.when(_nonfinite(d), d))
-    return F.when(F.max(_nonfinite(d)), bad).otherwise(exact)
+    nf = _nonfinite(d)
+    exact = F.sum(F.floor(F.when(~nf, col) * s + F.lit(0.5))) / F.lit(s)
+    bad = F.sum(F.when(nf, d))
+    return F.coalesce(bad, exact)
 
 
 def qsum_sql(expr: str, dp: int = 4) -> str:

@@ -219,7 +219,11 @@ def dedup_transitive_groups(spark, sf_dir):
     pairs = D.lsh_candidate_pairs(sigs, num_hashes=N_HASHES, bands=2)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     cc = connected_components(edges)
-    return cc.select(F.col("id").alias("doc_id"), F.col("comp").alias("keeper"))
+    from ..plans.iterate import carry_ckpt
+
+    return carry_ckpt(
+        cc.select(F.col("id").alias("doc_id"), F.col("comp").alias("keeper")), cc
+    )
 
 
 @query(

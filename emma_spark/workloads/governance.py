@@ -427,7 +427,14 @@ def events_experiment_scorecard(spark, sf_dir):
         # cast BEFORE the square: LONG v*v overflows per-row at ~3e9 cents
         F.sum(F.col("v").cast(dec) * F.col("v").cast(dec)).alias("ss"),
     )
-    chi2 = "CAST((u0 - u1) * (u0 - u1) * 1000000 div (u0 + u1) AS BIGINT)"
+    # Zero-denominator guards (r9 sweep): Spark's `div`/`/` CRASH under
+    # ANSI on a non-NULL numerator over 0 where DuckDB's `//`/`/`
+    # return NULL — reachable here on degenerate corpora (no purchase
+    # events -> u0+u1 = 0; an all-zero arm -> s0 = 0 or mean 0). A
+    # row-level CASE short-circuits (only CASE around an AGGREGATE
+    # doesn't), and try_divide == DuckDB `/` on zero divisors.
+    chi2 = ("CAST(CASE WHEN u0 + u1 = 0 THEN NULL ELSE"
+            " (u0 - u1) * (u0 - u1) * 1000000 div (u0 + u1) END AS BIGINT)")
     return srm.crossJoin(m).select(
         F.col("u0").cast("bigint").alias("users_a"),
         F.col("u1").cast("bigint").alias("users_b"),
@@ -436,12 +443,13 @@ def events_experiment_scorecard(spark, sf_dir):
             "srm_flag"
         ),
         F.expr(
-            "CAST(s1 * n0 * 1000000 div (s0 * n1) AS BIGINT)"
+            "CAST(CASE WHEN s0 * n1 = 0 THEN NULL ELSE"
+            " s1 * n0 * 1000000 div (s0 * n1) END AS BIGINT)"
         ).alias("lift_ppm"),
         F.expr(
-            "CAST(floor(2.8024 * sqrt(2.0"
-            " * CAST((n * ss - s * s) div (n * n) AS BIGINT)"
-            " / CAST(least(n0, n1) AS BIGINT))"
-            " / CAST(s div n AS BIGINT) * 100000000 + 0.5) AS BIGINT)"
+            "CAST(floor(try_divide(2.8024 * sqrt(try_divide(2.0"
+            " * CAST((n * ss - s * s) div (n * n) AS BIGINT),"
+            " CAST(least(n0, n1) AS BIGINT))),"
+            " CAST(s div n AS BIGINT)) * 100000000 + 0.5) AS BIGINT)"
         ).alias("mde_rel_ppm_c2"),
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..core import DataBag
-from ..plans.iterate import fixpoint
+from ..plans.iterate import carry_ckpt, fixpoint
 from ..sources import io
 from . import query
 
@@ -61,7 +61,8 @@ def graph_transitive_closure(spark, sf_dir):
         )
         return p.union(ext).distinct()
 
-    return fixpoint(paths, step, max_iter=10).df
+    bag = fixpoint(paths, step, max_iter=10)
+    return carry_ckpt(bag.df, bag)
 
 
 @query(
@@ -106,7 +107,8 @@ def graph_connected_components(spark, sf_dir):
             == old.df.agg(F.sum("comp")).collect()[0][0]
         )
 
-    return fixpoint(labels, step, converged=converged, max_iter=30).df
+    bag = fixpoint(labels, step, converged=converged, max_iter=30)
+    return carry_ckpt(bag.df, bag)
 
 
 SQL_HASH_EDGES = """
@@ -413,13 +415,15 @@ def graph_kcore(spark, sf_dir):
         )
         return DataBag(deg.filter(F.col("deg") >= 2).select(F.col("src").alias("id")))
 
-    core = fixpoint(nodes, step, max_iter=10).df
-    return (
+    core_bag = fixpoint(nodes, step, max_iter=10)
+    core = core_bag.df
+    return carry_ckpt(
         ue.join(core.select(F.col("id").alias("src")), "src")
         .join(core.select(F.col("id").alias("dst")), "dst")
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .select(F.col("src").alias("id"), "deg")
+        .select(F.col("src").alias("id"), "deg"),
+        core_bag,
     )
 
 
@@ -604,12 +608,16 @@ def graph_cc_twophase(spark, sf_dir):
     def step(b: DataBag) -> DataBag:
         return DataBag(_small_star(_large_star(b.df)))
 
-    star = fixpoint(DataBag(e0), step, max_iter=8).df
-    return nodes.join(
-        star.select(F.col("src").alias("id"), F.col("dst").alias("parent")),
-        "id",
-        "left",
-    ).select("id", F.coalesce("parent", "id").alias("comp"))
+    star_bag = fixpoint(DataBag(e0), step, max_iter=8)
+    star = star_bag.df
+    return carry_ckpt(
+        nodes.join(
+            star.select(F.col("src").alias("id"), F.col("dst").alias("parent")),
+            "id",
+            "left",
+        ).select("id", F.coalesce("parent", "id").alias("comp")),
+        star_bag,
+    )
 
 
 @query(

@@ -7208,10 +7208,12 @@ def orders_benford_audit(spark, sf_dir):
       FROM pairs GROUP BY k
     )
     SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n_pairs,
-           floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5)
-             / 1000000 AS autocorr
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5)
+                  / 1000000
+                END AS autocorr
     FROM s
     """,
 )
@@ -7226,7 +7228,16 @@ def events_daily_autocorr(spark, sf_dir):
     correctly-rounded sqrt + division mirrored op-for-op, 1e-6
     quantization. Deliberately uses PAIRED means (conditioning both
     ends on the overlap window — the textbook small-sample form)
-    rather than the global-mean ACF approximation."""
+    rather than the global-mean ACF approximation.
+
+    A zero-variance series (constant daily counts — degenerate but
+    reachable) makes the denominator 0: the raw Spark ``floor`` would
+    silently map the resulting NaN to 0 where DuckDB keeps NULL/NaN
+    (the r8 fuzz class, r8 VERDICT "what's wrong" #1). Both sides now
+    gate the whole expression on positive variance with a ROW-level
+    CASE over the exact DECIMAL moments (row-level CASE does
+    short-circuit — only CASE around an AGGREGATE doesn't), returning
+    NULL for degenerate lags on both engines."""
     e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
     dec = "decimal(38,0)"
     d = e.groupBy(
@@ -7251,10 +7262,11 @@ def events_daily_autocorr(spark, sf_dir):
         F.col("k").cast("bigint").alias("k"),
         F.col("n").cast("bigint").alias("n_pairs"),
         F.expr(
-            "floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+            " THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)"
             " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
             " * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5)"
-            " / 1000000"
+            " / 1000000 END"
         ).alias("autocorr"),
     )
 
@@ -7442,10 +7454,15 @@ def orders_weekday_anova(spark, sf_dir):
         F.col("tn").cast("bigint").alias("n_rows"),
         F.expr("CAST(sgm - (ts * ts) div tn AS BIGINT)").alias("ssb_q"),
         F.expr("CAST(tss - sgm AS BIGINT)").alias("ssw_q"),
+        # try_divide == DuckDB `/` on every degenerate shape (k=1
+        # group, zero within-group variance, one row per group): both
+        # yield NULL where a plain ANSI `/` would crash Spark
+        # one-sidedly (r9 zero-denominator sweep).
         F.expr(
-            "floor((CAST(sgm - (ts * ts) div tn AS DOUBLE)"
-            " / CAST(k - 1 AS DOUBLE))"
-            " / (CAST(tss - sgm AS DOUBLE) / CAST(tn - k AS DOUBLE))"
+            "floor(try_divide("
+            "try_divide(CAST(sgm - (ts * ts) div tn AS DOUBLE),"
+            " CAST(k - 1 AS DOUBLE)),"
+            " try_divide(CAST(tss - sgm AS DOUBLE), CAST(tn - k AS DOUBLE)))"
             " * 1000000 + 0.5) / 1000000"
         ).alias("f_stat"),
     )
@@ -7527,8 +7544,14 @@ def orders_jarque_bera(spark, sf_dir):
         ).alias("m4s"),
         F.col("n").cast("bigint").alias("n"),
     )
-    skew = ("(m3s / nd) / sqrt((m2s / nd) * (m2s / nd) * (m2s / nd) / nd)")
-    kurt = "(m4s / nd / nd) / ((m2s / nd) * (m2s / nd))"
+    # try_divide mirrors DuckDB `/`-yields-NULL on the degenerate
+    # shapes (empty table: nd = 0; constant x: m2s = 0) where a plain
+    # ANSI `/` would crash Spark one-sidedly (r9 zero-denominator
+    # sweep); on every non-degenerate input it is bit-identical to `/`.
+    v = "try_divide(m2s, nd)"
+    skew = (f"try_divide(try_divide(m3s, nd),"
+            f" sqrt(try_divide({v} * {v} * {v}, nd)))")
+    kurt = f"try_divide(try_divide(try_divide(m4s, nd), nd), {v} * {v})"
     return m.select(
         "n",
         F.expr(f"floor({skew} * 1000000 + 0.5) / 1000000").alias("skewness_q"),
@@ -9260,9 +9283,12 @@ def events_power_analysis_mde(spark, sf_dir):
             "CAST(floor(2.8024 * sqrt(2.0 * var_c2 / n_per_arm) * 100"
             " + 0.5) AS BIGINT)"
         ).alias("mde_abs_c2"),
+        # try_divide: an all-zero metric makes mean_c = 0, where plain
+        # ANSI `/` crashes Spark one-sidedly vs DuckDB's NULL (r9
+        # zero-denominator sweep).
         F.expr(
-            "CAST(floor(2.8024 * sqrt(2.0 * var_c2 / n_per_arm)"
-            " / mean_c * 1000000 * 100 + 0.5) AS BIGINT)"
+            "CAST(floor(try_divide(2.8024 * sqrt(2.0 * var_c2 / n_per_arm),"
+            " mean_c) * 1000000 * 100 + 0.5) AS BIGINT)"
         ).alias("mde_rel_ppm_c2"),
     )
 

@@ -570,3 +570,34 @@ def test_iterative_workloads_do_not_accumulate_pins(spark, registry):
     # the per-query live state (plus cleaner lag) may remain at any
     # point. Without the r8 release fix `high` reaches base + ~15.
     assert high <= base + 4, (base, high)
+
+
+def test_graph_workloads_expose_release_handles(spark, registry):
+    """r8 VERDICT ask #8 + ADVICE: every fixpoint-backed graph result
+    — and the workload DataFrames DERIVED from one — carries the
+    checkpoint release handle (``_ckpt_ids``), so a long-lived driver
+    can free the final state table once its output is materialized:
+    ZERO persisted RDDs afterwards, not one leaked per invocation
+    until JVM GC. ``clearCache()`` first frees the CacheManager pins
+    (``.cache()`` on loop-invariant edge sets — released there, not
+    here); checkpoint blocks live in the block manager and only
+    ``release()`` frees those."""
+    import gc
+
+    from emma_spark.plans.iterate import release
+
+    gc.collect()
+    spark.catalog.clearCache()
+    base = _n_persistent(spark)
+    for name in (
+        "graph_transitive_closure",
+        "graph_connected_components",
+        "graph_kcore",
+        "graph_cc_twophase",
+    ):
+        df = registry[name].fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()  # materialize
+        assert getattr(df, "_ckpt_ids", None), f"{name}: no release handle"
+        spark.catalog.clearCache()
+        release(df)
+        assert _n_persistent(spark) == base, name

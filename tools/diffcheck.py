@@ -94,29 +94,42 @@ def pdf_bag(pdf) -> list[str]:
 def compare_one(spark, con, name, fn, oracle, sf_dir):
     """Run one query both ways; return (status, detail).
 
-    status: 'ok' | 'rows-only' | 'fail' | 'engine-error'. Mirrors the
-    driver's checks (rows / schema / value hash) plus the stricter
-    type-identity gate. 'engine-error' means one engine raised before
-    a comparison could happen (corpus-shape problems, e.g. a filter
-    leaves zero rows and a downstream min() raises) — distinct from
-    'fail' (a genuine differential mismatch) so callers never have to
-    classify by sniffing the detail string, which can embed row data
-    that itself contains the word 'error'.
+    status: 'ok' | 'rows-only' | 'fail' | 'engine-error' |
+    'spark-error' | 'duck-error'. Mirrors the driver's checks (rows /
+    schema / value hash) plus the stricter type-identity gate.
+    'engine-error' means BOTH engines raised before a comparison could
+    happen (corpus-shape problems, e.g. a filter leaves zero rows and
+    a downstream raise-on-empty contract fires on each side);
+    'spark-error' / 'duck-error' mean exactly one side raised while
+    the other returned rows — a one-sided crash IS a differential
+    signal (e.g. a reintroduced ANSI DIVIDE_BY_ZERO that DuckDB
+    NULLs), so fuzz harnesses flag it instead of skipping. All three
+    are distinct from 'fail' (a value mismatch) so callers never have
+    to classify by sniffing the detail string, which can embed row
+    data that itself contains the word 'error'.
     """
     spark.catalog.clearCache()
+    s_err = None
     try:
         sdf = fn(spark, sf_dir)
         sfields = [(f.name, f.dataType.simpleString()) for f in sdf.schema.fields]
         spdf = sdf.toPandas()
     except Exception as ex:  # noqa: BLE001 — this is a reporting tool
-        return "engine-error", f"spark error: {ex!r}"[:500]
+        s_err = f"spark error: {ex!r}"[:500]
     if oracle is None:
+        if s_err is not None:
+            return "spark-error", s_err
         return "rows-only", f"{len(spdf)} rows"
     try:
         dfields = duck_output_types(con, oracle)
         dpdf = con.execute(oracle).fetchdf()
     except Exception as ex:  # noqa: BLE001
-        return "engine-error", f"duckdb error: {ex!r}"[:500]
+        d_err = f"duckdb error: {ex!r}"[:500]
+        if s_err is not None:
+            return "engine-error", f"{s_err[:240]} ; {d_err[:240]}"
+        return "duck-error", f"{d_err} (spark returned {len(spdf)} rows)"
+    if s_err is not None:
+        return "spark-error", f"{s_err} (duckdb returned {len(dpdf)} rows)"
 
     problems = []
     scols, dcols = list(spdf.columns), list(dpdf.columns)

@@ -41,7 +41,8 @@ def build_corpus(path: str = FUZZ_DIR, seed: int = 424_242):
     rng = random.Random(seed + 1)
 
     def inject(table: str, cols: list[str], p: float = 0.02):
-        # ~2% NaN plus ~1% ±inf: Spark floor maps NaN→0 and
+        # ~1.5% NaN plus ~1.5% ±inf (rng < 1.5*p with p=0.02 over a
+        # half-NaN specials list): Spark floor maps NaN→0 and
         # inf→±Long.MaxValue silently, so both tiers probe the same
         # silent-zero/garbage class in quantized arithmetic
         specials = [float("nan"), float("nan"), float("inf"), float("-inf")]

@@ -69,11 +69,16 @@ def run_fuzz(
         if status == "ok":
             n_ok += 1
         elif status == "engine-error":
-            # corpus-shape errors (e.g. a filter leaves zero rows and a
-            # downstream min() raises) are SKIPs, not differential reds.
-            # Branch on the STATUS, never the detail text — mismatch
-            # details embed row data that can contain the word 'error'
-            # (the events corpus generates event_type='error').
+            # BOTH-sides corpus-shape errors (e.g. a filter leaves zero
+            # rows and each engine's raise-on-empty contract fires) are
+            # SKIPs, not differential reds. One-sided errors
+            # ('spark-error'/'duck-error') fall through to the failure
+            # branch below — a crash on one engine while the other
+            # returns rows is exactly the ANSI-divergence class the
+            # NaN/degenerate tiers exist to catch (r8 ADVICE). Branch
+            # on the STATUS, never the detail text — mismatch details
+            # embed row data that can contain the word 'error' (the
+            # events corpus generates event_type='error').
             n_skip += 1
             if not quiet:
                 print(f"SKIP  {name}: {detail[:140]}")
