@@ -173,51 +173,47 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # Everything past position 50 carries a green driver row from r1-r4 and
 # stays verified by tools/diffcheck.py --vanilla each round.
 _PRIORITY = [
-    # ---- R8 WINDOW. Recipe unchanged (reds -> changed -> never-
-    # checked -> keepers); registry stays FROZEN. r7 went 50/50 green,
-    # so this window has no reds to re-queue; it spends its slots on
-    # the only two places a regression can hide:
-    # (a) the 25 queries whose Spark code or oracle was REWRITTEN by
-    # the r7 fuzz waves but whose driver-green rows PREDATE the change
-    # (zero-norm gates, NULLS-FIRST ordering, arg_max struct packing,
-    # skewness bias correction, NULL-element fold contracts, ...) —
-    # a stale green is not a green. agg_stats_moments changed AGAIN
-    # this round (n<3 / zero-variance skewness pin, r7 ADVICE).
-    "stream_cdc_merge_snapshot", "agg_stats_moments",
-    "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk",
-    "ann_ivf_trained", "embedding_neardup", "embedding_normalize",
-    "ml_knn_classify", "events_attribution", "asof_forward_conversion",
-    "map_ops_surface", "window_running_sum", "window_rank_variants",
-    "window_ntile_quartiles", "scd2_status_history",
-    "sketch_quantile_bins", "sketch_quantile_bins_grouped",
-    "fold_histogram_pandas_udaf", "fold_reduce_option",
-    "fold_product_user_alg", "graph_preprocessing_edges",
-    "array_hof_surface", "comprehension_composite_theta",
-    "fold_minmax_struct_ordering",
-    # (b) one DATE-output keeper: the diffcheck date==midnight-
-    # timestamp canonicalization (tools/diffcheck.py) rests on a
-    # single r3 data point — re-confirm the driver still hashes a
-    # DATE column green after the r7 comparator work.
-    "click_count_diffs",
-    # (c) the next 24 never-checked queries from the standing queue,
-    # in rotation order (all tri-SF green through the type-strict
-    # comparator).
-    "events_conversion_delay", "orders_survival_hazard",
-    "agg_listagg_ordered", "orders_duplicate_invoice_detect",
-    "events_cuped_adjusted_lift", "orders_ses_level_fold",
-    "graph_ppr_seed", "orders_price_volume_mix",
-    "text_span_corruption_plan", "ann_recall_eval",
-    "window_value_range_band", "graph_assortativity",
-    "ml_learning_curve", "events_gap_histogram",
-    "stream_chained_window_aggs", "pyds_custom_source_agg",
-    "pyds_stream_source_counts", "pyds_stream_sink_roundtrip",
-    "csv_gzip_read_agg", "pipeline_split_leakage_audit",
-    "events_bitmap_dau", "events_rolling_wau_bitmap",
-    "text_tokenizer_fertility", "events_burst_viterbi",
-    # R9 QUEUE (next never-checked batch, in rotation order):
-    # lineitem_ship_latency, then the wave-3/4 and continuation lists
-    # in their original order (~120 names remaining; see
-    # docs/ROTATION.md for the full schedule to 408/408 by ~r11).
+    # ---- R9 WINDOW. Staged by tools/staleness.py (NEW this round —
+    # the changed tier is now DERIVED, not hand-listed): all 48
+    # STALE-UNCOVERED greens (queries where no driver green anywhere
+    # certifies the current code of a changed transitive dependency
+    # — the r8 rd/qsum totality rewrite and its r9 two-aggregate
+    # slimming, the fixpoint/carry_ckpt release-handle plumbing, the
+    # r8-hardened multimodal kernels, plus own-source edits from
+    # r2-r6 the hand-derived verdict lists never caught), then the
+    # two queries changed THIS round that have no driver row at all.
+    # Stale-COVERED and stale-infra-only names (helpers re-certified
+    # through newer greens of sibling consumers / universal plumbing
+    # exercised by every window) stay tri-SF-verified locally; see
+    # docs/ROTATION.md.
+    # (a) own query source changed since green:
+    "dedup_transitive_groups", "events_sessionize",
+    "graph_cc_twophase", "graph_connected_components", "graph_kcore",
+    "graph_pagerank", "graph_transitive_closure", "hyper_rollup_daily",
+    "incremental_merge_upsert", "json_extract_fields",
+    "ml_encode_dict_freq", "ml_kfold_crossval", "ml_kmeans_fit",
+    "ml_linreg_closed_form", "scalar_expr_surface",
+    "scd2_point_in_time_lookup", "text_quality",
+    # (b) qsum consumers (r8 totality guard + r9 coalesce slimming):
+    "fold_global", "groupby_agg_pricing", "groupby_having",
+    "join_broadcast", "mutable_bag_update", "pivot_status_by_priority",
+    "q10_returned_item_customers", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q22_dormant_customers",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q9_profit_by_nation_year",
+    "range_join_price_bands", "rollup_orders", "skew_salted_join_agg",
+    # (c) rd consumers:
+    "agg_percentiles", "agg_stats_moments", "map_project",
+    # (d) other uncovered helper rewrites (release handles, scores_df
+    # try_divide, multimodal poison-row hardening, text kernels):
+    "graph_modularity", "graph_ppr_seed", "dedup_minhash_signature",
+    "ml_eval_scores", "multimodal_audio_features",
+    "multimodal_frame_sample", "multimodal_image_features",
+    "pipeline_corpus_curation", "sketch_countmin_tokens",
+    "text_fingerprint", "text_lang_id",
+    # (e) changed this round AND never driver-checked (zero-variance
+    # autocorr mask; scorecard zero-denominator guards):
+    "events_daily_autocorr", "events_experiment_scorecard",
 ]
 
 
