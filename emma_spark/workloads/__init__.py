@@ -196,7 +196,7 @@ _PRIORITY = [
     "scd2_point_in_time_lookup", "text_quality",
     # (b) qsum consumers (r8 totality guard + r9 coalesce slimming):
     "fold_global", "groupby_agg_pricing", "groupby_having",
-    "join_broadcast", "mutable_bag_update", "pivot_status_by_priority",
+    "pivot_status_by_priority",
     "q10_returned_item_customers", "q17_small_quantity_revenue",
     "q19_disjunctive_revenue", "q22_dormant_customers",
     "q5_local_supplier_volume", "q6_forecast_revenue",
@@ -214,6 +214,13 @@ _PRIORITY = [
     # (e) changed this round AND never driver-checked (zero-variance
     # autocorr mask; scorecard zero-denominator guards):
     "events_daily_autocorr", "events_experiment_scorecard",
+    # (f) r7/r8 greens made stale by r9's own constant-series fuzz
+    # finds (cuped theta try_divide, debounce empty-candidate guard) —
+    # their OWN source changed, so no sibling green can cover them;
+    # they take the slots of two qsum-only consumers (join_broadcast,
+    # mutable_bag_update) whose dep is re-certified through the 15
+    # qsum consumers above:
+    "events_cuped_adjusted_lift", "events_alert_debounce",
 ]
 
 

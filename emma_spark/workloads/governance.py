@@ -352,8 +352,12 @@ def dq_freshness_completeness(spark, sf_dir):
       SELECT arm, count(DISTINCT user_id) AS nu FROM ev GROUP BY arm
     ),
     srm AS (
-      SELECT sum(CASE WHEN arm = 0 THEN nu END) AS u0,
-             sum(CASE WHEN arm = 1 THEN nu END) AS u1
+      -- coalesce: an arm with ZERO users has no row in `users`, so a
+      -- bare sum() would be NULL where the Spark side's conditional
+      -- count is 0 (r9 constant-series fuzz find — unreachable on
+      -- corpora where the md5 hash populates both arms)
+      SELECT coalesce(sum(CASE WHEN arm = 0 THEN nu END), 0) AS u0,
+             coalesce(sum(CASE WHEN arm = 1 THEN nu END), 0) AS u1
       FROM users
     ),
     m AS (

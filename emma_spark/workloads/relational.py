@@ -6017,10 +6017,15 @@ def events_cuped_adjusted_lift(spark, sf_dir):
         F.sum(F.col("x_c").cast(dec) * F.col("y_c")).alias("sxy"),
         F.sum(F.col("x_c").cast(dec) * F.col("x_c")).alias("sxx"),
     )
+    # try_divide: a constant pre-period covariate (var(x) = 0 — the r9
+    # constant-series fuzz shape) makes theta 0/0, where plain ANSI `/`
+    # crashes Spark one-sidedly vs the oracle's NULL; try_divide ==
+    # DuckDB `/` on zero divisors, and the NULL theta then propagates
+    # identically through yadj/cuped_lift on both engines.
     th = st.select(
         F.expr(
-            "CAST(n * sxy - sx * sy AS DOUBLE)"
-            " / CAST(n * sxx - sx * sx AS DOUBLE)"
+            "try_divide(CAST(n * sxy - sx * sy AS DOUBLE),"
+            " CAST(n * sxx - sx * sx AS DOUBLE))"
         ).alias("theta"),
         F.expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").alias("mean_x"),
     )
@@ -6034,18 +6039,21 @@ def events_cuped_adjusted_lift(spark, sf_dir):
     return adj.agg(
         F.expr("CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT)").alias("n_a"),
         F.expr("CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT)").alias("n_b"),
+        # try_divide on the per-arm means too: an EMPTY arm (every
+        # user hashing to one side on a degenerate corpus) makes the
+        # count 0 — Spark ANSI would crash where DuckDB NULLs
         F.expr(
-            "floor((CAST(sum(CASE WHEN arm = 1 THEN y_c END) AS DOUBLE)"
-            " / CAST(count(CASE WHEN arm = 1 THEN 1 END) AS DOUBLE)"
-            " - CAST(sum(CASE WHEN arm = 0 THEN y_c END) AS DOUBLE)"
-            " / CAST(count(CASE WHEN arm = 0 THEN 1 END) AS DOUBLE)) * 10000 + 0.5)"
+            "floor((try_divide(CAST(sum(CASE WHEN arm = 1 THEN y_c END) AS DOUBLE),"
+            " CAST(count(CASE WHEN arm = 1 THEN 1 END) AS DOUBLE))"
+            " - try_divide(CAST(sum(CASE WHEN arm = 0 THEN y_c END) AS DOUBLE),"
+            " CAST(count(CASE WHEN arm = 0 THEN 1 END) AS DOUBLE))) * 10000 + 0.5)"
             " / 10000"
         ).alias("raw_lift_c"),
         F.expr(
-            "floor((sum(CASE WHEN arm = 1 THEN floor(yadj * 100 + 0.5) END) / 100"
-            " / CAST(count(CASE WHEN arm = 1 THEN 1 END) AS DOUBLE)"
-            " - sum(CASE WHEN arm = 0 THEN floor(yadj * 100 + 0.5) END) / 100"
-            " / CAST(count(CASE WHEN arm = 0 THEN 1 END) AS DOUBLE)) * 10000 + 0.5)"
+            "floor((try_divide(sum(CASE WHEN arm = 1 THEN floor(yadj * 100 + 0.5) END) / 100,"
+            " CAST(count(CASE WHEN arm = 1 THEN 1 END) AS DOUBLE))"
+            " - try_divide(sum(CASE WHEN arm = 0 THEN floor(yadj * 100 + 0.5) END) / 100,"
+            " CAST(count(CASE WHEN arm = 0 THEN 1 END) AS DOUBLE))) * 10000 + 0.5)"
             " / 10000"
         ).alias("cuped_lift_c"),
         F.expr("floor(any_value(theta) * 1000000 + 0.5) / 1000000").alias("theta_q"),
@@ -8791,14 +8799,21 @@ def events_alert_debounce(spark, sf_dir):
             "transform(sort_array(collect_list(hr)), x -> array(x))"
         ).alias("hrs"))
     )
+    # the empty-candidate guard is load-bearing: with ZERO candidate
+    # hours (every hour below threshold — the r9 constant-series fuzz
+    # shape) ``element_at(hrs, 1)`` raises INVALID_ARRAY_INDEX under
+    # ANSI where the oracle's recursive CTE just emits no rows; a
+    # row-level CASE short-circuits the seed access and explode of an
+    # empty array produces the same zero rows
     emitted = cand.select(
         F.explode(
             F.expr(
-                "aggregate(slice(hrs, 2, size(hrs) - 1),"
+                "CASE WHEN size(hrs) < 1 THEN CAST(array() AS array<bigint>)"
+                " ELSE aggregate(slice(hrs, 2, size(hrs) - 1),"
                 " element_at(hrs, 1),"
                 " (acc, x) -> CASE WHEN element_at(x, 1)"
                 " >= element_at(acc, size(acc)) + 6"
-                " THEN concat(acc, x) ELSE acc END)"
+                " THEN concat(acc, x) ELSE acc END) END"
             )
         ).alias("hr")
     )

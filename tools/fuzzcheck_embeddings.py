@@ -73,6 +73,23 @@ def build_corpus(path: str = FUZZ_DIR, n_vecs: int = 500, seed: int = 31337):
         vecs.append(v)
         # heavy-tailed labels: half the rows land on label 0
         labels.append(0 if rng.random() < 0.5 else rng.randint(1, 9))
+    # r9 degenerate-GROUP tier (r8 VERDICT ask #6, extending the
+    # joins-fuzz constant/single-row group shapes to the embedding-
+    # moment families): label 7 becomes a CONSTANT group — every
+    # member the identical vector, zero within-group variance, the
+    # z-score/outlier/centroid denominators all 0 — and label 8 a
+    # SINGLE-ROW group (n=1 moments; n-1 bias corrections divide by
+    # zero). Both shapes are unreachable by the random draws above.
+    const_vec = [0.25] * DIM
+    seen_single = False
+    for i, lb in enumerate(labels):
+        if lb == 7:
+            vecs[i] = list(const_vec)
+        elif lb == 8:
+            if seen_single:
+                labels[i] = 9
+            else:
+                seen_single = True
     os.makedirs(path, exist_ok=True)
     pq.write_table(
         pa.table(

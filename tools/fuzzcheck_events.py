@@ -107,6 +107,49 @@ def build_corpus(path: str = FUZZ_DIR, n_rows: int = 3000, seed: int = 777):
     return path
 
 
+FUZZ_DIR_CONST = "/tmp/emma_fuzz_ev_const"
+
+
+def build_corpus_constant(path: str = FUZZ_DIR_CONST):
+    """CONSTANT-SERIES tier (r9; r8 VERDICT "what's wrong" #1): every
+    day carries EXACTLY the same event count, value, type mix, and
+    user rotation — zero variance in any daily/grouped series, so
+    every ratio-of-moments denominator (autocorrelation, ANOVA F,
+    z-scores, CUSUM, MDE-vs-mean) is driven to exactly 0. This is the
+    corpus shape that would have caught the events_daily_autocorr
+    degenerate-denominator divergence at build time (Spark ANSI
+    crashes / floor(NaN)->0 vs DuckDB NULL); the random corpus above
+    can never produce a zero-variance day series. Fully deterministic
+    — no rng, the degeneracy IS the point."""
+    rows, base = [], datetime.datetime(2024, 1, 1)
+    i = 0
+    for day in range(12):
+        for j in range(25):
+            ts = base + datetime.timedelta(
+                days=day, seconds=j * 3456 + 17, microseconds=j
+            )
+            rows.append(
+                (i, ts, j % 5, TYPES[j % len(TYPES)], 2.5,
+                 json.dumps({"k": j % 3}))
+            )
+            i += 1
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        f"{path}/events.parquet",
+    )
+    return path
+
+
 def connect(path: str = FUZZ_DIR):
     con = duckdb.connect()
     con.execute(
@@ -120,6 +163,7 @@ def main() -> int:
     from emma_spark.session import get_spark
 
     build_corpus()
+    build_corpus_constant()
     spark = get_spark("fuzzev")
     spark.sparkContext.setLogLevel("ERROR")
     only = set(sys.argv[1:]) if len(sys.argv) > 1 else None
@@ -131,9 +175,18 @@ def main() -> int:
         only=only,
         exclude_prefixes=EXCLUDE_PREFIXES,
     )
-    print(f"\n{n_ok} ok, {n_skip} skipped, {len(failures)} FAIL")
+    print(f"\n[random] {n_ok} ok, {n_skip} skipped, {len(failures)} FAIL")
+    n_ok2, n_skip2, failures2 = run_fuzz(
+        spark,
+        connect(FUZZ_DIR_CONST),
+        FUZZ_DIR_CONST,
+        {"events"},
+        only=only,
+        exclude_prefixes=EXCLUDE_PREFIXES,
+    )
+    print(f"[const]  {n_ok2} ok, {n_skip2} skipped, {len(failures2)} FAIL")
     spark.stop()
-    return 1 if failures else 0
+    return 1 if failures or failures2 else 0
 
 
 if __name__ == "__main__":
