@@ -21,7 +21,7 @@ from ..core import DataBag
 from ..llm.text import ascii_lower, WS_RE
 from ..functions import alg
 from ..sources import io
-from . import corr_mask, qsum, qsum_sql, query, rd, rd_sql, skew_mask
+from . import _nonfinite, corr_mask, qsum, qsum_sql, query, rd, rd_sql, skew_mask
 
 
 def T(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataBag]:
@@ -1814,23 +1814,36 @@ def udf_arrow_scalar(spark, sf_dir):
 @query(
     "agg_stats_moments",
     oracle="""
+    WITH d AS (
+      SELECT l_returnflag,
+             CASE WHEN isfinite(l_quantity) THEN l_quantity END AS q,
+             CASE WHEN isfinite(l_extendedprice)
+                  THEN l_extendedprice END AS p,
+             (NOT isfinite(l_quantity)
+              OR NOT isfinite(l_extendedprice)) AS bad
+      FROM lineitem
+    )
     SELECT l_returnflag,
-           floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS qp_corr,
-           floor(covar_pop(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS qp_covar,
-           floor(stddev_pop(l_quantity) * 10000 + 0.5) / 10000 AS q_stddev,
+           CASE WHEN bool_or(bad) THEN 'NaN'::DOUBLE ELSE
+             floor(corr(q, p) * 10000 + 0.5) / 10000 END AS qp_corr,
+           CASE WHEN bool_or(bad) THEN 'NaN'::DOUBLE ELSE
+             floor(covar_pop(q, p) * 10000 + 0.5) / 10000 END AS qp_covar,
+           CASE WHEN bool_or(bad) THEN 'NaN'::DOUBLE ELSE
+             floor(stddev_pop(q) * 10000 + 0.5) / 10000 END AS q_stddev,
            -- DuckDB's skewness is the bias-CORRECTED sample g1; Spark's
            -- is population (m3/m2^1.5). Undo the correction factor
            -- sqrt(n(n-1))/(n-2) — the n≈6000 real-data groups hid the
            -- difference under 4dp quantization, small fuzz groups don't.
            -- n<3 → DuckDB NULL vs Spark 0.0, and zero-variance → NULL
            -- vs NaN (r7 ADVICE): both engines pin those groups to 0.
-           CASE WHEN count(l_quantity) >= 3 AND stddev_pop(l_quantity) > 0
-                THEN floor(skewness(l_quantity)
-                           * (count(l_quantity) - 2)
-                           / sqrt(count(l_quantity) * (count(l_quantity) - 1.0))
+           CASE WHEN bool_or(bad) THEN 'NaN'::DOUBLE
+                WHEN count(q) >= 3 AND stddev_pop(q) > 0
+                THEN floor(skewness(q)
+                           * (count(q) - 2)
+                           / sqrt(count(q) * (count(q) - 1.0))
                            * 10000 + 0.5) / 10000
                 ELSE 0.0 END AS q_skew
-    FROM lineitem GROUP BY l_returnflag
+    FROM d GROUP BY l_returnflag
     """,
 )
 def agg_stats_moments(spark, sf_dir):
@@ -1838,27 +1851,52 @@ def agg_stats_moments(spark, sf_dir):
     skewness) — declarative moment aggregates with map-side partials
     (the reference computes these by hand-written Alg folds,
     emma-lib/.../stats/stat.scala:23-62); both engines' moment
-    formulations agree to the 4dp quantization on this data."""
+    formulations agree to the 4dp quantization on this data.
+
+    POISON CONTRACT (r9, found by the one-sided fuzz status): a
+    non-finite value anywhere in a group makes that group's four
+    moments NaN — explicitly, on both engines. The aggregates
+    themselves only ever see FINITE inputs (non-finite masked to NULL
+    pre-agg): DuckDB's STDDEV_POP *raises* on a NaN input where Spark
+    returns NaN, so letting the engines' native NaN handling decide
+    was a one-sided oracle crash on any NaN-bearing corpus, and a
+    silently engine-dependent answer besides."""
     li = T(spark, sf_dir, "lineitem")["lineitem"]
-    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    nan = F.lit(float("nan"))
+    qd = F.col("l_quantity").cast("double")
+    pd_ = F.col("l_extendedprice").cast("double")
+    fin_q = F.when(~_nonfinite(qd), F.col("l_quantity"))
+    fin_p = F.when(~_nonfinite(pd_), F.col("l_extendedprice"))
     masked = li.df.select(
-        "l_returnflag", "l_quantity", "l_extendedprice",
+        "l_returnflag",
+        fin_q.alias("q"), fin_p.alias("p"),
+        (_nonfinite(qd) | _nonfinite(pd_)).alias("__bad"),
         # group-level safety decided BEFORE the agg (a CASE around the
         # aggregate cannot stop ANSI corr/skewness from dividing by a
         # zero variance — the window mask is the working mechanism;
         # partitioned by the same key, so the exchange is reused)
-        corr_mask(q, p, ["l_returnflag"]).alias("__okc"),
-        skew_mask(q, ["l_returnflag"]).alias("__oks"),
+        corr_mask(fin_q, fin_p, ["l_returnflag"]).alias("__okc"),
+        skew_mask(fin_q, ["l_returnflag"]).alias("__oks"),
     )
-    return masked.groupBy("l_returnflag").agg(
+    q, p = F.col("q"), F.col("p")
+    g = masked.groupBy("l_returnflag").agg(
+        F.max("__bad").alias("__poison"),
         rd(
             F.corr(F.when(F.col("__okc"), q), F.when(F.col("__okc"), p)), 4
-        ).alias("qp_corr"),
-        rd(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qp_covar"),
-        rd(F.stddev_pop("l_quantity"), 4).alias("q_stddev"),
+        ).alias("__corr"),
+        rd(F.covar_pop(q, p), 4).alias("__covar"),
+        rd(F.stddev_pop(q), 4).alias("__stddev"),
         F.coalesce(
             rd(F.skewness(F.when(F.col("__oks"), q)), 4), F.lit(0.0)
-        ).alias("q_skew"),
+        ).alias("__skew"),
+    )
+    pz = F.col("__poison")
+    return g.select(
+        "l_returnflag",
+        F.when(pz, nan).otherwise(F.col("__corr")).alias("qp_corr"),
+        F.when(pz, nan).otherwise(F.col("__covar")).alias("qp_covar"),
+        F.when(pz, nan).otherwise(F.col("__stddev")).alias("q_stddev"),
+        F.when(pz, nan).otherwise(F.col("__skew")).alias("q_skew"),
     )
 
 
