@@ -10471,11 +10471,24 @@ def orders_forecast_reconcile(spark, sf_dir):
     )
 
     def ses(df, keys):
+        # seed with the FIRST observation, fold from the second —
+        # exactly DuckDB's list_reduce (and the family convention,
+        # orders_ses_level_fold). The zero seed this previously used
+        # matched the oracle only because a long month series decays
+        # the seed by 0.7^n below cent resolution; the r9 constant
+        # corpus (2-3 months) exposed it as a 0.51x divergence. The
+        # size guard covers the empty-input global fold (element_at
+        # on [] raises under ANSI; DuckDB list_reduce([]) is NULL).
         arr = df.groupBy(*keys).agg(
             F.expr(
-                "aggregate(transform(array_sort(collect_list("
-                "struct(mo, rev_c))), s -> s.rev_c),"
-                " CAST(0 AS BIGINT), (acc, x) -> (3 * x + 7 * acc) div 10)"
+                "CASE WHEN size(collect_list(rev_c)) < 1"
+                " THEN CAST(NULL AS BIGINT)"
+                " ELSE aggregate(slice(transform(array_sort(collect_list("
+                "struct(mo, rev_c))), s -> s.rev_c), 2,"
+                " size(collect_list(rev_c)) - 1),"
+                " element_at(transform(array_sort(collect_list("
+                "struct(mo, rev_c))), s -> s.rev_c), 1),"
+                " (acc, x) -> (3 * x + 7 * acc) div 10) END"
             ).alias("fc_c")
         )
         return arr

@@ -140,6 +140,49 @@ def test_fuzz_events_subset(spark):
     assert n_ok >= len(_EVENT_SUBSET) - 2, f"too many skips: {n_skip}"
 
 
+# the three r9 constant-series finds (theta 0/0, empty-candidate fold
+# seed, absent-arm NULL-vs-0) plus the verdict-named autocorr site —
+# pinned on the deterministic zero-variance corpus that found them
+_EVENT_CONST_SUBSET = {
+    "events_daily_autocorr", "events_cuped_adjusted_lift",
+    "events_alert_debounce", "events_experiment_scorecard",
+    "events_anomaly_zscore",
+}
+
+
+def test_fuzz_events_constant_tier(spark):
+    """Zero-variance daily series: every ratio-of-moments denominator
+    is exactly 0 (r8 VERDICT ask #2 — this corpus shape found three
+    real one-sided divergences on first run, all fixed in r9)."""
+    path = fuzzcheck_events.build_corpus_constant()
+    con = fuzzcheck_events.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, {"events"}, only=_EVENT_CONST_SUBSET, quiet=True
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok == len(_EVENT_CONST_SUBSET), (n_ok, n_skip)
+
+
+_ORDER_CONST_SUBSET = {
+    "orders_weekday_anova", "orders_jarque_bera", "orders_benford_audit",
+    "orders_ks_drift", "orders_price_drift_chi2",
+}
+
+
+def test_fuzz_orders_constant_tier(spark):
+    """Constant prices + rigid weekday rhythm: within-group variance
+    and m2 are exactly 0 for the orders moment statistics (the r9
+    try_divide guards on ANOVA F and Jarque-Bera are pinned here)."""
+    path = fuzzcheck_orders.build_corpus_constant()
+    con = fuzzcheck_orders.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, {"orders"}, only=_ORDER_CONST_SUBSET, quiet=True
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok + n_skip == len(_ORDER_CONST_SUBSET), (n_ok, n_skip)
+    assert n_ok >= len(_ORDER_CONST_SUBSET) - 1, f"too many skips: {n_skip}"
+
+
 # regressions only the UNIFIED corpus can catch: the stream_ queries
 # are excluded from the events-only harness, so stream_cdc_merge_
 # snapshot's per-field-vs-per-row arg_max divergence under NULL
@@ -182,15 +225,21 @@ def test_fuzz_nan_subset(spark):
     con = J.connect(N.FUZZ_DIR)
     qs = load_all()
     for name in ("fold_global", "fold_histogram_pandas_udaf",
-                 "fold_reduce_option"):
-        # NaN/inf-TOTAL folds: non-finite elements route to the same
-        # bucket/counter in both engines instead of crashing int()
+                 "fold_reduce_option", "agg_stats_moments"):
+        # NaN/inf-TOTAL contracts: non-finite elements route to the
+        # same bucket/counter in both engines instead of crashing
+        # int(); agg_stats_moments (r9) poisons the whole group's
+        # moments to NaN explicitly on BOTH sides — DuckDB's native
+        # STDDEV_POP would raise on a NaN input where Spark NaNs, so
+        # the aggregates only ever see finite-masked inputs
         st, detail = compare_one(
             spark, con, name, qs[name].fn, qs[name].oracle, path)
         assert st == "ok", (name, st, detail[:200])
-    for name in ("fold_product_user_alg", "agg_stats_moments"):
-        # documented domain errors: CAST(NaN AS BIGINT) is rejected by
-        # BOTH engines; DuckDB's own STDDEV_POP range-errors on NaN
+    for name in ("fold_product_user_alg",):
+        # documented domain error: CAST(NaN AS BIGINT) inside the
+        # exact-decimal product is rejected by BOTH engines — a
+        # both-sided engine-error, which stays a SKIP (one-sided
+        # spark-error/duck-error would be a differential red since r9)
         st, detail = compare_one(
             spark, con, name, qs[name].fn, qs[name].oracle, path)
         assert st == "engine-error", (name, st, detail[:200])

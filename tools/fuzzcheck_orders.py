@@ -100,6 +100,45 @@ def build_corpus(path: str = FUZZ_DIR, n_rows: int = 4000, seed: int = 2024):
     return path
 
 
+FUZZ_DIR_CONST = "/tmp/emma_fuzz_ord_const"
+
+
+def build_corpus_constant(path: str = FUZZ_DIR_CONST):
+    """CONSTANT-SERIES tier (r9, the events-tier sibling): one price,
+    one weekday rhythm, one status/priority per slot position — zero
+    variance in every price/weekday/group series, driving the
+    moment-statistic denominators (ANOVA F within-variance,
+    Jarque-Bera m2, drift chi2, z-bands) to exactly 0 on orders-family
+    oracles. Deterministic — the degeneracy is the point."""
+    base = datetime.datetime(1995, 1, 6)
+    rows = []
+    i = 0
+    for week in range(8):
+        for slot in range(40):
+            date = base + datetime.timedelta(
+                days=7 * week + slot % 5, seconds=3600 * (slot % 7))
+            rows.append((
+                i, slot % 10, ["O", "F", "P"][slot % 3], 1000.0, date,
+                PRIORITIES[slot % 5],
+            ))
+            i += 1
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+                "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+                "o_orderdate": pa.array([r[4] for r in rows], pa.timestamp("us")),
+                "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        f"{path}/orders.parquet",
+    )
+    return path
+
+
 def connect(path: str = FUZZ_DIR):
     con = duckdb.connect()
     con.execute(
@@ -113,15 +152,20 @@ def main() -> int:
     from emma_spark.session import get_spark
 
     build_corpus()
+    build_corpus_constant()
     spark = get_spark("fuzzord")
     spark.sparkContext.setLogLevel("ERROR")
     only = set(sys.argv[1:]) if len(sys.argv) > 1 else None
     n_ok, n_skip, failures = run_fuzz(
         spark, connect(), FUZZ_DIR, {"orders"}, only=only
     )
-    print(f"\n{n_ok} ok, {n_skip} skipped, {len(failures)} FAIL")
+    print(f"\n[random] {n_ok} ok, {n_skip} skipped, {len(failures)} FAIL")
+    n_ok2, n_skip2, failures2 = run_fuzz(
+        spark, connect(FUZZ_DIR_CONST), FUZZ_DIR_CONST, {"orders"}, only=only
+    )
+    print(f"[const]  {n_ok2} ok, {n_skip2} skipped, {len(failures2)} FAIL")
     spark.stop()
-    return 1 if failures else 0
+    return 1 if failures or failures2 else 0
 
 
 if __name__ == "__main__":
