@@ -95,6 +95,39 @@ def build_corpus(path: str = FUZZ_DIR, n_docs: int = 500, seed: int = 4242):
     return path
 
 
+FUZZ_DIR_CONST = "/tmp/emma_fuzz_sf_const"
+
+
+def build_corpus_constant(path: str = FUZZ_DIR_CONST, n_docs: int = 200):
+    """CONSTANT-CORPUS tier (r9, the events/orders-tier sibling for
+    documents): every document is the IDENTICAL text — zero variance
+    in every length/quality/score series (MAD = 0, stddev = 0, one
+    global shingle set, every pairwise similarity exactly 1) — the
+    degenerate shapes that zero the denominators of outlier z-scores,
+    quality classifiers, and similarity histograms. Deterministic."""
+    text = ("the quick brown fox jumps over the lazy dog and then "
+            "the dog naps in the warm afternoon sun near the barn")
+    docs = [
+        (i, text, ["en", "de", "fr", "es", "zh"][i % 5],
+         f"src{i % 3}", len(text))
+        for i in range(n_docs)
+    ]
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [d[0] for d in docs],
+                "text": [d[1] for d in docs],
+                "lang": [d[2] for d in docs],
+                "source": [d[3] for d in docs],
+                "n_chars": [d[4] for d in docs],
+            }
+        ),
+        f"{path}/documents.parquet",
+    )
+    return path
+
+
 def connect(path: str = FUZZ_DIR):
     con = duckdb.connect()
     con.execute(
@@ -108,15 +141,21 @@ def main() -> int:
     from emma_spark.session import get_spark
 
     build_corpus()
+    build_corpus_constant()
     spark = get_spark("fuzzall")
     spark.sparkContext.setLogLevel("ERROR")
     only = set(sys.argv[1:]) if len(sys.argv) > 1 else None
     n_ok, n_skip, failures = run_fuzz(
         spark, connect(), FUZZ_DIR, {"documents"}, only=only
     )
-    print(f"\n{n_ok} ok, {n_skip} skipped, {len(failures)} FAIL")
+    print(f"\n[random] {n_ok} ok, {n_skip} skipped, {len(failures)} FAIL")
+    n_ok2, n_skip2, failures2 = run_fuzz(
+        spark, connect(FUZZ_DIR_CONST), FUZZ_DIR_CONST, {"documents"},
+        only=only,
+    )
+    print(f"[const]  {n_ok2} ok, {n_skip2} skipped, {len(failures2)} FAIL")
     spark.stop()
-    return 1 if failures else 0
+    return 1 if failures or failures2 else 0
 
 
 if __name__ == "__main__":
