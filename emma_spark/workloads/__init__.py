@@ -194,14 +194,18 @@ _PRIORITY = [
     "ml_encode_dict_freq", "ml_kfold_crossval", "ml_kmeans_fit",
     "ml_linreg_closed_form", "scalar_expr_surface",
     "scd2_point_in_time_lookup", "text_quality",
-    # (b) qsum consumers (r8 totality guard + r9 coalesce slimming):
-    "fold_global", "groupby_agg_pricing", "groupby_having",
-    "pivot_status_by_priority",
+    # (b) qsum consumers (r8 totality guard + r9 coalesce slimming) —
+    # 10 representatives; the five rotated out (fold_global,
+    # groupby_having, pivot_status_by_priority, range_join_price_bands,
+    # rollup_orders — plus join_broadcast/mutable_bag_update earlier)
+    # share qsum as their ONLY changed dep and reclassify as
+    # stale-covered once these green:
+    "groupby_agg_pricing",
     "q10_returned_item_customers", "q17_small_quantity_revenue",
     "q19_disjunctive_revenue", "q22_dormant_customers",
     "q5_local_supplier_volume", "q6_forecast_revenue",
     "q7_volume_shipping", "q9_profit_by_nation_year",
-    "range_join_price_bands", "rollup_orders", "skew_salted_join_agg",
+    "skew_salted_join_agg",
     # (c) rd consumers:
     "agg_percentiles", "agg_stats_moments", "map_project",
     # (d) other uncovered helper rewrites (release handles, scores_df
@@ -221,6 +225,12 @@ _PRIORITY = [
     # mutable_bag_update) whose dep is re-certified through the 15
     # qsum consumers above:
     "events_cuped_adjusted_lift", "events_alert_debounce",
+    # (g) r4-r8 greens made stale by the r9 SPARSE-warehouse tier
+    # (empty-intermediate one-sided crashes: OLS determinant 0 with
+    # lam=0, p*n = 0 AUC, NULL-poisoned SGD batches, 1-row Holt
+    # series) — own-source fixes, must re-green:
+    "ml_gridsearch_ridge", "ml_auc_exact", "ml_sgd_linreg",
+    "ml_logreg_sgd", "ml_learning_curve",
 ]
 
 

@@ -494,13 +494,26 @@ def _quantized_sgd_fit(spark, li, logistic: bool, lr: float = 0.05):
                 )
                 .collect()[0]
             )
+            if row["n"] == 0 or any(row[f"g{j}"] is None for j in range(nf)):
+                # an EMPTY rotation batch NULL-poisons the weights
+                # exactly as the oracle's unrolled algebra does (NULL
+                # gradient -> NULL weights -> every later batch's
+                # residuals NULL, no recovery): emit NULL weights
+                # instead of crashing on None arithmetic driver-side
+                # (r9 sparse-tier find)
+                w = [None] * nf
+                break
             lrit = lr / math.sqrt(it)
             w = [
                 math.floor((w[j] - lrit * (row[f"g{j}"] / (1000000.0 * row["n"])))
                            * 1000000000 + 0.5) / 1000000000
                 for j in range(nf)
             ]
-        out = [(j, math.floor(w[j] * 1000000 + 0.5) / 1000000) for j in range(nf)]
+        out = [
+            (j, None if w[j] is None
+             else math.floor(w[j] * 1000000 + 0.5) / 1000000)
+            for j in range(nf)
+        ]
         return spark.createDataFrame(out, "pos: bigint, weight: double")
     finally:
         d.unpersist()
@@ -913,8 +926,12 @@ def ml_auc_exact(spark, sf_dir):
             "auc_num",
             (2 * F.col("p") * F.col("n")).cast("bigint").alias("auc_den"),
             (
+                # try_divide: an all-positive or all-negative corpus
+                # makes p*n = 0 — DuckDB `/` NULLs, ANSI `/` crashes
+                # Spark one-sidedly (r9 sparse-tier find)
                 F.floor(
-                    F.col("auc_num") / (2 * F.col("p") * F.col("n")) * 1000000
+                    F.try_divide(F.col("auc_num"), 2 * F.col("p") * F.col("n"))
+                    * 1000000
                     + F.lit(0.5)
                 )
                 / 1000000
@@ -1475,13 +1492,17 @@ def ml_gridsearch_ridge(spark, sf_dir):
     )
     b = tr.select(
         "fold", "lam",
+        # try_divide: an unregularized fold (lam = 0) over a
+        # degenerate train split (zero rows / zero variance) zeroes
+        # the normal-equation determinant — DuckDB `/` NULLs, plain
+        # ANSI `/` crashes Spark one-sidedly (r9 sparse-tier find)
         F.expr(
-            "(sxy * (nt + lam) - sx * sy)"
-            " / ((sxx + lam) * (nt + lam) - sx * sx)"
+            "try_divide(sxy * (nt + lam) - sx * sy,"
+            " (sxx + lam) * (nt + lam) - sx * sx)"
         ).alias("b1"),
         F.expr(
-            "(sy * (sxx + lam) - sx * sxy)"
-            " / ((sxx + lam) * (nt + lam) - sx * sx)"
+            "try_divide(sy * (sxx + lam) - sx * sxy,"
+            " (sxx + lam) * (nt + lam) - sx * sx)"
         ).alias("b0"),
     )
     ev = r.join(F.broadcast(b), "fold").select(
@@ -1675,12 +1696,18 @@ def ml_learning_curve(spark, sf_dir):
         F.expr("CAST(sxx AS DOUBLE) / 100000000").alias("sxxd"),
         F.expr("CAST(sxy AS DOUBLE) / 100000000").alias("sxyd"),
     )
+    # try_divide: a 1-row or zero-variance train slice (the smallest
+    # learning-curve fraction on a sparse corpus) zeroes the OLS
+    # denominator — DuckDB `/` NULLs, plain ANSI `/` crashes Spark
+    # one-sidedly (r9 sparse-tier find)
     b = u.select(
         "k", "n_train",
-        F.expr("(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)").alias("b1"),
         F.expr(
-            "(syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd)"
-            " / nd"
+            "try_divide(nd * sxyd - sxd * syd, nd * sxxd - sxd * sxd)"
+        ).alias("b1"),
+        F.expr(
+            "try_divide(syd - try_divide(nd * sxyd - sxd * syd,"
+            " nd * sxxd - sxd * sxd) * sxd, nd)"
         ).alias("b0"),
     )
     ev = r.crossJoin(F.broadcast(b)).select(
@@ -2027,11 +2054,15 @@ def ml_kmeans_elbow(spark, sf_dir):
     prev = F.lag("sse_q8").over(w)
     return sse.select(
         "k", "sse_q8",
+        # the CASE guards a fully-converged predecessor (sse 0 on a
+        # degenerate corpus): 0 div 0 crashes ANSI Spark where DuckDB
+        # `//` NULLs into the same coalesce (r9 sparse-tier find)
         F.coalesce(
             F.expr(
-                "CAST(CAST((lag(sse_q8) OVER (ORDER BY k)) - sse_q8"
+                "CASE WHEN (lag(sse_q8) OVER (ORDER BY k)) = 0 THEN NULL"
+                " ELSE CAST(CAST((lag(sse_q8) OVER (ORDER BY k)) - sse_q8"
                 " AS DECIMAL(38,0)) * 1000000"
-                " div (lag(sse_q8) OVER (ORDER BY k)) AS BIGINT)"
+                " div (lag(sse_q8) OVER (ORDER BY k)) AS BIGINT) END"
             ),
             F.lit(0).cast("bigint"),
         ).alias("drop_ppm"),

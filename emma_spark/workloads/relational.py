@@ -7646,6 +7646,14 @@ def io_wholetext_documents(spark, sf_dir):
                 fh.write(r.text)
 
     sample.foreachPartition(write_part)
+    if not os.listdir(d):
+        # zero sampled docs -> zero staged files, and a glob read over
+        # an empty dir raises PATH_NOT_FOUND where the oracle returns
+        # zero rows (r9 sparse-tier find). Local listdir is sound here:
+        # this file-per-doc staging demo is local-mode by construction
+        # (executors write into the driver's tempdir).
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_chars bigint, n_spaces bigint")
     back = (
         spark.read.text(d + "/*.txt", wholetext=True)
         .select(
@@ -7978,7 +7986,12 @@ def orders_ks_drift(spark, sf_dir):
         F.col("n1").cast("bigint").alias("n_1996"),
         F.col("n2").cast("bigint").alias("n_1997"),
         F.col("dmax").cast("bigint").alias("d_scaled"),
-        F.expr("CAST(dmax * 1000000 div (n1 * n2) AS BIGINT)").alias("ks_ppm"),
+        # empty year-split -> n1*n2 = 0: DuckDB `//` NULLs, ANSI div
+        # crashes (r9 sparse-tier find)
+        F.expr(
+            "CAST(CASE WHEN n1 * n2 = 0 THEN NULL"
+            " ELSE dmax * 1000000 div (n1 * n2) END AS BIGINT)"
+        ).alias("ks_ppm"),
     )
 
 
@@ -8292,10 +8305,15 @@ def orders_holt_trend_fold(spark, sf_dir):
         ).alias("xs"),
         F.count(F.lit(1)).alias("n_months"),
     )
+    # get() (0-based, NULL out-of-range) + greatest-clamped slice
+    # length: a single-month series made element_at(xs, 2) raise and
+    # slice's length go -1 under ANSI where the oracle's xs[2]/xs[3:]
+    # just return NULL/[] and the fold NULL-propagates (r9 sparse-tier
+    # find) — the NULL seed flows through identically now.
     fold = (
-        f"aggregate(slice(xs, 3, size(xs) - 2),"
-        f" CAST(element_at(xs,1) AS DECIMAL(38,0)) * {_HOLT_D}"
-        f" + (element_at(xs,2) - element_at(xs,1)"
+        f"aggregate(slice(xs, 3, greatest(size(xs) - 2, 0)),"
+        f" CAST(get(xs, 0) AS DECIMAL(38,0)) * {_HOLT_D}"
+        f" + (get(xs, 1) - get(xs, 0)"
         f"    + CAST({_HOLT_BIAS} AS DECIMAL(38,0))),"
         f" (acc, x) -> {_HOLT_STEP_SPARK})"
     )

@@ -169,6 +169,35 @@ _ORDER_CONST_SUBSET = {
 }
 
 
+_SPARSE_SUBSET = {
+    # the nine r9 sparse-tier finds (empty-intermediate one-sided
+    # crashes), pinned on the 3-row warehouse that found them
+    "ml_sgd_linreg", "ml_logreg_sgd", "ml_auc_exact",
+    "ml_gridsearch_ridge", "ml_learning_curve", "ml_kmeans_elbow",
+    "io_wholetext_documents", "orders_ks_drift",
+    "orders_holt_trend_fold", "orders_forecast_backtest",
+}
+
+
+def test_fuzz_sparse_subset(spark):
+    """SPARSE-warehouse tier (r9): 3-row fact slices empty out most
+    selective filters, so every raise-on-empty asymmetry fires —
+    element_at/slice on empty arrays, 0-determinant OLS with lam=0,
+    p*n = 0 AUC, NULL-poisoned SGD batches, empty file-staging globs.
+    One-sided crashes are differential FAILs here (both-sides
+    contract raises remain SKIPs)."""
+    from tools import fuzzcheck_sparse
+
+    path = fuzzcheck_sparse.build_corpus()
+    con = fuzzcheck_sparse.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, set(fuzzcheck_sparse.ALL_TABLES),
+        only=_SPARSE_SUBSET, quiet=True,
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok == len(_SPARSE_SUBSET), (n_ok, n_skip)
+
+
 def test_fuzz_orders_constant_tier(spark):
     """Constant prices + rigid weekday rhythm: within-group variance
     and m2 are exactly 0 for the orders moment statistics (the r9
