@@ -133,9 +133,12 @@ def curate_funnel(
             (F.col("n_after_exact") - F.col("n_after_neardup")).alias(
                 "drop_neardup"
             ),
+            # zero docs in (day-one empty partition): DuckDB // 0 is
+            # NULL, Spark ANSI div raises — row-level CASE
             F.expr(
-                "CAST(CAST(n_after_neardup AS DECIMAL(38,0)) * 1000000"
-                " div n_input AS BIGINT)"
+                "CASE WHEN n_input = 0 THEN CAST(NULL AS BIGINT)"
+                " ELSE CAST(CAST(n_after_neardup AS DECIMAL(38,0)) * 1000000"
+                " div n_input AS BIGINT) END"
             ).alias("yield_ppm"),
         )
     )

@@ -79,3 +79,27 @@ def hyper_rollup(
         out[b] = lvl
         prev = lvl
     return out
+
+
+def grand_total_on_empty(res: DataFrame, src: DataFrame, filler) -> DataFrame:
+    """Restore the SQL-standard ``()`` grouping set over EMPTY input.
+
+    Standard CUBE / ROLLUP / GROUPING SETS lattices always contain the
+    global ``()`` set, so zero input rows still yield ONE grand-total
+    row (count 0, empty-set sums NULL). Spark expands grouping sets
+    map-side over the input rows (Expand operator), so an empty scan
+    emits NOTHING — the one lattice row a day-one empty partition owes
+    its consumers silently disappears.
+
+    ``filler`` is the literal grand-total row (one Column per output
+    column of ``res``, aliased and cast to the exact result types); it
+    survives only when ``src`` is empty, via an anti-join against a
+    broadcast 1-row probe of ``src``. The probe is ``LIMIT 1`` over a
+    literal projection — column-pruned and short-circuited at the
+    first row, so at 100 TB it costs one partition read, and the
+    anti-join is a 1x1-bounded BroadcastNestedLoopJoin (the documented
+    bounded class, never a CartesianProduct over data).
+    """
+    probe = src.select(F.lit(1).alias("__probe")).limit(1)
+    one = res.sparkSession.range(1).select(*filler)
+    return res.unionByName(one.join(F.broadcast(probe), F.lit(True), "left_anti"))

@@ -129,9 +129,14 @@ def events_srm_check(spark, sf_dir):
         F.count(F.when(F.col("arm") == 0, 1)).alias("n0"),
         F.count(F.when(F.col("arm") == 1, 1)).alias("n1"),
     )
+    # zero enrolled users (day-one empty partition): DuckDB `// 0` is
+    # NULL, Spark ANSI `div` raises — row-level CASE (no try_ variant
+    # for integer div); the NULL>critical comparison then flags 0 on
+    # both engines.
     chi2 = (
-        "CAST(CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n1) * 1000000"
-        " div (n0 + n1) AS BIGINT)"
+        "CASE WHEN n0 + n1 = 0 THEN CAST(NULL AS BIGINT)"
+        " ELSE CAST(CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n1) * 1000000"
+        " div (n0 + n1) AS BIGINT) END"
     )
     return n.select(
         "n0", "n1",
@@ -228,13 +233,15 @@ def layout_zone_map_pruning(spark, sf_dir):
     return ins.crossJoin(bydate).select(
         "n_chunks", "key_skip_n",
         F.expr(
-            "CAST(CAST(key_skip_n AS DECIMAL(38,0)) * 1000000"
-            " div n_chunks AS BIGINT)"
+            "CASE WHEN n_chunks = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST(CAST(key_skip_n AS DECIMAL(38,0)) * 1000000"
+            " div n_chunks AS BIGINT) END"
         ).alias("key_skip_ppm"),
         "date_skip_n",
         F.expr(
-            "CAST(CAST(date_skip_n AS DECIMAL(38,0)) * 1000000"
-            " div n_chunks AS BIGINT)"
+            "CASE WHEN n_chunks = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST(CAST(date_skip_n AS DECIMAL(38,0)) * 1000000"
+            " div n_chunks AS BIGINT) END"
         ).alias("date_skip_ppm"),
         "n_parts", "part_skip_n",
     )

@@ -1850,11 +1850,14 @@ def graph_reciprocity(spark, sf_dir):
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     r = e.join(rev, ["src", "dst"]).agg(F.count(F.lit(1)).alias("n_recip"))
     t = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    # an edgeless graph (empty day-one partition): DuckDB `// 0` is
+    # NULL, Spark ANSI `div` raises — row-level CASE on the zero total
     return t.crossJoin(r).select(
         "n_edges", "n_recip",
         F.expr(
-            "CAST(CAST(n_recip AS DECIMAL(38,0)) * 1000000"
-            " div n_edges AS BIGINT)"
+            "CASE WHEN n_edges = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST(CAST(n_recip AS DECIMAL(38,0)) * 1000000"
+            " div n_edges AS BIGINT) END"
         ).alias("reciprocity_ppm"),
     )
 

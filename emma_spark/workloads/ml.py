@@ -1973,10 +1973,13 @@ def ml_bootstrap_ci_poisson(spark, sf_dir):
         "n",
         F.col("point_c").cast("bigint").alias("point_mean_c"),
         F.col("nb").alias("n_replicates"),
-        F.expr("CAST(element_at(ms, 2) AS BIGINT)").alias("boot_lo_c"),
-        F.expr("CAST(element_at(ms, CAST(nb - 1 AS INT)) AS BIGINT)")
+        # get() (0-based, NULL out-of-range) instead of element_at
+        # (ANSI raise): zero replicates (empty partition) reads NULL
+        # order statistics exactly like the oracle's 1-based ms[i]
+        F.expr("CAST(get(ms, 1) AS BIGINT)").alias("boot_lo_c"),
+        F.expr("CAST(get(ms, CAST(nb - 2 AS INT)) AS BIGINT)")
           .alias("boot_hi_c"),
-        F.expr("CAST(element_at(ms, CAST((nb + 1) div 2 AS INT)) AS BIGINT)")
+        F.expr("CAST(get(ms, CAST((nb + 1) div 2 - 1 AS INT)) AS BIGINT)")
           .alias("boot_median_c"),
     )
 

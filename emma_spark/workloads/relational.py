@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..core import DataBag
 from ..llm.text import ascii_lower, WS_RE
 from ..functions import alg
+from ..operators import rollup as RU
 from ..sources import io
 from . import _nonfinite, corr_mask, qsum, qsum_sql, query, rd, rd_sql, skew_mask
 
@@ -721,12 +722,20 @@ def fold_minmax_struct_ordering(spark, sf_dir):
     """,
 )
 def rollup_orders(spark, sf_dir):
-    """Grouping sets — absent in the reference (SURVEY §2.4 free gain)."""
+    """Grouping sets — absent in the reference (SURVEY §2.4 free gain).
+    The () grouping set survives empty input (count 0, NULL sum — the
+    SQL-standard lattice row Spark's Expand drops on an empty scan)."""
     o = T(spark, sf_dir, "orders")["orders"]
-    return (
+    res = (
         o.df.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), qsum(F.col("o_totalprice"), 4).alias("total"))
     )
+    return RU.grand_total_on_empty(res, o.df, [
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(0).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("total"),
+    ])
 
 
 @query(
@@ -738,7 +747,12 @@ def rollup_orders(spark, sf_dir):
 )
 def cube_lineitem(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")["lineitem"]
-    return li.df.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+    res = li.df.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+    return RU.grand_total_on_empty(res, li.df, [
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(0).cast("bigint").alias("n"),
+    ])
 
 
 # ----------------------------------------------------------------------
@@ -2618,7 +2632,7 @@ def grouping_sets_orders(spark, sf_dir):
     sets map-side and shares a single shuffle, vs three scans for
     three GROUP BYs."""
     o = T(spark, sf_dir, "orders")["orders"].df
-    return o.groupingSets(
+    res = o.groupingSets(
         [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
         "o_orderstatus", "o_orderpriority",
     ).agg(
@@ -2627,6 +2641,12 @@ def grouping_sets_orders(spark, sf_dir):
             "total"
         ),
     )
+    return RU.grand_total_on_empty(res, o, [
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(0).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("total"),
+    ])
 
 
 @query(
@@ -6240,7 +6260,9 @@ def events_conversion_delay(spark, sf_dir):
             F.col("sn").alias("n_signups"),
             F.col("nn").alias("n_converted"),
             F.expr(
-                "CAST(CAST(nn AS DECIMAL(38,0)) * 1000000 div sn AS BIGINT)"
+                "CASE WHEN sn = 0 THEN CAST(NULL AS BIGINT)"
+                " ELSE CAST(CAST(nn AS DECIMAL(38,0)) * 1000000"
+                " div sn AS BIGINT) END"
             ).alias("conv_ppm"),
             "median_delay_min", "p90_delay_min",
         )
@@ -6725,6 +6747,7 @@ def lineitem_ship_latency(spark, sf_dir):
 
 
 _VIT_FOLD = """
+  CASE WHEN size(a) = 0 THEN CAST(NULL AS DECIMAL(38,0)) ELSE
   aggregate(
     transform(sequence(1, size(a)), i ->
       CAST(shiftleft(CAST(1 AS BIGINT), i - 1) AS DECIMAL(38,0)) * E + a[i-1]),
@@ -6736,7 +6759,7 @@ _VIT_FOLD = """
               THEN (acc % (M*M)) div M ELSE acc % M END) * M
       + (CASE WHEN acc div (B*M*M) + gam <= (acc % (B*M*M)) div (M*M)
               THEN (acc % (M*M)) div M ELSE acc % M END) + y div E
-  )"""
+  ) END"""
 
 _VIT_FOLD_DUCK = """
   list_reduce(
@@ -9119,12 +9142,14 @@ def events_bounce_rate(spark, sf_dir):
         F.count(F.lit(1)).alias("n_sessions"),
         F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
         F.expr(
-            "CAST(CAST(count(CASE WHEN n_events = 1 THEN 1 END)"
-            " AS DECIMAL(38,0)) * 1000000 div count(1) AS BIGINT)"
+            "CASE WHEN count(1) = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST(CAST(count(CASE WHEN n_events = 1 THEN 1 END)"
+            " AS DECIMAL(38,0)) * 1000000 div count(1) AS BIGINT) END"
         ).alias("bounce_ppm"),
         F.expr(
-            "CAST(CAST(sum(n_events) AS DECIMAL(38,0)) * 1000"
-            " div count(1) AS BIGINT)"
+            "CASE WHEN count(1) = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST(CAST(sum(n_events) AS DECIMAL(38,0)) * 1000"
+            " div count(1) AS BIGINT) END"
         ).alias("events_per_session_milli"),
     )
 
@@ -9701,11 +9726,19 @@ def rollup_grouping_id_surface(spark, sf_dir):
         F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
         F.count(F.lit(1)).alias("n"),
     )
-    return g.select(
+    res = g.select(
         F.coalesce("o_orderstatus", F.lit("~")).alias("status"),
         F.coalesce("o_orderpriority", F.lit("~")).alias("priority"),
         "gid", "g_status", "g_priority", "n",
     )
+    return RU.grand_total_on_empty(res, o, [
+        F.lit("~").alias("status"),
+        F.lit("~").alias("priority"),
+        F.lit(3).cast("bigint").alias("gid"),
+        F.lit(1).cast("bigint").alias("g_status"),
+        F.lit(1).cast("bigint").alias("g_priority"),
+        F.lit(0).cast("bigint").alias("n"),
+    ])
 
 
 @query(
@@ -9773,10 +9806,20 @@ def udtf_table_argument(spark, sf_dir):
     o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
     vname = f"orders_{fname}"
     # one partition => exactly one terminate() trailer (documented)
-    o.filter(F.col("o_orderkey") % 211 == 0).select(
+    src = o.filter(F.col("o_orderkey") % 211 == 0).select(
         "o_orderkey", "o_totalprice"
-    ).repartition(1).createOrReplaceTempView(vname)
-    return spark.sql(f"SELECT * FROM {fname}(TABLE({vname}))")
+    )
+    src.repartition(1).createOrReplaceTempView(vname)
+    res = spark.sql(f"SELECT * FROM {fname}(TABLE({vname}))")
+    # Spark never instantiates the UDTF for a zero-row input, so the
+    # terminate() trailer a format-writer owes its consumers vanishes
+    # on an empty partition; restore the (id=-1, 0, 0) trailer with
+    # the same probe/anti-join device the grouping-set lattice uses.
+    return RU.grand_total_on_empty(res, src, [
+        F.lit(-1).cast("bigint").alias("id"),
+        F.lit(0).cast("bigint").alias("price_c"),
+        F.lit(0).cast("bigint").alias("band"),
+    ])
 
 
 # amortization packed state: acc = bal * (64 * 2*10^8) + interest * 64
