@@ -480,10 +480,16 @@ class DataBag:
         for r in counts:
             offsets[r["__pid"]] = acc
             acc += r["count"]
-        omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]) if offsets else F.create_map()
+        # empty bag: create_map() is map<void,void> and the lookup
+        # fails ANALYSIS — there are no rows, so the offset is 0
+        if offsets:
+            omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+            idx = F.col("__rn") + omap[F.col("__pid")]
+        else:
+            idx = F.col("__rn")
         out = (
             df.withColumn("__rn", F.row_number().over(w) - 1)
-            .withColumn(index_name, (F.col("__rn") + omap[F.col("__pid")]).cast("long"))
+            .withColumn(index_name, idx.cast("long"))
             .drop("__pid", "__rn")
         )
         return DataBag(out)

@@ -103,6 +103,11 @@ def page_rank_int(
     once the FINAL rank table exists — so the block manager holds one
     rank table at exit, not iters+2 tables until JVM GC."""
     n = nodes.count()
+    if n == 0:
+        # an empty node set has no rank distribution: zero rows (every
+        # CTE of the SQL replay is empty too); no checkpoint handle —
+        # release() is a documented no-op without one
+        return nodes.select(F.col("id"), F.lit(0).cast("bigint").alias("pr"))
     d100 = round(damping * 100)
     teleport = (unit - d100 * unit // 100) // n
     pr0 = nodes.select(F.col("id"), F.lit(unit // n).cast("bigint").alias("pr"))

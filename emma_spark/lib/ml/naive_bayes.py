@@ -50,6 +50,14 @@ def naive_bayes(
     totals = by_label.agg(
         F.sum("l_cnt").alias("n_points"), F.count(F.lit(1)).alias("n_labels")
     ).collect()[0]
+    if totals["n_points"] is None:
+        # empty training set: no labels exist — an empty model frame
+        # with the right schema, not a driver-side None + float crash
+        return by_label.select(
+            F.col(label_col),
+            F.lit(None).cast("double").alias("pi"),
+            F.lit(None).cast("array<double>").alias("theta"),
+        )
     prior_denom = math.log(totals["n_points"] + totals["n_labels"] * lam)
 
     pi = F.log(F.col("l_cnt") + lam) - F.lit(prior_denom)

@@ -46,7 +46,12 @@ def pca_power_top(
     """Dominant principal direction of the (uncentered) data matrix as
     a list of ``dim`` floats (10⁻⁹-quantized unit vector)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        head = df.select(vec_col).first()
+        if head is None:
+            # empty matrix: no direction exists — empty loading vector
+            # (callers materialize it as a zero-row frame)
+            return []
+        dim = len(head[0])
     xc = df.select(
         F.col(id_col),
         F.transform(

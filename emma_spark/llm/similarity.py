@@ -223,7 +223,26 @@ def ivf_topk(
                 f"vec), ...] — the trained path assigns in O(N*C) with zero "
                 f"shuffle"
             )
-    if centroids is not None:
+    if centroids is not None and len(centroids) == 0:
+        # zero trained centroids (empty training corpus): no inverted
+        # lists exist — a NULL cid assigns nothing, the cid equi-join
+        # drops every row, and the result is empty (F.array() of zero
+        # structs is array<void> and fails analysis, so the literal
+        # candidate array cannot even be built)
+        def top_cids(vec: Column, n: int) -> Column:
+            return F.lit(None).cast("array<int>")
+
+        assign = corpus.filter(nonzero(F.col(vec_col))).select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+            top_cids(as_double(F.col(vec_col)), 1)[0].alias("cid"),
+        )
+        probes = queries.filter(nonzero(F.col(vec_col))).select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+            F.explode(top_cids(as_double(F.col(vec_col)), nprobe)).alias("cid"),
+        )
+    elif centroids is not None:
         def top_cids(vec: Column, n: int) -> Column:
             cands = F.array(
                 *[

@@ -315,16 +315,17 @@ def pack_sequences(
     for r in sums:
         offsets[r["__pid"]] = acc
         acc += r["s"]
-    omap = (
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-        if offsets
-        else F.create_map()
-    )
     w = Window.partitionBy("__pid").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum_local = F.sum(F.col(token_col)).over(w)
-    offset = omap[F.col("__pid")] + cum_local - F.col(token_col)
+    # empty corpus: create_map() is map<void,void> and the lookup
+    # fails ANALYSIS — zero partition sums means zero offset
+    if offsets:
+        omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        offset = omap[F.col("__pid")] + cum_local - F.col(token_col)
+    else:
+        offset = cum_local - F.col(token_col)
     # integer `div`, not float `/`: float division drifts past 2^53
     # (the same exactness rule that converted KMV and pagerank in r4)
     return part.select(

@@ -559,8 +559,12 @@ def pipeline_split_leakage_audit(spark, sf_dir):
                            F.col("is_train").alias("tb")), "doc_b")
     )
     counts = sub.agg(
-        F.sum(F.when(F.col("is_train"), 1).otherwise(0)).alias("n_train"),
-        F.sum(F.when(F.col("is_train"), 0).otherwise(1)).alias("n_eval"),
+        # coalesce: sum over an EMPTY corpus is NULL while the oracle's
+        # count(*) FILTER is 0
+        F.coalesce(F.sum(F.when(F.col("is_train"), 1).otherwise(0)),
+                   F.lit(0)).alias("n_train"),
+        F.coalesce(F.sum(F.when(F.col("is_train"), 0).otherwise(1)),
+                   F.lit(0)).alias("n_eval"),
     )
     pair_stats = tagged.agg(
         F.count(F.lit(1)).alias("n_neardup_pairs"),

@@ -346,11 +346,17 @@ def geo_dbscan_clusters(spark, sf_dir):
         _xy_spark("c_custkey", "cx").alias("x"),
         _xy_spark("c_custkey", "cy").alias("y"),
     )
+    # zero customers (empty partition): ANSI div raises — NULL params
+    # over an already-empty point set (the crossJoin emits no rows)
     prm = cust.agg(
-        F.expr("63700000 div count(*)").alias("eps2"),
         F.expr(
-            "CAST(ceil(sqrt(CAST(63700000 div count(*) AS DOUBLE)))"
-            " AS BIGINT)"
+            "CASE WHEN count(*) = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE 63700000 div count(*) END"
+        ).alias("eps2"),
+        F.expr(
+            "CASE WHEN count(*) = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST(ceil(sqrt(CAST(63700000 div count(*) AS DOUBLE)))"
+            " AS BIGINT) END"
         ).alias("cell"),
     )
     pts = pin(cust.crossJoin(F.broadcast(prm)))

@@ -234,9 +234,15 @@ def quantized_kmeans_fit(emb, iters: int = 2, k: int = 4, dims: int = 8):
         ),
     ).persist()
     init_ids = sorted(r["id"] for r in pts.select("id").distinct().orderBy("id").limit(k).collect())
-    mapping = F.create_map(*[F.lit(x) for i, pid in enumerate(init_ids) for x in (pid, i)])
+    # empty input: create_map() is map<void,void> and the lookup fails
+    # ANALYSIS; a NULL cid keeps the (empty) plan well-typed
+    if init_ids:
+        mapping = F.create_map(*[F.lit(x) for i, pid in enumerate(init_ids) for x in (pid, i)])
+        cid = mapping[F.col("id")]
+    else:
+        cid = F.lit(None).cast("int")
     cent = pts.filter(F.col("id").isin(init_ids)).select(
-        mapping[F.col("id")].alias("cid"), "pos", F.col("v").alias("c")
+        cid.alias("cid"), "pos", F.col("v").alias("c")
     )
     for _ in range(iters):
         d = (
@@ -2402,9 +2408,14 @@ def ml_cohens_kappa(spark, sf_dir):
         F.expr(
             "CAST(chance_num * 1000000 div (total * total) AS BIGINT)"
         ).alias("pe_ppm"),
+        # a single-class corpus (maximal skew) makes p_e = 1 and the
+        # chance-correction denominator n² − Σr·c exactly 0: kappa is
+        # UNDEFINED — NULL, matching DuckDB's //0 (was an ANSI raise)
         F.expr(
-            "CAST((diag * total - chance_num) * 1000000"
-            " div (total * total - chance_num) AS BIGINT)"
+            "CASE WHEN total * total - chance_num = 0"
+            " THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST((diag * total - chance_num) * 1000000"
+            " div (total * total - chance_num) AS BIGINT) END"
         ).alias("kappa_ppm"),
     )
 
@@ -2481,14 +2492,21 @@ def ml_feature_hash_collision_audit(spark, sf_dir):
     tot = f.agg(F.count(F.lit(1)).alias("n_features"))
     coll = F.when(F.col("n") >= 2, F.col("n"))
     return occ.crossJoin(F.broadcast(tot)).agg(
-        F.max("n_features").alias("n_features"),
+        # empty vocabulary: the crossJoin emits no rows, so max() sees
+        # nothing — coalesce to the oracle's scalar-subquery 0, and
+        # NULL the ppm ratio (DuckDB x//0) instead of 0-div-0 raising
+        F.coalesce(F.max("n_features"), F.lit(0).cast("bigint")).alias(
+            "n_features"
+        ),
         F.count(F.lit(1)).alias("n_buckets_used"),
         F.coalesce(F.sum(coll), F.lit(0)).cast("bigint").alias(
             "n_colliding_features"
         ),
         F.expr(
-            "CAST(CAST(coalesce(sum(CASE WHEN n >= 2 THEN n END), 0)"
-            " AS DECIMAL(38,0)) * 1000000 div max(n_features) AS BIGINT)"
+            "CASE WHEN coalesce(max(n_features), 0) = 0"
+            " THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST(CAST(coalesce(sum(CASE WHEN n >= 2 THEN n END), 0)"
+            " AS DECIMAL(38,0)) * 1000000 div max(n_features) AS BIGINT) END"
         ).alias("collision_ppm"),
         F.max("n").alias("max_bucket_occupancy"),
     )

@@ -8378,7 +8378,14 @@ def parquet_partitioned_roundtrip(spark, sf_dir):
     docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet")
     path = tempfile.mkdtemp(prefix="emma_pq_part_") + "/docs"
     DataBag(docs.df).write_parquet(path, partition_by=["lang"])
-    back = spark.read.parquet(path).filter(F.col("lang").isin("en", "de"))
+    # explicit schema: an EMPTY write leaves only _SUCCESS behind and
+    # schema inference fails — the day-one-partition read-back
+    # contract is "reader declares the table schema, empty layout
+    # reads as zero rows", exactly what a catalog-backed table does
+    back = (
+        spark.read.schema(docs.df.schema).parquet(path)
+        .filter(F.col("lang").isin("en", "de"))
+    )
     return back.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").alias("chars"),
@@ -10233,7 +10240,10 @@ def join_dynamic_partition_pruning(spark, sf_dir):
     docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet")
     path = tempfile.mkdtemp(prefix="emma_pq_dpp_") + "/docs"
     DataBag(docs.df).write_parquet(path, partition_by=["lang"])
-    fact = spark.read.parquet(path)
+    # explicit schema (see parquet_partitioned_roundtrip): an empty
+    # write has no files to infer from; a declared schema reads it as
+    # zero rows and DPP still prunes the (zero) partitions
+    fact = spark.read.schema(docs.df.schema).parquet(path)
     dim = (
         docs.df.filter(F.col("doc_id") % 97 == 3)
         .select("lang").distinct()

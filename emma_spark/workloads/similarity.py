@@ -1816,6 +1816,11 @@ def dedup_semantic_clusters(spark, sf_dir):
     cents = sorted((cid, [d[p] for p in sorted(d)]) for cid, d in acc.items())
 
     def top_cid(vec):
+        if not cents:
+            # empty training corpus: zero centroids — NULL cid assigns
+            # nothing and the cid self-join yields no pairs (array()
+            # of zero structs is array<void>, unanalyzable)
+            return F.lit(None).cast("int")
         cands = F.array(
             *[
                 F.struct(
