@@ -174,14 +174,17 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # stays verified by tools/diffcheck.py --vanilla each round.
 _PRIORITY = [
     # ---- R9 WINDOW. Staged by tools/staleness.py (NEW this round —
-    # the changed tier is now DERIVED, not hand-listed): all 48
+    # the changed tier is now DERIVED, not hand-listed): the
     # STALE-UNCOVERED greens (queries where no driver green anywhere
     # certifies the current code of a changed transitive dependency
     # — the r8 rd/qsum totality rewrite and its r9 two-aggregate
     # slimming, the fixpoint/carry_ckpt release-handle plumbing, the
-    # r8-hardened multimodal kernels, plus own-source edits from
-    # r2-r6 the hand-derived verdict lists never caught), then the
-    # two queries changed THIS round that have no driver row at all.
+    # r8-hardened multimodal kernels, own-source edits from r2-r6 the
+    # hand-derived verdict lists never caught, and the late-r9
+    # empty-fact/monokey-tier fixes), then the two queries changed
+    # THIS round that have no driver row at all. Single-dep consumers
+    # whose helper is re-certified by an in-window sibling green are
+    # deliberately left out (they reclassify stale-covered).
     # Stale-COVERED and stale-infra-only names (helpers re-certified
     # through newer greens of sibling consumers / universal plumbing
     # exercised by every window) stay tri-SF-verified locally; see
@@ -194,23 +197,30 @@ _PRIORITY = [
     "ml_encode_dict_freq", "ml_kfold_crossval", "ml_kmeans_fit",
     "ml_linreg_closed_form", "scalar_expr_surface",
     "scd2_point_in_time_lookup", "text_quality",
-    # (b) qsum consumers (r8 totality guard + r9 coalesce slimming) —
-    # 10 representatives; the five rotated out (fold_global,
-    # groupby_having, pivot_status_by_priority, range_join_price_bands,
-    # rollup_orders — plus join_broadcast/mutable_bag_update earlier)
-    # share qsum as their ONLY changed dep and reclassify as
-    # stale-covered once these green:
+    # (b) qsum/rd representatives — groupby_agg_pricing + rollup_orders
+    # carry qsum, agg_stats_moments/scalar_expr_surface/ml_kfold/
+    # ml_linreg carry rd; the q1-family consumers rotated out for the
+    # empty-tier slots below share those as their ONLY changed dep and
+    # reclassify as stale-covered once this window greens:
     "groupby_agg_pricing",
-    "q10_returned_item_customers", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q22_dormant_customers",
-    "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_volume_shipping", "q9_profit_by_nation_year",
-    "skew_salted_join_agg",
-    # (c) rd consumers:
-    "agg_percentiles", "agg_stats_moments", "map_project",
+    "agg_stats_moments",
+    # (c) empty-fact-tier fixes to queries with driver greens (own
+    # source or a uniquely-owned helper changed late in r9 — the
+    # grand-total-on-empty lattice row, reader-declared roundtrip
+    # schemas, zero-seed guards): each needs its own slot;
+    # ann_ivf_trained also re-certifies ivf_topk for ann_ivf_topk,
+    # text_pack_sequences re-certifies pack_sequences for
+    # multimodal_shard_plan:
+    "rollup_orders", "cube_lineitem", "grouping_sets_orders",
+    "ann_ivf_trained", "events_burst_viterbi", "events_conversion_delay",
+    "join_dynamic_partition_pruning", "parquet_partitioned_roundtrip",
+    "pipeline_split_leakage_audit", "ml_naive_bayes_train",
+    "ml_pca_power_top", "text_pack_sequences",
     # (d) other uncovered helper rewrites (release handles, scores_df
-    # try_divide, multimodal poison-row hardening, text kernels):
-    "graph_modularity", "graph_ppr_seed", "dedup_minhash_signature",
+    # try_divide, multimodal poison-row hardening, text kernels;
+    # graph_pagerank above re-certifies _power_iterate for
+    # graph_ppr_seed):
+    "graph_modularity", "dedup_minhash_signature",
     "ml_eval_scores", "multimodal_audio_features",
     "multimodal_frame_sample", "multimodal_image_features",
     "pipeline_corpus_curation", "sketch_countmin_tokens",

@@ -272,3 +272,63 @@ def test_fuzz_nan_subset(spark):
         st, detail = compare_one(
             spark, con, name, qs[name].fn, qs[name].oracle, path)
         assert st == "engine-error", (name, st, detail[:200])
+
+
+# the 26 empty-fact-tier finds (late r9): grand-total lattice rows,
+# zero-total ppm guards, map<void,void> seeds, driver-side None
+# arithmetic, empty write->read, NULL-vs-0 empty aggregates — pinned
+# on the zero-row warehouse that found them
+_EMPTY_SUBSET = {
+    "rollup_orders", "cube_lineitem", "grouping_sets_orders",
+    "rollup_grouping_id_surface", "udtf_table_argument",
+    "events_srm_check", "events_bounce_rate", "graph_reciprocity",
+    "pipeline_curation_funnel", "ml_bootstrap_ci_poisson",
+    "events_burst_viterbi", "ml_kmeans_fit", "text_pack_sequences",
+    "ann_ivf_trained", "graph_pagerank_sf", "ml_naive_bayes_train",
+    "ml_pca_power_top", "parquet_partitioned_roundtrip",
+    "pipeline_split_leakage_audit", "ml_feature_hash_collision_audit",
+}
+
+
+def test_fuzz_empty_facts_subset(spark):
+    """EMPTY-fact-tables tier (late r9): zero-row facts are the
+    day-one-partition shape — the SQL-standard () grouping set must
+    survive (one grand-total row), ppm ratios NULL out like DuckDB
+    x//0, literal map/array seeds built from empty collects must not
+    fail analysis, and driver-side model fits return typed empty
+    frames instead of None-arithmetic crashes."""
+    from tools import fuzzcheck_empty
+
+    path = fuzzcheck_empty.build_corpus()
+    con = fuzzcheck_empty.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, set(fuzzcheck_empty.ALL_TABLES),
+        only=_EMPTY_SUBSET, quiet=True,
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok == len(_EMPTY_SUBSET), (n_ok, n_skip)
+
+
+# the monokey-skew tier's find plus tie-density/giant-window canaries
+_SKEW_SUBSET = {
+    "ml_cohens_kappa", "events_sessionize", "window_topn_per_group",
+    "dedup_lsh_bucket_stats", "q5_local_supplier_volume",
+    "ml_nearest_centroid_confusion",
+}
+
+
+def test_fuzz_monokey_skew_subset(spark):
+    """MONOKEY-skew tier (late r9): every FK/grouping key collapsed to
+    one value — single-group aggregates (kappa's zero chance-correction
+    denominator), one user's giant session window, maximal tie density
+    under the widened-slot argmax rule, worst-case LSH bucket load."""
+    from tools import fuzzcheck_skew
+
+    path = fuzzcheck_skew.build_corpus()
+    con = fuzzcheck_skew.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, set(fuzzcheck_skew.ALL_TABLES),
+        only=_SKEW_SUBSET, quiet=True,
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok == len(_SKEW_SUBSET), (n_ok, n_skip)
