@@ -202,8 +202,13 @@ _PRIORITY = [
     # ml_linreg carry rd; the q1-family consumers rotated out for the
     # empty-tier slots below share those as their ONLY changed dep and
     # reclassify as stale-covered once this window greens:
-    "groupby_agg_pricing",
     "agg_stats_moments",
+    # datetime_ops_surface: green r4, its unix_timestamp epoch-seconds
+    # output was rewritten by the late-r9 epoch-straddle tier find
+    # (truncate-toward-zero vs calendar floor pre-1970) — own-source
+    # change, needs its own slot; groupby_agg_pricing rotated out for
+    # it (qsum stays certified through rollup_orders below):
+    "datetime_ops_surface",
     # (c) empty-fact-tier fixes to queries with driver greens (own
     # source or a uniquely-owned helper changed late in r9 — the
     # grand-total-on-empty lattice row, reader-declared roundtrip

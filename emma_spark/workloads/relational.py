@@ -1741,7 +1741,14 @@ def datetime_ops_surface(spark, sf_dir):
             F.dayofmonth(ts).alias("d"), F.hour(ts).alias("h"),
             F.date_add(ts.cast("date"), 30).cast("timestamp").alias("plus30"),
             F.date_trunc("day", ts).alias("day_start"),
-            F.unix_timestamp(ts).alias("epoch_s"),
+            # NOT unix_timestamp(): it truncates toward ZERO, so on a
+            # pre-1970 fractional timestamp it lands one second LATE
+            # of the calendar second (-1295401 vs -1295402 — found by
+            # the epoch-straddle fuzz tier); date_trunc('second')
+            # floors calendar-wise on both engines, then the div over
+            # integral microseconds is exact
+            F.expr("unix_micros(date_trunc('second', ts)) div 1000000")
+             .alias("epoch_s"),
         )
     )
 

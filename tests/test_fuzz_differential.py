@@ -332,3 +332,32 @@ def test_fuzz_monokey_skew_subset(spark):
     )
     assert not failures, "\n".join(failures)
     assert n_ok == len(_SKEW_SUBSET), (n_ok, n_skip)
+
+
+# the epoch-straddle tier's find (unix_timestamp truncates toward zero
+# pre-1970) plus day-bucket/gap/session canaries on negative epochs;
+# stream_* is excluded by the documented watermark>=epoch-0 domain
+# contract (tools/fuzzcheck_epoch.py)
+_EPOCH_SUBSET = {
+    "datetime_ops_surface", "events_sessionize", "events_interval_merge",
+    "events_resample_linear", "hyper_rollup_daily", "events_bounce_rate",
+    "orders_yoy_growth",
+}
+
+
+def test_fuzz_epoch_straddle_subset(spark):
+    """EPOCH-straddle tier (late r9): the corpus shifted to straddle
+    1970-01-01 inside its original span — negative-epoch division,
+    calendar truncation, and gap arithmetic must agree cross-engine
+    (the tier's first run caught unix_timestamp landing one second
+    late of the calendar second on pre-1970 fractional timestamps)."""
+    from tools import fuzzcheck_epoch
+
+    path = fuzzcheck_epoch.build_corpus()
+    con = fuzzcheck_epoch.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, set(fuzzcheck_epoch.ALL_TABLES),
+        only=_EPOCH_SUBSET, quiet=True, exclude_prefixes=("stream_",),
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok == len(_EPOCH_SUBSET), (n_ok, n_skip)
