@@ -309,3 +309,34 @@ def test_substring_coverage_matches_position_sets(spark):
             want[k] = (len(t), len(covered), len(covered) * 10**6 // len(t))
     assert got == want
     assert 1 in got and 2 in got and 3 in got and 4 not in got
+
+
+def test_grand_total_on_empty_restores_lattice_row(spark):
+    """SQL-standard CUBE/ROLLUP emits the () grouping set even over
+    zero input rows; Spark's Expand emits nothing. The filler row must
+    appear EXACTLY when the source is empty — and never duplicate the
+    real grand-total row when it is not."""
+    from emma_spark.operators.rollup import grand_total_on_empty
+
+    src = spark.range(10).select(
+        (F.col("id") % 2).cast("string").alias("k"),
+        F.col("id").alias("v"),
+    )
+    filler = lambda: [
+        F.lit(None).cast("string").alias("k"),
+        F.lit(0).cast("bigint").alias("n"),
+        F.lit(None).cast("bigint").alias("s"),
+    ]
+    agg = lambda d: d.cube("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    nonempty = grand_total_on_empty(agg(src), src, filler()).collect()
+    # 2 detail groups + 1 real grand total, no filler
+    assert len(nonempty) == 3
+    totals = [r for r in nonempty if r["k"] is None]
+    assert len(totals) == 1 and totals[0]["n"] == 10 and totals[0]["s"] == 45
+
+    empty = src.filter(F.lit(False))
+    rows = grand_total_on_empty(agg(empty), empty, filler()).collect()
+    assert len(rows) == 1
+    assert rows[0]["k"] is None and rows[0]["n"] == 0 and rows[0]["s"] is None

@@ -283,3 +283,38 @@ def test_pyds_stream_resumes_from_checkpointed_offset(spark, tmp_path):
     assert got.count() == 5000
     assert got.select(F.sum("id")).collect()[0][0] == sum(range(5000))
     assert got.select(F.countDistinct("id")).collect()[0][0] == 5000
+
+
+def test_watermark_epoch_floor_contract(spark, tmp_path):
+    """DOMAIN CONTRACT (late r9, epoch-straddle tier): Spark's
+    watermark metric is floored at epoch 0, so a watermarked append
+    aggregation SILENTLY drops every pre-1970 window as late — while
+    post-epoch windows from the same corpus emit. If this test ever
+    fails with pre-1970 rows PRESENT, Spark lifted the bound: delete
+    the with_watermark domain note and re-admit stream_* to
+    tools/fuzzcheck_epoch.py."""
+    import uuid
+
+    from emma_spark.streaming import api as S
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i, __import__("datetime").datetime(1969, 12, 31, 22, 0, 0)
+          + __import__("datetime").timedelta(hours=i)) for i in range(6)],
+        "id bigint, ts timestamp",
+    ).write.parquet(src)
+    stream = S.with_watermark(
+        S.read_stream_parquet(spark, src, "id bigint, ts timestamp"),
+        "ts", "10 minutes",
+    )
+    agg = S.tumbling(stream, "ts", "1 hour").agg(F.count(F.lit(1)).alias("n"))
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, output_mode="append")
+    starts = sorted(r["s"] for r in
+                    spark.table(name).select(F.col("window.start").alias("s")).collect())
+    # 6 hourly events straddle midnight: the 2 pre-1970 windows are
+    # dropped; of the 4 post-epoch ones, append mode withholds those
+    # not yet below the final watermark (max(ts) - 10 min) — at least
+    # the 00:00/01:00 windows must emit, and nothing pre-epoch may
+    assert all(s >= __import__("datetime").datetime(1970, 1, 1) for s in starts), starts
+    assert 2 <= len(starts) <= 4, starts
