@@ -8,6 +8,17 @@ engine surface as DataBag, with event-time windowing + watermarks for
 late data, and ``applyInPandasWithState`` for arbitrary keyed state.
 Everything is executor-side; state lives in the state store (RocksDB
 on a real cluster), never the driver.
+
+WATERMARK DOMAIN CONTRACT (late r9, epoch-straddle fuzz tier): event
+times must be >= 1970-01-01T00:00Z. Spark's internal watermark metric
+is floored at epoch 0, so every pre-epoch window is silently dropped
+as late regardless of the configured delay (probed: on a
+1970-straddling corpus the surviving windows start exactly at the
+epoch — pinned in tests/test_streaming.py::
+test_watermark_epoch_floor_contract). Pre-1970 event times in a
+watermarked stream are upstream data corruption; quarantine them
+BEFORE the watermark — the engine cannot retain them. Full contract
+notes: docs/SCALE.md "Epoch-boundary contracts".
 """
 
 from __future__ import annotations
@@ -38,15 +49,7 @@ def read_stream_rate(spark: SparkSession, rows_per_sec: int = 100) -> DataFrame:
 
 def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
     """Late-data bound; state for windows older than max(event time) −
-    delay is evicted — REQUIRED for unbounded-stream aggregations.
-
-    DOMAIN CONTRACT: event times must be >= 1970-01-01T00:00Z. Spark's
-    internal watermark metric is floored at epoch 0, so every
-    pre-epoch window is silently dropped as late regardless of the
-    configured delay (probed on a 1970-straddling corpus: surviving
-    windows start exactly at the epoch). Pre-1970 event times in a
-    watermarked stream are data corruption upstream; route them to a
-    quarantine before the watermark, the engine cannot retain them."""
+    delay is evicted — REQUIRED for unbounded-stream aggregations."""
     return df.withWatermark(ts_col, delay)
 
 
