@@ -20,7 +20,7 @@ happen to agree at this SF.
 
 Usage:
 
-    python tools/diffcheck.py [--vanilla] [sf_dir] [query ...]
+    python tools/diffcheck.py [--vanilla | --partitions=N] [sf_dir] [query ...]
 
 Defaults to /root/testdata/sf0.01 and all queries.
 """
@@ -156,12 +156,36 @@ def main() -> int:
     from emma_spark.session import get_spark
     import __spark_entry__ as e
 
-    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    parts = None
+    for a in sys.argv[1:]:
+        if a.startswith("--partitions="):
+            parts = int(a.split("=", 1)[1])
+    argv = [a for a in sys.argv[1:]
+            if a != "--vanilla" and not a.startswith("--partitions=")]
     vanilla = "--vanilla" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
-    if vanilla:
+    if parts is not None:
+        # PARTITION-INVARIANCE mode: a hostile layout (odd worker
+        # count, tiny input splits so every file fractures, AQE off so
+        # nothing re-coalesces) — results must hash IDENTICALLY to the
+        # layout-independent DuckDB oracle, so any diff here is an
+        # order/partition-sensitivity bug (an unsorted collect_list, a
+        # partition-dependent index, a fold that assumes arrival order)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[7]")
+            .config("spark.sql.shuffle.partitions", str(parts))
+            .config("spark.default.parallelism", "7")
+            .config("spark.sql.files.maxPartitionBytes", "65536")
+            .config("spark.sql.files.openCostInBytes", "0")
+            .config("spark.sql.adaptive.enabled", "false")
+            .appName("diffcheck-partitions")
+            .getOrCreate()
+        )
+    elif vanilla:
         # simulate the driver harness: a plain session with none of the
         # repo factory's confs, so portability regressions surface here
         from pyspark.sql import SparkSession
