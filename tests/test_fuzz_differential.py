@@ -361,3 +361,31 @@ def test_fuzz_epoch_straddle_subset(spark):
     )
     assert not failures, "\n".join(failures)
     assert n_ok == len(_EPOCH_SUBSET), (n_ok, n_skip)
+
+
+# domain-maximum canaries: the heaviest product/sum pipelines run with
+# every measure at its documented domain ceiling — any future unlifted
+# LONG product or saturating floor-quantization diverges here first
+_DMAX_SUBSET = {
+    "groupby_agg_pricing", "q9_profit_by_nation_year", "agg_stats_moments",
+    "orders_jarque_bera", "ml_linreg_closed_form", "embedding_neardup",
+}
+
+
+def test_fuzz_domain_max_subset(spark):
+    """DOMAIN-MAX tier (late r9): measures scaled to the top of their
+    documented input domains (value ±1e6, |embedding| <= 30, prices
+    ~1e6) — the magnitude regime where a product that should be
+    DECIMAL(38,0)/HUGEINT-lifted overflows LONG. First full-registry
+    run was 397/397 clean; this subset keeps the bound-regime canaries
+    in the default gate."""
+    from tools import fuzzcheck_domainmax
+
+    path = fuzzcheck_domainmax.build_corpus()
+    con = fuzzcheck_domainmax.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, set(fuzzcheck_domainmax.ALL_TABLES),
+        only=_DMAX_SUBSET, quiet=True,
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok == len(_DMAX_SUBSET), (n_ok, n_skip)
