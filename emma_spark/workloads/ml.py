@@ -1477,15 +1477,29 @@ def ml_gridsearch_ridge(spark, sf_dir):
         F.sum(F.col("xq").cast(dec) * F.col("xq")).alias("sxx"),
         F.sum(F.col("xq").cast(dec) * F.col("yq")).alias("sxy"),
     )
-    tot = fs.agg(
-        F.sum("n").alias("tn"), F.sum("sx").alias("tsx"), F.sum("sy").alias("tsy"),
-        F.sum("sxx").alias("tsxx"), F.sum("sxy").alias("tsxy"),
+    # grand totals via an unpartitioned window over the k-row fold
+    # table (exact decimal sums, order-independent) — NOT a second
+    # aggregate over fs: a separate `fs.agg(...)` branch recompiles
+    # the fold-stats scan (3 lineitem FileScans in the physical plan),
+    # while the window keeps the whole model grid inside ONE stats
+    # scan + ONE eval scan. The window's partition is the fold table
+    # itself — k rows at any data scale, never a data-sized shuffle.
+    from pyspark.sql import Window as W
+
+    wall = W.partitionBy()
+    tot_over = fs.select(
+        "fold", "n", "sx", "sy", "sxx", "sxy",
+        F.sum("n").over(wall).alias("tn"),
+        F.sum("sx").over(wall).alias("tsx"),
+        F.sum("sy").over(wall).alias("tsy"),
+        F.sum("sxx").over(wall).alias("tsxx"),
+        F.sum("sxy").over(wall).alias("tsxy"),
     )
     lams = spark.range(1).select(
         F.explode(F.array(F.lit(0.0), F.lit(10.0), F.lit(1000.0))).alias("lam")
     )
     tr = (
-        fs.crossJoin(F.broadcast(tot))
+        tot_over
         .crossJoin(F.broadcast(lams))
         .select(
             "fold", "lam",
@@ -2694,6 +2708,8 @@ def ml_gbdt_residual_boost(spark, sf_dir):
     values, MSE before/after per round) is the output — at 100 TB
     rounds add one scan each, and the candidate agg is map-side
     combined."""
+    from ..plans.cache import pin
+
     li = io.read_parquet(spark, f"{sf_dir}/lineitem.parquet").df
     base = li.select(
         F.col("l_quantity").cast("bigint").alias("x1"),
@@ -2702,35 +2718,96 @@ def ml_gbdt_residual_boost(spark, sf_dir):
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
          .cast("bigint").alias("y_c"),
     )
-    f0 = base.agg(F.expr("sum(y_c) div count(*)").alias("mu"))
-    d1 = base.crossJoin(F.broadcast(f0)).select(
-        "x1", "x2", (F.col("y_c") - F.col("mu")).alias("r")
-    )
+    # TWO data passes total — one per boosting round. Each round's
+    # 1-row stats table is PINNED (it fans out to the next round's
+    # residual update and the report row; an unpinned 1-row aggregate
+    # re-compiles its whole upstream lineage at every reference —
+    # measured 24 lineitem FileScans in the physical plan, zero
+    # ReusedExchange, because the branches are distinct plan objects
+    # Catalyst never unifies). Round 1 fuses with the mean fit via the
+    # exact shift identity (mu is an INTEGER, so the residual moments
+    # are linear in the raw y moments), and the post-round MSE derives
+    # exactly from the SELECTED split's stats — so neither the mean
+    # fit nor any MSE of the trace costs a scan of its own. The
+    # identities are NULL-AWARE (aggregate sums skip NULL measures but
+    # the oracle's candidate counts n_t do NOT — two different row
+    # populations, so each correction term rides its own non-NULL
+    # count nn):
+    #   Σ_nn{x<=t}(y-mu) = Σ_{x<=t}y - nn_t*mu
+    #   Σ_nn(y-mu)       = Σy - nn*mu
+    #   Σ_nn(y-mu)^2     = Σy^2 - 2*mu*Σy + nn*mu^2
+    #   Σ_nn(r-leaf)^2   = Σr^2 - 2(vl*sl + vr*(s-sl))
+    #                      + nlnn*vl^2 + (nn-nlnn)*vr^2
+    # (x NULL rows take the ELSE leaf vr on both engines; rows with a
+    # NULL measure contribute to counts but never to sums). All exact
+    # integer algebra on DECIMAL(38,0) — bit-identical to the oracle's
+    # direct replay, including NULL-measure corpora.
 
-    def boost_round(d, xcol, cands):
-        # hist-mode as COLUMNS, not rows: the 9 candidates' conditional
-        # sums are 2k+2 aggregate columns over ONE pass of the data —
+    def round_stats(d, xcol, vcol, cands):
+        # hist-mode as COLUMNS, not rows: the candidates' conditional
+        # sums are 3k+4 aggregate columns over ONE pass of the data —
         # vs the explode-candidates form (broadcast nested-loop join
         # replicating every row k times before a groupBy(t)), same
         # per-row comparison count but no k× row materialization and
-        # no join operator at all. The 1-row result unpivots to the
-        # (t, sl, nl, s, n) shape driver-side-free via explode.
-        one = d.agg(
+        # no join operator at all. The same pass carries Σv² — the
+        # MSE numerator — so the fit trace costs no extra scan.
+        return pin(d.agg(
             *[a for t in cands for a in (
-                F.sum(F.when(F.col(xcol) <= F.lit(t), F.col("r"))
+                F.sum(F.when(F.col(xcol) <= F.lit(t), F.col(vcol))
                       .otherwise(0)).cast("decimal(38,0)").alias(f"sl_{t}"),
                 F.sum(F.when(F.col(xcol) <= F.lit(t), 1).otherwise(0))
                  .cast("decimal(38,0)").alias(f"nl_{t}"),
+                F.sum(F.when((F.col(xcol) <= F.lit(t))
+                             & F.col(vcol).isNotNull(), 1).otherwise(0))
+                 .cast("decimal(38,0)").alias(f"nn_{t}"),
             )],
-            F.sum("r").cast("decimal(38,0)").alias("s"),
+            F.sum(vcol).cast("decimal(38,0)").alias("s"),
             F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        )
+            F.count(vcol).cast("decimal(38,0)").alias("nn"),
+            F.sum(F.expr(f"CAST({vcol} AS DECIMAL(38,0)) * {vcol}"))
+             .alias("rr"),
+        ))
+
+    cands1 = [5, 10, 15, 20, 25, 30, 35, 40, 45]
+    cands2 = [1, 2, 3, 4, 5, 6, 7, 8, 9]
+
+    # scan 1: raw y moments + candidate y sums on x1, shifted to
+    # residual moments (exact — see identities above) in a 1-row
+    # select. Every mu correction is gated on its non-NULL count being
+    # positive: a zero count means the term is exactly 0 even when mu
+    # itself is NULL (no non-NULL y anywhere), matching the direct
+    # replay where the 0-initialized conditional sums stay 0.
+    one_y = round_stats(base, "x1", "y_c", cands1)
+    mu = F.expr("s div n")
+
+    def shift(total, cnt):
+        return (total - F.when(cnt > 0, cnt * mu).otherwise(F.lit(0)))
+
+    one1 = one_y.select(
+        mu.alias("mu"),
+        *[x for t in cands1 for x in (
+            shift(F.col(f"sl_{t}"), F.col(f"nn_{t}"))
+            .cast("decimal(38,0)").alias(f"sl_{t}"),
+            F.col(f"nl_{t}"),
+            F.col(f"nn_{t}"),
+        )],
+        shift(F.col("s"), F.col("nn")).cast("decimal(38,0)").alias("s"),
+        F.col("n"),
+        F.col("nn"),
+        (F.col("rr")
+         - F.when(F.col("nn") > 0, 2 * mu * F.col("s")).otherwise(F.lit(0))
+         + F.when(F.col("nn") > 0, F.col("nn") * mu * mu).otherwise(F.lit(0)))
+        .cast("decimal(38,0)").alias("rr"),
+    )
+
+    def boost_round(one, cands):
         agg = one.select(
             F.explode(F.array(*[
                 F.struct(
                     F.lit(t).alias("t"),
                     F.col(f"sl_{t}").alias("sl"),
                     F.col(f"nl_{t}").alias("nl"),
+                    F.col(f"nn_{t}").alias("nnl"),
                     F.col("s"), F.col("n"),
                 )
                 for t in cands
@@ -2739,7 +2816,7 @@ def ml_gbdt_residual_boost(spark, sf_dir):
         scored = agg.filter(
             (F.col("nl") > 0) & (F.col("nl") < F.col("n"))
         ).select(
-            "t", F.col("nl").alias("n_left"),
+            "t", F.col("nl").alias("n_left"), "sl", "nnl",
             F.expr("sl div nl").alias("vl"),
             F.expr("(s - sl) div (n - nl)").alias("vr"),
             F.expr(
@@ -2747,34 +2824,56 @@ def ml_gbdt_residual_boost(spark, sf_dir):
                 " * 100 + t"
             ).alias("key"),
         )
+        # sl_star / nlnn_star (the residual sum and non-NULL row count
+        # under the chosen threshold) ride along so the post-split MSE
+        # derives algebraically — no re-scan of the updated residuals
         return scored.agg(
             F.min_by("t", "key").alias("thr"),
             F.min_by("vl", "key").alias("vl"),
             F.min_by("vr", "key").alias("vr"),
             F.min_by("n_left", "key").alias("n_left"),
+            F.min_by("sl", "key").alias("sl_star"),
+            F.min_by("nnl", "key").alias("nlnn_star"),
         )
 
-    p1 = boost_round(d1, "x1", [5, 10, 15, 20, 25, 30, 35, 40, 45])
-    d2 = d1.crossJoin(F.broadcast(p1)).select(
-        "x1", "x2",
-        (F.col("r") - F.when(F.col("x1") <= F.col("thr"), F.col("vl"))
-         .otherwise(F.col("vr")).cast("bigint")).alias("r"),
-    )
-    p2 = boost_round(d2, "x2", [1, 2, 3, 4, 5, 6, 7, 8, 9])
-    d3 = d2.crossJoin(F.broadcast(p2)).select(
-        (F.col("r") - F.when(F.col("x2") <= F.col("thr"), F.col("vl"))
-         .otherwise(F.col("vr")).cast("bigint")).alias("r"),
-    )
+    def mse_of(one):
+        # Σr² and n ride the round's single-pass stats row; div on
+        # DECIMAL(38,0) is the same exact integer mse as the oracle's
+        # sum(r²) // n
+        return one.select(
+            F.expr("CAST(rr div n AS BIGINT)").alias("mse")
+        )
 
-    def mse(d):
-        return d.agg(
+    def mse_after(one, p):
+        # Σ(r - leaf)² expanded over the split's two leaves — exact
+        # integer identity over the NON-NULL residual population (NULL
+        # x rows take the vr leaf; NULL r rows stay NULL and are
+        # skipped by the sum on both engines, while the denominator
+        # stays count(*)). NULL thr = no valid split ⇒ NULL, matching
+        # the direct replay where every updated residual is NULL.
+        return one.crossJoin(F.broadcast(p)).select(
             F.expr(
-                "CAST(sum(CAST(r AS DECIMAL(38,0)) * r) div count(*)"
-                " AS BIGINT)"
+                "CAST((rr - 2 * (vl * sl_star + vr * (s - sl_star))"
+                " + (nlnn_star * vl * vl + (nn - nlnn_star) * vr * vr))"
+                " div n AS BIGINT)"
             ).alias("mse")
         )
 
-    m1, m2, m3 = mse(d1), mse(d2), mse(d3)
+    p1 = boost_round(one1, cands1)
+    d2 = base.crossJoin(F.broadcast(one_y.select(mu.alias("mu")))).crossJoin(
+        F.broadcast(p1)
+    ).select(
+        "x2",
+        (F.col("y_c") - F.col("mu")
+         - F.when(F.col("x1") <= F.col("thr"), F.col("vl"))
+         .otherwise(F.col("vr")).cast("bigint")).alias("r"),
+    )
+    # scan 2: candidate residual sums on x2 (+ Σr² = round-2 input MSE)
+    one2 = round_stats(d2, "x2", "r", cands2)
+    p2 = boost_round(one2, cands2)
+
+    m1, m2 = mse_of(one1), mse_of(one2)
+    m3 = mse_after(one2, p2)
     row1 = (
         p1.crossJoin(m1.withColumnRenamed("mse", "mse_before"))
           .crossJoin(m2.withColumnRenamed("mse", "mse_after"))
