@@ -264,6 +264,13 @@ def binned_quantiles(
         .groupBy("bin", "__lo", "__hi", "__n")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # the histogram is PINNED: the read-off below references it once
+    # per requested quantile, and unpinned each reference recompiles
+    # the full input scan (3 quantiles cost 6 scans); pinned state is
+    # <= bins rows at any data size
+    from ..plans.cache import pin
+
+    binned = pin(binned)
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = binned.withColumn("cum", F.sum("cnt").over(w))
     out = None

@@ -651,11 +651,21 @@ def graph_jaccard_neighbors(spark, sf_dir):
     dominate, so a web-scale run caps or samples super-node
     adjacency first (same Σ|bucket|² discipline as every LSH path
     here); the pair agg is one hash-shuffle with map-side combine."""
+    from ..plans.cache import pin
+
+    # ONE events pass builds the undirected adjacency (explode of both
+    # directions, not a self-union that scans the source twice), and
+    # it is PINNED: both wedge legs and the degree table consume it —
+    # unpinned this plan compiled 8 events FileScans. Degrees are
+    # pinned too (node-sized, consumed by both endpoint joins).
     e = _hash_edges(spark, sf_dir)
-    ue = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
-    deg = ue.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ue = pin(e.select(
+        F.explode(F.array(
+            F.struct(F.col("u"), F.col("v")),
+            F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+        )).alias("z")
+    ).select("z.*").distinct())
+    deg = pin(ue.groupBy("u").agg(F.count(F.lit(1)).alias("d")))
     a, b = ue.alias("a"), ue.alias("b")
     wedges = (
         a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")))
@@ -968,34 +978,49 @@ def graph_random_walks(spark, sf_dir):
     training exactly like sentence corpora feed word2vec."""
     from pyspark.sql import Window
 
+    from ..plans.cache import pin
+
+    # ONE events pass builds the undirected edge set (explode of both
+    # directions — not a self-union, which scans the source twice),
+    # and the ranked adjacency is PINNED: every walk step joins it, so
+    # an unpinned plan re-derives the edge pipeline per step (measured
+    # 48 events FileScans for the 4-step walk — the auto-cache
+    # used-more-than-once policy, Caching.scala:57-94, applied by
+    # hand). Degrees derive from the pinned ranks (deg = max rk + 1 —
+    # same exact count), not a second edge lineage.
     e = _hash_edges(spark, sf_dir)
-    ue = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    ue = e.select(
+        F.explode(F.array(
+            F.struct(F.col("u"), F.col("v")),
+            F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+        )).alias("z")
+    ).select("z.*").distinct()
     wn = Window.partitionBy("u").orderBy("v")
-    nbr = ue.select(
+    nbr = pin(ue.select(
         "u", F.col("v").alias("dst"), (F.row_number().over(wn) - 1).alias("rk")
-    )
-    deg = ue.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ))
+    deg = nbr.groupBy("u").agg((F.max("rk") + 1).alias("deg"))
+    # the walk carries its step columns along the frontier (1 row per
+    # start at every step) — no per-step snapshots, no final re-join
     walks = deg.select(F.col("u").alias("start"), F.col("u").alias("cur"))
-    outs = []
     for step in range(1, 5):
         pick = F.expr(
             "CAST(conv(substring(md5(concat('wk', '|', CAST(start AS STRING),"
             f" '|', '{step}', '|', CAST(cur AS STRING))), 1, 14), 16, 10)"
             " AS BIGINT)"
         )
+        prev = [f"s{i}" for i in range(1, step)]
         walks = (
             walks.join(deg.withColumnRenamed("u", "cur"), "cur")
             .join(nbr.withColumnRenamed("u", "cur"), "cur")
             .filter(F.col("rk") == pick % F.col("deg"))
-            .select("start", F.col("dst").alias("cur"))
+            .select(
+                "start", *prev,
+                F.col("dst").alias(f"s{step}"),
+                F.col("dst").alias("cur"),
+            )
         )
-        outs.append(walks.withColumnRenamed("cur", f"s{step}"))
-    out = outs[0]
-    for i, o in enumerate(outs[1:], start=2):
-        out = out.join(o, "start")
-    return out
+    return walks.select("start", "s1", "s2", "s3", "s4")
 
 
 @query(

@@ -997,11 +997,24 @@ def _stump_sql(pts: str, out: str) -> str:
 
 def _weighted_stump(pts):
     """Spark twin of _stump_sql: pts(vec_id, y, dim, v_c, wt) -> 1-row
-    best weighted stump."""
+    best weighted stump.
+
+    The per-dim range table and the (dim × 16)-bin histogram are
+    PINNED: both are tiny at any data scale (bounded by dims, not
+    rows) but fan out to multiple downstream branches, and an unpinned
+    reference recompiles the full pts lineage each time (the
+    1-row-aggregate fan-out pathology tools/scanaudit.py exists to
+    catch — this helper contributed most of ml_boosted_stumps'
+    28 compiled embeddings scans). Pinned, one stump costs exactly two
+    pts passes: the range scan and the histogram scan."""
     from pyspark.sql import Window
 
-    mm = pts.groupBy("dim").agg(F.min("v_c").alias("lo"), F.max("v_c").alias("hi"))
-    b = (
+    from ..plans.cache import pin
+
+    mm = pin(
+        pts.groupBy("dim").agg(F.min("v_c").alias("lo"), F.max("v_c").alias("hi"))
+    )
+    b = pin(
         pts.join(F.broadcast(mm), "dim")
         .groupBy("dim", F.expr("(v_c - lo) * 16 div (hi - lo + 1)").alias("bin"),
                  "lo", "hi")
@@ -1114,7 +1127,13 @@ def ml_boosted_stumps(spark, sf_dir):
         F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("bigint").alias("v_c"),
         F.lit(1).cast("bigint").alias("wt"),
     )
-    st1 = _weighted_stump(pts1)
+    from ..plans.cache import pin
+
+    # the round-1 model is a 1-row table consumed by the reweighting
+    # join AND the report row — pinned so neither reference recompiles
+    # the stump's histogram lineage (same discipline as
+    # ml_gbdt_residual_boost's round stats)
+    st1 = pin(_weighted_stump(pts1))
     s1 = F.broadcast(st1.select(
         F.col("dim").alias("s_dim"), F.col("bin").alias("s_bin"),
         F.col("lo").alias("s_lo"), F.col("hi").alias("s_hi"),
@@ -2248,8 +2267,15 @@ def ml_isotonic_calibration(spark, sf_dir):
         .cast("bigint")
         .alias("sc"),
     )
+    from ..plans.cache import pin
+
     mm = pts.agg(F.min("sc").alias("lo"), F.max("sc").alias("hi"))
-    bins = (
+    # the bin table is PINNED: the cumsum view below is referenced
+    # three times (j/k interval legs + the i index) and the raw bins
+    # once more in the final join — unpinned, every reference
+    # recompiled the embeddings scan (8 FileScans in this plan);
+    # pinned state is <= 10 rows at any data scale
+    bins = pin(
         pts.crossJoin(F.broadcast(mm))
         .groupBy(F.expr("(sc - lo) * 10 div (hi - lo + 1)").alias("bin"))
         .agg(
@@ -2400,10 +2426,17 @@ def ml_cohens_kappa(spark, sf_dir):
         .groupBy("vec_id", F.col("label").alias("actual"))
         .agg((F.min("slot") % 16).alias("pred"))
     )
+    from ..plans.cache import pin
+
     dec = "DECIMAL(38,0)"
-    cells = pred.groupBy("actual", "pred").agg(
+    # the confusion-cell table is PINNED: it fans out to the row
+    # marginals, the column marginals, and the total/diagonal roll-up
+    # — unpinned, each branch recompiled the centroid + classify
+    # lineage (6 embeddings FileScans in this plan); pinned state is
+    # <= |classes|² rows at any data scale
+    cells = pin(pred.groupBy("actual", "pred").agg(
         F.count(F.lit(1)).cast(dec).alias("n")
-    )
+    ))
     ra = cells.groupBy(F.col("actual").alias("k")).agg(F.sum("n").alias("n_a"))
     ca = cells.groupBy(F.col("pred").alias("k")).agg(F.sum("n").alias("n_p"))
     chance = ra.join(ca, "k").agg(

@@ -2481,12 +2481,19 @@ def events_funnel(spark, sf_dir):
     the user_id hash partitioning, so one exchange serves the whole
     cascade; output is one row of stage counts."""
     ev = T(spark, sf_dir, "events")["events"].df
-    v = (
+    # each stage anchor is consumed twice (the next stage's join + its
+    # own census count) — PINNED per the used-more-than-once policy,
+    # so the cascade costs one filtered events scan per stage instead
+    # of recompiling every upstream stage per reference (6 FileScans
+    # unpinned)
+    from ..plans.cache import pin
+
+    v = pin(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("vt"))
     )
-    c = (
+    c = pin(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("vt"))
@@ -5409,12 +5416,19 @@ def orders_rfm_segmentation(spark, sf_dir):
         F.sum(cents).alias("m_cents"),
     )
     mx = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
-    m = c.crossJoin(F.broadcast(mx)).select(
+    # the per-customer RFM table fans out to the count, all three
+    # quartile histograms, and the final scoring pass — PINNED per the
+    # used-more-than-once policy (unpinned, this plan compiled 14
+    # orders FileScans; pinned it is one customer-keyed shuffle
+    # materialized once)
+    from ..plans.cache import pin
+
+    m = pin(c.crossJoin(F.broadcast(mx)).select(
         "ck",
         F.datediff("maxd", "last_d").cast("bigint").alias("r_days"),
         "f_cnt", "m_cents",
         F.expr("m_cents div 10000").alias("m_bin"),
-    )
+    ))
     n = m.agg(F.count(F.lit(1)).alias("n"))
 
     def _quartiles(col: str):
@@ -6232,8 +6246,16 @@ def events_conversion_delay(spark, sf_dir):
     matching percentile_disc on both engines. Two user-keyed aggs
     reusing one partitioning + a <=1440-row histogram; conversion
     rate as an exact integer ppm rational."""
+    from ..plans.cache import pin
+
     e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
-    s = (
+    # first-signup and delay tables are PINNED: s fans out to the
+    # purchase join, the delay derivation, and the signup count; d to
+    # the histogram and the converted count — unpinned, each branch
+    # recompiled the events scan (10 FileScans in this plan; the
+    # auto-cache used-more-than-once policy applied by hand). Pinned,
+    # the whole funnel costs two events scans.
+    s = pin(
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id").agg(F.min("ts").alias("st"))
     )
@@ -6244,12 +6266,12 @@ def events_conversion_delay(spark, sf_dir):
                 & (F.col("ts") <= F.col("st") + F.expr("interval 24 hours")))
         .groupBy("user_id").agg(F.min("ts").alias("pt"))
     )
-    d = p.join(s, "user_id").select(
+    d = pin(p.join(s, "user_id").select(
         F.expr(
             "(unix_micros(pt) div 1000000 - unix_micros(st) div 1000000)"
             " div 60"
         ).alias("m")
-    )
+    ))
     h = d.groupBy("m").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
     cum = h.select("m", F.sum("cnt").over(w).alias("c"))
@@ -6725,7 +6747,12 @@ def lineitem_ship_latency(spark, sf_dir):
                        F.col("o_orderdate").cast("date")).alias("lat"),
         )
     )
-    h = l.groupBy("pri", "lat").agg(F.count(F.lit(1)).alias("cnt"))
+    from ..plans.cache import pin
+
+    # the latency histogram fans out to the totals, the cumsum, and
+    # (via totals) the final report — PINNED (pri × bounded day-span
+    # cells) so the fact join compiles once, not three times
+    h = pin(l.groupBy("pri", "lat").agg(F.count(F.lit(1)).alias("cnt")))
     tot = h.groupBy("pri").agg(F.sum("cnt").alias("n"))
     w = Window.partitionBy("pri").orderBy("lat").rowsBetween(
         Window.unboundedPreceding, 0
@@ -6901,7 +6928,10 @@ def events_burst_viterbi(spark, sf_dir):
     WITH b AS (
       SELECT o_orderpriority AS pri,
              CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
-             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 1000000 AS bin,
+             CASE WHEN isnan(o_totalprice) OR isinf(o_totalprice)
+                  THEN CAST(NULL AS BIGINT)
+                  ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       // 1000000 END AS bin,
              count(*)::HUGEINT AS c
       FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
       GROUP BY 1, 2, 3
@@ -6941,15 +6971,34 @@ def orders_price_drift_chi2(spark, sf_dir):
     monitoring readout every scoring pipeline schedules against its
     training distribution. Two hash-aggs + one full outer join on
     (priority, bin) — all domain-bounded."""
+    from ..plans.cache import pin
+
     o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
     dec = "decimal(38,0)"
-    b = (
+    # the (pri, yr, bin) histogram fans out to both period slices and
+    # both per-period totals — PINNED (domain-bounded cells, never
+    # data-sized) so the plan costs one orders scan, not the four it
+    # compiled unpinned
+    # non-finite prices bin to NULL (the corruption bucket) on BOTH
+    # engines: Spark's floor silently maps NaN→0 / ±inf→±Long.MaxValue
+    # (the r8 fuzz class) where DuckDB raises casting NaN to BIGINT —
+    # without the guard a NaN-priced order lands in the $0 bin on one
+    # engine and crashes the other. A drifting corruption RATE is
+    # itself drift, so the NULL bucket participates in the statistic.
+    from . import _nonfinite
+
+    price = F.col("o_totalprice").cast("double")
+    b = pin(
         o.withColumn("yr", F.year(F.col("o_orderdate").cast("date")).cast("bigint"))
         .filter(F.col("yr").isin(1996, 1997))
         .groupBy(
             F.col("o_orderpriority").alias("pri"), "yr",
-            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 1000000")
-              .alias("bin"),
+            F.when(_nonfinite(price), F.lit(None).cast("bigint")).otherwise(
+                F.expr(
+                    "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+                    " div 1000000"
+                )
+            ).alias("bin"),
         )
         .agg(F.count(F.lit(1)).cast(dec).alias("c"))
     )
@@ -7157,16 +7206,21 @@ def orders_seasonal_mase_eval(spark, sf_dir):
     ONE exact integer rational in ppm — no division until the final
     integral one, no floats anywhere. Monthly pre-agg + two slim
     self-joins on the (bounded) month index."""
+    from ..plans.cache import pin
+
     o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
     dec = "decimal(38,0)"
-    m = o.groupBy(
+    # the monthly pre-agg is consumed three times (actuals + both
+    # naive-forecast legs) — PINNED (priorities × months rows) so the
+    # plan costs one orders scan, not three
+    m = pin(o.groupBy(
         F.col("o_orderpriority").alias("pri"),
         (F.year(F.col("o_orderdate").cast("date")).cast("bigint") * 12
          + F.month(F.col("o_orderdate").cast("date")).cast("bigint")).alias("mo"),
     ).agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
           .cast(dec).alias("rev")
-    )
+    ))
     a = m.select("pri", "mo", F.col("rev").alias("ra"))
     sjoin = m.select(F.col("pri").alias("ps"), F.col("mo").alias("ms"),
                      F.col("rev").alias("rs"))
@@ -10538,15 +10592,23 @@ def orders_forecast_reconcile(spark, sf_dir):
     now coherent multi-level publication."""
     from pyspark.sql import Window
 
+    from ..plans.cache import pin
+
     o = io.read_parquet(spark, f"{sf_dir}/orders.parquet").df
-    m = o.filter(F.col("o_orderdate").isNotNull()).groupBy(
+    # the month aggregate fans out to the per-priority SES fit AND the
+    # total-level series; the bottom forecasts feed their sum and the
+    # allocation; allocation feeds the deficit probe and the final
+    # ranking — all PINNED (every pinned table is bounded by
+    # priorities × months, never data-sized). Unpinned, this plan
+    # compiled 6 orders FileScans.
+    m = pin(o.filter(F.col("o_orderdate").isNotNull()).groupBy(
         "o_orderpriority",
         F.date_trunc("month", F.col("o_orderdate").cast("date"))
          .cast("date").alias("mo"),
     ).agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
          .cast("bigint").alias("rev_c")
-    )
+    ))
 
     def ses(df, keys):
         # seed with the FIRST observation, fold from the second —
@@ -10571,11 +10633,11 @@ def orders_forecast_reconcile(spark, sf_dir):
         )
         return arr
 
-    bot = ses(m, ["o_orderpriority"])
+    bot = pin(ses(m, ["o_orderpriority"]))
     tot_m = m.groupBy("mo").agg(F.sum("rev_c").alias("rev_c"))
     top = ses(tot_m, []).withColumnRenamed("fc_c", "top_c")
     b = bot.agg(F.sum("fc_c").alias("bsum"))
-    alloc = bot.crossJoin(F.broadcast(top)).crossJoin(F.broadcast(b)).select(
+    alloc = pin(bot.crossJoin(F.broadcast(top)).crossJoin(F.broadcast(b)).select(
         "o_orderpriority", "fc_c", "top_c",
         F.expr(
             "CAST(CAST(top_c AS DECIMAL(38,0)) * fc_c div bsum AS BIGINT)"
@@ -10584,7 +10646,7 @@ def orders_forecast_reconcile(spark, sf_dir):
             "CAST(CAST(top_c AS DECIMAL(38,0)) * fc_c % bsum"
             " AS DECIMAL(38,0))"
         ).alias("rem"),
-    )
+    ))
     d = alloc.agg(
         (F.max("top_c") - F.sum("q")).cast("bigint").alias("deficit")
     )
@@ -10954,33 +11016,34 @@ def events_mta_linear_credit(spark, sf_dir):
         F.col("event_id").alias("tid"), F.col("user_id").alias("tu"),
         F.expr("unix_micros(ts)").alias("tt"), "event_type",
     )
+    # LEFT join: an unmatched conversion surfaces as its own NULL-touch
+    # row and becomes the 'direct' bucket inline — the anti-join form
+    # referenced the touch-window join twice and recompiled its events
+    # lineage per reference (5 events FileScans in this plan); this
+    # form is one pass, two events scans, same books-closed credits
     tw = conv.join(
         touch,
         (F.col("cu") == F.col("tu"))
         & (F.col("tt") < F.col("ct"))
         & (F.col("tt") > F.col("ct") - 604800000000),
+        "left",
     )
     wr = Window.partitionBy("cid").orderBy("tt", "tid")
     wc = Window.partitionBy("cid")
     credited = tw.select(
-        "cid", "val_c", "event_type",
+        "cid", "val_c", "event_type", "tid",
         F.row_number().over(wr).alias("rk"),
-        F.count(F.lit(1)).over(wc).alias("n_touch"),
+        F.count("tid").over(wc).alias("n_touch"),
     ).select(
-        "event_type",
-        (
+        F.when(F.col("tid").isNull(), F.lit("direct"))
+         .otherwise(F.col("event_type")).alias("event_type"),
+        F.when(F.col("tid").isNull(), F.col("val_c")).otherwise(
             F.expr("val_c div n_touch")
             + F.when(F.col("rk") <= F.col("val_c") % F.col("n_touch"), 1)
                .otherwise(0)
         ).alias("credit_c"),
     )
-    direct = conv.join(
-        tw.select("cid").distinct(), "cid", "left_anti"
-    ).select(
-        F.lit("direct").alias("event_type"),
-        F.col("val_c").alias("credit_c"),
-    )
-    return credited.unionByName(direct).groupBy("event_type").agg(
+    return credited.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_credits"),
         F.sum("credit_c").cast("bigint").alias("credit_c"),
     )

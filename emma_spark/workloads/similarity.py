@@ -712,11 +712,15 @@ def embedding_semdedup_prune(spark, sf_dir):
     pruned set on the synthetic clusters; sims 4dp-quantized for the
     cross-engine compare."""
     from ..llm.similarity import as_double, cosine, nonzero, _rd
+    from ..plans.cache import pin
 
     emb = io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df
-    base = emb.filter(nonzero(F.col("embedding"))).select(
+    # the filtered vector bag feeds the keeper agg, the representative
+    # join, and the final compare — pinned per the used-more-than-once
+    # policy (one corpus scan instead of three)
+    base = pin(emb.filter(nonzero(F.col("embedding"))).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
-    )
+    ))
     keep = base.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
     rep = F.broadcast(
         keep.join(
@@ -1123,8 +1127,13 @@ def search_mrr_eval(spark, sf_dir):
     an average). Per-query rows, so sparse-bucket queries are
     directly identifiable; the fleet-level MRR is one further
     bounded agg."""
+    from ..plans.cache import pin
+
     emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
-    queries = emb.filter(F.col("vec_id") < 10)
+    # the query set feeds both index probes (brute truth + LSH
+    # candidates) — pinned (k rows) so each probe costs one corpus
+    # scan, not a corpus + query re-scan apiece
+    queries = pin(emb.filter(F.col("vec_id") < 10))
     truth = S.brute_force_topk(emb, queries, k=1).select(
         "query_id", F.col("neighbor_id").alias("true_top1")
     )
@@ -1933,8 +1942,12 @@ def search_ndcg_eval(spark, sf_dir):
     slim join on (query, doc)."""
     disc = _ndcg_discounts(10)
     idcg = sum((10 - i) * d for i, d in enumerate(disc))
+    from ..plans.cache import pin
+
     emb = io.fan_out(io.read_parquet(spark, f"{sf_dir}/embeddings.parquet").df)
-    queries = emb.filter(F.col("vec_id") < 10)
+    # query panel pinned (k rows) — consumed by both the exact-truth
+    # pass and the LSH probe
+    queries = pin(emb.filter(F.col("vec_id") < 10))
     truth = S.brute_force_topk(emb, queries, k=10).select(
         F.col("query_id").alias("tq"),
         F.col("neighbor_id").alias("tn"),

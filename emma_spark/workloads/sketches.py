@@ -338,6 +338,12 @@ def sketch_quantile_bins_grouped(spark, sf_dir):
         .groupBy("grp", "lo", "hi", "n", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # PINNED like the ungrouped sketch: the read-off references the
+    # histogram once per quantile, recompiling the orders scan each
+    # time when unpinned (4 FileScans); pinned state is groups × bins
+    from ..plans.cache import pin
+
+    binned = pin(binned)
     w = (
         Window.partitionBy("grp")
         .orderBy("bin")
@@ -424,8 +430,17 @@ def sketch_cms_merge_rollup(spark, sf_dir):
     one hash-agg keyed (lang, row, bucket); merge = a d·w-row agg;
     probes broadcast against both. md5-derived buckets keep every
     cell engine-replayable (the oracle rebuilds both sketches)."""
+    from ..plans.cache import pin
+
     docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
-    toks = docs.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+    # the token explosion feeds three branches (per-lang build, direct
+    # build, probe selection) — PINNED per the used-more-than-once
+    # policy: the pinned bag is two narrow columns (smaller than the
+    # raw text it came from), and unpinned this plan re-tokenized the
+    # corpus four times (4 documents FileScans)
+    toks = pin(
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+    )
     per_lang = (
         toks.select(
             "lang",
@@ -526,13 +541,19 @@ def sketch_kmv_audience_overlap(spark, sf_dir):
     from pyspark.sql import Window
 
     from ..llm.text import md5_long
+    from ..plans.cache import pin
 
     e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
     K = 64
     FULL = 1 << 56
 
     def kset(event_type):
-        return (
+        # each distinct hash set fans out to the k-set rank, the exact
+        # overlap join, and the cardinality count — PINNED so those
+        # branches share one events scan + distinct shuffle instead of
+        # recompiling it per reference (this query compiled 10 events
+        # FileScans before; the auto-cache used-more-than-once policy)
+        return pin(
             e.filter(F.col("event_type") == event_type)
             .select(md5_long(F.col("user_id").cast("string"), salt="kmv")
                     .alias("h"))

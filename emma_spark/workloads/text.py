@@ -2123,14 +2123,22 @@ def text_length_outliers_mad(spark, sf_dir):
     counting pass. The robust sibling of embedding_outlier_zscore."""
     from pyspark.sql import Window
 
+    from ..plans.cache import pin
+
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
-    d = docs.filter(F.col("n_chars").isNotNull()).select(
+    # the length table fans out to both median passes and the final
+    # count; each per-lang value histogram fans out to its total and
+    # its cumsum; the median itself feeds the deviation pass AND the
+    # final flagging — all PINNED (lengths: one narrow scan; the rest
+    # bounded by lang × length domain, tiny at any scale). Unpinned
+    # this plan compiled 9 documents FileScans.
+    d = pin(docs.filter(F.col("n_chars").isNotNull()).select(
         "doc_id", "lang", F.col("n_chars").cast("bigint").alias("x")
-    )
+    ))
 
     def _median(df, col, out):
-        h = df.groupBy("lang", F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).alias("cnt"))
+        h = pin(df.groupBy("lang", F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")))
         tot = h.groupBy("lang").agg(F.sum("cnt").alias("n"))
         w = Window.partitionBy("lang").orderBy("v").rowsBetween(
             Window.unboundedPreceding, 0)
@@ -2142,7 +2150,7 @@ def text_length_outliers_mad(spark, sf_dir):
                    .alias(out))
         )
 
-    med = _median(d, "x", "m")
+    med = pin(_median(d, "x", "m"))
     dev = d.join(F.broadcast(med), "lang").select(
         "lang", F.abs(F.col("x") - F.col("m")).alias("ax"))
     mad = _median(dev, "ax", "md")

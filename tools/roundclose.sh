@@ -65,4 +65,11 @@ from emma_spark.workloads import load_all
 print(' '.join(n for n, q in load_all().items() if q.headline))" 2>/dev/null)
 python tools/planaudit.py $HEADS 2>/dev/null | tail -25 | tee -a "$LOG"
 
+note "7b/7 redundant-scan audit (full registry)"
+# same-table FileScan multiplicity in one lazy plan: the
+# 1-row-aggregate fan-out pathology (r9 found 24x/48x instances).
+# Dim tables (region/nation) and size-gated toy-graph unrolls are the
+# documented benign classes — judge the table named in each flag.
+python tools/scanaudit.py 2>/dev/null | tail -25 | tee -a "$LOG"
+
 note "done — full log in $LOG"
