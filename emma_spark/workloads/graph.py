@@ -1718,9 +1718,13 @@ def graph_degree_distribution(spark, sf_dir):
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    deg = (
-        e.select(F.col("u").alias("vtx"))
-        .unionAll(e.select(F.col("v").alias("vtx")))
+    # endpoint view in ONE pass (explode, not a self-union scanning e
+    # twice); the degree table is pinned — both the histogram and the
+    # vertex total consume it (4 compiled events scans unpinned, 1 now)
+    from ..plans.cache import pin
+
+    deg = pin(
+        e.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("vtx"))
         .groupBy("vtx")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
@@ -1958,12 +1962,18 @@ def graph_random_walk_corpus(spark, sf_dir):
     from ..plans.cache import pin
 
     und = _hash_edges(spark, sf_dir)
-    edges = pin(und.select(F.col("u"), F.col("v").alias("nbr")).unionByName(
-        und.select(F.col("v").alias("u"), F.col("u").alias("nbr"))
-    ))  # the adjacency is joined once per hop
-    nodes = und.select("u").unionByName(
-        und.select(F.col("v").alias("u"))
-    ).distinct()
+    # adjacency built in ONE pass (explode of both directions, not a
+    # self-union that scans the source twice) and pinned — joined once
+    # per hop; the seed set derives from the pinned adjacency (every
+    # node appears on the u side of a bidirectional edge list), so the
+    # whole corpus build costs one events scan (was 4 compiled scans)
+    edges = pin(und.select(
+        F.explode(F.array(
+            F.struct(F.col("u"), F.col("v").alias("nbr")),
+            F.struct(F.col("v").alias("u"), F.col("u").alias("nbr")),
+        )).alias("z")
+    ).select("z.*"))
+    nodes = edges.select("u").distinct()
     w = nodes.select(
         F.col("u").alias("seed"), F.col("u").alias("cur"),
         F.col("u").cast("string").alias("path"),

@@ -1817,7 +1817,11 @@ def ml_pinball_quantile_eval(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    h = o.groupBy("pri", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    # value histogram pinned — the totals and the cumsum both consume
+    # it (3 compiled orders scans unpinned, 2 now: histogram + eval)
+    from ..plans.cache import pin
+
+    h = pin(o.groupBy("pri", "y").agg(F.count(F.lit(1)).alias("cnt")))
     tot = h.groupBy("pri").agg(F.sum("cnt").alias("n"))
     w = Window.partitionBy("pri").orderBy("y").rowsBetween(
         Window.unboundedPreceding, 0
@@ -2615,10 +2619,15 @@ def ml_lift_gains_bands(spark, sf_dir):
         .cast("bigint").alias("score_c"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
     )
-    mm = scored.agg(
+    # the 1-row range/census table feeds the binning AND the final
+    # ppm arithmetic — pinned so each reference reads the row instead
+    # of recompiling the scan (3 compiled orders scans unpinned, 2 now)
+    from ..plans.cache import pin
+
+    mm = pin(scored.agg(
         F.min("score_c").alias("lo"), F.max("score_c").alias("hi"),
         F.count(F.lit(1)).alias("n_all"), F.sum("label").alias("n_pos"),
-    )
+    ))
     banded = (
         scored.crossJoin(F.broadcast(mm))
         .groupBy(F.expr("(score_c - lo) * 20 div (hi - lo + 1)").alias("band"))

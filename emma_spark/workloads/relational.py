@@ -4051,7 +4051,13 @@ def basket_brand_affinity(spark, sf_dir):
     orientation trick as triangle enumeration."""
     t = T(spark, sf_dir, "lineitem", "part")
     li, p = t["lineitem"].df, t["part"].df
-    ob = (
+    # the incidence table feeds the order census, the marginals, and
+    # BOTH pair-join legs — PINNED per the used-more-than-once policy
+    # (two narrow columns; unpinned this plan compiled the fact join
+    # five times)
+    from ..plans.cache import pin
+
+    ob = pin(
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .select("l_orderkey", "p_brand")
         .distinct()

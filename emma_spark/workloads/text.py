@@ -1357,7 +1357,14 @@ def text_dsir_importance(spark, sf_dir):
     pairs = docs.select(
         "doc_id", "lang", toks.alias("tk"), n.alias("n")
     ).filter(F.col("n") >= 2)
-    bg = pairs.select(
+    # the bucketed-bigram bag feeds the raw distribution, the target
+    # distribution, and the per-doc scoring — PINNED per the
+    # used-more-than-once policy (three narrow columns, one
+    # tokenize+hash pass instead of the five this plan compiled
+    # unpinned)
+    from ..plans.cache import pin
+
+    bg = pin(pairs.select(
         "doc_id", "lang",
         F.explode(
             F.arrays_zip(
@@ -1370,7 +1377,7 @@ def text_dsir_importance(spark, sf_dir):
         (X.md5_long(F.concat_ws(" ", F.col("b.w1"), F.col("b.w2"))) % 64).alias(
             "bucket"
         ),
-    )
+    ))
     raw = bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
     tgt = bg.filter(F.col("lang") == "en").groupBy("bucket").agg(
         F.count(F.lit(1)).alias("ct")
