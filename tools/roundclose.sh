@@ -39,6 +39,7 @@ python tools/fuzzcheck_empty.py 2>/dev/null | tail -1 | sed 's/^/empty: /' | tee
 python tools/fuzzcheck_skew.py 2>/dev/null | tail -1 | sed 's/^/skew:  /' | tee -a "$LOG"
 python tools/fuzzcheck_epoch.py 2>/dev/null | tail -1 | sed 's/^/epoch: /' | tee -a "$LOG"
 python tools/fuzzcheck_domainmax.py 2>/dev/null | tail -1 | sed 's/^/dmax:  /' | tee -a "$LOG"
+python tools/fuzzcheck_negzero.py 2>/dev/null | tail -1 | sed 's/^/negz:  /' | tee -a "$LOG"
 
 note "4/7 tri-SF window sweep"
 WINDOW=$(python -c "from emma_spark.workloads import _PRIORITY; print(' '.join(_PRIORITY))" 2>/dev/null)
