@@ -63,6 +63,30 @@ def build_corpus(path: str = FUZZ_DIR, seed: int = 909_090):
 
     E.build_corpus(path)
     inject("events", ["value"])
+
+    # embeddings variant: -0.0 sprinkled into vector ELEMENTS (dot
+    # products, norms, centroid sums all flow through them), plus the
+    # all-negative-zero vector — a zero-norm vector whose every
+    # component prints with a sign
+    from tools import fuzzcheck_embeddings as EM
+
+    EM.build_corpus(path)
+    t = pq.read_table(f"{path}/embeddings.parquet")
+    d = t.to_pydict()
+    for row in range(len(d["embedding"])):
+        if rng.random() < 0.10 and d["embedding"][row] is not None:
+            d["embedding"][row] = [
+                -0.0 if rng.random() < 0.05 else x
+                for x in d["embedding"][row]
+            ]
+    if d["embedding"]:
+        d["embedding"][0] = [-0.0] * len(d["embedding"][0])
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.table({k: pa.array(v, t.schema.field(k).type) for k, v in d.items()}),
+        f"{path}/embeddings.parquet",
+    )
     return path
 
 
@@ -74,12 +98,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     only = set(sys.argv[1:]) or None
     con = J.connect(FUZZ_DIR)
-    con.execute(
-        f"CREATE VIEW events AS SELECT * FROM "
-        f"read_parquet('{FUZZ_DIR}/events.parquet')"
-    )
+    for extra in ("events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {extra} AS SELECT * FROM "
+            f"read_parquet('{FUZZ_DIR}/{extra}.parquet')"
+        )
     n_ok, n_skip, failures = run_fuzz(
-        spark, con, FUZZ_DIR, set(J.TABLES) | {"events"}, only=only
+        spark, con, FUZZ_DIR, set(J.TABLES) | {"events", "embeddings"},
+        only=only,
     )
     print(f"\n{n_ok} ok, {n_skip} skipped, {len(failures)} FAIL")
     spark.stop()
