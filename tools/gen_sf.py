@@ -129,13 +129,20 @@ def gen(out: str, copies: int = 10) -> None:
     perms = ["etaoinshr", "taoinshre", "aoinshret", "oinshreta",
              "inshretao", "nshretaoi", "shretaoin", "hretaoins",
              "retaoinsh", "etaoinsrh"]
+    # document copies CAP at the perm count: the decorrelating perms
+    # are cyclic rotations, so past 10 copies the cycle repeats and
+    # distinct copies become exact text twins — re-creating the
+    # correlated-corpus artifact the r8 sf1 measurement debugged. A
+    # copies=100 (sf10) corpus therefore scales the relational/event
+    # tables 100x while holding the text corpus at 10x; text-family
+    # scaling reads come from the sf1 point.
     copy_union(
         "documents",
         f"doc_id + {{i}} * {CARD['documents']} AS doc_id, "
         "CASE WHEN {i} = 0 THEN text "
         f"     ELSE translate(text, '{_LETTERS}', '{{perm}}') END AS text, "
         "lang, source, n_chars",
-        copies,
+        min(copies, len(perms)),
         extra=lambda i: {"perm": perms[i % len(perms)]},
     )
     # embeddings scale ×4 in the driver's own sf0.01→sf0.1 step; nudge
