@@ -389,3 +389,41 @@ def test_fuzz_domain_max_subset(spark):
     )
     assert not failures, "\n".join(failures)
     assert n_ok == len(_DMAX_SUBSET), (n_ok, n_skip)
+
+
+# ----------------------------------------------------------------------
+# NEGATIVE-ZERO tier (late r9): -0.0 in double measures and embedding
+# elements — numerically equal to 0.0, distinct under the repr
+# comparator, a known grouping-key normalization seam (SPARK-32110)
+# (tools/fuzzcheck_negzero.py)
+# ----------------------------------------------------------------------
+_NEGZERO_SUBSET = {
+    "groupby_agg_pricing",      # qsum over a measure carrying -0.0
+    "agg_stats_moments",        # moment aggregates of signed zeros
+    "fold_global",              # python-fold seam
+    "events_bitmap_dau",        # events value column
+    "ann_topk_cosine",          # dot products over -0.0 elements
+    "embedding_normalize",      # zero-norm gate on the all--0.0 vector
+}
+
+
+def test_fuzz_negzero_subset(spark):
+    """First full run was 317/317 clean registry-wide (a negative
+    result: quantize-before-compare covers every output); this subset
+    keeps signed-zero canaries in the default gate."""
+    from tools import fuzzcheck_negzero
+    from tools import fuzzcheck_joins as J
+
+    path = fuzzcheck_negzero.build_corpus()
+    con = J.connect(path)
+    for extra in ("events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {extra} AS SELECT * FROM "
+            f"read_parquet('{path}/{extra}.parquet')"
+        )
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, set(J.TABLES) | {"events", "embeddings"},
+        only=_NEGZERO_SUBSET, quiet=True,
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok == len(_NEGZERO_SUBSET), (n_ok, n_skip)
