@@ -81,5 +81,14 @@ def pca_power_top(
             w[r["pos"]] = int(r["w"])
         ws = [wi // DOWN for wi in w]  # floor division (oracle emulates)
         norm = math.sqrt(float(sum(s * s for s in ws)))
-        v_c = [int(math.floor(s / norm * QV + 0.5)) for s in ws]
+        # Degenerate matrix (all-zero embeddings, or every w floored
+        # to 0 by DOWN): no direction exists — converge to the zero
+        # vector instead of dividing by norm 0 (Python raises
+        # ZeroDivisionError where the DuckDB oracle would NULL — the
+        # r10 one-sided-crash mechanism sweep; oracle mirrors with
+        # CASE WHEN nrm > 0).
+        if norm == 0.0:
+            v_c = [0] * dim
+        else:
+            v_c = [int(math.floor(s / norm * QV + 0.5)) for s in ws]
     return [c / QV for c in v_c]

@@ -1248,10 +1248,12 @@ def graph_ppr_seed(spark, sf_dir):
     )
     SELECT CAST(m AS BIGINT) AS n_edge_ends,
            CAST(m * sxy - sx * sy AS BIGINT) AS cov_scaled,
-           floor(CAST(m * sxy - sx * sy AS DOUBLE)
-                 / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
-                        * CAST(m * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5)
-             / 1000000 AS assortativity
+           CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+                THEN floor(CAST(m * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                             * CAST(m * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5)
+                  / 1000000
+                END AS assortativity
     FROM s
     """,
 )
@@ -1268,7 +1270,15 @@ def graph_assortativity(spark, sf_dir):
     two slim joins to attach endpoint degrees (at 100 TB these reuse
     the edge partitioning), one moment agg. The scaled covariance is
     also emitted raw (an exact integer) so the SIGN — the structural
-    claim — is hash-checked without any float at all."""
+    claim — is hash-checked without any float at all.
+
+    A degree-REGULAR graph (every node the same degree — e.g. a pure
+    cycle) zeroes both variance terms: unguarded, ANSI Spark raises
+    DIVIDE_BY_ZERO where DuckDB returns NULL. Gated on positive
+    variance of BOTH endpoint-degree series with the row-level CASE
+    idiom (r10 mechanism sweep; today's 25-node corpus is
+    degree-irregular, so the guard is latent armor, not a behavior
+    change)."""
     n = io.read_parquet(spark, f"{sf_dir}/nation.parquet").df
     k = F.col("n_nationkey")
     dec = "decimal(38,0)"
@@ -1299,10 +1309,11 @@ def graph_assortativity(spark, sf_dir):
         F.col("m").cast("bigint").alias("n_edge_ends"),
         F.expr("CAST(m * sxy - sx * sy AS BIGINT)").alias("cov_scaled"),
         F.expr(
-            "floor(CAST(m * sxy - sx * sy AS DOUBLE)"
+            "CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0"
+            " THEN floor(CAST(m * sxy - sx * sy AS DOUBLE)"
             " / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)"
             " * CAST(m * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5)"
-            " / 1000000"
+            " / 1000000 END"
         ).alias("assortativity"),
     )
 

@@ -620,9 +620,14 @@ def _pca_sql(iters: int = 3) -> str:
     ), n{t} AS (
       SELECT sqrt(CAST(sum(ws * ws) AS DOUBLE)) AS nrm FROM ws{t}
     ), v{t} AS (
+      -- zero-matrix guard mirrors lib/ml/pca.py: norm 0 converges to
+      -- the zero vector on BOTH engines (plain / would NULL here but
+      -- crash the Python driver step one-sidedly)
       SELECT pos,
-             CAST(floor(CAST(ws AS DOUBLE) / n.nrm * {QV} + 0.5) AS BIGINT)
-               AS vc
+             CASE WHEN n.nrm > 0
+                  THEN CAST(floor(CAST(ws AS DOUBLE) / n.nrm * {QV} + 0.5)
+                            AS BIGINT)
+                  ELSE 0 END AS vc
       FROM ws{t}, n{t} n
     )""")
     return (
@@ -1869,13 +1874,18 @@ def ml_pinball_quantile_eval(spark, sf_dir):
       FROM j GROUP BY brand
     )
     SELECT brand, CAST(n AS BIGINT) AS n,
-           floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
-             / 1000000 AS slope_q,
-           floor((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
-                  / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                 / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000
-             AS intercept_q
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+                  / 1000000
+                END AS slope_q,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN floor((CAST(sy AS DOUBLE)
+                       - CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000
+                END AS intercept_q
     FROM s
     """,
 )
@@ -1890,7 +1900,16 @@ def ml_grouped_ols_slopes(spark, sf_dir):
     fitting, which ships every group's rows into Python). Exact
     HUGEINT/DECIMAL sums; the one double division per group is
     op-order mirrored and 1e-6 quantized; discount pre-quantized to
-    integer points so Sxx is exact."""
+    integer points so Sxx is exact.
+
+    A DEGENERATE group — a single lineitem, or a brand whose items
+    all carry one discount value — makes n·sxx − sx² = 0: under ANSI
+    Spark the unguarded division raises DIVIDE_BY_ZERO (killing the
+    whole 100 TB job for one constant-x brand) where DuckDB returns
+    NULL. Both engines now gate slope AND intercept on positive
+    x-variance with the row-level CASE idiom of
+    events_daily_autocorr (r9 VERDICT "what's wrong" #1 — the shape
+    the matched-sparse tier now generates)."""
     t = io.load_tables(spark, sf_dir, "lineitem", "part")
     li, p = t["lineitem"].df, t["part"].df
     dec = "decimal(38,0)"
@@ -1909,13 +1928,17 @@ def ml_grouped_ols_slopes(spark, sf_dir):
     return s.select(
         "brand", F.col("n").cast("bigint").alias("n"),
         F.expr(
-            "floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            "CASE WHEN n * sxx - sx * sx > 0"
+            " THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)"
             " / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5) / 1000000"
+            " END"
         ).alias("slope_q"),
         F.expr(
-            "floor((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)"
+            "CASE WHEN n * sxx - sx * sx > 0"
+            " THEN floor((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)"
             " / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))"
             " / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000"
+            " END"
         ).alias("intercept_q"),
     )
 
