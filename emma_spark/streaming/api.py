@@ -53,6 +53,37 @@ def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
     return df.withWatermark(ts_col, delay)
 
 
+def quarantine_pre_epoch(
+    df: DataFrame, ts_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Split a stream (or batch frame) into ``(valid, quarantine)``
+    on the WATERMARK DOMAIN CONTRACT above: rows whose event time is
+    NULL or before 1970-01-01T00:00Z go to the quarantine leg.
+
+    Spark's watermark metric is floored at epoch 0, so a watermarked
+    aggregation SILENTLY DROPS every pre-epoch window — and a 100 TB
+    ingest WILL contain corrupt pre-epoch timestamps (zeroed fields,
+    sign-flipped epochs, 1969-12-31 off-by-one-day artifacts). The
+    operator makes the contract enforceable instead of documentary:
+    route ``valid`` into ``with_watermark`` and ``quarantine`` to a
+    side sink (dead-letter parquet, metrics), so corruption is
+    OBSERVED rather than silently vanishing into the late-row drop
+    counter. Both legs are narrow filters on the same lazy plan — no
+    shuffle, no extra scan beyond the second leg's own sink; on a
+    stream each leg runs as its own query over the shared source.
+
+    NULL event times ride the quarantine leg too: a NULL timestamp
+    row is dropped by a watermarked agg just as silently, and
+    ``ts IS NULL`` corruption belongs in the same dead-letter audit.
+    """
+    ts = F.col(ts_col)
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    return (
+        df.filter(ts.isNotNull() & (ts >= epoch)),
+        df.filter(ts.isNull() | (ts < epoch)),
+    )
+
+
 def tumbling(df: DataFrame, ts_col: str, duration: str, *keys: str) -> "GroupedStream":
     """Non-overlapping event-time windows."""
     return GroupedStream(df, [F.window(ts_col, duration).alias("window"), *map(F.col, keys)])

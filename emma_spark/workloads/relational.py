@@ -6948,7 +6948,7 @@ def events_burst_viterbi(spark, sf_dir):
              coalesce(a.c, 0) AS c1, coalesce(c.c, 0) AS c2
       FROM (SELECT * FROM b WHERE yr = 1996) a
       FULL JOIN (SELECT * FROM b WHERE yr = 1997) c
-        ON a.pri = c.pri AND a.bin = c.bin
+        ON a.pri = c.pri AND a.bin IS NOT DISTINCT FROM c.bin
     ),
     r AS (
       SELECT w.pri,
@@ -7014,8 +7014,15 @@ def orders_price_drift_chi2(spark, sf_dir):
     c = b.filter(F.col("yr") == 1997).select(
         F.col("pri").alias("pri2"), F.col("bin").alias("bin2"),
         F.col("c").alias("c2"))
+    # bin joins NULL-SAFELY (<=> / IS NOT DISTINCT FROM on both
+    # engines): the NULL corruption bucket present in both periods is
+    # ONE (p-q)^2 comparison, not two one-sided bins — plain equality
+    # never matched NULL to itself, inflating n_bins by 2 and
+    # contributing p^2+q^2 (r9 ADVICE; cross-engine parity held, the
+    # semantics were just not what the docstring claimed)
     w = (
-        a.join(c, (F.col("pri") == F.col("pri2")) & (F.col("bin") == F.col("bin2")),
+        a.join(c, (F.col("pri") == F.col("pri2"))
+               & F.col("bin").eqNullSafe(F.col("bin2")),
                "full")
         .select(
             F.coalesce("pri", "pri2").alias("pri"),
@@ -11018,9 +11025,16 @@ def events_mta_linear_credit(spark, sf_dir):
         F.floor(F.col("value") * 100 + F.lit(0.5))
          .cast("bigint").alias("val_c"),
     )
+    # `matched` — a non-null literal on every touch row — is the
+    # left-join sentinel, NOT tid: a real touch row whose event_id is
+    # NULL would otherwise be misclassified as 'direct' (full val_c)
+    # and dropped from n_touch, diverging from the oracle's
+    # inner+anti form (r9 ADVICE — the corpus emits non-null
+    # event_id today, but that is a schema assumption, not a contract)
     touch = e.filter(F.col("event_type") != "purchase").select(
         F.col("event_id").alias("tid"), F.col("user_id").alias("tu"),
         F.expr("unix_micros(ts)").alias("tt"), "event_type",
+        F.lit(True).alias("matched"),
     )
     # LEFT join: an unmatched conversion surfaces as its own NULL-touch
     # row and becomes the 'direct' bucket inline — the anti-join form
@@ -11037,13 +11051,13 @@ def events_mta_linear_credit(spark, sf_dir):
     wr = Window.partitionBy("cid").orderBy("tt", "tid")
     wc = Window.partitionBy("cid")
     credited = tw.select(
-        "cid", "val_c", "event_type", "tid",
+        "cid", "val_c", "event_type", "matched",
         F.row_number().over(wr).alias("rk"),
-        F.count("tid").over(wc).alias("n_touch"),
+        F.count("matched").over(wc).alias("n_touch"),
     ).select(
-        F.when(F.col("tid").isNull(), F.lit("direct"))
+        F.when(F.col("matched").isNull(), F.lit("direct"))
          .otherwise(F.col("event_type")).alias("event_type"),
-        F.when(F.col("tid").isNull(), F.col("val_c")).otherwise(
+        F.when(F.col("matched").isNull(), F.col("val_c")).otherwise(
             F.expr("val_c div n_touch")
             + F.when(F.col("rk") <= F.col("val_c") % F.col("n_touch"), 1)
                .otherwise(0)

@@ -94,10 +94,19 @@ def stream_watermark_append(spark, sf_dir):
     window; exactly the windows with end < max(ts) − delay are
     emitted, which the oracle's HAVING clause mirrors. The 37-minute
     delay is deliberately hour-misaligned so the strict-< boundary
-    can't land exactly on a window edge."""
+    can't land exactly on a window edge.
+
+    The watermark domain contract is ENFORCED, not assumed: the
+    stream goes through quarantine_pre_epoch before with_watermark,
+    so corrupt pre-epoch / NULL event times (which a watermarked agg
+    silently drops — streaming/api.py contract) are split off as a
+    dead-letter leg instead of vanishing. This corpus has none, so
+    the valid leg is the whole table and the oracle is unchanged;
+    the filter is a pushed narrow predicate, not a shuffle."""
     staged = _stage_events(spark, sf_dir)
     stream = S.read_stream_parquet(spark, staged, spark.read.parquet(staged).schema)
-    wm = S.with_watermark(stream, "ts", "37 minutes")
+    valid, _quarantine = S.quarantine_pre_epoch(stream, "ts")
+    wm = S.with_watermark(valid, "ts", "37 minutes")
     agg = S.tumbling(wm, "ts", "1 hour", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5))) / 10000).alias("total"),

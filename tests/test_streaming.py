@@ -318,3 +318,54 @@ def test_watermark_epoch_floor_contract(spark, tmp_path):
     # the 00:00/01:00 windows must emit, and nothing pre-epoch may
     assert all(s >= __import__("datetime").datetime(1970, 1, 1) for s in starts), starts
     assert 2 <= len(starts) <= 4, starts
+
+
+def test_quarantine_pre_epoch_split(spark):
+    """quarantine_pre_epoch is the enforcement operator for the
+    watermark domain contract: pre-epoch AND NULL event times route to
+    the quarantine leg, everything else to the valid leg, with no row
+    lost or duplicated between them."""
+    rows = [
+        (1, datetime.datetime(1969, 12, 31, 23, 59, 59)),  # pre-epoch
+        (2, datetime.datetime(1970, 1, 1, 0, 0, 0)),       # boundary: valid
+        (3, None),                                          # NULL ts
+        (4, datetime.datetime(1996, 6, 1, 12, 0, 0)),      # ordinary
+        (5, datetime.datetime(1969, 1, 1, 0, 0, 0)),       # deep pre-epoch
+    ]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp")
+    valid, quarantine = S.quarantine_pre_epoch(df, "ts")
+    v = sorted(r["id"] for r in valid.collect())
+    q = sorted(r["id"] for r in quarantine.collect())
+    assert v == [2, 4], v
+    assert q == [1, 3, 5], q
+    # books closed: the two legs partition the input exactly
+    assert sorted(v + q) == [1, 2, 3, 4, 5]
+
+
+def test_quarantine_pre_epoch_then_watermark_emits_all_valid(spark, tmp_path):
+    """The adoption shape (stream_watermark_append): quarantined
+    input + watermark drops NOTHING from the valid leg — the same
+    straddling corpus that silently loses its pre-epoch windows in
+    test_watermark_epoch_floor_contract now surfaces them on the
+    quarantine leg instead."""
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i, datetime.datetime(1969, 12, 31, 22, 0, 0)
+          + datetime.timedelta(hours=i)) for i in range(6)],
+        "id bigint, ts timestamp",
+    ).write.parquet(src)
+    stream = S.read_stream_parquet(spark, src, "id bigint, ts timestamp")
+    valid, _ = S.quarantine_pre_epoch(stream, "ts")
+    agg = S.tumbling(S.with_watermark(valid, "ts", "10 minutes"),
+                     "ts", "1 hour").agg(F.count(F.lit(1)).alias("n"))
+    name = f"wmq_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, output_mode="append")
+    starts = sorted(r["s"] for r in
+                    spark.table(name).select(F.col("window.start").alias("s"))
+                    .collect())
+    assert all(s >= datetime.datetime(1970, 1, 1) for s in starts), starts
+    # the quarantine leg is a batch-expressible filter: count the
+    # dead-letter rows the watermarked agg would have silently dropped
+    _, quarantine = S.quarantine_pre_epoch(
+        spark.read.parquet(src), "ts")
+    assert quarantine.count() == 2

@@ -62,10 +62,22 @@ def main() -> int:
     latest = latest_correctness()
     reds = reds_of(latest) if latest else []
 
-    changed = subprocess.run(
+    # check=True: a staleness.py crash must ABORT the staging, not
+    # silently stage an empty 'changed' tier — treating empty output
+    # as 'nothing stale' is exactly the stale-green-is-not-a-green
+    # failure mode this tool exists to prevent (r9 ADVICE).
+    proc = subprocess.run(
         [sys.executable, str(REPO / "tools" / "staleness.py"), "--list"],
         capture_output=True, text=True, cwd=REPO,
-    ).stdout.split()
+    )
+    if proc.returncode != 0:
+        print(
+            f"FATAL: staleness.py exited {proc.returncode}; refusing to "
+            f"stage a window with an unknown changed tier\n{proc.stderr}",
+            file=sys.stderr,
+        )
+        return 1
+    changed = proc.stdout.split()
 
     from emma_spark.workloads import load_all
 
