@@ -198,79 +198,48 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # Everything past position 50 carries a green driver row from r1-r4 and
 # stays verified by tools/diffcheck.py --vanilla each round.
 _PRIORITY = [
-    # ---- R9 WINDOW. Staged by tools/staleness.py (NEW this round —
-    # the changed tier is now DERIVED, not hand-listed): the
-    # STALE-UNCOVERED greens (queries where no driver green anywhere
-    # certifies the current code of a changed transitive dependency
-    # — the r8 rd/qsum totality rewrite and its r9 two-aggregate
-    # slimming, the fixpoint/carry_ckpt release-handle plumbing, the
-    # r8-hardened multimodal kernels, own-source edits from r2-r6 the
-    # hand-derived verdict lists never caught, and the late-r9
-    # empty-fact/monokey-tier fixes), then the two queries changed
-    # THIS round that have no driver row at all. Single-dep consumers
-    # whose helper is re-certified by an in-window sibling green are
-    # deliberately left out (they reclassify stale-covered).
-    # Stale-COVERED and stale-infra-only names (helpers re-certified
-    # through newer greens of sibling consumers / universal plumbing
-    # exercised by every window) stay tri-SF-verified locally; see
-    # docs/ROTATION.md.
-    # (a) own query source changed since green:
-    "dedup_transitive_groups", "events_sessionize",
-    "graph_cc_twophase", "graph_connected_components", "graph_kcore",
-    "graph_pagerank", "graph_transitive_closure", "hyper_rollup_daily",
-    "incremental_merge_upsert", "json_extract_fields",
-    "ml_encode_dict_freq", "ml_kfold_crossval", "ml_kmeans_fit",
-    "ml_linreg_closed_form", "scalar_expr_surface",
-    "scd2_point_in_time_lookup", "text_quality",
-    # (b) qsum/rd representatives — groupby_agg_pricing + rollup_orders
-    # carry qsum, agg_stats_moments/scalar_expr_surface/ml_kfold/
-    # ml_linreg carry rd; the q1-family consumers rotated out for the
-    # empty-tier slots below share those as their ONLY changed dep and
-    # reclassify as stale-covered once this window greens:
-    "agg_stats_moments",
-    # datetime_ops_surface: green r4, its unix_timestamp epoch-seconds
-    # output was rewritten by the late-r9 epoch-straddle tier find
-    # (truncate-toward-zero vs calendar floor pre-1970) — own-source
-    # change, needs its own slot; groupby_agg_pricing rotated out for
-    # it (qsum stays certified through rollup_orders below):
-    "datetime_ops_surface",
-    # (c) empty-fact-tier fixes to queries with driver greens (own
-    # source or a uniquely-owned helper changed late in r9 — the
-    # grand-total-on-empty lattice row, reader-declared roundtrip
-    # schemas, zero-seed guards): each needs its own slot;
-    # ann_ivf_trained also re-certifies ivf_topk for ann_ivf_topk,
-    # text_pack_sequences re-certifies pack_sequences for
-    # multimodal_shard_plan:
-    "rollup_orders", "cube_lineitem", "grouping_sets_orders",
-    "ann_ivf_trained", "events_burst_viterbi", "events_conversion_delay",
-    "join_dynamic_partition_pruning", "parquet_partitioned_roundtrip",
-    "pipeline_split_leakage_audit", "ml_naive_bayes_train",
-    "ml_pca_power_top", "text_pack_sequences",
-    # (d) other uncovered helper rewrites (release handles, scores_df
-    # try_divide, multimodal poison-row hardening, text kernels;
-    # graph_pagerank above re-certifies _power_iterate for
-    # graph_ppr_seed):
-    "graph_modularity", "dedup_minhash_signature",
-    "ml_eval_scores", "multimodal_audio_features",
-    "multimodal_frame_sample", "multimodal_image_features",
-    "pipeline_corpus_curation", "sketch_countmin_tokens",
-    "text_fingerprint", "text_lang_id",
-    # (e) changed this round AND never driver-checked (zero-variance
-    # autocorr mask; scorecard zero-denominator guards):
-    "events_daily_autocorr", "events_experiment_scorecard",
-    # (f) r7/r8 greens made stale by r9's own constant-series fuzz
-    # finds (cuped theta try_divide, debounce empty-candidate guard) —
-    # their OWN source changed, so no sibling green can cover them;
-    # they take the slots of two qsum-only consumers (join_broadcast,
-    # mutable_bag_update) whose dep is re-certified through the 15
-    # qsum consumers above:
-    "events_cuped_adjusted_lift", "events_alert_debounce",
-    # (g) r4-r8 greens made stale by the r9 SPARSE-warehouse tier
-    # (empty-intermediate one-sided crashes: OLS determinant 0 with
-    # lam=0, p*n = 0 AUC, NULL-poisoned SGD batches, 1-row Holt
-    # series) — own-source fixes, must re-green:
-    "ml_gridsearch_ridge", "ml_auc_exact", "ml_sgd_linreg",
-    "ml_logreg_sgd", "ml_learning_curve",
+    # ---- R10 WINDOW. Staged by tools/stage_window.py (changed tier
+    # derived by tools/staleness.py; a staleness.py failure now ABORTS
+    # staging instead of silently emptying this tier — r9 ADVICE).
+    # (a) the 6 scan-sweep rewrites deliberately deferred from r9
+    # (reported STALE-UNCOVERED at r9 close, first in line per the
+    # r9 verdict ask #3):
+    "basket_brand_affinity", "events_funnel", "graph_jaccard_neighbors",
+    "orders_rfm_segmentation", "sketch_quantile_bins",
+    "sketch_quantile_bins_grouped",
+    # (b) made stale by the r10 qsum DECIMAL(38,0)/HUGEINT lift (the
+    # helper AND its oracle twin changed, so every consumer's green
+    # predates the code; all re-verified through the matched-sparse
+    # tier and sf0.01 diffcheck this round — the driver row confirms):
+    "fold_global", "groupby_agg_pricing", "groupby_having",
+    "join_broadcast", "mutable_bag_update", "pivot_status_by_priority",
+    "q10_returned_item_customers", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q22_dormant_customers",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q9_profit_by_nation_year",
+    "range_join_price_bands", "rollup_orders", "skew_salted_join_agg",
+    # (c) own-source r10 changes with prior greens: the
+    # zero-variance-denominator guards (r9 verdict ask #1) and the
+    # watermark-domain quarantine adoption:
+    "graph_assortativity", "ml_pca_power_top", "stream_watermark_append",
+    # (d) changed this round AND never driver-checked: the confirmed
+    # DIVIDE_BY_ZERO crash fix (judge repro — single-row/constant-
+    # discount brands), the matched-sentinel MTA fix, the null-safe
+    # chi2 bin join:
+    "ml_grouped_ols_slopes", "events_mta_linear_credit",
+    "orders_price_drift_chi2",
+    # (e) never-checked burn-down (docs/ROTATION.md queue order; 121
+    # remain after this window):
+    "text_lang_confusion", "text_rouge1_recall", "text_dsir_importance",
+    "text_domain_cap_sketch", "text_epoch_shuffle_plan",
+    "text_decontaminate_bloom", "text_pair_lcs_similarity",
+    "text_length_outliers_mad", "text_mattr_diversity",
+    "text_hapax_ratio", "text_char_coverage_vocab",
+    "text_quality_classifier_hashed", "text_source_vocab_overlap",
+    "text_dsir_affinity", "text_gopher_rules", "text_langid_confusion",
+    "text_collocation_lift", "dedup_lsh_bucket_stats",
+    "dedup_containment_pairs", "dedup_substring_coverage",
+    "dedup_similarity_histogram",
 ]
 
 

@@ -427,3 +427,39 @@ def test_fuzz_negzero_subset(spark):
     )
     assert not failures, "\n".join(failures)
     assert n_ok == len(_NEGZERO_SUBSET), (n_ok, n_skip)
+
+
+# the r10 MATCHED-SPARSE tier's fixed-seed subset: the confirmed
+# DIVIDE_BY_ZERO repro (ml_grouped_ols_slopes), its mechanism
+# siblings, and one representative per join family that the FK
+# rewrite exercises (lineitem->part/supplier/orders, orders->customer,
+# events->customer, embeddings->documents)
+_MATCHED_SUBSET = {
+    "ml_grouped_ols_slopes", "graph_assortativity",
+    "events_daily_autocorr", "orders_weekday_anova",
+    "ml_pca_power_top", "q5_local_supplier_volume",
+    "q9_profit_by_nation_year", "groupby_agg_pricing",
+    "events_cuped_adjusted_lift", "ann_topk_cosine",
+}
+
+
+def test_fuzz_matched_subset(spark):
+    """MATCHED-SPARSE tier (r10): facts sliced to 3 rows with FKs
+    REWRITTEN onto kept keys — joins survive into single-row and
+    constant-measure groups, the zero-variance-denominator shape the
+    sparse tier (real FKs -> empty joins) and the monokey tier (one
+    giant group) structurally cannot produce. Pins the
+    ml_grouped_ols_slopes DIVIDE_BY_ZERO fix (r9 judge repro: three
+    n=1 brands -> Spark crash vs DuckDB NULL) and its mechanism
+    class."""
+    from tools import fuzzcheck_matched
+
+    path = fuzzcheck_matched.build_corpus()
+    con = fuzzcheck_matched.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, set(fuzzcheck_matched.ALL_TABLES),
+        only=_MATCHED_SUBSET, quiet=True,
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok + n_skip == len(_MATCHED_SUBSET), (n_ok, n_skip)
+    assert n_ok >= len(_MATCHED_SUBSET) - 1, f"too many skips: {n_skip}"

@@ -34,12 +34,15 @@ python tools/staleness.py 2>&1 | head -1 | tee -a "$LOG"
 note "3/7 cross-family fuzz --all"
 python tools/fuzzcheck_cross.py --all 2>/dev/null | tail -2 | tee -a "$LOG"
 
-note "3b/7 shape tiers (empty / monokey-skew / epoch-straddle)"
+note "3b/7 shape tiers (empty / monokey-skew / epoch-straddle / matched)"
 python tools/fuzzcheck_empty.py 2>/dev/null | tail -1 | sed 's/^/empty: /' | tee -a "$LOG"
 python tools/fuzzcheck_skew.py 2>/dev/null | tail -1 | sed 's/^/skew:  /' | tee -a "$LOG"
 python tools/fuzzcheck_epoch.py 2>/dev/null | tail -1 | sed 's/^/epoch: /' | tee -a "$LOG"
 python tools/fuzzcheck_domainmax.py 2>/dev/null | tail -1 | sed 's/^/dmax:  /' | tee -a "$LOG"
 python tools/fuzzcheck_negzero.py 2>/dev/null | tail -1 | sed 's/^/negz:  /' | tee -a "$LOG"
+# matched-sparse (r10): facts sliced WITH FKs rewritten onto kept keys
+# — degenerate MATCHED groups, the shape sparse/monokey cannot produce
+python tools/fuzzcheck_matched.py 2>/dev/null | tail -1 | sed 's/^/match: /' | tee -a "$LOG"
 
 note "4/7 tri-SF window sweep"
 WINDOW=$(python -c "from emma_spark.workloads import _PRIORITY; print(' '.join(_PRIORITY))" 2>/dev/null)
