@@ -305,3 +305,35 @@ def test_no_complex_output_columns(spark):
         "complex-typed output columns break the driver canonicalizer "
         "(serialize to strings/JSON on both engines):\n" + "\n".join(bad)
     )
+
+
+def test_qsum_beyond_long_ceiling(spark):
+    """The r10 split-sum contract: a global total whose quantized sum
+    exceeds 2^63 units (the old LONG path's ANSI-raise ceiling — the
+    bound a 100 TB global revenue total actually crosses) sums
+    exactly and matches DuckDB's HUGEINT mirror bit-for-bit. Negative
+    mixes exercise the floor-div/pmod identity for signed values."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from emma_spark.workloads import qsum, qsum_sql
+
+    # 2000 rows of ~9e14 -> quantized total ~1.8e22 units >> 2^63
+    big = spark.range(2000).select((F.lit(9.0e14) + F.col("id")).alias("x"))
+    got = big.agg(qsum(F.col("x")).alias("t")).collect()[0]["t"]
+    want = duckdb.sql(
+        "SELECT " + qsum_sql("x") + " AS t FROM (SELECT 9.0e14 +"
+        " CAST(range AS DOUBLE) AS x FROM range(2000))"
+    ).fetchone()[0]
+    assert got == want, (got, want)
+
+    neg = spark.createDataFrame(
+        [(-9.0e14,), (123.4567,), (-0.0001,), (9.0e14,), (-7.25,)],
+        "x double",
+    )
+    gn = neg.agg(qsum(F.col("x")).alias("t")).collect()[0]["t"]
+    wn = duckdb.sql(
+        "SELECT " + qsum_sql("x") + " AS t FROM (VALUES (-9.0e14),"
+        " (123.4567), (-0.0001), (9.0e14), (-7.25)) v(x)"
+    ).fetchone()[0]
+    assert gn == wn, (gn, wn)
