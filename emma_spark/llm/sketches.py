@@ -155,7 +155,15 @@ def hll_register_table(
     m = 1 << p
     w = 56 - p
     h = md5_long(F.col(key_col).cast("string"), salt="hll")
-    base = df.select(F.col(group_col), h.alias("__h"))
+    # NULL keys contribute NOTHING to a distinct count — the SQL
+    # count(DISTINCT ...) convention this sketch estimates. Unfiltered,
+    # a NULL key makes a NULL-register row here while DuckDB's
+    # NULL-ignoring concat() hashes the bare salt into a REAL register
+    # (one phantom distinct) — both wrong, differently (r10
+    # NULL-user_id events fuzz).
+    base = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(group_col), h.alias("__h")
+    )
     return (
         base.select(
             group_col,

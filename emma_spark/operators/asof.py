@@ -42,6 +42,16 @@ def asof_join(
     Ties (equal ts): the right row sorts BEFORE the left row at the
     same timestamp, so an exactly-simultaneous right row matches in
     both directions.
+
+    NULL keys (r10, NULL-user_id events fuzz): SQL join semantics —
+    a right row with a NULL key never matches anything, and a left
+    row with a NULL key emits with NULL right payload. This matches
+    DuckDB's native ASOF JOIN (`=` equality) and pandas merge_asof;
+    without the right-side filter below, the window formulation
+    would silently treat NULL as a joinable key (all anonymous rows
+    forming one pseudo-entity) because PARTITION BY groups NULLs.
+    DataBag.equi_join's eqNullSafe is a deliberate, documented
+    reference-parity exception — not the default for new operators.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -52,7 +62,7 @@ def asof_join(
         lt = lt.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
     lt = lt.withColumn(f"__ts{suffix}", F.lit(None).cast(right.schema[ts].dataType))
 
-    rt = right.select(
+    rt = right.filter(F.col(on).isNotNull()).select(
         F.col(on),
         F.col(ts),
         F.lit(0).alias("__side"),

@@ -236,38 +236,43 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # Everything past position 50 carries a green driver row from r1-r4 and
 # stays verified by tools/diffcheck.py --vanilla each round.
 _PRIORITY = [
-    # ---- R10 WINDOW. Staged by tools/stage_window.py (changed tier
-    # derived by tools/staleness.py; a staleness.py failure now ABORTS
-    # staging instead of silently emptying this tier — r9 ADVICE).
-    # (a) the 6 scan-sweep rewrites deliberately deferred from r9
-    # (reported STALE-UNCOVERED at r9 close, first in line per the
-    # r9 verdict ask #3):
+    # ---- R10 WINDOW (restaged after the NULL-user_id events-fuzz
+    # batch). Staged by tools/stage_window.py + the stale-covered
+    # rule of docs/ROTATION.md: single-dep consumers of a changed
+    # helper are represented, not enumerated — the representatives'
+    # greens re-certify the helper and the rest reclassify
+    # stale-covered at post-round staleness.
+    # (a) the 6 scan-sweep rewrites deferred from r9:
     "basket_brand_affinity", "events_funnel", "graph_jaccard_neighbors",
     "orders_rfm_segmentation", "sketch_quantile_bins",
     "sketch_quantile_bins_grouped",
-    # (b) made stale by the r10 qsum DECIMAL(38,0)/HUGEINT lift (the
-    # helper AND its oracle twin changed, so every consumer's green
-    # predates the code; all re-verified through the matched-sparse
-    # tier and sf0.01 diffcheck this round — the driver row confirms):
-    "fold_global", "groupby_agg_pricing", "groupby_having",
-    "join_broadcast", "mutable_bag_update", "pivot_status_by_priority",
-    "q10_returned_item_customers", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q22_dormant_customers",
-    "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_volume_shipping", "q9_profit_by_nation_year",
-    "range_join_price_bands", "rollup_orders", "skew_salted_join_agg",
-    # (c) own-source r10 changes with prior greens: the
-    # zero-variance-denominator guards (r9 verdict ask #1) and the
-    # watermark-domain quarantine adoption:
+    # (b) qsum DECIMAL-split representatives (5 of 17 consumers,
+    # spanning grouped/global/rollup/join/state shapes and both
+    # qsum + qsum_sql; the other 12 are qsum-only/qsum_sql-only
+    # single-dep consumers — covered once these green):
+    "groupby_agg_pricing", "fold_global", "rollup_orders",
+    "q9_profit_by_nation_year", "mutable_bag_update",
+    # (c) own-source r10 changes with prior greens (each needs its
+    # own slot): the zero-variance-denominator guards, the watermark
+    # quarantine adoption, and the NULL-user_id fuzz batch
+    # (null-safe restore join, arm-exclusion oracles, HLL NULL-key
+    # contract; asof_forward_conversion also re-certifies
+    # operators.asof for asof_join_purchases, and
+    # sketch_hll_merge_rollup below re-certifies hll_register_table
+    # + _sql_hll for sketch_hll_distinct):
     "graph_assortativity", "ml_pca_power_top", "stream_watermark_append",
+    "events_cuped_adjusted_lift", "events_experiment_scorecard",
+    "events_point_in_interval", "stream_hll_windowed_distinct",
+    "asof_forward_conversion",
     # (d) changed this round AND never driver-checked: the confirmed
-    # DIVIDE_BY_ZERO crash fix (judge repro — single-row/constant-
-    # discount brands), the matched-sentinel MTA fix, the null-safe
-    # chi2 bin join:
+    # DIVIDE_BY_ZERO crash fix, the matched-sentinel MTA fix, the
+    # null-safe chi2 bin join, and the NULL-user_id fuzz fixes:
     "ml_grouped_ols_slopes", "events_mta_linear_credit",
-    "orders_price_drift_chi2",
-    # (e) never-checked burn-down (docs/ROTATION.md queue order; 121
-    # remain after this window):
+    "orders_price_drift_chi2", "events_diff_in_diff",
+    "sketch_hll_merge_rollup", "events_ab_test_lift",
+    "events_did_estimate", "events_srm_check",
+    "sketch_kmv_audience_overlap",
+    # (e) never-checked burn-down (docs/ROTATION.md queue order):
     "text_lang_confusion", "text_rouge1_recall", "text_dsir_importance",
     "text_domain_cap_sketch", "text_epoch_shuffle_plan",
     "text_decontaminate_bloom", "text_pair_lcs_similarity",
@@ -277,7 +282,7 @@ _PRIORITY = [
     "text_dsir_affinity", "text_gopher_rules", "text_langid_confusion",
     "text_collocation_lift", "dedup_lsh_bucket_stats",
     "dedup_containment_pairs", "dedup_substring_coverage",
-    "dedup_similarity_histogram",
+    "dedup_similarity_histogram", "dedup_winnowing_fingerprints",
 ]
 
 

@@ -80,8 +80,8 @@ def dq_k_anonymity(spark, sf_dir):
     oracle="""
     WITH u AS (
       SELECT DISTINCT user_id,
-             CAST(concat('0x', substr(md5('ab' || '|'
-                    || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) % 2
+             CAST('0x' || substr(md5('ab' || '|'
+                    || CAST(user_id AS VARCHAR)), 1, 14) AS BIGINT) % 2
                AS arm
       FROM events WHERE event_type = 'purchase'
     ),
@@ -349,8 +349,8 @@ def dq_freshness_completeness(spark, sf_dir):
     oracle="""
     WITH ev AS (
       SELECT user_id,
-             CAST(concat('0x', substr(md5('ab' || '|'
-                    || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) % 2
+             CAST('0x' || substr(md5('ab' || '|'
+                    || CAST(user_id AS VARCHAR)), 1, 14) AS BIGINT) % 2
                AS arm,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
       FROM events WHERE event_type = 'purchase'

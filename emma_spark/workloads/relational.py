@@ -5209,8 +5209,8 @@ def events_path_analysis(spark, sf_dir):
     "events_ab_test_lift",
     oracle="""
     WITH arms AS (
-      SELECT CAST(concat('0x', substr(md5('ab' || '|'
-                   || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) % 2
+      SELECT CAST('0x' || substr(md5('ab' || '|'
+                   || CAST(user_id AS VARCHAR)), 1, 14) AS BIGINT) % 2
                AS arm,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
       FROM events WHERE event_type = 'purchase'
@@ -5625,10 +5625,22 @@ def events_point_in_interval(spark, sf_dir):
             & (F.col("pts") >= F.col("s"))
             & (F.col("pts") <= F.col("e")),
         )
-        .groupBy("user_id", "session_id")
+        .groupBy(
+            F.col("user_id").alias("mu"),
+            F.col("session_id").alias("ms"),
+        )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return iv.join(matched, ["user_id", "session_id"], "left").select(
+    # null-safe restore join: anonymous (NULL user_id) sessions are a
+    # real group on both engines — the oracle never re-joins on
+    # user_id (it GROUPs), so a plain `=` here silently zeroed their
+    # purchase counts (r10 NULL-user_id events fuzz)
+    return iv.join(
+        matched,
+        iv["user_id"].eqNullSafe(F.col("mu"))
+        & (iv["session_id"] == F.col("ms")),
+        "left",
+    ).select(
         "user_id", "session_id", F.coalesce("n", F.lit(0)).alias("n_purchases")
     )
 
@@ -6019,8 +6031,8 @@ def orders_duplicate_invoice_detect(spark, sf_dir):
     "events_cuped_adjusted_lift",
     oracle="""
     WITH u AS (
-      SELECT CAST(concat('0x', substr(md5('cuped' || '|'
-                   || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) % 2 AS arm,
+      SELECT CAST('0x' || substr(md5('cuped' || '|'
+                   || CAST(user_id AS VARCHAR)), 1, 14) AS BIGINT) % 2 AS arm,
              sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
                       ELSE 0 END) AS x_c,
@@ -8157,8 +8169,8 @@ def orders_progressive_fee_bands(spark, sf_dir):
     "events_did_estimate",
     oracle="""
     WITH u AS (
-      SELECT CAST(concat('0x', substr(md5('did' || '|'
-                   || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) % 2
+      SELECT CAST('0x' || substr(md5('did' || '|'
+                   || CAST(user_id AS VARCHAR)), 1, 14) AS BIGINT) % 2
                AS treat,
              CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
                AS post,
@@ -10457,13 +10469,18 @@ def io_parquet_zstd_roundtrip(spark, sf_dir):
       SELECT min(epoch_us(ts)) + 15 * 86400000000 AS t_cut FROM events
     ),
     cells AS (
+      -- user_id IS NOT NULL: an anonymous event has no stable arm
+      -- assignment — it belongs in NEITHER arm (the bare CASE's ELSE
+      -- silently dumped NULL users into control, where Spark's
+      -- NULL-propagating cast made a third group; r10 NULL-user_id
+      -- events fuzz)
       SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
              CASE WHEN epoch_us(ts) >= cut.t_cut THEN 1 ELSE 0 END
                AS post,
              count(*) AS n,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 1000000
                   // count(*) AS BIGINT) AS mean_c_ppm
-      FROM events, cut GROUP BY 1, 2
+      FROM events, cut WHERE user_id IS NOT NULL GROUP BY 1, 2
     ),
     w AS (
       SELECT
@@ -10502,7 +10519,10 @@ def events_diff_in_diff(spark, sf_dir):
         .alias("t_cut")
     )
     cells = (
-        e.crossJoin(F.broadcast(cut))
+        # anonymous events carry no stable arm — excluded from the
+        # estimator on BOTH engines (see the oracle's WHERE)
+        e.filter(F.col("user_id").isNotNull())
+        .crossJoin(F.broadcast(cut))
         .groupBy(
             (F.col("user_id") % 2 == 1).cast("int").alias("treated"),
             (F.expr("unix_micros(ts)") >= F.col("t_cut"))

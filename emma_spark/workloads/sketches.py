@@ -147,9 +147,13 @@ def _sql_hll(key_expr: str, group_expr: str, src: str) -> str:
     k = 7213 * m**3 * (1 << s)
     den = 10000 * m + 10790
     h = sql_md5_long(f"concat('hll', '|', {key_expr})")
+    # WHERE key IS NOT NULL mirrors llm/sketches.hll_register_table:
+    # NULL keys are invisible to a distinct count (without it DuckDB's
+    # NULL-ignoring concat() hashes the bare salt — a phantom distinct)
     return f"""
     hashed AS (
       SELECT {group_expr} AS grp, {h} AS hh FROM {src}
+      WHERE {key_expr} IS NOT NULL
     ), regs AS (
       SELECT grp, hh % {m} AS register,
              CASE WHEN hh // {m} = 0 THEN {s}
@@ -484,13 +488,13 @@ def sketch_cms_merge_rollup(spark, sf_dir):
     "sketch_kmv_audience_overlap",
     oracle=f"""
     WITH ua AS (
-      SELECT DISTINCT CAST(concat('0x', substr(md5('kmv' || '|'
-               || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+      SELECT DISTINCT CAST('0x' || substr(md5('kmv' || '|'
+               || CAST(user_id AS VARCHAR)), 1, 14) AS BIGINT) AS h
       FROM events WHERE event_type = 'purchase'
     ),
     ub AS (
-      SELECT DISTINCT CAST(concat('0x', substr(md5('kmv' || '|'
-               || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+      SELECT DISTINCT CAST('0x' || substr(md5('kmv' || '|'
+               || CAST(user_id AS VARCHAR)), 1, 14) AS BIGINT) AS h
       FROM events WHERE event_type = 'click'
     ),
     ka AS (SELECT h FROM ua ORDER BY h LIMIT 64),

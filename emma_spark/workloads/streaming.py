@@ -408,10 +408,13 @@ def stream_state_ttl_closed(spark, sf_dir):
     "stream_hll_windowed_distinct",
     oracle="""
     WITH hashed AS (
+      -- user_id IS NOT NULL: NULL keys are invisible to a distinct
+      -- count (mirrors llm/sketches.hll_register_table; r10
+      -- NULL-user_id events fuzz)
       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
              CAST(concat('0x', substr(md5(concat('hll', '|',
                CAST(user_id AS VARCHAR))), 1, 14)) AS BIGINT) AS hh
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ), regs AS (
       SELECT win_start, hh % 512 AS register,
              CASE WHEN hh // 512 = 0 THEN 48
@@ -457,6 +460,10 @@ def stream_hll_windowed_distinct(spark, sf_dir):
     stream = S.read_stream_parquet(spark, staged, spark.read.parquet(staged).schema)
     m, s_bits = 512, 48
     h = md5_long(F.col("user_id").cast("string"), salt="hll")
+    # NULL keys are invisible to a distinct count (the register-table
+    # contract, llm/sketches.hll_register_table — this site builds its
+    # registers inline for the streaming agg)
+    stream = stream.filter(F.col("user_id").isNotNull())
     hashed = stream.select(
         F.col("ts"), F.pmod(h, F.lit(m)).alias("register"), h.alias("__h")
     ).select(

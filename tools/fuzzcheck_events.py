@@ -89,7 +89,14 @@ def build_corpus(path: str = FUZZ_DIR, n_rows: int = 3000, seed: int = 777):
             if rng.random() < 0.04
             else json.dumps({"k": rng.randint(0, 99)})
         )
-        rows.append((i, ts, rng.randint(0, 24), etype, val, props))
+        # NULL user_id (r10): user_id is an FK, not a PK — anonymous
+        # events are in-domain (unlike an event without a timestamp,
+        # which is ingest-rejected). The FK-NULL join/window/group
+        # seams the joins tier proves for region..lineitem were never
+        # exercised on the events side: eqNullSafe-vs-= join
+        # divergence, NULL partition windows, count(col) skipping.
+        uid = None if rng.random() < 0.03 else rng.randint(0, 24)
+        rows.append((i, ts, uid, etype, val, props))
     os.makedirs(path, exist_ok=True)
     pq.write_table(
         pa.table(
