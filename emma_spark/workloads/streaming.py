@@ -1070,9 +1070,14 @@ def stream_two_source_union(spark, sf_dir):
                < (SELECT max(ts) - INTERVAL 37 MINUTE FROM events)
     ),
     ranked AS (
+      -- NULLS LAST pinned explicitly: the anonymous (NULL user_id)
+      -- bucket is a legitimate heavy hitter, but Spark's ASC default
+      -- is NULLS FIRST where DuckDB's is NULLS LAST — an unpinned
+      -- tie-break reorders the top-3 the moment the NULL bucket ties
+      -- a real user (r10 NULL-user_id cross fuzz)
       SELECT win_start, user_id, n,
              row_number() OVER (PARTITION BY win_start
-               ORDER BY n DESC, user_id) AS rank
+               ORDER BY n DESC, user_id NULLS LAST) AS rank
       FROM wc
     )
     SELECT win_start, user_id, n, rank FROM ranked WHERE rank <= 3
@@ -1102,7 +1107,9 @@ def stream_windowed_topk_users(spark, sf_dir):
     S.run_to_memory(agg, name, output_mode="append", state_partitions=4)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("win_start").orderBy(F.desc("n"), "user_id")
+    w = Window.partitionBy("win_start").orderBy(
+        F.desc("n"), F.col("user_id").asc_nulls_last()
+    )
     return (
         spark.table(name)
         .select(F.col("window.start").alias("win_start"), "user_id", "n")
@@ -1114,7 +1121,14 @@ def stream_windowed_topk_users(spark, sf_dir):
 @query(
     "stream_scd2_temporal_enrich",
     oracle="""
-    WITH users AS (SELECT DISTINCT user_id FROM events),
+    WITH users AS (
+      -- a NULL user_id has no SCD2 history (dim keys are PK-like);
+      -- the = join below drops anonymous events identically on both
+      -- engines, and without this WHERE the md5-tier hash of NULL
+      -- crashes DuckDB one-sidedly via NULL-ignoring concat ->
+      -- CAST('0x') (r10 NULL-user_id cross fuzz)
+      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ),
     dim AS (
       SELECT user_id, k.k AS k,
              CASE WHEN k.k = 0 THEN TIMESTAMP '2024-01-01'
@@ -1165,7 +1179,11 @@ def stream_scd2_temporal_enrich(spark, sf_dir):
     schema = spark.read.parquet(staged).schema
     stream = S.read_stream_parquet(spark, staged, schema)
 
-    users = spark.read.parquet(staged).select("user_id").distinct()
+    users = (
+        spark.read.parquet(staged)
+        .filter(F.col("user_id").isNotNull())  # no SCD2 history for NULL
+        .select("user_id").distinct()
+    )
     ks = spark.range(4).select(F.col("id").cast("int").alias("k"))
     h = lambda salt: F.expr(
         f"CAST(conv(substring(md5(concat('{salt}', '|',"
