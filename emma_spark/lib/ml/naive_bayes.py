@@ -38,12 +38,13 @@ def naive_bayes(
     per = (
         data.select(label_col, F.posexplode(F.col(vec_col)).alias("pos", "v"))
         .groupBy(label_col, "pos")
-        .agg(F.sum("v").alias("s"), F.count("v").alias("cnt"))
+        # count(*), not count(v): the prior counts ROWS per label; a
+        # feature column that is all-NULL must not zero the prior
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
     )
     # per-label aggregates: count (rows per label) + theta inputs
     by_label = per.groupBy(label_col).agg(
         F.max("cnt").alias("l_cnt"),  # cnt identical across pos
-        F.sum("s").alias("l_tot"),  # sum over all dims (multinomial denom)
         F.sort_array(F.collect_list(F.struct("pos", "s"))).alias("sums"),
         F.count("pos").alias("dim"),
     )
@@ -62,7 +63,15 @@ def naive_bayes(
 
     pi = F.log(F.col("l_cnt") + lam) - F.lit(prior_denom)
     if model_type == MULTINOMIAL:
-        ev_denom = F.log(F.col("l_tot") + lam * F.col("dim"))
+        # NULL-poison denominator: sum the per-dim sums with `+` (NULL
+        # propagates), NOT an aggregate sum (which skips NULLs) — if
+        # any feature dimension's sum is NULL (all-NULL input column),
+        # the multinomial mass total is undefined and every theta goes
+        # NULL, matching SQL `s0 + s1 + ... + sD` semantics
+        l_tot = F.aggregate(
+            F.col("sums"), F.lit(0.0), lambda acc, x: acc + x["s"]
+        )
+        ev_denom = F.log(l_tot + lam * F.col("dim"))
     else:
         ev_denom = F.log(F.col("l_cnt") + 2.0 * lam)
     theta = F.transform(F.col("sums"), lambda x: F.log(x["s"] + lam) - ev_denom)

@@ -32,13 +32,23 @@ class MutableBag:
 
     A null result from ``f`` means "no change" for existing keys /
     "don't insert" for new keys — matching Option semantics of
-    ``MutableBag.update`` (``MutableBag.scala:28-44``).
+    ``MutableBag.update`` (``MutableBag.scala:28-44``). The same
+    Option contract applies to the SEED state: the reference stores a
+    non-optional ``V`` per key, so a NULL value means "entry absent"
+    and is dropped at construction (``update`` already drops NULL
+    merge results; an all-NULL measure ingest otherwise seeds state
+    rows that the first update silently erases — the constructor and
+    the mutator must agree).
     """
 
     def __init__(self, state: DataFrame, key: str = "key", val: str = "val"):
         self.key = key
         self.val = val
-        self._state = state.select(key, val).localCheckpoint(eager=True)
+        self._state = (
+            state.select(key, val)
+            .filter(F.col(val).isNotNull())
+            .localCheckpoint(eager=True)
+        )
 
     @classmethod
     def from_bag(cls, bag: DataBag, key: str = "key", val: str = "val") -> "MutableBag":

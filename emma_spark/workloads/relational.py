@@ -1168,10 +1168,17 @@ def asof_join_purchases(spark, sf_dir):
       SELECT o_custkey AS key, sum(floor(o_totalprice * 100 + 0.5)) / 100 AS val
       FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1
     )
-    SELECT coalesce(o.key, m.key) AS key,
-           CASE WHEN m.val IS NULL THEN o.val
-                ELSE coalesce(o.val, 0) + m.val END AS val
-    FROM old o FULL OUTER JOIN msgs m ON o.key = m.key
+    SELECT key, val FROM (
+      SELECT coalesce(o.key, m.key) AS key,
+             CASE WHEN m.val IS NULL THEN o.val
+                  ELSE coalesce(o.val, 0) + m.val END AS val
+      FROM old o FULL OUTER JOIN msgs m ON o.key = m.key
+    )
+    -- MutableBag's Option contract: a NULL value means "entry
+    -- absent" (seed rows with NULL val are never inserted; a NULL
+    -- merge result means "don't insert") — an all-NULL-measure
+    -- corpus otherwise diverges on whether NULL-valued keys exist
+    WHERE val IS NOT NULL
     """,
 )
 def mutable_bag_update(spark, sf_dir):
@@ -1603,10 +1610,15 @@ def pivot_status_by_priority(spark, sf_dir):
            list_max(qs)                                         AS mx
     FROM (
       -- FILTER: Spark collect_list drops NULL elements; an all-NULL
-      -- group's empty fold is the seed 0, where list_sum([]) is NULL
+      -- group's empty fold is the seed 0, where list_sum([]) is NULL.
+      -- coalesce to a typed EMPTY list: DuckDB's list() over zero
+      -- included rows is NULL where collect_list is [] — len and
+      -- list_max must see the empty list (len(NULL) is NULL while
+      -- Spark's size([]) is 0)
       SELECT l_orderkey,
-             list_sort(list(CAST(l_quantity AS BIGINT))
-                       FILTER (l_quantity IS NOT NULL)) AS qs
+             coalesce(list_sort(list(CAST(l_quantity AS BIGINT))
+                                FILTER (l_quantity IS NOT NULL)),
+                      CAST([] AS BIGINT[])) AS qs
       FROM lineitem WHERE l_orderkey % 97 = 0 GROUP BY l_orderkey
     )
     """,
@@ -8603,7 +8615,13 @@ _CROSTON_STEP = (
            r // 4194304 AS z_c,
            (r % 4194304) // 256 AS p_c,
            r % 256 AS q_last,
-           r // 4194304 * 1000 // ((r % 4194304) // 256) AS rate_milli
+           -- never-initialized state (no demand ever observed, e.g.
+           -- an all-NULL quantity ingest densifies to all zeros) has
+           -- p_c = 0 and NO forecast: NULL explicitly on both engines
+           -- (Spark ANSI `div 0` raises where DuckDB `// 0` NULLs)
+           CASE WHEN (r % 4194304) // 256 = 0 THEN NULL
+                ELSE r // 4194304 * 1000 // ((r % 4194304) // 256)
+           END AS rate_milli
     FROM folded
     """,
 )
@@ -8683,8 +8701,14 @@ def part_croston_intermittent(spark, sf_dir):
         f"({fold}) div 4194304 AS z_c",
         f"(({fold}) % 4194304) div 256 AS p_c",
         f"({fold}) % 256 AS q_last",
-        f"({fold}) div 4194304 * 1000 div ((({fold}) % 4194304) div 256)"
-        " AS rate_milli",
+        # never-initialized state (no demand ever observed — an
+        # all-NULL quantity ingest densifies to all zeros) has
+        # p_c = 0 and NO forecast: explicit NULL on both engines
+        # (ANSI `div 0` raises where DuckDB `// 0` NULLs)
+        f"CASE WHEN (({fold}) % 4194304) div 256 = 0"
+        " THEN CAST(NULL AS BIGINT)"
+        f" ELSE ({fold}) div 4194304 * 1000"
+        f" div ((({fold}) % 4194304) div 256) END AS rate_milli",
     )
 
 
@@ -9885,9 +9909,16 @@ def udtf_table_argument(spark, sf_dir):
             self._bands = set()
 
         def eval(self, row):
-            price_c = int(row["o_totalprice"] * 100 + 0.5)
+            tp = row["o_totalprice"]
+            self._n += 1  # count(*) semantics: NULL prices are rows too
+            if tp is None:
+                # NULL price: NULL band row; a NULL band is invisible
+                # to the trailer's DISTINCT count (count(DISTINCT ...)
+                # ignores NULLs — the oracle's summary CTE semantics)
+                yield int(row["o_orderkey"]), None, None
+                return
+            price_c = int(tp * 100 + 0.5)
             band = price_c // 5000000
-            self._n += 1
             self._bands.add(band)
             yield int(row["o_orderkey"]), price_c, band
 
