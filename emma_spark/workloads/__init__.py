@@ -282,7 +282,15 @@ _PRIORITY = [
     "text_dsir_affinity", "text_gopher_rules", "text_langid_confusion",
     "text_collocation_lift", "dedup_lsh_bucket_stats",
     "dedup_containment_pairs", "dedup_substring_coverage",
-    "dedup_similarity_histogram", "dedup_winnowing_fingerprints",
+    # (f) all-NULL-measure fuzz fixes (restage #2: a stale green is
+    # not a green — these two lost r8/r9 greens to the §nullmeasures
+    # batch and jump the queue; the two dedup_* names they displace
+    # return to the r11 never-checked queue; mutable_bag_update in
+    # (b) re-certifies state.MutableBag's Option-seed contract, and
+    # part_croston_intermittent / udtf_table_argument were never
+    # driver-checked so they stay in the r11 queue, tri-SF
+    # pre-verified):
+    "ml_naive_bayes_train", "array_hof_surface",
 ]
 
 

@@ -463,3 +463,67 @@ def test_fuzz_matched_subset(spark):
     assert not failures, "\n".join(failures)
     assert n_ok + n_skip == len(_MATCHED_SUBSET), (n_ok, n_skip)
     assert n_ok >= len(_MATCHED_SUBSET) - 1, f"too many skips: {n_skip}"
+
+
+# the r10 TIES tier's fixed subset: every selection-among-equals
+# family — window top-n, dedup keeper, ANN top-k, argmax, as-of pick,
+# stream top-k — plus the fold/sample shapes whose determinism the
+# tier certifies under full tie ambiguity
+_TIES_SUBSET = {
+    "window_topn_per_group", "dedup_exact", "ann_topk_cosine",
+    "asof_join_purchases", "stream_windowed_topk_users",
+    "sample_reservoir", "q2_min_cost_supplier", "agg_argmax_surface",
+    "dedup_minhash_pairs", "text_bm25_scores",
+}
+
+
+def test_fuzz_ties_subset(spark):
+    """TIES tier (r10): full-cardinality corpus with every measure,
+    timestamp, doc text, and embedding vector pinned to ONE constant —
+    every ranking/keeper/nearest-neighbor selection faces total tie
+    ambiguity. A pass certifies the selection is pinned to a
+    deterministic total order on both engines (i.e. results at scale
+    are partition-layout-independent even when the data ties)."""
+    from tools import fuzzcheck_ties
+
+    path = fuzzcheck_ties.build_corpus()
+    con = fuzzcheck_ties.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, set(fuzzcheck_ties.ALL_TABLES),
+        only=_TIES_SUBSET, quiet=True,
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok + n_skip == len(_TIES_SUBSET), (n_ok, n_skip)
+    assert n_ok >= len(_TIES_SUBSET) - 1, f"too many skips: {n_skip}"
+
+
+# the r10 ALL-NULL-MEASURE tier's fixed subset: the five first-contact
+# divergences (Option-seed contract, NB NULL-poison denominator,
+# list()-vs-collect_list empty/NULL seam, Croston uninitialized-state
+# forecast, UDTF NULL-row crash) plus aggregate-NULL-regime canaries
+_NULLM_SUBSET = {
+    "mutable_bag_update", "ml_naive_bayes_train", "array_hof_surface",
+    "part_croston_intermittent", "udtf_table_argument",
+    "groupby_agg_pricing", "agg_argmax_surface",
+    "pivot_status_by_priority", "window_topn_per_group",
+    "events_bitmap_dau",
+}
+
+
+def test_fuzz_nullmeasures_subset(spark):
+    """ALL-NULL-MEASURE tier (r10): rows exist at full cardinality but
+    every nullable measure is NULL — the third regime between the 4%-
+    mixed joins corpus and the zero-row empty tier (sum/avg/corr NULL,
+    count(col)=0 while count(*) is large). Pins the five first-contact
+    fixes of the r10 sweep."""
+    from tools import fuzzcheck_nullmeasures
+
+    path = fuzzcheck_nullmeasures.build_corpus()
+    con = fuzzcheck_nullmeasures.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, set(fuzzcheck_nullmeasures.ALL_TABLES),
+        only=_NULLM_SUBSET, quiet=True,
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok + n_skip == len(_NULLM_SUBSET), (n_ok, n_skip)
+    assert n_ok >= len(_NULLM_SUBSET) - 1, f"too many skips: {n_skip}"

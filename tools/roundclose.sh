@@ -43,6 +43,13 @@ python tools/fuzzcheck_negzero.py 2>/dev/null | tail -1 | sed 's/^/negz:  /' | t
 # matched-sparse (r10): facts sliced WITH FKs rewritten onto kept keys
 # — degenerate MATCHED groups, the shape sparse/monokey cannot produce
 python tools/fuzzcheck_matched.py 2>/dev/null | tail -1 | sed 's/^/match: /' | tee -a "$LOG"
+# ties (r10): full-cardinality constant measures/timestamps/text/
+# vectors — every selection-among-equals must be deterministically
+# pinned on both engines
+python tools/fuzzcheck_ties.py 2>/dev/null | tail -1 | sed 's/^/ties:  /' | tee -a "$LOG"
+# all-NULL measures (r10): rows exist, values don't — the aggregate-
+# NULL regime between the 4%-mixed joins corpus and the empty tier
+python tools/fuzzcheck_nullmeasures.py 2>/dev/null | tail -1 | sed 's/^/nullm: /' | tee -a "$LOG"
 
 note "4/7 tri-SF window sweep"
 WINDOW=$(python -c "from emma_spark.workloads import _PRIORITY; print(' '.join(_PRIORITY))" 2>/dev/null)
