@@ -281,16 +281,17 @@ _PRIORITY = [
     "text_quality_classifier_hashed", "text_source_vocab_overlap",
     "text_dsir_affinity", "text_gopher_rules", "text_langid_confusion",
     "text_collocation_lift", "dedup_lsh_bucket_stats",
-    "dedup_containment_pairs", "dedup_substring_coverage",
-    # (f) all-NULL-measure fuzz fixes (restage #2: a stale green is
-    # not a green — these two lost r8/r9 greens to the §nullmeasures
-    # batch and jump the queue; the two dedup_* names they displace
-    # return to the r11 never-checked queue; mutable_bag_update in
-    # (b) re-certifies state.MutableBag's Option-seed contract, and
+    # (f) post-close fuzz-fix restages (a stale green is not a
+    # green; each displaced dedup_* queue name returns to r11):
+    # all-NULL-measure batch — ml_naive_bayes_train +
+    # array_hof_surface lost r8/r9 greens (mutable_bag_update in (b)
+    # also re-certifies state.MutableBag's Option-seed contract;
     # part_croston_intermittent / udtf_table_argument were never
-    # driver-checked so they stay in the r11 queue, tri-SF
-    # pre-verified):
+    # driver-checked and stay in the r11 queue, tri-SF pre-verified);
+    # exotic-props batch — udtf_expand_props + variant_ops_surface
+    # lost r6 greens to the JSON quarantine contract:
     "ml_naive_bayes_train", "array_hof_surface",
+    "udtf_expand_props", "variant_ops_surface",
 ]
 
 

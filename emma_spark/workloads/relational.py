@@ -3606,14 +3606,39 @@ def layout_zorder_clustering(spark, sf_dir):
     # double round-trip); TRY_CAST on the result turns int64 overflow
     # into NULL. CAST(json AS BIGINT) is banned: DuckDB ROUNDS there
     # while Python int() truncates.
+    # Quarantine contract (exotic-props tier, r10): a 100 TB ingest
+    # contains corrupt props; the parser must SKIP those documents on
+    # both engines, never kill the job. Quarantined: malformed JSON /
+    # empty string / NULL (json_valid gate vs Python json.loads
+    # except), top-level non-objects (DuckDB json_keys returns []
+    # gracefully where .items() raises), duplicate top-level keys
+    # (DuckDB json_extract_string resolves every occurrence to the
+    # FIRST value while Python dicts keep the LAST — ambiguous, so
+    # the DOCUMENT is dropped, not one reading of it kept), and keys
+    # the SQL twin's bare-key path cannot address ('' is an empty
+    # path error; leading '$' parses as a JSONPath — '$' alone
+    # returns the root; leading '/' parses as a JSON Pointer). The
+    # whole document quarantines, never single keys — partial
+    # documents would silently under-count.
     oracle="""
-    WITH kv AS (
+    WITH jd AS (
+      SELECT CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN props::JSON END AS jp
+      FROM events WHERE event_id % 101 = 0
+    ), good AS (
+      SELECT CASE WHEN json_type(jp) = 'OBJECT'
+                   AND len(json_keys(jp)) = len(list_distinct(json_keys(jp)))
+                   AND len(list_filter(json_keys(jp),
+                           k -> k = '' OR left(k, 1) = '$'
+                                OR left(k, 1) = '/')) = 0
+                  THEN jp END AS j
+      FROM jd
+    ), kv AS (
       SELECT t.k AS prop_key,
-             trim(json_extract_string(e.props, t.k),
+             trim(json_extract_string(g.j, t.k),
                   ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))
                AS s
-      FROM events e, unnest(json_keys(e.props)) AS t(k)
-      WHERE e.event_id % 101 = 0
+      FROM good g, unnest(json_keys(g.j)) AS t(k)
     )
     , coerced AS (
       SELECT prop_key,
@@ -3696,9 +3721,30 @@ def udtf_expand_props(spark, sf_dir):
             return None
 
         def eval(self, props: str):
+            # quarantine contract (see the oracle comment): malformed
+            # / non-object / duplicate-keyed / path-colliding-keyed
+            # documents are SKIPPED whole on both engines — a corrupt
+            # document must never kill the job, and a partially-read
+            # one would silently under-count
             if not props:
                 return
-            for k, v in json.loads(props).items():
+            try:
+                # object_pairs_hook surfaces DUPLICATE keys (a plain
+                # dict keeps the last — DuckDB's extract reads the
+                # first; the ambiguity quarantines the document)
+                pairs = json.loads(props, object_pairs_hook=lambda ps: ps)
+            except ValueError:
+                return
+            if not isinstance(pairs, list) or not all(
+                isinstance(p, tuple) for p in pairs
+            ):
+                return  # top-level non-object
+            keys = [k for k, _ in pairs]
+            if len(set(keys)) != len(keys):
+                return  # duplicate top-level keys
+            if any(k == "" or k[0] in "$/" for k in keys):
+                return  # keys the SQL twin's bare-key path can't address
+            for k, v in pairs:
                 yield k, self._to_long(v)
 
     fname = f"expand_props_{_uuid.uuid4().hex[:8]}"
@@ -4697,11 +4743,30 @@ def parquet_schema_evolution(spark, sf_dir):
     # Hardened r6 with the udtf_expand_props driver-red class.
     oracle="""
     WITH kv AS (
+      -- validity gate (exotic-props tier, r10): malformed / empty /
+      -- NULL docs extract as NULL on both engines (Spark
+      -- try_parse_json -> NULL variant; json_valid gate here), and
+      -- DUPLICATE-KEY docs quarantine to NULL the same way —
+      -- Spark's VARIANT builder rejects duplicate keys outright
+      -- where DuckDB's extract would read the first occurrence.
+      -- Rows are NEVER filtered out: n counts every event, corrupt
+      -- docs just contribute NULL extractions.
       SELECT event_type,
-             json_extract_string(props, '$.k') AS s,
-             json_type(props, '$.k') AS t,
-             json_extract(props, '$.missing') AS miss
-      FROM events WHERE event_id % 13 = 0
+             json_extract_string(good, '$.k') AS s,
+             json_type(good, '$.k') AS t,
+             json_extract(good, '$.missing') AS miss
+      FROM (
+        SELECT event_type,
+               CASE WHEN len(json_keys(jp)) =
+                         len(list_distinct(json_keys(jp)))
+                    THEN jp END AS good
+        FROM (
+          SELECT event_type,
+                 CASE WHEN props IS NOT NULL AND json_valid(props)
+                      THEN props::JSON END AS jp
+          FROM events WHERE event_id % 13 = 0
+        )
+      )
     ), coerced AS (
       SELECT event_type, miss,
              CASE t
@@ -4745,8 +4810,11 @@ def variant_ops_surface(spark, sf_dir):
     JSON functions — extraction semantics, not encoding, is the
     contract."""
     e = io.read_parquet(spark, f"{sf_dir}/events.parquet").df
+    # try_parse_json, not parse_json: a malformed or duplicate-keyed
+    # document becomes a NULL variant (every extraction NULL) instead
+    # of killing the job — the oracle's validity/dup gates mirror it
     v = e.filter(F.col("event_id") % 13 == 0).select(
-        "event_type", F.parse_json("props").alias("pv")
+        "event_type", F.try_parse_json("props").alias("pv")
     )
     # try_variant_get, not variant_get: a non-castable value must yield
     # NULL like the oracle's CASE, never raise; the int32-range clamp

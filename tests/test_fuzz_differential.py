@@ -527,3 +527,31 @@ def test_fuzz_nullmeasures_subset(spark):
     assert not failures, "\n".join(failures)
     assert n_ok + n_skip == len(_NULLM_SUBSET), (n_ok, n_skip)
     assert n_ok >= len(_NULLM_SUBSET) - 1, f"too many skips: {n_skip}"
+
+
+# the r10 EXOTIC-PROPS tier's fixed subset: the two JSON consumers
+# (quarantine contract) plus props-adjacent events canaries that must
+# stay insensitive to the props column's content
+_PROPS_SUBSET = {
+    "udtf_expand_props", "variant_ops_surface",
+    "events_retention_cohorts", "events_bitmap_dau",
+}
+
+
+def test_fuzz_props_subset(spark):
+    """EXOTIC-PROPS tier (r10): corrupt / top-level-non-object /
+    duplicate-key / path-colliding-key JSON documents. Pins the
+    parser-quarantine contract: both engines SKIP bad documents whole
+    (json.loads worker crash and DuckDB first-occurrence duplicate
+    reads were one-sided before the fix)."""
+    from tools import fuzzcheck_props
+
+    path = fuzzcheck_props.build_corpus()
+    con = fuzzcheck_props.connect(path)
+    n_ok, n_skip, failures = run_fuzz(
+        spark, con, path, {"events"}, only=_PROPS_SUBSET, quiet=True,
+        exclude_prefixes=fuzzcheck_props.EXCLUDE_PREFIXES,
+    )
+    assert not failures, "\n".join(failures)
+    assert n_ok + n_skip == len(_PROPS_SUBSET), (n_ok, n_skip)
+    assert n_ok >= len(_PROPS_SUBSET) - 1, f"too many skips: {n_skip}"

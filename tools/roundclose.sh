@@ -50,6 +50,9 @@ python tools/fuzzcheck_ties.py 2>/dev/null | tail -1 | sed 's/^/ties:  /' | tee 
 # all-NULL measures (r10): rows exist, values don't — the aggregate-
 # NULL regime between the 4%-mixed joins corpus and the empty tier
 python tools/fuzzcheck_nullmeasures.py 2>/dev/null | tail -1 | sed 's/^/nullm: /' | tee -a "$LOG"
+# exotic props (r10): corrupt/duplicate-key/path-colliding JSON
+# documents — the parser-quarantine contract on both engines
+python tools/fuzzcheck_props.py 2>/dev/null | tail -1 | sed 's/^/props: /' | tee -a "$LOG"
 
 note "4/7 tri-SF window sweep"
 WINDOW=$(python -c "from emma_spark.workloads import _PRIORITY; print(' '.join(_PRIORITY))" 2>/dev/null)
