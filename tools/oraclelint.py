@@ -56,6 +56,22 @@ RULES: list[tuple[str, re.Pattern[str]]] = [
 ]
 
 
+def _ungated_props_json(sql: str) -> re.Match | None:
+    """r10 exotic-props finds: ``props`` is an ingest-boundary column —
+    a 100 TB corpus contains malformed / non-object / duplicate-key
+    documents, and DuckDB's ``json_*`` functions RAISE on malformed
+    input (``''::JSON`` included) while Spark-side guards yield
+    NULL/zero rows — a one-sided crash class. Any oracle applying a
+    ``json_`` function to ``props`` must carry a ``json_valid`` gate
+    (see udtf_expand_props / variant_ops_surface for the gated CTE
+    idiom and the full quarantine contract)."""
+    if not re.search(r"\bprops\b", sql):
+        return None
+    if "json_valid" in sql:
+        return None
+    return re.search(r"\bjson_\w+\s*\(", sql)
+
+
 def _one_arg_trim(sql: str) -> re.Match | None:
     """DuckDB's 1-arg trim strips UNICODE space characters (U+00A0,
     U+1680, U+3000, ...) while Spark's F.trim strips only ASCII space —
@@ -96,6 +112,15 @@ def lint_oracles() -> list[str]:
                 f"{name}: 1-arg trim() strips Unicode spaces in DuckDB"
                 f" but not in Spark — use trim(x, ' ' || chr(9)...) or"
                 f" trim(x, ' '): ...{ctx!r}..."
+            )
+        m = _ungated_props_json(q.oracle)
+        if m:
+            ctx = q.oracle[max(0, m.start() - 40) : m.end() + 40]
+            problems.append(
+                f"{name}: json_* on props without a json_valid gate —"
+                f" corrupt documents crash DuckDB one-sidedly; use the"
+                f" quarantine-gated CTE idiom (udtf_expand_props):"
+                f" ...{ctx!r}..."
             )
     return problems
 
