@@ -335,3 +335,44 @@ def pack_sequences(
     ).withColumn("pack_id", F.expr(f"pack_offset div {int(ctx)}")).select(
         id_col, token_col, "pack_id", "pack_offset"
     )
+
+
+def quarantine_invalid_json(
+    df: DataFrame, col: str, require_object: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Split a frame into ``(valid, quarantine)`` on the JSON
+    QUARANTINE CONTRACT (workloads udtf_expand_props /
+    variant_ops_surface, r10 exotic-props tier): a 100 TB ingest
+    contains corrupt JSON documents — malformed fragments, empty
+    strings, top-level scalars/arrays, duplicate keys — and a parser
+    that meets one must SKIP the document, never kill the job and
+    never read it partially. This operator is the ingest-side
+    enforcement (the batch sibling of
+    streaming.api.quarantine_pre_epoch): route ``valid`` into the
+    JSON-consuming plan and ``quarantine`` to a dead-letter sink, so
+    corruption is OBSERVED instead of discovered as a worker crash
+    three joins downstream.
+
+    Validity is pure Column work (no Python, no shuffle; both legs
+    are narrow filters over the shared scan):
+
+    - ``try_parse_json`` non-NULL ⇔ well-formed JSON with UNIQUE keys
+      at every depth (Spark's VARIANT builder rejects duplicate-key
+      documents outright — probed live, r10);
+    - ``require_object`` adds the top-level-object test: for already-
+      validated JSON, "first non-whitespace byte is ``{``" is exact
+      (the explicit ``[ \\t\\r\\n]`` class, same discipline as WS_RE).
+
+    NULL documents ride the quarantine leg — like a NULL event time
+    in quarantine_pre_epoch, ``props IS NULL`` corruption belongs in
+    the same dead-letter audit.
+    """
+    c = F.col(col)
+    # `ok` is never three-valued: isNotNull() anchors the conjunction
+    # at a real boolean (FALSE AND NULL = FALSE), so the quarantine
+    # leg is exactly ~ok — NULL documents land there through the
+    # FALSE anchor, not through a separate clause
+    ok = c.isNotNull() & F.try_parse_json(c).isNotNull()
+    if require_object:
+        ok = ok & c.rlike(r"^[ \t\r\n]*\{")
+    return df.filter(ok), df.filter(~ok)

@@ -340,3 +340,34 @@ def test_grand_total_on_empty_restores_lattice_row(spark):
     rows = grand_total_on_empty(agg(empty), empty, filler()).collect()
     assert len(rows) == 1
     assert rows[0]["k"] is None and rows[0]["n"] == 0 and rows[0]["s"] is None
+
+
+def test_quarantine_invalid_json_split(spark):
+    """quarantine_invalid_json enforces the r10 JSON quarantine
+    contract at the ingest boundary: corrupt documents (malformed /
+    non-object / duplicate-keyed / NULL) route to the dead-letter
+    leg; both legs partition the input exactly."""
+    from emma_spark.llm.text import quarantine_invalid_json
+
+    rows = [
+        (1, '{"k": 1}'),            # valid object
+        (2, '{"a": {"b": [1]}}'),   # valid nested object
+        (3, "  \t{\n}"),            # whitespace-led empty object
+        (4, "42"),                  # top-level number
+        (5, "[1, 2]"),              # top-level array
+        (6, '"str"'),               # top-level string
+        (7, '{"a":1,"a":2}'),       # duplicate keys (VARIANT rejects)
+        (8, "{"),                   # malformed
+        (9, ""),                    # empty string
+        (10, None),                 # NULL document
+    ]
+    df = spark.createDataFrame(rows, "id long, props string")
+    valid, quarantine = quarantine_invalid_json(df, "props")
+    assert {r.id for r in valid.collect()} == {1, 2, 3}
+    assert {r.id for r in quarantine.collect()} == {4, 5, 6, 7, 8, 9, 10}
+
+    # require_object=False admits top-level scalars/arrays (still
+    # valid JSON) but keeps malformed / duplicate-keyed / NULL out
+    valid2, quar2 = quarantine_invalid_json(df, "props", require_object=False)
+    assert {r.id for r in valid2.collect()} == {1, 2, 3, 4, 5, 6}
+    assert {r.id for r in quar2.collect()} == {7, 8, 9, 10}
