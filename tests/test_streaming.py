@@ -369,3 +369,77 @@ def test_quarantine_pre_epoch_then_watermark_emits_all_valid(spark, tmp_path):
     _, quarantine = S.quarantine_pre_epoch(
         spark.read.parquet(src), "ts")
     assert quarantine.count() == 2
+
+
+def test_watermark_late_drop_is_window_granular(spark, tmp_path):
+    """The LATE-ROW CONTRACT, pinned across micro-batches (no
+    single-drain test can see it: within one availableNow batch the
+    watermark is still -inf, so nothing is ever late). Spark drops
+    lateness at WINDOW granularity, not row granularity: an arriving
+    row is discarded iff its window's END is at or below the current
+    watermark (the window's state is already finalized and evicted) —
+    a row older than the watermark itself still counts if its window
+    is open. A 100 TB backfill job must know which of its stragglers
+    silently vanish; this test measures the exact boundary.
+
+    Drain 1 (delay 10 min): rows at 10:10, 10:20, 11:15 → watermark
+    advances to 11:05; window [10:00, 11:00) finalizes with n=2.
+    Drain 2 adds: 10:30 (window end 11:00 <= 11:05 → DROPPED),
+    11:05 (== watermark, window end 12:00 > 11:05 → KEPT), and
+    12:30 (advances the watermark to 12:20, closing [11:00, 12:00)
+    with n = 2: the 11:15 row + the kept boundary row). The late row
+    appears NOWHERE; the batch replay over the same files counts it
+    (n=3 in its window) — the delta IS the documented drop."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    d = datetime.datetime
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(rows)], "event_id long, ts timestamp"
+        ).write.mode("append").parquet(src)
+
+    write([d(2024, 1, 1, 10, 10), d(2024, 1, 1, 10, 20),
+           d(2024, 1, 1, 11, 15)])
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        counts = (
+            S.with_watermark(
+                S.read_stream_parquet(spark, src, schema), "ts", "10 minutes"
+            )
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            counts.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got1 = {r["ws"]: r["n"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {d(2024, 1, 1, 10): 2}  # [10:00) finalized, [11:00) open
+
+    write([d(2024, 1, 1, 10, 30),   # late: window end <= watermark
+           d(2024, 1, 1, 11, 5),    # AT the watermark: window open, kept
+           d(2024, 1, 1, 12, 30)])  # on-time: advances the watermark
+    drain()
+    got2 = {r["ws"]: r["n"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {d(2024, 1, 1, 10): 2, d(2024, 1, 1, 11): 2}
+
+    # batch replay over the same files counts the late row — the
+    # difference is exactly the documented window-granular drop
+    batch = {
+        r["ws"]: r["n"]
+        for r in spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n").collect()
+    }
+    assert batch[d(2024, 1, 1, 10)] == 3      # includes the dropped row
+    assert batch[d(2024, 1, 1, 11)] == 2
+    assert batch[d(2024, 1, 1, 12)] == 1      # open window, unemitted
