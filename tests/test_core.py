@@ -605,3 +605,16 @@ def test_nest_max_group_size_guardrail(spark):
     bad = xs.group_by(["k"]).nest(max_group_size=3)
     with pytest.raises(Exception, match="max_group_size"):
         bad.collect()
+
+
+def test_temp_view_binds_at_analysis(spark):
+    """The session-concurrency contract's load-bearing fact
+    (docs/SCALE.md): spark.sql resolves a temp view at ANALYSIS time,
+    so replacing the view later never changes an already-built
+    DataFrame — the only shared-state window in view-registering
+    queries is between their own register and sql() calls."""
+    spark.range(0, 5).createOrReplaceTempView("v_bind_probe")
+    df = spark.sql("SELECT count(*) AS n FROM v_bind_probe")
+    spark.range(0, 100).createOrReplaceTempView("v_bind_probe")
+    assert df.collect()[0]["n"] == 5
+    spark.catalog.dropTempView("v_bind_probe")
