@@ -122,7 +122,13 @@ def qsum(col, dp: int = 4):
     s = 10 ** dp
     d = col.cast("double")
     nf = _nonfinite(d)
-    v = F.floor(F.when(~nf, col) * s + F.lit(0.5))  # LONG, |v| <= 2^53
+    # quantize from d (the double cast), NOT col: floor() over a
+    # DECIMAL input would stay in decimal arithmetic, where Spark's
+    # division ROUNDS (HALF_UP) at the result scale and the
+    # floor-div/pmod split identity below silently breaks — the
+    # double path is the one whose exactness the proof covers
+    # (r10 ADVICE; latent: all current consumers pass doubles)
+    v = F.floor(F.when(~nf, d) * s + F.lit(0.5))  # LONG, |v| <= 2^53
     m40, m20 = 1 << 40, 1 << 20
     # floor-div by a power of two via double division is EXACT: the
     # long->double conversion is exact for |v| <= 2^53 and dividing

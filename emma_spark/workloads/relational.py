@@ -11093,8 +11093,13 @@ def events_watermark_lateness_audit(spark, sf_dir):
     ),
     tw AS (
       SELECT c.cid, c.val_c, t.event_type,
+             -- tid NULLS LAST pinned: Spark ASC defaults NULLS FIRST,
+             -- DuckDB NULLS LAST — a real touch row with NULL
+             -- event_id tying on tt would otherwise take a different
+             -- rk (and remainder cent) per engine (r10 ADVICE; same
+             -- seam as the stream_windowed_topk_users ties fix)
              row_number() OVER (
-               PARTITION BY c.cid ORDER BY t.tt, t.tid) AS rk,
+               PARTITION BY c.cid ORDER BY t.tt, t.tid NULLS LAST) AS rk,
              count(*) OVER (PARTITION BY c.cid) AS n_touch
       FROM conv c JOIN touch t
         ON c.user_id = t.user_id
@@ -11167,7 +11172,9 @@ def events_mta_linear_credit(spark, sf_dir):
         & (F.col("tt") > F.col("ct") - 604800000000),
         "left",
     )
-    wr = Window.partitionBy("cid").orderBy("tt", "tid")
+    # tid asc_nulls_last mirrors the oracle's NULLS LAST pin — the
+    # NULL-event_id tie-break seam (r10 ADVICE; see oracle comment)
+    wr = Window.partitionBy("cid").orderBy("tt", F.col("tid").asc_nulls_last())
     wc = Window.partitionBy("cid")
     credited = tw.select(
         "cid", "val_c", "event_type", "matched",

@@ -337,3 +337,85 @@ def test_qsum_beyond_long_ceiling(spark):
         " (123.4567), (-0.0001), (9.0e14), (-7.25)) v(x)"
     ).fetchone()[0]
     assert gn == wn, (gn, wn)
+
+
+def test_qsum_decimal_input_pins_long_path(spark):
+    """The r10 ADVICE latent: a DECIMAL input column must quantize
+    through the DOUBLE cast, not decimal arithmetic (where Spark's
+    division ROUNDS HALF_UP at the result scale and the split-sum
+    floor-div/pmod identity silently breaks). qsum over the same
+    values as DECIMAL and as DOUBLE must agree, and both must match
+    the DuckDB mirror."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from emma_spark.workloads import qsum, qsum_sql
+
+    vals = ["123.4567", "-0.0001", "99999999.99", "-7.25", "0.00005"]
+    dec = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        F.col("s").cast("decimal(20,5)").alias("x")
+    )
+    dbl = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    g_dec = dec.agg(qsum(F.col("x")).alias("t")).collect()[0]["t"]
+    g_dbl = dbl.agg(qsum(F.col("x")).alias("t")).collect()[0]["t"]
+    want = duckdb.sql(
+        "SELECT " + qsum_sql("CAST(x AS DOUBLE)") + " AS t FROM (VALUES "
+        + ", ".join(f"({v})" for v in vals) + ") v(x)"
+    ).fetchone()[0]
+    assert g_dec == g_dbl == want, (g_dec, g_dbl, want)
+
+
+def test_mta_linear_credit_null_tid_tie_break(spark, tmp_path):
+    """The r10 ADVICE seam: a real touch row with NULL event_id tying
+    on tt must take the SAME row_number on both engines (Spark ASC
+    defaults NULLS FIRST, DuckDB NULLS LAST — both now pin NULLS
+    LAST), so the largest-remainder +1 cent lands on the same
+    event_type. The conversion value 4 over 3 touches forces a
+    remainder of 1: ONLY rank 1 banks the extra cent, so the NULL-vs-
+    non-NULL order of the tied pair decides whether 'click' or 'view'
+    gets it — an unpinned tie-break diverges here (remainder 2 would
+    hide it: both tied rows sit inside the boundary either way).
+    Additionally asserts the pinned outcome literally (view banks the
+    remainder), so BOTH engines moving together to NULLS FIRST would
+    still fail."""
+    import datetime
+
+    import duckdb
+
+    from emma_spark.workloads import load_all
+
+    qs = load_all()
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # (event_id, user_id, event_type, ts, value)  ts tie at t0
+        (None, 7, "click", t0, 0.0),
+        (2, 7, "view", t0, 0.0),
+        (3, 7, "click", t0 + datetime.timedelta(minutes=5), 0.0),
+        (9, 7, "purchase", t0 + datetime.timedelta(hours=1), 0.04),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, "
+              "ts timestamp, value double"
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        (r["event_type"]): (r["n_credits"], r["credit_c"])
+        for r in qs["events_mta_linear_credit"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            qs["events_mta_linear_credit"].oracle).fetchall()
+    }
+    assert got == want, (got, want)
+    # books closed: total credited cents == converted cents (4)
+    assert sum(v[1] for v in got.values()) == 4
+    # the pinned semantics, literally: NULLS LAST puts view (tid=2)
+    # at rank 1 ahead of the NULL-tid click, so view banks 1+1 cents
+    assert got["view"] == (1, 2), got
+    assert got["click"] == (2, 2), got
