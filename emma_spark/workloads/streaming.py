@@ -97,15 +97,20 @@ def stream_watermark_append(spark, sf_dir):
     can't land exactly on a window edge.
 
     The watermark domain contract is ENFORCED, not assumed: the
-    stream goes through quarantine_pre_epoch before with_watermark,
-    so corrupt pre-epoch / NULL event times (which a watermarked agg
-    silently drops — streaming/api.py contract) are split off as a
-    dead-letter leg instead of vanishing. This corpus has none, so
-    the valid leg is the whole table and the oracle is unchanged;
-    the filter is a pushed narrow predicate, not a shuffle."""
+    stream goes through quarantine_out_of_band before with_watermark,
+    so corrupt event times on BOTH sides of the band are split off as
+    a dead-letter leg instead of vanishing — pre-epoch / NULL (which
+    a watermarked agg silently drops) AND far-future (which poisons
+    the checkpointed watermark so every LATER real row drops forever
+    in a restart-resume deployment; the 7-day lead bound is the
+    producer-clock-skew allowance — event time may not lead
+    processing time, arbitrarily LATE rows stay valid). This corpus
+    has neither, so the valid leg is the whole table and the oracle
+    is unchanged; the filter is a pushed narrow predicate, not a
+    shuffle."""
     staged = _stage_events(spark, sf_dir)
     stream = S.read_stream_parquet(spark, staged, spark.read.parquet(staged).schema)
-    valid, _quarantine = S.quarantine_pre_epoch(stream, "ts")
+    valid, _quarantine = S.quarantine_out_of_band(stream, "ts", "7 days")
     wm = S.with_watermark(valid, "ts", "37 minutes")
     agg = S.tumbling(wm, "ts", "1 hour", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -779,6 +784,9 @@ def stream_sliding_watermark_append(spark, sf_dir):
     stream = S.read_stream_parquet(
         spark, staged, spark.read.parquet(staged).schema
     )
+    # out-of-band event times quarantined ahead of the watermark (the
+    # far-future side poisons the checkpointed watermark — api.py)
+    stream, _dead = S.quarantine_out_of_band(stream, "ts", "7 days")
     wm = S.with_watermark(stream, "ts", "41 minutes")
     agg = S.sliding(wm, "ts", "1 hour", "30 minutes", "event_type").agg(
         F.count(F.lit(1)).alias("n")
@@ -1099,6 +1107,9 @@ def stream_windowed_topk_users(spark, sf_dir):
     stream = S.read_stream_parquet(
         spark, staged, spark.read.parquet(staged).schema
     )
+    # out-of-band event times quarantined ahead of the watermark (the
+    # far-future side poisons the checkpointed watermark — api.py)
+    stream, _dead = S.quarantine_out_of_band(stream, "ts", "7 days")
     wm = S.with_watermark(stream, "ts", "37 minutes")
     agg = S.tumbling(wm, "ts", "1 hour", "user_id").agg(
         F.count(F.lit(1)).alias("n")
