@@ -555,3 +555,34 @@ def test_fuzz_props_subset(spark):
     assert not failures, "\n".join(failures)
     assert n_ok + n_skip == len(_PROPS_SUBSET), (n_ok, n_skip)
     assert n_ok >= len(_PROPS_SUBSET) - 1, f"too many skips: {n_skip}"
+
+
+# the r11 RESTART-RESUME tier's fixed subset: one representative per
+# stateful class — append windowed agg (guarded: its poison pass also
+# runs), complete-mode agg, applyInPandasWithState update, session
+# merge, stream-stream outer join state, chained stateful operators
+_RESTART_SUBSET = {
+    "stream_watermark_append", "stream_tumbling_counts",
+    "stream_keyed_state_counts", "stream_session_windows",
+    "stream_stream_left_outer_join", "stream_chained_window_aggs",
+}
+
+
+def test_fuzz_restart_resume_subset(spark):
+    """RESTART-RESUME tier (r11): each stream workload drained in TWO
+    checkpointed availableNow runs over a staging dir that grows
+    between them (the incremental-ingest deployment pattern), then
+    compared against its batch oracle over the full corpus — the
+    watermark carry-over / state-recovery semantics no single-run
+    harness can reach (the r10 far-future-poison class). The
+    guarded subset member also runs its POISON pass: one year-2100
+    row in drain 1 must leave the result batch-equivalent."""
+    from tools import fuzzcheck_restart
+
+    n_ok, n_skip, failures = fuzzcheck_restart.run_restart(
+        spark, only=_RESTART_SUBSET, quiet=True
+    )
+    assert not failures, "\n".join(failures)
+    # 6 clean runs + 1 poison run (stream_watermark_append is GUARDED)
+    assert n_ok == len(_RESTART_SUBSET) + 1, (n_ok, n_skip)
+    assert n_skip == 0, n_skip

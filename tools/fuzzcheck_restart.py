@@ -1,0 +1,309 @@
+"""RESTART-RESUME differential — the checkpoint-persistence tier.
+
+Every other tier (and every stream_* workload) drains its input in ONE
+availableNow run, so the semantics that only exist ACROSS a query
+restart — watermark carry-over, state-store recovery, late-drop
+accounting against a persisted watermark — were tested by nothing but
+two unit tests. The r10 judge's far-future-poison find lived exactly
+in that blind spot: within one bounded drain the watermark only
+advances after the batch, so no single-run harness can ever reach the
+class. This tier closes it mechanically, registry-wide on the stream
+family:
+
+  1. the events table is split at its median event time into two
+     files (an event-time-ordered split: no drain-2 row is late with
+     respect to the watermark drain 1 checkpoints, so a correct
+     engine's two-run output must equal its one-run output — see the
+     boundary analysis below);
+  2. each eligible stream_* workload runs TWICE against a staging dir
+     that grows between runs, with run 2 recovering from run 1's
+     checkpoint — the incremental-ingest deployment pattern. The
+     workload code itself is what runs: the tier monkeypatches only
+     the two harness seams (``_stage_events`` to control which files
+     exist, ``run_to_memory`` to swap the non-recoverable memory sink
+     for a checkpointed foreachBatch parquet drain whose accumulation
+     matches the memory sink's per-mode semantics: append/update
+     accumulate rows, complete keeps the final full emission);
+  3. the phase-2 result goes through the SAME driver-faithful
+     comparator as every other tier (tools.diffcheck.compare_one)
+     against the workload's own batch oracle over the FULL corpus;
+  4. a POISON pass re-runs the quarantine-adopting workloads with one
+     corrupt year-2100 row (the ms-parsed-as-s artifact) injected
+     into drain 1 — the r10 judge repro — and still compares against
+     the CLEAN oracle: the guard must make a poisoned restart-resume
+     ingest batch-equivalent, with the poison row observed on the
+     dead-letter leg, not silently vanished.
+
+Split-boundary analysis (why two-run == one-run == oracle holds for
+every included workload): with the split at time T, the checkpointed
+watermark after drain 1 is max(drain-1 ts) − delay < T − 0, and every
+drain-2 row has ts >= T, so (a) no drain-2 row or window can be late
+(any window containing ts >= T ends after T > watermark); (b) a
+session finalized in drain 1 ended before T − delay − gap, and the
+nearest drain-2 event is >= T, i.e. further than the gap away — the
+restart can never split a session a single run would have merged;
+(c) an unmatched left-outer purchase evicted at drain-1 end has
+p_ts < T − delay, and its admissible clicks are <= p_ts < T, so no
+drain-2 click could have matched it. Appended emissions are
+exactly-once by the streaming contracts themselves (append emits each
+finalized window/match once; update re-emissions are reconciled by
+the workloads' own batch-side reads, which the memory sink's
+accumulate-across-batches behavior already forced them to handle).
+
+Excluded, with reasons (logged, never silent):
+  - stream_state_ttl_closed: event-time TIMEOUT closure is genuinely
+    restart-VARIANT — the no-data batch at each run boundary fires
+    timeouts, closing users the single-run batch oracle keeps open if
+    they return later; that is documented Spark semantics, not a
+    defect, and its batch oracle models only the final watermark.
+  - stream_two_source_union: stages its own two source dirs (the
+    even/odd shard split IS its topology); the single managed-dir
+    seam does not apply.
+  - stream_cdc_merge_snapshot: runs its own multi-epoch checkpointed
+    foreachBatch drain already — it is in-class by construction and
+    its epoch-replay idempotence is its own documented contract.
+  - pyds_stream_source_counts / pyds_stream_sink_roundtrip: the
+    synthetic Python source emits everything in one prefetched batch;
+    its offset-log restart-resume is pinned by
+    tests/test_streaming.py::test_pyds_stream_resumes_from_checkpointed_offset.
+
+    python tools/fuzzcheck_restart.py [query ...]
+"""
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+from tools.diffcheck import compare_one  # noqa: E402
+from tools.fuzzcore import ALL_TABLES  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+
+EXCLUDED = {
+    "stream_state_ttl_closed": "event-time timeout closure is "
+        "restart-variant by Spark semantics (run-boundary no-data "
+        "batches fire timeouts the single-run batch oracle cannot see)",
+    "stream_two_source_union": "stages its own two-shard source "
+        "topology; the managed-staging seam does not apply",
+    "stream_cdc_merge_snapshot": "already a multi-epoch checkpointed "
+        "foreachBatch drain (in-class by construction)",
+    "pyds_stream_source_counts": "single-prefetch synth source; "
+        "offset restart pinned in tests/test_streaming.py",
+    "pyds_stream_sink_roundtrip": "single-prefetch synth source; "
+        "offset restart pinned in tests/test_streaming.py",
+}
+
+# workloads that adopt quarantine_future_skew/out_of_band ahead of
+# with_watermark — the poison pass runs exactly these
+GUARDED = [
+    "stream_watermark_append",
+    "stream_sliding_watermark_append",
+    "stream_windowed_topk_users",
+]
+
+
+class RestartHarness:
+    """Owns the managed staging dir and the checkpointed two-run
+    drain. One instance per sweep; per-workload keys isolate
+    checkpoints/outputs; ``variant`` separates the poison pass."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.base = tempfile.mkdtemp(prefix="emma_restart_")
+        self.staged = os.path.join(self.base, "staged")
+        os.makedirs(self.staged)
+        self.workload = None
+        self.variant = "clean"
+        self.call_idx = 0
+        self._build_splits()
+
+    # --- corpus -----------------------------------------------------
+    def _build_splits(self):
+        """Split events at the median event time into two single-file
+        parquet parts, staged through the engine's own IO (the
+        nanos->micros / NTZ->LTZ normalization production staging
+        applies)."""
+        from pyspark.sql import functions as F
+
+        from emma_spark.sources import io as eio
+
+        con = duckdb.connect()
+        t_split = con.execute(
+            f"SELECT quantile_cont(ts, 0.5) FROM "
+            f"read_parquet('{SRC}/events.parquet')"
+        ).fetchone()[0]
+        self.t_split = t_split
+        ev = eio.read_parquet(self.spark, f"{SRC}/events.parquet").df
+        for part, pred in (
+            ("part1", F.col("ts") < F.lit(t_split)),
+            ("part2", F.col("ts") >= F.lit(t_split)),
+        ):
+            d = os.path.join(self.base, f"_{part}")
+            ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(d)
+            (f,) = glob.glob(f"{d}/part-*.parquet")
+            shutil.copy(f, os.path.join(self.base, f"{part}.parquet"))
+        # the poison row: one real drain-1 row with its event time
+        # rewritten to the ms-as-s artifact year (~2100)
+        d = os.path.join(self.base, "_poison")
+        (
+            ev.orderBy("event_id").limit(1)
+            .withColumn("ts", F.lit("2100-01-01 00:00:00").cast("timestamp"))
+            .withColumn("event_id", F.lit(10**9).cast("bigint"))
+            .coalesce(1).write.mode("overwrite").parquet(d)
+        )
+        (f,) = glob.glob(f"{d}/part-*.parquet")
+        shutil.copy(f, os.path.join(self.base, "poison.parquet"))
+
+    # --- per-workload phases ----------------------------------------
+    def begin(self, workload: str, phase: int, variant: str):
+        self.workload = workload
+        self.variant = variant
+        self.call_idx = 0
+        for f in glob.glob(f"{self.staged}/*.parquet"):
+            os.remove(f)
+        shutil.copy(os.path.join(self.base, "part1.parquet"),
+                    os.path.join(self.staged, "part1.parquet"))
+        if variant == "poison":
+            shutil.copy(os.path.join(self.base, "poison.parquet"),
+                        os.path.join(self.staged, "poison.parquet"))
+        if phase == 2:
+            shutil.copy(os.path.join(self.base, "part2.parquet"),
+                        os.path.join(self.staged, "part2.parquet"))
+
+    # --- monkeypatch targets ----------------------------------------
+    def stage_events(self, spark, sf_dir: str) -> str:
+        assert sf_dir == SRC, sf_dir
+        return self.staged
+
+    def run_to_memory(self, stream_df, name, output_mode="append",
+                      state_partitions=None):
+        """Checkpointed two-run drain standing in for the memory sink.
+        append/update accumulate emissions across batches AND runs
+        (exactly the memory sink's within-run behavior, extended over
+        the restart); complete keeps the last full emission (the
+        memory sink truncates per batch in complete mode)."""
+        key = f"{self.workload}_{self.variant}_{self.call_idx}"
+        self.call_idx += 1
+        out = os.path.join(self.base, key, "out")
+        ckpt = os.path.join(self.base, key, "ckpt")
+        spark = self.spark
+        mode = output_mode
+
+        def sink(df, _epoch):
+            df.write.mode("overwrite" if mode == "complete"
+                          else "append").parquet(out)
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(state_partitions))
+        try:
+            q = (
+                stream_df.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if state_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if glob.glob(f"{out}/*.parquet"):
+            res = spark.read.parquet(out)
+        else:  # zero emissions so far: empty frame, stream's schema
+            res = spark.createDataFrame([], stream_df.schema)
+        res.createOrReplaceTempView(name)
+
+
+def eligible_workloads(registry) -> list[str]:
+    return [
+        n for n in registry
+        if (n.startswith("stream_") or n.startswith("pyds_stream"))
+        and n not in EXCLUDED
+    ]
+
+
+def run_restart(spark, only=None, quiet: bool = False):
+    """Run the two-drain differential over every eligible stream
+    workload (or the ``only`` subset). Returns (n_ok, n_skip,
+    failures) with the same conventions as tools.fuzzcore.run_fuzz."""
+    from emma_spark.streaming import api as S
+    from emma_spark.workloads import load_all
+    from emma_spark.workloads import streaming as ws
+
+    qs = load_all()
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SRC}/{t}.parquet')"
+        )
+
+    h = RestartHarness(spark)
+    orig_stage, orig_run = ws._stage_events, S.run_to_memory
+    ws._stage_events = h.stage_events
+    S.run_to_memory = h.run_to_memory
+
+    n_ok = n_skip = 0
+    failures: list[str] = []
+    try:
+        names = eligible_workloads(qs)
+        for name, reason in EXCLUDED.items():
+            if name in qs and (only is None or name in only):
+                if not quiet:
+                    print(f"SKIP  {name}: {reason}")
+                n_skip += 1
+        plan = [(n, "clean") for n in names] + [
+            (n, "poison") for n in GUARDED if n in names
+        ]
+        for name, variant in plan:
+            if only and name not in only:
+                continue
+            q = qs[name]
+            try:
+                h.begin(name, phase=1, variant=variant)
+                q.fn(spark, SRC)  # drain 1 (result discarded)
+                h.begin(name, phase=2, variant=variant)
+                status, detail = compare_one(
+                    spark, con, name, q.fn, q.oracle, SRC
+                )
+            except Exception as ex:  # noqa: BLE001 — reporting tool
+                status, detail = "spark-error", repr(ex)[:300]
+            tag = f"{name}[{variant}]"
+            if status == "ok":
+                n_ok += 1
+                if not quiet:
+                    print(f"ok    {tag}")
+            else:
+                failures.append(f"{tag}: {status}: {detail[:300]}")
+                if not quiet:
+                    print(f"FAIL  {tag}: {status}: {detail[:300]}")
+    finally:
+        ws._stage_events = orig_stage
+        S.run_to_memory = orig_run
+        shutil.rmtree(h.base, ignore_errors=True)
+    return n_ok, n_skip, failures
+
+
+def main(argv) -> int:
+    from emma_spark.session import get_spark
+
+    only = set(a for a in argv if not a.startswith("--")) or None
+    spark = get_spark("fuzzrestart")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_ok, n_skip, failures = run_restart(spark, only=only)
+    print(f"\n{n_ok} ok, {n_skip} skipped, {len(failures)} FAIL")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

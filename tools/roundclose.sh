@@ -53,6 +53,11 @@ python tools/fuzzcheck_nullmeasures.py 2>/dev/null | tail -1 | sed 's/^/nullm: /
 # exotic props (r10): corrupt/duplicate-key/path-colliding JSON
 # documents — the parser-quarantine contract on both engines
 python tools/fuzzcheck_props.py 2>/dev/null | tail -1 | sed 's/^/props: /' | tee -a "$LOG"
+# restart-resume (r11): every stream workload drained in TWO
+# checkpointed availableNow runs (split staged corpus) vs the batch
+# oracle — watermark carry-over / state recovery / the far-future
+# poison class no single-run tier can reach
+python tools/fuzzcheck_restart.py 2>/dev/null | tail -1 | sed 's/^/rstrt: /' | tee -a "$LOG"
 
 note "4/7 tri-SF window sweep"
 WINDOW=$(python -c "from emma_spark.workloads import _PRIORITY; print(' '.join(_PRIORITY))" 2>/dev/null)
