@@ -90,12 +90,28 @@ def kmeans(
         for run in range(1, runs + 1):
             h = F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed + run))
             init = pts.orderBy(h).take(k)
+            # EXPLICIT raise on an empty training set (the min/max
+            # raise-on-empty contract): zero centroids would otherwise
+            # surface as an opaque zero-arg array() AnalysisException
+            # deep in _nearest (r11 driver-scalar audit). Fewer points
+            # than k is fine — the run just fits fewer clusters.
+            if not init:
+                raise ValueError(
+                    "k-means: empty training set (no rows to seed "
+                    "centroids from)"
+                )
             centroids = [(i, list(r[vec_col])) for i, r in enumerate(init)]
             for _ in range(iterations):
                 assigned = assign(pts, centroids, id_col, vec_col)
                 centroids = _recompute(assigned, vec_col)
             assigned = assign(pts, centroids, id_col, vec_col)
             total = assigned.agg(F.sum("dist")).collect()[0][0]
+            # all-NULL vectors leave SUM with zero finite inputs ->
+            # None; score such a run +inf (never preferable) instead
+            # of feeding None into the < comparison on the next run
+            # (r11 driver-scalar audit)
+            if total is None:
+                total = float("inf")
             if best is None or total < best.total_distance:
                 best = KMeansResult(assigned, centroids, total, run)
         return best

@@ -14,10 +14,21 @@ from ..linalg import dot, vlit
 from .optimization import LinearModel, LogisticError, SquaredError, prepend_bias, sgd
 
 
+def _feature_dim(data: DataFrame) -> int:
+    """Feature width from the first row — with an EXPLICIT raise on an
+    empty training set (the min/max raise-on-empty contract), not the
+    driver-side ``None['vec']`` TypeError ``.first()`` would otherwise
+    produce (r11 driver-scalar audit)."""
+    row = data.select("vec").first()
+    if row is None:
+        raise ValueError("training set is empty: cannot infer feature dim")
+    return len(row["vec"])
+
+
 def linreg_train(instances: DataFrame, **solver_kw) -> LinearModel:
     """(``linreg.scala`` train = solve ∘ prependBias)."""
     data = prepend_bias(instances)
-    d = len(data.select("vec").first()["vec"])
+    d = _feature_dim(data)
     kw = dict(initial_weights=[0.0] * d, err=SquaredError())
     kw.update(solver_kw)
     return sgd(data, **kw)
@@ -26,7 +37,7 @@ def linreg_train(instances: DataFrame, **solver_kw) -> LinearModel:
 def logreg_train(instances: DataFrame, **solver_kw) -> LinearModel:
     """(``logreg.scala`` train)."""
     data = prepend_bias(instances)
-    d = len(data.select("vec").first()["vec"])
+    d = _feature_dim(data)
     kw = dict(initial_weights=[0.0] * d, err=LogisticError())
     kw.update(solver_kw)
     return sgd(data, **kw)

@@ -236,3 +236,23 @@ def test_pca_power_top_matches_numpy(spark):
     _, _, vt = np.linalg.svd(x, full_matrices=False)
     cos = abs(float(np.dot(v, vt[0]) / (np.linalg.norm(v) * np.linalg.norm(vt[0]))))
     assert cos > 0.999, (cos, v.tolist(), vt[0].tolist())
+
+
+def test_ml_lib_empty_training_contracts(spark):
+    """r11 driver-scalar audit: lib trainers RAISE a named contract
+    error on an empty training set instead of the driver-side
+    None-subscript / zero-arg-array crashes `.first()[...]` and
+    `take(k)` used to produce."""
+    import pytest
+
+    from emma_spark.lib.ml.kmeans import kmeans
+    from emma_spark.lib.ml.regression import linreg_train, logreg_train
+
+    empty_pts = spark.createDataFrame([], "id bigint, vec array<double>")
+    with pytest.raises(ValueError, match="empty training set"):
+        kmeans(empty_pts, k=2)
+    empty_inst = spark.createDataFrame([], "vec array<double>, label double")
+    with pytest.raises(ValueError, match="empty"):
+        linreg_train(empty_inst, iterations=1)
+    with pytest.raises(ValueError, match="empty"):
+        logreg_train(empty_inst, iterations=1)
