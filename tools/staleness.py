@@ -49,11 +49,21 @@ def _git(*args: str) -> str:
     ).stdout
 
 
-def round_refs() -> dict[int, str]:
+def round_refs() -> dict[int, str | None]:
     """round number -> commit holding that round's checked code state
     (the end-of-round snapshot; the verdict commit — docs only — as
-    fallback for rounds whose snapshot message differs)."""
-    out: dict[int, str] = {}
+    fallback for rounds whose snapshot message differs).
+
+    WORKING-TREE FALLBACK (r10 verdict "what's wrong" #2): the
+    CURRENT round's CORRECTNESS file lands before its snapshot commit
+    exists, so mid-cycle runs used to orphan the newest greens —
+    shared helpers they re-certify transiently reported
+    STALE-UNCOVERED (r10: 14 phantom names at judge time). If the
+    max round seen in CORRECTNESS files has no snapshot/verdict
+    commit yet, map it to ``None`` = the working tree: a green taken
+    THIS round certifies the code as it is NOW, which is exactly
+    what ``ModuleIndex(None)`` indexes."""
+    out: dict[int, str | None] = {}
     log = _git("log", "--all", "--format=%H %s")
     for line in log.splitlines():
         sha, _, subj = line.partition(" ")
@@ -65,6 +75,12 @@ def round_refs() -> dict[int, str]:
         m = re.match(r"round (\d+): verdict/advice", subj)
         if m:
             out.setdefault(int(m.group(1)), sha)
+    rounds = [
+        int(re.search(r"r(\d+)", p.name).group(1))
+        for p in REPO.glob("CORRECTNESS_r*.json")
+    ]
+    if rounds and max(rounds) not in out:
+        out[max(rounds)] = None  # this round: greens cover HEAD
     return out
 
 
@@ -408,9 +424,9 @@ def main() -> int:
         if name not in head_q:
             gone.append(name)  # retired/renamed since its green
             continue
-        sha = refs.get(rnd)
-        if sha is None:
+        if rnd not in refs:
             continue
+        sha = refs[rnd]  # None = working tree (current-round greens)
         if rnd not in ref_idx:
             ref_idx[rnd] = ModuleIndex(sha)
             ref_q[rnd] = query_sources(ref_idx[rnd])
