@@ -50,3 +50,37 @@ def test_scan_multiplicity_stays_fixed(spark, name, table, max_scans):
         f"(audited post-fix bound {max_scans}) — a pin or one-pass "
         f"adjacency build regressed; full counts: {dict(c)}"
     )
+
+
+# r11 (verdict ask #6): the BNLJ-warn adjudications claim each
+# BroadcastNestedLoopJoin's build side is a bounded k-row fan-out,
+# never data-scaled. Measured at sf0.001/sf0.01/sf0.1: identical.
+# (query, expected broadcast-side row counts — one per BNLJ in plan)
+_BNLJ_BOUNDS = [
+    ("ann_topk_cosine", [10]),          # the 10 query vectors
+    ("ann_ivf_pq_topk", [4, 4]),        # coarse-probe + ADC constants
+    ("ml_gridsearch_ridge", [3]),       # the 3-point lambda grid
+    ("ml_gbdt_residual_boost", [1] * 5),  # 1-row stats, 5 boost rounds
+    ("text_bm25_scores", [1]),          # 1-row corpus stats
+]
+
+
+@pytest.mark.parametrize("name,want", _BNLJ_BOUNDS)
+def test_bnlj_broadcast_side_is_bounded(spark, name, want):
+    """The 'bounded class' claim as a measurement, not a comment: run
+    the query and read each BroadcastNestedLoopJoin's build-side
+    numOutputRows from the executed (post-AQE) plan. The counts must
+    be the documented constants and must NOT scale with SF — a
+    data-scaled broadcast side here is exactly the plan that dies at
+    100 TB."""
+    from emma_spark.workloads import load_all
+
+    from tools.planaudit import bnlj_broadcast_rows
+
+    q = load_all()[name]
+    per_sf = {}
+    for sf in ("sf0.001", "sf0.01"):
+        rows = sorted(bnlj_broadcast_rows(q.fn(spark, f"/root/testdata/{sf}")))
+        per_sf[sf] = rows
+        assert rows == sorted(want), (name, sf, rows, want)
+    assert per_sf["sf0.001"] == per_sf["sf0.01"], per_sf

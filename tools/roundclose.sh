@@ -84,6 +84,12 @@ from emma_spark.workloads import load_all
 print(' '.join(n for n, q in load_all().items() if q.headline))" 2>/dev/null)
 python tools/planaudit.py $HEADS 2>/dev/null | tail -25 | tee -a "$LOG"
 
+note "7a/7 BNLJ bounded-class audit at sf0.1 (measured, not asserted)"
+# every documented BroadcastNestedLoopJoin's build side must stay a
+# k-row constant at bench scale (r10 verdict ask #6)
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/planaudit.py --bnlj 2>/dev/null \
+  | tee -a "$LOG"
+
 note "7b/7 redundant-scan audit (full registry)"
 # same-table FileScan multiplicity in one lazy plan: the
 # 1-row-aggregate fan-out pathology (r9 found 24x/48x instances).
