@@ -242,62 +242,45 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # Everything past position 50 carries a green driver row from r1-r4 and
 # stays verified by tools/diffcheck.py --vanilla each round.
 _PRIORITY = [
-    # ---- R10 WINDOW (restaged after the NULL-user_id events-fuzz
-    # batch). Staged by tools/stage_window.py + the stale-covered
-    # rule of docs/ROTATION.md: single-dep consumers of a changed
-    # helper are represented, not enumerated — the representatives'
-    # greens re-certify the helper and the rest reclassify
-    # stale-covered at post-round staleness.
-    # (a) the 6 scan-sweep rewrites deferred from r9:
-    "basket_brand_affinity", "events_funnel", "graph_jaccard_neighbors",
-    "orders_rfm_segmentation", "sketch_quantile_bins",
-    "sketch_quantile_bins_grouped",
-    # (b) qsum DECIMAL-split representatives (5 of 17 consumers,
-    # spanning grouped/global/rollup/join/state shapes and both
-    # qsum + qsum_sql; the other 12 are qsum-only/qsum_sql-only
-    # single-dep consumers — covered once these green):
+    # ---- R11 WINDOW (burn-down + the round's changed tier). Staged
+    # per docs/ROTATION.md: changed jumps the queue; single-dep
+    # consumers of a changed helper are represented, not enumerated.
+    # (a) changed tier — the r11 qsum LONG-path pin (ADVICE) re-stales
+    # all 17 qsum consumers; the SAME five representatives as r10
+    # (grouped/global/rollup/join/state shapes, both qsum + qsum_sql)
+    # re-certify it and the other 12 reclassify stale-covered:
     "groupby_agg_pricing", "fold_global", "rollup_orders",
     "q9_profit_by_nation_year", "mutable_bag_update",
-    # (c) own-source r10 changes with prior greens (each needs its
-    # own slot): the zero-variance-denominator guards, the watermark
-    # quarantine adoption, and the NULL-user_id fuzz batch
-    # (null-safe restore join, arm-exclusion oracles, HLL NULL-key
-    # contract; asof_forward_conversion also re-certifies
-    # operators.asof for asof_join_purchases, and
-    # sketch_hll_merge_rollup below re-certifies hll_register_table
-    # + _sql_hll for sketch_hll_distinct):
-    "graph_assortativity", "ml_pca_power_top", "stream_watermark_append",
-    "events_cuped_adjusted_lift", "events_experiment_scorecard",
-    "events_point_in_interval", "stream_hll_windowed_distinct",
-    "asof_forward_conversion",
-    # (d) changed this round AND never driver-checked: the confirmed
-    # DIVIDE_BY_ZERO crash fix, the matched-sentinel MTA fix, the
-    # null-safe chi2 bin join, and the NULL-user_id fuzz fixes:
-    "ml_grouped_ols_slopes", "events_mta_linear_credit",
-    "orders_price_drift_chi2", "events_diff_in_diff",
-    "sketch_hll_merge_rollup", "events_ab_test_lift",
-    "events_did_estimate", "events_srm_check",
-    "sketch_kmv_audience_overlap",
-    # (e) never-checked burn-down (docs/ROTATION.md queue order):
-    "text_lang_confusion", "text_rouge1_recall", "text_dsir_importance",
-    "text_domain_cap_sketch", "text_epoch_shuffle_plan",
-    "text_decontaminate_bloom", "text_pair_lcs_similarity",
-    "text_length_outliers_mad", "text_mattr_diversity",
-    "text_hapax_ratio", "text_char_coverage_vocab",
-    "text_quality_classifier_hashed", "text_source_vocab_overlap",
-    "text_dsir_affinity", "text_gopher_rules", "text_langid_confusion",
-    "text_collocation_lift", "dedup_lsh_bucket_stats",
-    # (f) post-close fuzz-fix restages (a stale green is not a
-    # green; each displaced dedup_* queue name returns to r11):
-    # all-NULL-measure batch — ml_naive_bayes_train +
-    # array_hof_surface lost r8/r9 greens (mutable_bag_update in (b)
-    # also re-certifies state.MutableBag's Option-seed contract;
-    # part_croston_intermittent / udtf_table_argument were never
-    # driver-checked and stay in the r11 queue, tri-SF pre-verified);
-    # exotic-props batch — udtf_expand_props + variant_ops_surface
-    # lost r6 greens to the JSON quarantine contract:
-    "ml_naive_bayes_train", "array_hof_surface",
-    "udtf_expand_props", "variant_ops_surface",
+    # own-source r11 changes with r10 greens: the MTA NULL-tid
+    # tie-break pin (ADVICE) and the quarantine_out_of_band adoption
+    # (the far-future watermark guard, r10 verdict ask #1):
+    "events_mta_linear_credit", "stream_watermark_append",
+    # (b) never-checked carriers of r10 fuzz-fix code, pulled forward
+    # per the r10 verdict ask #3 (tri-SF pre-verified in r10):
+    "part_croston_intermittent", "udtf_table_argument",
+    # (c) never-checked burn-down, docs/ROTATION.md queue order
+    # (starting with the four dedup_* names displaced from the r10
+    # window by its post-close restages, then the queue as listed):
+    "dedup_containment_pairs", "dedup_substring_coverage",
+    "dedup_similarity_histogram", "dedup_winnowing_fingerprints",
+    "dedup_boilerplate_lines", "dedup_quality_keeper",
+    "geo_nearest_facility", "geo_dbscan_clusters", "geo_kde_heat_grid",
+    "layout_zone_map_pruning", "graph_pagerank_sf",
+    "sql_recursive_cte_closure", "graph_random_walks",
+    "graph_walk_skipgram_pairs", "graph_pagerank_weighted",
+    "graph_scc_closure", "graph_ktruss", "graph_copurchase_projection",
+    "graph_greedy_matching", "graph_degree_distribution",
+    "graph_clustering_coefficient", "graph_reciprocity",
+    "graph_random_walk_corpus", "graph_temporal_reachability",
+    "ml_boosted_stumps", "ml_calibration_bins",
+    "ml_pinball_quantile_eval", "ml_bootstrap_ci_poisson",
+    "ml_kmeans_elbow", "ml_nearest_centroid_confusion",
+    "ml_isotonic_calibration", "ml_cohens_kappa",
+    "ml_feature_hash_collision_audit", "ml_lift_gains_bands",
+    "ml_gbdt_residual_boost", "ml_als_rank1",
+    "multimodal_magic_router", "multimodal_scene_cuts",
+    "multimodal_phash_neardup", "io_binaryfile_ingest",
+    "pipeline_dataset_fingerprint",
 ]
 
 
