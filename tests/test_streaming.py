@@ -587,3 +587,70 @@ def test_far_future_poison_restart_resume(spark, tmp_path):
     # the poison row is OBSERVED on the dead-letter leg, not vanished
     dead_rows = spark.read.parquet(out_q).collect()
     assert [r["id"] for r in dead_rows] == [99], dead_rows
+
+
+def test_late_data_across_restart_drops_per_carried_watermark(spark, tmp_path):
+    """LATE-DROP ACCOUNTING across a restart (r11, completing the
+    restart-resume tier: its median split avoids late rows by
+    construction, so this pins the drop side explicitly). Drain 1
+    carries 10 hourly events; its terminal no-data batch checkpoints
+    the watermark at max(ts) − 30 min = 09:00. Drain 2 carries
+    (a) a 02:45 row — its window [02:00,03:00) was finalized and
+    EVICTED in drain 1, so the carried watermark drops it silently;
+    (b) a 09:45 row — window [09:00,10:00) is still open, so it
+    MERGES into state recovered from the checkpoint; (c) an 11:30 row
+    that advances the watermark to 11:00 and flushes window 9.
+    Exact expectation: windows 0..8 with n=1, window 9 with n=2 —
+    one row lost, accounted for. The SAME corpus in ONE drain keeps
+    everything (window 2 gets n=2): the restart boundary is the only
+    difference, which is precisely the semantics the tier certifies."""
+    base = datetime.datetime(2024, 3, 1, 0, 30, 0)
+    schema = "id bigint, ts timestamp"
+    d1 = [(i, base + datetime.timedelta(hours=i)) for i in range(10)]
+    d2 = [
+        (100, datetime.datetime(2024, 3, 1, 2, 45)),   # late: dropped
+        (101, datetime.datetime(2024, 3, 1, 9, 45)),   # merges into w9
+        (102, datetime.datetime(2024, 3, 1, 11, 30)),  # advances wm
+    ]
+
+    def agg_over(src):
+        stream = S.read_stream_parquet(spark, src, schema)
+        wm = S.with_watermark(stream, "ts", "30 minutes")
+        return S.tumbling(wm, "ts", "1 hour").agg(F.count(F.lit(1)).alias("n"))
+
+    def stage(rows, src, fname):
+        import shutil
+        tmp = str(tmp_path / f"_{fname}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(tmp, f), f"{src}/{fname}.parquet")
+
+    def emitted(out):
+        return {
+            r["s"].hour: r["n"]
+            for r in spark.read.parquet(out)
+            .select(F.col("window.start").alias("s"), "n").collect()
+        }
+
+    # restart-resume: two drains, shared checkpoint
+    src = str(tmp_path / "src"); os.makedirs(src)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    stage(d1, src, "d1")
+    _drain_to_parquet(agg_over(src), out, ck)
+    assert emitted(out) == {h: 1 for h in range(9)}  # 0..8 final at wm 09:00
+    stage(d2, src, "d2")
+    _drain_to_parquet(agg_over(src), out, ck)
+    got = emitted(out)
+    want = {h: 1 for h in range(9)} | {9: 2}  # 02:45 dropped, 09:45 merged
+    assert got == want, (got, want)
+
+    # control: the SAME corpus in ONE drain loses nothing
+    src1 = str(tmp_path / "src1"); os.makedirs(src1)
+    out1, ck1 = str(tmp_path / "out1"), str(tmp_path / "ck1")
+    stage(d1 + d2, src1, "all")
+    _drain_to_parquet(agg_over(src1), out1, ck1)
+    got1 = emitted(out1)
+    want1 = {h: 1 for h in range(9)} | {2: 2, 9: 2}
+    assert got1 == want1, (got1, want1)
