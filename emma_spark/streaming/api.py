@@ -230,15 +230,67 @@ def interval_join(
     return left.join(right, cond, how)
 
 
+def drain_accounting(query) -> dict:
+    """Roll a finished StreamingQuery's progress into ingest-loss
+    accounting: ``{"batches", "input_rows", "dropped_by_watermark",
+    "final_watermark"}``.
+
+    THE ARRIVAL-ORDER FACE OF THE WATERMARK CONTRACT (r11, completing
+    pre-epoch and future-skew): the watermark advances BETWEEN
+    micro-batches within a single run, so when input arrives as
+    multiple files whose arrival (modification-time) order disagrees
+    with event-time order — a late-replicated shard, a backfill file
+    landing after newer data, the norm in any object-store ingest —
+    one newest-events file processed first advances the watermark and
+    every older file's rows are silently dropped as late, with no
+    restart and no corrupt timestamp needed (pinned:
+    tests/test_streaming.py::test_out_of_order_file_arrival_drops_
+    within_single_run — 5 of 12 valid rows vanish). No quarantine can
+    catch it (the rows are individually valid); the guards are
+    (a) a watermark delay sized to the actual arrival disorder and
+    (b) THIS accounting, which makes the loss observable:
+    ``input_rows == emitted + dropped_by_watermark + retained`` (rows
+    still in unfinalized state), so a nonzero drop count is an alarm,
+    never a silent subtraction. On a cluster, feed the same sums from
+    a StreamingQueryListener into metrics instead of polling.
+
+    Reads ``recentProgress`` (ring buffer capped by
+    ``spark.sql.streaming.numRecentProgressUpdates``, default 100) —
+    call right after ``awaitTermination()`` on a bounded drain; drains
+    with more batches than the cap undercount ``batches``/``input_rows``
+    and must use a listener."""
+    acct = {
+        "batches": 0,
+        "input_rows": 0,
+        "dropped_by_watermark": 0,
+        "final_watermark": None,
+    }
+    for p in query.recentProgress:
+        acct["batches"] += 1
+        acct["input_rows"] += int(p["numInputRows"] or 0)
+        for so in p["stateOperators"] or []:
+            acct["dropped_by_watermark"] += int(
+                so.get("numRowsDroppedByWatermark", 0) or 0
+            )
+        wm = (p["eventTime"] or {}).get("watermark")
+        if wm is not None:
+            acct["final_watermark"] = wm
+    return acct
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
     output_mode: str = "append",
     state_partitions: int | None = None,
-) -> None:
+) -> dict:
     """Drain all available input into an in-memory table (availableNow
     trigger) and block until done — turns a stream into a queryable
-    batch result (tests / the driver's batch-only harness).
+    batch result (tests / the driver's batch-only harness). Returns
+    the drain's :func:`drain_accounting` so callers can assert the
+    conservation law (nonzero ``dropped_by_watermark`` means the
+    arrival-order contract above was violated) instead of trusting
+    the sink silently.
 
     ``state_partitions`` sizes the state store: a streaming query pins
     its shuffle-partition count (= number of state store instances) at
@@ -260,6 +312,7 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
+        return drain_accounting(q)
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)

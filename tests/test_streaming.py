@@ -654,3 +654,201 @@ def test_late_data_across_restart_drops_per_carried_watermark(spark, tmp_path):
     got1 = emitted(out1)
     want1 = {h: 1 for h in range(9)} | {2: 2, 9: 2}
     assert got1 == want1, (got1, want1)
+
+
+def test_out_of_order_file_arrival_drops_within_single_run(spark, tmp_path):
+    """THE ARRIVAL-ORDER FACE of the watermark domain contract (r11 —
+    completing pre-epoch and future-skew, which both need a corrupt
+    timestamp; this one needs NONE). The watermark advances BETWEEN
+    micro-batches inside a single run, and the file source feeds
+    batches in file MODIFICATION-TIME order — so when arrival order
+    disagrees with event-time order (a backfill file landing after
+    newer data: routine in any object-store ingest), one newest-events
+    file processed first poisons the run against every older file.
+
+    Corpus: 12 valid rows in three files. "new" carries hours 10–11
+    but the OLDEST mtime (arrived first); "a" (hours 0–4) and "b"
+    (hours 5–9) arrive later. maxFilesPerTrigger=1 → three batches.
+    Measured Spark 4 semantics (the input-side late filter lags the
+    reported watermark by one batch): batch 0 = "new" (wm still
+    epoch), batch 1 = "a" (filter wm still epoch — rows ADMITTED and
+    immediately finalized by the 11:00 eviction watermark), batch 2 =
+    "b" (filter wm now 11:00 — ALL FIVE rows silently dropped).
+
+    The pinned contract: (1) the loss is real — 5 of 12 valid rows
+    vanish with zero errors; (2) it is OBSERVED — run_to_memory now
+    returns drain_accounting and the conservation law holds exactly:
+    input == emitted + dropped_by_watermark + retained-in-state;
+    (3) the same corpus with arrival order matching event-time order
+    loses nothing; (4) a watermark delay sized past the disorder
+    (2 days) absorbs it — no drops even in adversarial order. No
+    quarantine can guard this class (every row is individually
+    valid); delay sizing + accounting are the guards."""
+    import shutil
+
+    base = datetime.datetime(2024, 3, 1, 0, 30, 0)
+    schema = "id bigint, ts timestamp"
+
+    def stage(src, rows, fname, mtime):
+        tmp = str(tmp_path / f"_stage_{fname}_{os.path.basename(src)}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                dst = f"{src}/{fname}.parquet"
+                shutil.copy(os.path.join(tmp, f), dst)
+                os.utime(dst, (mtime, mtime))
+
+    rows_new = [(100 + i, base + datetime.timedelta(hours=10 + i)) for i in range(2)]
+    rows_a = [(i, base + datetime.timedelta(hours=i)) for i in range(5)]
+    rows_b = [(5 + i, base + datetime.timedelta(hours=5 + i)) for i in range(5)]
+
+    def drain(src, delay):
+        stream = S.read_stream_parquet(spark, src, schema, maxFilesPerTrigger=1)
+        agg = (
+            S.tumbling(S.with_watermark(stream, "ts", delay), "ts", "1 hour")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        name = f"ooo_{uuid.uuid4().hex[:8]}"
+        acct = S.run_to_memory(agg, name, output_mode="append",
+                               state_partitions=4)
+        emitted = {
+            r["s"].hour: r["n"]
+            for r in spark.table(name)
+            .select(F.col("window.start").alias("s"), "n").collect()
+        }
+        return emitted, acct
+
+    # --- adversarial arrival order: newest events, oldest mtime
+    adv = str(tmp_path / "adv"); os.makedirs(adv)
+    stage(adv, rows_new, "new", 1_000_000)
+    stage(adv, rows_a, "a", 2_000_000)
+    stage(adv, rows_b, "b", 3_000_000)
+    emitted, acct = drain(adv, "30 minutes")
+    assert emitted == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 10: 1}, emitted
+    assert acct["batches"] == 3 and acct["input_rows"] == 12, acct
+    assert acct["dropped_by_watermark"] == 5, acct
+    # conservation: the only row neither emitted nor dropped is the
+    # hour-11 row, retained in its unfinalized window [11:00,12:00)
+    retained = acct["input_rows"] - sum(emitted.values()) - acct[
+        "dropped_by_watermark"]
+    assert retained == 1, acct
+
+    # --- control 1: arrival order matches event-time order → no loss
+    ordered = str(tmp_path / "ordered"); os.makedirs(ordered)
+    stage(ordered, rows_a, "a", 1_000_000)
+    stage(ordered, rows_b, "b", 2_000_000)
+    stage(ordered, rows_new, "new", 3_000_000)
+    emitted, acct = drain(ordered, "30 minutes")
+    assert emitted == {h: 1 for h in range(11)}, emitted
+    assert acct["dropped_by_watermark"] == 0, acct
+    assert acct["input_rows"] - sum(emitted.values()) == 1  # hour 11 open
+
+    # --- control 2: delay sized past the disorder absorbs it — same
+    # adversarial order, nothing dropped (all retained: the final
+    # watermark 2024-02-28T11:00 finalizes no window, append emits 0)
+    emitted, acct = drain(adv, "2 days")
+    assert acct["dropped_by_watermark"] == 0, acct
+    assert emitted == {}, emitted
+    assert acct["input_rows"] == 12, acct
+
+
+def test_state_ttl_restart_variance_characterized(spark, tmp_path):
+    """CHARACTERIZE the one workload the restart-resume tier excludes
+    as genuinely restart-VARIANT (stream_state_ttl_closed): each run's
+    terminal no-data batch fires event-time timeouts against THAT
+    run's watermark, so a restart closes early exactly the users idle
+    past the TTL at the split boundary. This test pins the variance to
+    its exact algebra instead of leaving it as prose in the tier's
+    EXCLUDED table:
+
+      two_run == single_run  ∪  {users idle>TTL at the boundary AND
+                                 still active near the full end}
+
+    with the per-user SUM of closed rows healing everyone else:
+    - A: idle at boundary, never returns — closes early in run 1, but
+      single-run closes it identically at end-of-stream. Agrees.
+    - B: idle at boundary, returns, idle again at end — closes TWICE
+      (n=1 each) in two-run vs once (n=2) in single-run; the
+      workload's sum(n) per user makes both read 2. Agrees (this is
+      why stream_state_ttl_closed sums closed rows before comparing).
+    - C: idle at boundary, returns 30 min before stream end — two-run
+      emits its early close (n=1), single-run keeps it OPEN (its
+      timeout outlives the final watermark). THE divergent class.
+    - D: run-2 only — identical both ways.
+    - 99/98: watermark anchors; 99 also proves state recovery (state
+      carried across the restart closes ONCE with the right count).
+
+    Topology mirrors the workload (update-mode keyed state, 1 h
+    watermark delay, 30 min TTL); corpus split at 06:00."""
+    import pandas as pd
+    import shutil
+
+    schema = "user_id bigint, ts timestamp"
+    t = lambda h, m=0: datetime.datetime(2024, 3, 1, h, m)
+    run1 = [(1, t(0)), (2, t(0)), (3, t(0)), (99, t(5))]
+    run2 = [(2, t(6, 30)), (3, t(11, 30)), (4, t(6)), (98, t(12))]
+
+    def update(key, pdf_iter, state):
+        if state.hasTimedOut:
+            (cnt, _last) = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]], "n": [cnt],
+                                "closed": [True]})
+            return
+        cnt, last_ms = (state.get if state.exists else (0, 0))
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            if len(pdf):
+                last_ms = max(last_ms,
+                              int(pdf["ts"].max().timestamp() * 1000))
+        state.update((cnt, last_ms))
+        state.setTimeoutTimestamp(last_ms + 30 * 60 * 1000)
+        yield pd.DataFrame({"user_id": [key[0]], "n": [cnt],
+                            "closed": [False]})
+
+    def stage(src, rows, fname):
+        tmp = str(tmp_path / f"_s_{fname}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(tmp, f), f"{src}/{fname}.parquet")
+
+    def drain(src, out, ckpt):
+        stream = S.with_watermark(
+            S.read_stream_parquet(spark, src, schema), "ts", "1 hour")
+        st = S.keyed_state(
+            stream, keys=["user_id"], func=update,
+            state_schema="n bigint, last_ms bigint",
+            output_schema="user_id bigint, n bigint, closed boolean",
+            output_mode="update", timeout="EventTimeTimeout")
+        q = (st.writeStream.foreachBatch(
+                lambda df, _e: df.write.mode("append").parquet(out))
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {
+            r["user_id"]: r["n"]
+            for r in spark.read.parquet(out).filter("closed")
+            .groupBy("user_id").agg(F.sum("n").alias("n")).collect()
+        }
+
+    # --- single run over the full corpus (== the workload's oracle
+    # rule: users with last event < max(ts) − 90 min close)
+    one = str(tmp_path / "one"); os.makedirs(one)
+    stage(one, run1 + run2, "all")
+    single = drain(one, str(tmp_path / "o1"), str(tmp_path / "c1"))
+    assert single == {1: 1, 2: 2, 4: 1, 99: 1}, single
+
+    # --- two checkpointed runs split at 06:00
+    two = str(tmp_path / "two"); os.makedirs(two)
+    out2, ck2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    stage(two, run1, "d1")
+    drain(two, out2, ck2)
+    stage(two, run2, "d2")
+    tworun = drain(two, out2, ck2)
+    # the characterized algebra: the restart adds EXACTLY user C's
+    # early-close row; everyone else (incl. B's split 1+1 and the
+    # state-recovered 99) reads identically
+    assert tworun == {**single, 3: 1}, (tworun, single)

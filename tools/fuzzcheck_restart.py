@@ -56,6 +56,10 @@ Excluded, with reasons (logged, never silent):
     timeouts, closing users the single-run batch oracle keeps open if
     they return later; that is documented Spark semantics, not a
     defect, and its batch oracle models only the final watermark.
+    The variance is pinned to its exact algebra (two_run == single_run
+    plus precisely the users idle past the TTL at the boundary but
+    active near the full end; per-user sums heal everyone else) in
+    tests/test_streaming.py::test_state_ttl_restart_variance_characterized.
   - stream_two_source_union: stages its own two source dirs (the
     even/odd shard split IS its topology); the single managed-dir
     seam does not apply.
@@ -89,7 +93,9 @@ SRC = "/root/testdata/sf0.001"
 EXCLUDED = {
     "stream_state_ttl_closed": "event-time timeout closure is "
         "restart-variant by Spark semantics (run-boundary no-data "
-        "batches fire timeouts the single-run batch oracle cannot see)",
+        "batches fire timeouts the single-run batch oracle cannot "
+        "see); exact variance algebra pinned in tests/test_streaming"
+        ".py::test_state_ttl_restart_variance_characterized",
     "stream_two_source_union": "stages its own two-shard source "
         "topology; the managed-staging seam does not apply",
     "stream_cdc_merge_snapshot": "already a multi-epoch checkpointed "
@@ -213,6 +219,23 @@ class RestartHarness:
                 .start()
             )
             q.awaitTermination()
+            # The split-boundary analysis in the module docstring
+            # claims NO row is ever late in either drain (clean: the
+            # median split; poison: the guard quarantines the poison
+            # row before the watermark). MEASURE the claim per drain
+            # instead of asserting it in prose: a nonzero
+            # dropped-by-watermark count here means the analysis is
+            # wrong for this workload and the comparison would pass
+            # only by luck of what the oracle keeps.
+            from emma_spark.streaming.api import drain_accounting
+
+            acct = drain_accounting(q)
+            if acct["dropped_by_watermark"]:
+                raise AssertionError(
+                    f"split-boundary claim violated: drain {key} "
+                    f"dropped {acct['dropped_by_watermark']} rows by "
+                    f"watermark ({acct})"
+                )
         finally:
             if state_partitions is not None:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
