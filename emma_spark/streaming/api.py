@@ -318,14 +318,88 @@ def run_to_memory(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def pin_topology(checkpoint: str, **fingerprint) -> None:
+    """Pin a streaming query's TOPOLOGY to its checkpoint, and refuse
+    to restart if it changed — the guard for the one query-evolution
+    class Spark accepts SILENTLY WRONG.
+
+    Probed (Spark 4, pinned in tests/test_streaming.py::
+    test_window_duration_change_on_live_checkpoint_is_silently_wrong):
+    restarting a windowed aggregation on its live checkpoint after
+    changing the WINDOW DURATION (1 h → 2 h — "we widened the rollup
+    and redeployed", a routine ops action) raises nothing and emits a
+    MIX of old-scheme and new-scheme windows: the carried 1 h state
+    row [04:00,05:00) evicts as-is while the same hour's new data
+    opens a 2 h window [04:00,06:00) that never merges with it — the
+    output contains OVERLAPPING window keys, so any downstream
+    range-sum double-counts, with zero errors. Spark CAN'T catch it:
+    the state schema (window struct + agg buffer) is identical either
+    way — which is also why changing the GROUP KEYS does fail loudly
+    (state schema mismatch), and why this guard exists only for the
+    parameters the schema doesn't encode.
+
+    Mechanics: writes ``_emma_topology.json`` inside the checkpoint
+    directory on first start; on every later start, compares the
+    caller's fingerprint (any JSON-serializable kwargs — window
+    duration/slide, session gap, group keys, whatever identifies the
+    topology) and raises ``ValueError`` naming each changed field
+    BEFORE the query starts. The watermark DELAY is deliberately the
+    caller's choice to include: changing it across restarts is
+    documented-allowed Spark semantics (probed: accepted, predictable
+    results), so pin it only if the deployment treats it as fixed.
+    Call before ``start()`` with the same checkpoint path; one tiny
+    driver-side file, no effect on the query plan."""
+    import json
+    import os
+
+    os.makedirs(checkpoint, exist_ok=True)
+    f = os.path.join(checkpoint, "_emma_topology.json")
+    want = json.loads(json.dumps(fingerprint, sort_keys=True, default=str))
+    if os.path.exists(f):
+        with open(f) as fh:
+            have = json.load(fh)
+        if have != want:
+            changed = sorted(
+                k for k in set(have) | set(want)
+                if have.get(k) != want.get(k)
+            )
+            raise ValueError(
+                "streaming topology changed on a live checkpoint "
+                f"({checkpoint}): field(s) {changed} differ "
+                f"(pinned={ {k: have.get(k) for k in changed} }, "
+                f"now={ {k: want.get(k) for k in changed} }). Spark "
+                "accepts some of these changes silently wrong (e.g. "
+                "window duration: overlapping old/new window keys in "
+                "the output) — start a NEW checkpoint (reprocess or "
+                "cut over at a window boundary) instead."
+            )
+    else:
+        with open(f, "w") as fh:
+            json.dump(want, fh, sort_keys=True)
+
+
 def foreach_batch_parquet(stream_df: DataFrame, path: str, checkpoint: str,
-                          output_mode: str = "append"):
+                          output_mode: str = "append",
+                          topology: dict | None = None,
+                          available_now: bool = False):
     """Continuous parquet sink with checkpointing (exactly-once file
-    sink) — the production write path."""
-    return (
+    sink) — the production write path. Pass ``topology`` (any
+    JSON-serializable dict identifying the query shape — window
+    duration, group keys, …) to :func:`pin_topology` it against the
+    checkpoint: restarting with a changed topology then raises
+    instead of emitting Spark's silently-mixed output.
+    ``available_now=True`` makes it a BOUNDED drain (processes what
+    exists, then terminates — ``awaitTermination()`` returns); the
+    default is an unbounded continuous query, on which
+    ``awaitTermination()`` blocks by design."""
+    if topology is not None:
+        pin_topology(checkpoint, **topology)
+    w = (
         stream_df.writeStream.format("parquet")
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .outputMode(output_mode)
-        .start()
     )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

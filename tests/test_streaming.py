@@ -852,3 +852,126 @@ def test_state_ttl_restart_variance_characterized(spark, tmp_path):
     # early-close row; everyone else (incl. B's split 1+1 and the
     # state-recovered 99) reads identically
     assert tworun == {**single, 3: 1}, (tworun, single)
+
+
+def _stage_one(spark, tmp_path, src, rows, fname,
+               schema="id bigint, ts timestamp"):
+    import shutil
+    os.makedirs(src, exist_ok=True)
+    tmp = str(tmp_path / f"_w_{fname}_{os.path.basename(src)}")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(tmp)
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(tmp, f), f"{src}/{fname}.parquet")
+
+
+def test_window_duration_change_on_live_checkpoint_is_silently_wrong(
+        spark, tmp_path):
+    """CHARACTERIZE the one query-evolution class Spark accepts
+    silently wrong (probed r11; the reason pin_topology exists):
+    restart a 1 h tumbling aggregation on its live checkpoint with the
+    window widened to 2 h. No error — and the output mixes the two
+    schemes: the carried 1 h state row [04:00,05:00) evicts as-is
+    while the run-2 event at 05:30 opens a NEW 2 h window
+    [04:00,06:00) that never merges with it. The emitted window keys
+    OVERLAP (any downstream range-sum double-counts hour 4) and the
+    2 h window under-merges (n=1, not the 2 its span holds). By
+    contrast, changing the GROUP KEYS on the same checkpoint fails
+    LOUDLY — the state schema changes; window duration doesn't, which
+    is exactly why Spark cannot catch it and the fingerprint must.
+    Pinned so we notice if Spark ever starts rejecting (or merging)
+    either case."""
+    base = datetime.datetime(2024, 3, 1, 0, 30, 0)
+    d1 = [(i, base + datetime.timedelta(hours=i)) for i in range(5)]
+    d2 = [(10 + i, base + datetime.timedelta(hours=5 + i)) for i in range(5)]
+
+    def drain(src, out, ckpt, duration):
+        stream = S.read_stream_parquet(spark, src, "id bigint, ts timestamp")
+        agg = (
+            S.tumbling(S.with_watermark(stream, "ts", "30 minutes"),
+                       "ts", duration)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        _drain_to_parquet(agg, out, ckpt)
+
+    src = str(tmp_path / "wsrc")
+    out, ck = str(tmp_path / "wout"), str(tmp_path / "wck")
+    _stage_one(spark, tmp_path, src, d1, "d1")
+    drain(src, out, ck, "1 hour")
+    _stage_one(spark, tmp_path, src, d2, "d2")
+    drain(src, out, ck, "2 hours")  # ACCEPTED — no error
+    got = {
+        (r["s"].hour, r["e"].hour): r["n"]
+        for r in spark.read.parquet(out).select(
+            F.col("window.start").alias("s"),
+            F.col("window.end").alias("e"), "n").collect()
+    }
+    # run 1 emitted 1 h windows 0-3; run 2 evicted the carried 1 h
+    # state row (4,5) AND opened the overlapping 2 h window (4,6)
+    # holding only the new 05:30 event — plus the clean (6,8) pair
+    assert got == {(0, 1): 1, (1, 2): 1, (2, 3): 1, (3, 4): 1,
+                   (4, 5): 1, (4, 6): 1, (6, 8): 2}, got
+
+    # group-key change on the same class of checkpoint: LOUD
+    src2 = str(tmp_path / "ksrc")
+    out2, ck2 = str(tmp_path / "kout"), str(tmp_path / "kck")
+    _stage_one(spark, tmp_path, src2, d1, "d1")
+    drain(src2, out2, ck2, "1 hour")
+    _stage_one(spark, tmp_path, src2, d2, "d2")
+    stream = S.read_stream_parquet(spark, src2, "id bigint, ts timestamp")
+    agg = (
+        S.with_watermark(stream, "ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("window"),
+                 (F.col("id") % 2).alias("par"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    with pytest.raises(Exception):
+        _drain_to_parquet(agg, out2, ck2)
+
+
+def test_pin_topology_blocks_changed_restart(spark, tmp_path):
+    """pin_topology turns the silent class above into a refusal at
+    restart time: same fingerprint restarts fine (and the two-run
+    result is the clean incremental one); a changed window duration
+    raises BEFORE the query starts, naming the field."""
+    base = datetime.datetime(2024, 3, 1, 0, 30, 0)
+    d1 = [(i, base + datetime.timedelta(hours=i)) for i in range(5)]
+    d2 = [(10 + i, base + datetime.timedelta(hours=5 + i)) for i in range(5)]
+
+    def agg_of(src, duration):
+        stream = S.read_stream_parquet(spark, src, "id bigint, ts timestamp")
+        return (
+            S.tumbling(S.with_watermark(stream, "ts", "30 minutes"),
+                       "ts", duration)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    src = str(tmp_path / "psrc")
+    out, ck = str(tmp_path / "pout"), str(tmp_path / "pck")
+    _stage_one(spark, tmp_path, src, d1, "d1")
+    q = S.foreach_batch_parquet(
+        agg_of(src, "1 hour"), out, ck, available_now=True,
+        topology={"op": "tumbling_count", "duration": "1 hour",
+                  "keys": []})
+    q.awaitTermination()
+
+    _stage_one(spark, tmp_path, src, d2, "d2")
+    # changed duration: refused before start, field named
+    with pytest.raises(ValueError, match="duration"):
+        S.foreach_batch_parquet(
+            agg_of(src, "2 hours"), out, ck, available_now=True,
+            topology={"op": "tumbling_count", "duration": "2 hours",
+                      "keys": []})
+    # unchanged topology: restarts and produces the clean result
+    q = S.foreach_batch_parquet(
+        agg_of(src, "1 hour"), out, ck, available_now=True,
+        topology={"op": "tumbling_count", "duration": "1 hour",
+                  "keys": []})
+    q.awaitTermination()
+    got = {
+        r["s"].hour: r["n"]
+        for r in spark.read.parquet(out)
+        .select(F.col("window.start").alias("s"), "n").collect()
+    }
+    assert got == {h: 1 for h in range(9)}, got
