@@ -348,7 +348,19 @@ def pin_topology(checkpoint: str, **fingerprint) -> None:
     documented-allowed Spark semantics (probed: accepted, predictable
     results), so pin it only if the deployment treats it as fixed.
     Call before ``start()`` with the same checkpoint path; one tiny
-    driver-side file, no effect on the query plan."""
+    driver-side file, no effect on the query plan.
+
+    Include the SOURCE PATH in the fingerprint: the file source's
+    seen-files log keys by absolute path, so repointing the query at
+    a directory holding the SAME data under a new path replays all of
+    it — and the carried watermark then MASKS the replay by dropping
+    the already-finalized rows as late while the still-open windows
+    silently absorb duplicates (probed: after a repoint the open
+    window reads n=2 with zero errors and zero visible duplicate
+    emissions; pinned in tests/test_streaming.py::
+    test_source_repoint_on_live_checkpoint_double_counts_open_windows).
+    The same argument covers the sink path (the parquet sink's
+    exactly-once log lives under the OUTPUT dir)."""
     import json
     import os
 

@@ -975,3 +975,60 @@ def test_pin_topology_blocks_changed_restart(spark, tmp_path):
         .select(F.col("window.start").alias("s"), "n").collect()
     }
     assert got == {h: 1 for h in range(9)}, got
+
+
+def test_source_repoint_on_live_checkpoint_double_counts_open_windows(
+        spark, tmp_path):
+    """The THIRD topology-drift case (r11, completing window-duration
+    and group-keys): repoint the query at a directory holding the
+    SAME data under a NEW path, restarting on the live checkpoint.
+    The file source's seen-files log keys by absolute path, so the
+    whole file replays — and the two silent mechanisms COMPOSE to
+    hide it: the carried watermark drops the already-finalized rows
+    as late (no duplicate emissions appear), while the still-open
+    window absorbs the replayed row into state. Nothing looks wrong
+    until that window flushes and reads n=2. Pinned: after the
+    repoint the emitted output is byte-identical to before (the
+    mask), and after one newer file flushes the open window it emits
+    n=2 (the double-count) — zero errors throughout. pin_topology
+    with the source path in the fingerprint refuses the repoint."""
+    import shutil
+
+    base = datetime.datetime(2024, 3, 1, 0, 30, 0)
+    rows10 = [(i, base + datetime.timedelta(hours=i)) for i in range(10)]
+    src1, src2 = str(tmp_path / "src1"), str(tmp_path / "src2")
+    _stage_one(spark, tmp_path, src1, rows10, "data")
+    _stage_one(spark, tmp_path, src2, rows10, "data")
+
+    def drain(src, out, ckpt):
+        stream = S.read_stream_parquet(spark, src, "id bigint, ts timestamp")
+        agg = (
+            S.tumbling(S.with_watermark(stream, "ts", "30 minutes"),
+                       "ts", "1 hour")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        _drain_to_parquet(agg, out, ckpt)
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    drain(src1, out, ck)
+    windows = lambda: sorted(
+        (r["s"].hour, r["n"]) for r in spark.read.parquet(out)
+        .select(F.col("window.start").alias("s"), "n").collect())
+    before = windows()
+    assert before == [(h, 1) for h in range(9)], before
+
+    drain(src2, out, ck)  # repoint: replay masked by the watermark
+    assert windows() == before  # nothing visibly wrong
+
+    # flush the open window: the absorbed duplicate surfaces as n=2
+    _stage_one(spark, tmp_path, src2,
+               [(100, base + datetime.timedelta(hours=11))], "later")
+    drain(src2, out, ck)
+    assert windows() == [(h, 1) for h in range(9)] + [(9, 2)], windows()
+
+    # the guard: source path in the fingerprint refuses the repoint
+    ck2 = str(tmp_path / "ck2")
+    S.pin_topology(ck2, duration="1 hour", source=src1)
+    S.pin_topology(ck2, duration="1 hour", source=src1)  # same: ok
+    with pytest.raises(ValueError, match="source"):
+        S.pin_topology(ck2, duration="1 hour", source=src2)
