@@ -339,7 +339,11 @@ def pin_topology(checkpoint: str, **fingerprint) -> None:
     parameters the schema doesn't encode.
 
     Mechanics: writes ``_emma_topology.json`` inside the checkpoint
-    directory on first start; on every later start, compares the
+    directory on first start — resolved through the active session's
+    Hadoop FileSystem API, i.e. the same resolver the checkpoint
+    itself uses, so the pin works wherever the checkpoint lives
+    (``file://``, ``hdfs://``, ``s3a://``; plain local FS when no
+    session is active); on every later start, compares the
     caller's fingerprint (any JSON-serializable kwargs — window
     duration/slide, session gap, group keys, whatever identifies the
     topology) and raises ``ValueError`` naming each changed field
@@ -362,14 +366,10 @@ def pin_topology(checkpoint: str, **fingerprint) -> None:
     The same argument covers the sink path (the parquet sink's
     exactly-once log lives under the OUTPUT dir)."""
     import json
-    import os
 
-    os.makedirs(checkpoint, exist_ok=True)
-    f = os.path.join(checkpoint, "_emma_topology.json")
     want = json.loads(json.dumps(fingerprint, sort_keys=True, default=str))
-    if os.path.exists(f):
-        with open(f) as fh:
-            have = json.load(fh)
+    have = _ckpt_read_json(checkpoint, "_emma_topology.json")
+    if have is not None:
         if have != want:
             changed = sorted(
                 k for k in set(have) | set(want)
@@ -386,8 +386,71 @@ def pin_topology(checkpoint: str, **fingerprint) -> None:
                 "cut over at a window boundary) instead."
             )
     else:
-        with open(f, "w") as fh:
-            json.dump(want, fh, sort_keys=True)
+        _ckpt_write_text(checkpoint, "_emma_topology.json",
+                         json.dumps(want, sort_keys=True))
+
+
+def _ckpt_fs(path: str):
+    """Resolve ``path`` through the Hadoop FileSystem API of the
+    active SparkSession — the same resolver the checkpoint itself
+    uses, so the topology pin lives wherever the checkpoint lives
+    (``file://``, ``hdfs://``, ``s3a://``, …). Returns ``(fs, Path)``
+    or ``None`` when no session is active (local-FS fallback)."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def _ckpt_read_json(checkpoint: str, name: str):
+    """Read ``checkpoint/name`` as JSON, or None if absent."""
+    import json
+    import os
+
+    resolved = _ckpt_fs(checkpoint)
+    if resolved is None:
+        f = os.path.join(checkpoint, name)
+        if not os.path.exists(f):
+            return None
+        with open(f) as fh:
+            return json.load(fh)
+    fs, base = resolved
+    spark = SparkSession.getActiveSession()
+    f = spark._jvm.org.apache.hadoop.fs.Path(base, name)
+    if not fs.exists(f):
+        return None
+    stream = fs.open(f)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _ckpt_write_text(checkpoint: str, name: str, text: str) -> None:
+    """Write ``text`` to ``checkpoint/name`` (creating the directory),
+    through the Hadoop FS when a session is active, else local FS."""
+    import os
+
+    resolved = _ckpt_fs(checkpoint)
+    if resolved is None:
+        os.makedirs(checkpoint, exist_ok=True)
+        with open(os.path.join(checkpoint, name), "w") as fh:
+            fh.write(text)
+        return
+    fs, base = resolved
+    spark = SparkSession.getActiveSession()
+    fs.mkdirs(base)
+    f = spark._jvm.org.apache.hadoop.fs.Path(base, name)
+    out = fs.create(f, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def foreach_batch_parquet(stream_df: DataFrame, path: str, checkpoint: str,

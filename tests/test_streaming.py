@@ -1032,3 +1032,18 @@ def test_source_repoint_on_live_checkpoint_double_counts_open_windows(
     S.pin_topology(ck2, duration="1 hour", source=src1)  # same: ok
     with pytest.raises(ValueError, match="source"):
         S.pin_topology(ck2, duration="1 hour", source=src2)
+
+
+def test_pin_topology_resolves_checkpoint_uris(spark, tmp_path):
+    """pin_topology goes through the checkpoint's own Hadoop
+    FileSystem resolver (the production checkpoint is hdfs://or
+    s3a://, not a driver-local path), so a scheme'd URI pins and
+    refuses exactly like a bare path — and with no active session it
+    falls back to the local FS."""
+    ck = f"file://{tmp_path}/uri_ck"
+    S.pin_topology(ck, duration="1 hour")
+    S.pin_topology(ck, duration="1 hour")  # unchanged: ok
+    with pytest.raises(ValueError, match="duration"):
+        S.pin_topology(ck, duration="2 hours")
+    # the file lives where the checkpoint lives
+    assert os.path.exists(str(tmp_path / "uri_ck" / "_emma_topology.json"))
