@@ -77,9 +77,11 @@ def stream_tumbling_counts(spark, sf_dir):
            count(*) AS n,
            sum(floor(value * 10000 + 0.5)) / 10000 AS total
     FROM events
+    WHERE value IS NOT NULL
     GROUP BY 1, 2
     HAVING win_start + INTERVAL 1 HOUR < (SELECT max(ts) - INTERVAL 37 MINUTE
-                                          FROM events)
+                                          FROM events
+                                          WHERE value IS NOT NULL)
     """,
     headline=True,
 )
@@ -107,10 +109,22 @@ def stream_watermark_append(spark, sf_dir):
     processing time, arbitrarily LATE rows stay valid). This corpus
     has neither, so the valid leg is the whole table and the oracle
     is unchanged; the filter is a pushed narrow predicate, not a
-    shuffle."""
+    shuffle.
+
+    The COLUMN face of the contract (r11 judge find, r12):
+    quarantine_required("value") — the summed measure is a REQUIRED
+    column, so a producer renaming/dropping it mid-stream (which the
+    parquet file source null-fills SILENTLY: correct n, NULL total,
+    forever) becomes a 100 %-quarantined dead-letter batch instead;
+    the same leg observes ordinary per-row NULL-measure corruption,
+    which the oracle mirrors (IS NOT NULL in the window sum AND the
+    watermark subquery — the watermark advances on VALID rows only).
+    Certified by the restart tier's DRIFT pass
+    (tools/fuzzcheck_restart.py)."""
     staged = _stage_events(spark, sf_dir)
     stream = S.read_stream_parquet(spark, staged, spark.read.parquet(staged).schema)
     valid, _quarantine = S.quarantine_out_of_band(stream, "ts", "7 days")
+    valid, _null_required = S.quarantine_required(valid, "value")
     wm = S.with_watermark(valid, "ts", "37 minutes")
     agg = S.tumbling(wm, "ts", "1 hour", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -757,6 +771,7 @@ def stream_session_window_agg(spark, sf_dir):
                epoch_us(ts) // 1000000 AS s,
                ((epoch_us(ts) // 1000000 - 3600) // 1800 + 1) AS w0
         FROM events
+        WHERE event_type IS NOT NULL
       ) e,
       unnest([e.w0, e.w0 + 1]) AS t(w)
       WHERE t.w * 1800 <= e.s AND e.s < t.w * 1800 + 3600
@@ -764,7 +779,8 @@ def stream_session_window_agg(spark, sf_dir):
     )
     SELECT event_type, win * 1800 AS win_start_s, n FROM ws
     WHERE (win * 1800 + 3600)::BIGINT * 1000000
-          < (SELECT max(epoch_us(ts)) - 2460000000::BIGINT FROM events)
+          < (SELECT max(epoch_us(ts)) - 2460000000::BIGINT FROM events
+             WHERE event_type IS NOT NULL)
     """,
 )
 def stream_sliding_watermark_append(spark, sf_dir):
@@ -785,8 +801,14 @@ def stream_sliding_watermark_append(spark, sf_dir):
         spark, staged, spark.read.parquet(staged).schema
     )
     # out-of-band event times quarantined ahead of the watermark (the
-    # far-future side poisons the checkpointed watermark — api.py)
+    # far-future side poisons the checkpointed watermark — api.py);
+    # event_type is the panel's REQUIRED dimension: a producer
+    # dropping/renaming it null-fills silently and every count would
+    # collapse into one NULL series, so those rows ride the
+    # dead-letter leg (quarantine_required; oracle mirrors IS NOT
+    # NULL incl. the watermark subquery — restart-tier DRIFT pass)
     stream, _dead = S.quarantine_out_of_band(stream, "ts", "7 days")
+    stream, _null_required = S.quarantine_required(stream, "event_type")
     wm = S.with_watermark(stream, "ts", "41 minutes")
     agg = S.sliding(wm, "ts", "1 hour", "30 minutes", "event_type").agg(
         F.count(F.lit(1)).alias("n")
@@ -1073,19 +1095,21 @@ def stream_two_source_union(spark, sf_dir):
       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, user_id,
              count(*) AS n
       FROM events
+      WHERE user_id IS NOT NULL
       GROUP BY 1, 2
       HAVING win_start + INTERVAL 1 HOUR
-               < (SELECT max(ts) - INTERVAL 37 MINUTE FROM events)
+               < (SELECT max(ts) - INTERVAL 37 MINUTE FROM events
+                  WHERE user_id IS NOT NULL)
     ),
     ranked AS (
-      -- NULLS LAST pinned explicitly: the anonymous (NULL user_id)
-      -- bucket is a legitimate heavy hitter, but Spark's ASC default
-      -- is NULLS FIRST where DuckDB's is NULLS LAST — an unpinned
-      -- tie-break reorders the top-3 the moment the NULL bucket ties
-      -- a real user (r10 NULL-user_id cross fuzz)
+      -- user_id is a REQUIRED column since r12 (quarantine_required
+      -- drift guard): the anonymous NULL bucket rides the
+      -- dead-letter leg, mirrored by the IS NOT NULL above — which
+      -- also retires the r10 NULLS LAST tie-break pin (no NULL can
+      -- reach the ranking on either engine)
       SELECT win_start, user_id, n,
              row_number() OVER (PARTITION BY win_start
-               ORDER BY n DESC, user_id NULLS LAST) AS rank
+               ORDER BY n DESC, user_id) AS rank
       FROM wc
     )
     SELECT win_start, user_id, n, rank FROM ranked WHERE rank <= 3
@@ -1102,7 +1126,15 @@ def stream_windowed_topk_users(spark, sf_dir):
     windowed counts, the serving layer ranks finalized windows, e.g.
     in foreachBatch or the downstream reader). The ranking window is
     PARTITIONED by win_start — per-window work, never global. The
-    oracle replays windowing + watermark + ranking in one SQL text."""
+    oracle replays windowing + watermark + ranking in one SQL text.
+
+    user_id is the panel's REQUIRED dimension since r12
+    (quarantine_required drift guard): a producer dropping/renaming
+    the column null-fills silently and the whole panel would collapse
+    into one NULL heavy hitter, so NULL-user rows ride the
+    dead-letter leg (the r10 "anonymous bucket ranks too" contract
+    moved there deliberately — the oracle mirrors with IS NOT NULL,
+    incl. the watermark subquery, retiring its NULLS LAST pin)."""
     staged = _stage_events(spark, sf_dir)
     stream = S.read_stream_parquet(
         spark, staged, spark.read.parquet(staged).schema
@@ -1110,6 +1142,7 @@ def stream_windowed_topk_users(spark, sf_dir):
     # out-of-band event times quarantined ahead of the watermark (the
     # far-future side poisons the checkpointed watermark — api.py)
     stream, _dead = S.quarantine_out_of_band(stream, "ts", "7 days")
+    stream, _null_required = S.quarantine_required(stream, "user_id")
     wm = S.with_watermark(stream, "ts", "37 minutes")
     agg = S.tumbling(wm, "ts", "1 hour", "user_id").agg(
         F.count(F.lit(1)).alias("n")
@@ -1118,9 +1151,9 @@ def stream_windowed_topk_users(spark, sf_dir):
     S.run_to_memory(agg, name, output_mode="append", state_partitions=4)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("win_start").orderBy(
-        F.desc("n"), F.col("user_id").asc_nulls_last()
-    )
+    # plain asc tie-break: quarantine_required("user_id") means no
+    # NULL can reach the ranking (the r10 nulls-last pin is retired)
+    w = Window.partitionBy("win_start").orderBy(F.desc("n"), F.col("user_id"))
     return (
         spark.table(name)
         .select(F.col("window.start").alias("win_start"), "user_id", "n")
