@@ -342,12 +342,25 @@ def drain_accounting(query) -> dict:
     ``spark.sql.streaming.numRecentProgressUpdates``, default 100) —
     call right after ``awaitTermination()`` on a bounded drain; drains
     with more batches than the cap undercount ``batches``/``input_rows``
-    and must use a listener."""
+    and must use a listener.
+
+    ``state_partitions`` reports the state store's ACTUAL partition
+    count (max ``numShufflePartitions`` across state operators, None
+    for stateless queries) — which on a restart is the number pinned
+    in the CHECKPOINT at first start, not the session conf: probed
+    (Spark 4, pinned in tests/test_streaming.py::
+    test_shuffle_partition_change_across_restart_is_ignored), a
+    restart under a changed ``spark.sql.shuffle.partitions`` silently
+    keeps the checkpointed count (benign — results identical — but a
+    re-size attempt that "succeeds" without effect is worth an
+    observable readback).
+    """
     acct = {
         "batches": 0,
         "input_rows": 0,
         "dropped_by_watermark": 0,
         "final_watermark": None,
+        "state_partitions": None,
     }
     for p in query.recentProgress:
         acct["batches"] += 1
@@ -356,6 +369,11 @@ def drain_accounting(query) -> dict:
             acct["dropped_by_watermark"] += int(
                 so.get("numRowsDroppedByWatermark", 0) or 0
             )
+            nsp = so.get("numShufflePartitions")
+            if nsp:
+                acct["state_partitions"] = max(
+                    acct["state_partitions"] or 0, int(nsp)
+                )
         wm = (p["eventTime"] or {}).get("watermark")
         if wm is not None:
             acct["final_watermark"] = wm
@@ -447,8 +465,18 @@ def pin_topology(checkpoint: str, **fingerprint) -> None:
     window reads n=2 with zero errors and zero visible duplicate
     emissions; pinned in tests/test_streaming.py::
     test_source_repoint_on_live_checkpoint_double_counts_open_windows).
-    The same argument covers the sink path (the parquet sink's
-    exactly-once log lives under the OUTPUT dir).
+
+    Include the SINK PATH too — probed this time, not argued (r11
+    verdict ask; pinned in tests/test_streaming.py::
+    test_sink_repoint_on_live_checkpoint_strands_both_outputs): the
+    parquet sink's exactly-once log lives under the OUTPUT dir, so
+    repointing the output path on a live checkpoint WRITES WITHOUT
+    ERROR but strands both directories — the old dir's metadata log
+    stops at the pre-repoint batch (readers see it silently stale,
+    forever healthy-looking), while the new dir's log STARTS at the
+    post-repoint batch id, so metadata-aware readers of the new dir
+    fail loudly (``_spark_metadata/0 doesn't exist``). The repoint
+    "succeeds" operationally and no sink ever serves the full data.
 
     Include the SOURCE SCHEMA in the fingerprint (pass
     ``source_schema=stream.schema`` — a ``StructType`` value is

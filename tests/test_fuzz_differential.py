@@ -575,14 +575,20 @@ def test_fuzz_restart_resume_subset(spark):
     compared against its batch oracle over the full corpus — the
     watermark carry-over / state-recovery semantics no single-run
     harness can reach (the r10 far-future-poison class). The
-    guarded subset member also runs its POISON pass: one year-2100
-    row in drain 1 must leave the result batch-equivalent."""
+    guarded subset member also runs its POISON pass (one year-2100
+    row in drain 1 must leave the result batch-equivalent) and its
+    DRIFT pass (r12: drain 2's part2 arrives with the required
+    column renamed away — quarantine_required must dead-letter the
+    null-filled rows, leaving the output equal to the part1-only
+    oracle), and the unguarded drift control must show the silent
+    NULL-absorption class the pass exists to catch."""
     from tools import fuzzcheck_restart
 
     n_ok, n_skip, failures = fuzzcheck_restart.run_restart(
         spark, only=_RESTART_SUBSET, quiet=True
     )
     assert not failures, "\n".join(failures)
-    # 6 clean runs + 1 poison run (stream_watermark_append is GUARDED)
-    assert n_ok == len(_RESTART_SUBSET) + 1, (n_ok, n_skip)
+    # 6 clean + 1 poison + 1 drift (stream_watermark_append is
+    # GUARDED) + 1 drift-control (stream_tumbling_counts is in subset)
+    assert n_ok == len(_RESTART_SUBSET) + 3, (n_ok, n_skip)
     assert n_skip == 0, n_skip

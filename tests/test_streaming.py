@@ -1250,3 +1250,175 @@ def test_pin_topology_source_schema_refuses_drifted_reinference(spark, tmp_path)
     # …and the pin refuses it before the query starts
     with pytest.raises(ValueError, match="source_schema"):
         S.pin_topology(ck, duration="1 hour", source_schema=drifted)
+
+
+def test_shuffle_partition_change_across_restart_is_ignored(spark, tmp_path):
+    """Restart-evolution knob (r11 verdict ask #4a), probed + pinned:
+    a streaming query pins its state-partition count in the
+    checkpoint at FIRST start, so restarting under a changed
+    ``spark.sql.shuffle.partitions`` silently keeps the original
+    count. Benign — results stay correct — but the attempted re-size
+    "succeeds" with no effect, so drain_accounting exposes the ACTUAL
+    count (``state_partitions``) for the deployment to alarm on: a
+    state store sized at 4 on a cluster re-deployed for 400 stays 4
+    until the checkpoint is rebuilt."""
+    import shutil
+
+    base = datetime.datetime(2024, 3, 1, 0, 30, 0)
+    schema = "id bigint, ts timestamp"
+    src = str(tmp_path / "src"); os.makedirs(src)
+
+    def stage(rows, fname):
+        tmp = str(tmp_path / f"_s_{fname}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(tmp, f), f"{src}/{fname}.parquet")
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain(conf_parts):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
+        try:
+            stream = S.read_stream_parquet(spark, src, schema)
+            agg = S.tumbling(
+                S.with_watermark(stream, "ts", "30 minutes"), "ts", "1 hour"
+            ).agg(F.count(F.lit(1)).alias("n"))
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out).option("checkpointLocation", ck)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+            return S.drain_accounting(q)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    stage([(i, base + datetime.timedelta(hours=i)) for i in range(5)], "p1")
+    acct1 = drain(4)
+    assert acct1["state_partitions"] == 4, acct1
+    stage([(10 + i, base + datetime.timedelta(hours=5 + i))
+           for i in range(5)], "p2")
+    acct2 = drain(16)  # the attempted re-size
+    # silently ignored: the checkpointed count wins, observable here
+    assert acct2["state_partitions"] == 4, acct2
+    # and benign: both drains' windows are correct and complete
+    hours = sorted(
+        r["s"].hour for r in spark.read.parquet(out)
+        .select(F.col("window.start").alias("s")).collect()
+    )
+    assert hours == list(range(9)), hours
+
+
+def test_sink_repoint_on_live_checkpoint_strands_both_outputs(spark, tmp_path):
+    """Restart-evolution knob (r11 verdict ask #4b), probed + pinned —
+    pin_topology's docstring argued the sink path belongs in the
+    fingerprint; this is the measured behavior that makes it true.
+    Repointing the OUTPUT path of a parquet-sink query on its live
+    checkpoint raises nothing at write time, and strands BOTH dirs:
+    the old dir's _spark_metadata log stops at the pre-repoint batch
+    (a reader sees it silently stale forever), while the new dir's
+    log starts at the post-repoint batch id, so a metadata-aware read
+    of the new dir fails loudly (_spark_metadata/0 missing). No sink
+    ever serves the full data; the guard is the sink path as a
+    pin_topology field."""
+    import shutil
+
+    base = datetime.datetime(2024, 3, 1, 0, 30, 0)
+    schema = "id bigint, ts timestamp"
+    src = str(tmp_path / "src"); os.makedirs(src)
+
+    def stage(rows, fname):
+        tmp = str(tmp_path / f"_s_{fname}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(tmp, f), f"{src}/{fname}.parquet")
+
+    ck = str(tmp_path / "ck")
+    out_a, out_b = str(tmp_path / "outA"), str(tmp_path / "outB")
+
+    def drain(out):
+        stream = S.read_stream_parquet(spark, src, schema)
+        agg = S.tumbling(
+            S.with_watermark(stream, "ts", "30 minutes"), "ts", "1 hour"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    def hours(out):
+        return sorted(
+            r["s"].hour for r in spark.read.parquet(out)
+            .select(F.col("window.start").alias("s")).collect()
+        )
+
+    stage([(i, base + datetime.timedelta(hours=i)) for i in range(5)], "p1")
+    drain(out_a)
+    assert hours(out_a) == list(range(4)), hours(out_a)
+    stage([(10 + i, base + datetime.timedelta(hours=5 + i))
+           for i in range(5)], "p2")
+    drain(out_b)  # the repoint: same checkpoint, new output — NO error
+    # old dir: silently stale — still exactly the pre-repoint windows
+    assert hours(out_a) == list(range(4)), hours(out_a)
+    # new dir: data files exist but the metadata-aware read fails
+    # loudly — its log starts past batch 0
+    assert any(f.endswith(".parquet") for f in os.listdir(out_b))
+    with pytest.raises(Exception, match="_spark_metadata"):
+        spark.read.parquet(out_b).collect()
+    # the guard: sink path in the fingerprint refuses the repoint
+    ck2 = str(tmp_path / "ck2")
+    S.pin_topology(ck2, duration="1 hour", sink=out_a)
+    with pytest.raises(ValueError, match="sink"):
+        S.pin_topology(ck2, duration="1 hour", sink=out_b)
+
+
+def test_no_data_microbatches_off_suppresses_final_flush(spark, tmp_path):
+    """THE CONF DEPENDENCE of every bounded append-mode drain, made
+    explicit (r11 verdict ask #5): the final-watermark flush — the
+    no-data micro-batch that runs after availableNow exhausts the
+    input, advances the watermark to max(ts) − delay, and emits every
+    finalized window — exists only while
+    ``spark.sql.streaming.noDataMicroBatches.enabled`` is true (its
+    default). With it off, the SAME corpus and SAME query emit
+    NOTHING from a bounded drain (the watermark never advances past
+    the data batch), so the engine's batch-equivalence contract for
+    append drains rides on that default; docs/SCALE.md documents it
+    beside the recentProgress ring-buffer cap that drain_accounting
+    rides on."""
+    import shutil
+
+    base = datetime.datetime(2024, 3, 1, 0, 30, 0)
+    schema = "id bigint, ts timestamp"
+    src = str(tmp_path / "src"); os.makedirs(src)
+    tmp = str(tmp_path / "_s")
+    spark.createDataFrame(
+        [(i, base + datetime.timedelta(hours=i)) for i in range(5)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(tmp, f), f"{src}/p1.parquet")
+
+    def drain():
+        stream = S.read_stream_parquet(spark, src, schema)
+        agg = S.tumbling(
+            S.with_watermark(stream, "ts", "30 minutes"), "ts", "1 hour"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        name = f"nodata_{uuid.uuid4().hex[:8]}"
+        S.run_to_memory(agg, name, output_mode="append", state_partitions=4)
+        return spark.table(name).count()
+
+    conf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    assert spark.conf.get(conf) == "true"  # the default the drains ride on
+    assert drain() == 4  # watermark 04:30 − 30 min → hours 0..3 final
+    spark.conf.set(conf, "false")
+    try:
+        assert drain() == 0  # same corpus, same query: NOTHING emits
+    finally:
+        spark.conf.set(conf, "true")

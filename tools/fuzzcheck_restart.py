@@ -33,6 +33,22 @@ family:
      the CLEAN oracle: the guard must make a poisoned restart-resume
      ingest batch-equivalent, with the poison row observed on the
      dead-letter leg, not silently vanished.
+  5. a DRIFT pass (r11 judge repro — the COLUMN face) re-runs the
+     guarded workloads with drain 2's part2 file carrying each
+     workload's REQUIRED column RENAMED away (value / event_type /
+     user_id respectively): Spark's file source null-fills the
+     missing column silently, so the guarded workload must stay
+     batch-equivalent to the oracle over the VALID (part1-only)
+     corpus — every drifted row dead-lettered by
+     quarantine_required, never silently NULL-absorbed — with the
+     drift MEASURED present first (the pinned-schema read of the
+     drifted staging must show exactly |part2| null-filled rows; the
+     full-schema footer winning the re-inference is the probed
+     first-file-in-listing-order rule, part1 < part2_drift). One
+     UNGUARDED negative control (stream_tumbling_counts) then pins
+     the absorption class the pass exists to catch: under the same
+     drift it must KEEP healthy row counts while totals go NULL /
+     silently partial, and must NOT match its clean oracle.
 
 Split-boundary analysis (why two-run == one-run == oracle holds for
 every included workload): with the split at time T, the checkpointed
@@ -114,6 +130,18 @@ GUARDED = [
     "stream_windowed_topk_users",
 ]
 
+# each guarded workload's REQUIRED column (its quarantine_required
+# adoption) — the drift pass renames exactly this column away in part2
+DRIFT_COLS = {
+    "stream_watermark_append": "value",
+    "stream_sliding_watermark_append": "event_type",
+    "stream_windowed_topk_users": "user_id",
+}
+
+# the unguarded negative control for the drift pass: sums `value` with
+# no required-columns guard, so the drift class must absorb silently
+DRIFT_CONTROL = "stream_tumbling_counts"
+
 
 class RestartHarness:
     """Owns the managed staging dir and the checkpointed two-run
@@ -166,6 +194,25 @@ class RestartHarness:
         )
         (f,) = glob.glob(f"{d}/part-*.parquet")
         shutil.copy(f, os.path.join(self.base, "poison.parquet"))
+        self.n_part2 = ev.filter(F.col("ts") >= F.lit(t_split)).count()
+        # drifted part2 variants: the producer RENAMES a required
+        # column (the r11 judge repro) — same rows, column c gone.
+        # Written through Spark (not pyarrow): the drift must be a
+        # COLUMN rename only, with byte-identical timestamp encoding
+        # (a pyarrow round-trip re-encodes ts as TIMESTAMP(NANOS),
+        # which Spark's vectorized reader rejects loudly — that's the
+        # TYPE face, which fails loudly by design and is not this
+        # pass's class)
+        p2 = self.spark.read.parquet(os.path.join(self.base, "part2.parquet"))
+        for c in sorted(set(DRIFT_COLS.values())):
+            d = os.path.join(self.base, f"_drift_{c}")
+            (
+                p2.withColumnRenamed(c, f"{c}_drifted")
+                .coalesce(1).write.mode("overwrite").parquet(d)
+            )
+            (f,) = glob.glob(f"{d}/part-*.parquet")
+            shutil.copy(
+                f, os.path.join(self.base, f"part2_drift_{c}.parquet"))
 
     # --- per-workload phases ----------------------------------------
     def begin(self, workload: str, phase: int, variant: str):
@@ -180,8 +227,19 @@ class RestartHarness:
             shutil.copy(os.path.join(self.base, "poison.parquet"),
                         os.path.join(self.staged, "poison.parquet"))
         if phase == 2:
-            shutil.copy(os.path.join(self.base, "part2.parquet"),
-                        os.path.join(self.staged, "part2.parquet"))
+            if variant == "drift":
+                # drain 2's producer renamed the workload's required
+                # column; the file sorts AFTER part1.parquet, so the
+                # phase-2 schema re-inference keeps the FULL schema
+                # (probed first-footer-in-listing-order rule) and the
+                # file source null-fills the missing column silently
+                c = DRIFT_COLS.get(self.workload, "value")
+                shutil.copy(
+                    os.path.join(self.base, f"part2_drift_{c}.parquet"),
+                    os.path.join(self.staged, "part2_drift.parquet"))
+            else:
+                shutil.copy(os.path.join(self.base, "part2.parquet"),
+                            os.path.join(self.staged, "part2.parquet"))
 
     # --- monkeypatch targets ----------------------------------------
     def stage_events(self, spark, sf_dir: str) -> str:
@@ -275,6 +333,17 @@ def run_restart(spark, only=None, quiet: bool = False):
     ws._stage_events = h.stage_events
     S.run_to_memory = h.run_to_memory
 
+    # the drift pass's oracle corpus: after drain 2 every drifted
+    # part2 row is dead-lettered by quarantine_required, so the VALID
+    # corpus the guarded output must equal is part1 alone
+    con_p1 = duckdb.connect()
+    for t in ALL_TABLES:
+        f = (os.path.join(h.base, "part1.parquet") if t == "events"
+             else f"{SRC}/{t}.parquet")
+        con_p1.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{f}')"
+        )
+
     n_ok = n_skip = 0
     failures: list[str] = []
     try:
@@ -284,9 +353,11 @@ def run_restart(spark, only=None, quiet: bool = False):
                 if not quiet:
                     print(f"SKIP  {name}: {reason}")
                 n_skip += 1
-        plan = [(n, "clean") for n in names] + [
-            (n, "poison") for n in GUARDED if n in names
-        ]
+        plan = (
+            [(n, "clean") for n in names]
+            + [(n, "poison") for n in GUARDED if n in names]
+            + [(n, "drift") for n in GUARDED if n in names]
+        )
         for name, variant in plan:
             if only and name not in only:
                 continue
@@ -295,8 +366,27 @@ def run_restart(spark, only=None, quiet: bool = False):
                 h.begin(name, phase=1, variant=variant)
                 q.fn(spark, SRC)  # drain 1 (result discarded)
                 h.begin(name, phase=2, variant=variant)
+                if variant == "drift":
+                    # MEASURE the drift before trusting the compare:
+                    # the full-schema footer must win the re-inference
+                    # (part1 sorts first) and null-fill exactly the
+                    # |part2| drifted rows — otherwise the pass would
+                    # certify against an input that never drifted
+                    from pyspark.sql import functions as F
+
+                    c = DRIFT_COLS[name]
+                    n_null = (
+                        spark.read.parquet(h.staged)
+                        .filter(F.col(c).isNull()).count()
+                    )
+                    if n_null != h.n_part2:
+                        raise AssertionError(
+                            f"drift precondition: expected {h.n_part2} "
+                            f"null-filled '{c}' rows, saw {n_null}"
+                        )
                 status, detail = compare_one(
-                    spark, con, name, q.fn, q.oracle, SRC
+                    spark, con_p1 if variant == "drift" else con,
+                    name, q.fn, q.oracle, SRC
                 )
             except Exception as ex:  # noqa: BLE001 — reporting tool
                 status, detail = "spark-error", repr(ex)[:300]
@@ -309,6 +399,47 @@ def run_restart(spark, only=None, quiet: bool = False):
                 failures.append(f"{tag}: {status}: {detail[:300]}")
                 if not quiet:
                     print(f"FAIL  {tag}: {status}: {detail[:300]}")
+
+        # --- drift NEGATIVE CONTROL: the unguarded workload must
+        # ABSORB the same drift silently (healthy row counts, NULL /
+        # partial totals, clean-oracle mismatch) — pinning the class
+        # the pass exists to catch; if Spark ever starts rejecting
+        # drifted reads, this turns red and the tier gets redesigned
+        if (only is None or DRIFT_CONTROL in only) and DRIFT_CONTROL in qs:
+            tag = f"{DRIFT_CONTROL}[drift-control]"
+            try:
+                from pyspark.sql import functions as F
+
+                q = qs[DRIFT_CONTROL]
+                h.begin(DRIFT_CONTROL, phase=1, variant="drift")
+                q.fn(spark, SRC)
+                h.begin(DRIFT_CONTROL, phase=2, variant="drift")
+                status, _ = compare_one(
+                    spark, con, DRIFT_CONTROL, q.fn, q.oracle, SRC
+                )
+                res = q.fn(spark, SRC)
+                n_total = res.agg(F.sum("n")).collect()[0][0]
+                n_null_totals = res.filter(F.col("total").isNull()).count()
+                n_events = con.execute(
+                    "SELECT count(*) FROM events").fetchone()[0]
+                if status == "ok":
+                    raise AssertionError(
+                        "unguarded control MATCHED its clean oracle "
+                        "under drift — the absorption class vanished")
+                if n_total != n_events or n_null_totals == 0:
+                    raise AssertionError(
+                        f"expected silent absorption (row counts "
+                        f"conserved, NULL totals): sum(n)={n_total} "
+                        f"vs {n_events} rows, {n_null_totals} "
+                        f"NULL-total windows")
+                n_ok += 1
+                if not quiet:
+                    print(f"ok    {tag} (absorbed: {n_null_totals} "
+                          f"NULL-total windows, row counts conserved)")
+            except Exception as ex:  # noqa: BLE001 — reporting tool
+                failures.append(f"{tag}: {repr(ex)[:300]}")
+                if not quiet:
+                    print(f"FAIL  {tag}: {repr(ex)[:300]}")
     finally:
         ws._stage_events = orig_stage
         S.run_to_memory = orig_run
