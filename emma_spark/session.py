@@ -46,6 +46,21 @@ def get_spark(app_name: str = "emma-spark", master: str | None = None) -> SparkS
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # r12 (optimization): PySpark 4 wraps EVERY DataFrame API call in
+        # call-site capture for error context — a Python stack walk plus
+        # ~4 py4j round trips (conf.get + PySparkCurrentOrigin.set/clear)
+        # PER CALL. Measured with cProfile at sf0.1: plan CONSTRUCTION is
+        # 45-75% of headline query wall time, and this wrapper is ~55% of
+        # construction (ml_gbdt_residual_boost 2.30s -> 1.30s, pipeline
+        # _corpus_curation 1.94s -> 1.14s with it off). Driver-side plan
+        # building is serial overhead at ANY cluster scale (guide §5: the
+        # driver should do almost no work). Cost: error messages lose the
+        # Python-file:line fragment (JVM-side plan context is unaffected).
+        # Env-overridable for interactive debugging sessions.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+        )
     )
     if master is not None:
         builder = builder.master(master)
