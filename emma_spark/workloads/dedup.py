@@ -51,8 +51,15 @@ def _sig_sql(src: str = "documents", shingle: int = SHINGLE) -> str:
     headline=True,
 )
 def dedup_exact(spark, sf_dir):
-    """Exact dedup groups: one hash-shuffle, uniform keys (no skew)."""
-    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    """Exact dedup groups: one hash-shuffle, uniform keys (no skew).
+
+    No fan_out here: the pre-shuffle work is one md5 over each doc
+    (trivial), and exact_groups' own groupBy shuffle spreads the rows
+    anyway — the round-robin exchange only re-shuffled full text
+    payloads for nothing (r12 A/B: ~1.6 s → ~0.4 s, results identical;
+    contrast dedup_minhash_pairs, whose per-row signature pass is heavy
+    and single-core-bound without it)."""
+    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
     return D.exact_groups(docs)
 
 

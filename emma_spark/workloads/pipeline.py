@@ -52,8 +52,14 @@ def pipeline_corpus_curation(spark, sf_dir):
     shuffle, min-id keeper) → minhash/LSH near-dup removal (bucket
     join + anti join) → per-language corpus stats. The oracle replays
     all four stages, so a hash match certifies the COMPOSITION, not
-    just each operator in isolation."""
-    docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
+    just each operator in isolation.
+
+    No fan_out at the scan: the only pre-shuffle work is the quality
+    gate + one content-hash md5 (cheap), and the exact-dedup groupBy
+    shuffle spreads the survivors before the heavy minhash signature
+    pass runs — the round-robin exchange only re-shuffled full text
+    payloads for nothing (r12 A/B: ~20% faster, results identical)."""
+    docs = io.read_parquet(spark, f"{sf_dir}/documents.parquet").df
     curated = P.curate(docs, min_tokens=5, min_alpha=0.5)
     return P.corpus_stats(curated, by="lang")
 
