@@ -25,12 +25,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    os.environ.setdefault("SPARK_GRAFT_MASTER", f"local[{cpus}]")
 
     from emma_spark.session import get_spark
     from emma_spark.workloads import load_all
 
-    spark = get_spark("bench")
+    # r13 (VERDICT r12 ask #2): pass the master EXPLICITLY — the old
+    # SPARK_GRAFT_MASTER setdefault was dead wiring (nothing read it;
+    # the cpus contract held only via session.py's import-time env
+    # read). The resolved master + cpus are echoed into the JSON line
+    # below so the driver's scaling check can verify them directly.
+    spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = load_all()
@@ -84,6 +88,30 @@ def main() -> None:
     calib = round(calib, 3)
     print(f"# calibration_scan: {calib}s", file=sys.stderr)
 
+    # Execution-bound parallel probe (r13, VERDICT r12 ask #2c): every
+    # sf0.1 parquet input is a single row group, so the headline
+    # queries are 1-task scans + driver plan construction and their
+    # 8-core/32-core ratios sit at ~1 — structurally uninformative
+    # (PERF_r12 suspect_cpus_ignored). This probe is pure multi-task
+    # executor compute (md5 over a generated range split into
+    # defaultParallelism tasks, no IO, no shuffle beyond the 1-row
+    # agg), so its low/high core ratio DOES show parallelism. Fixed
+    # work, best-of-3; reported as its own JSON key — NOT added to
+    # "queries" (it is a harness probe, not a declared query).
+    par = spark.sparkContext.defaultParallelism
+    probe = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(
+            spark.range(0, 2_000_000, 1, par)
+            .select(F.md5(F.col("id").cast("string")).alias("h"))
+            .agg(F.count(F.lit(1)), F.max("h"))
+        )
+        dt = time.perf_counter() - t0
+        probe = dt if probe is None else min(probe, dt)
+    probe = round(probe, 3)
+    print(f"# parallel_probe: {probe}s ({par} tasks)", file=sys.stderr)
+
     # Variance protocol (r7 verdict ask): queries that are DRIVER-LOOP
     # bound (many small jobs, convergence probes, per-iteration
     # checkpoints) showed ±25% run-to-run variance even as min-of-3 —
@@ -134,6 +162,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "calibration_scan_sec": calib,
+                "master": spark.sparkContext.master,
+                "cpus": int(cpus),
+                "parallel_probe_sec": probe,
                 "queries_normalized": norm,
                 "normalized_total": round(total / calib, 2) if calib else None,
             }

@@ -155,6 +155,13 @@ def _power_iterate(edges, nodes, pr0, teleport_col, d100, iters, gate):
     pr = pr0
     last_ids: set = set()
     superseded: set = set()
+    # r13 (r12 ADVICE): lazy-chained pins mean the block manager holds
+    # every in-flight rank table until the next EAGER barrier, so a
+    # deep iteration would peak at iters·|V| rows. An eager flush every
+    # _FLUSH_EVERY rounds bounds the peak at _FLUSH_EVERY·|V| while
+    # keeping the single-pipelined-job win for the shallow loops every
+    # current consumer runs (3-5 iters → still exactly one barrier).
+    _FLUSH_EVERY = 8
     for i in range(iters):
         contrib = (
             edges.join(pr, edges["src"] == pr["id"])
@@ -164,6 +171,7 @@ def _power_iterate(edges, nodes, pr0, teleport_col, d100, iters, gate):
             .agg(F.sum("__c").alias("__c"))
         )
         superseded |= last_ids
+        eager = (i == iters - 1) or ((i + 1) % _FLUSH_EVERY == 0)
         pr, last_ids = pin(
             nodes.join(contrib, "id", "left").select(
                 F.col("id"),
@@ -172,10 +180,15 @@ def _power_iterate(edges, nodes, pr0, teleport_col, d100, iters, gate):
                     + F.expr(f"({d100} * coalesce(__c, 0)) div 100")
                 ).cast("bigint").alias("pr"),
             ),
-            # only the final table pays a materialization barrier; the
-            # lazy predecessors' blocks are written by this same job
-            eager=(i == iters - 1),
+            # eager tables pay a materialization barrier; the lazy
+            # predecessors' blocks are written by that same job — and
+            # once an eager table exists, every superseded block is
+            # unreachable and can be freed immediately
+            eager=eager,
         )
+        if eager and superseded:
+            _release_ids(sc, superseded)
+            superseded = set()
     # the final pr is checkpoint-backed and materialized: every
     # intermediate rank table and the structural pins are no longer
     # needed by anything reachable

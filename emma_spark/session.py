@@ -56,14 +56,27 @@ def get_spark(app_name: str = "emma-spark", master: str | None = None) -> SparkS
         # building is serial overhead at ANY cluster scale (guide §5: the
         # driver should do almost no work). Cost: error messages lose the
         # Python-file:line fragment (JVM-side plan context is unaffected).
-        # Env-overridable for interactive debugging sessions.
+        # Env-overridable for interactive debugging sessions ("1"/
+        # "true"/"yes" all enable — r12 ADVICE: the raw string was
+        # passed through, so "1" silently disabled). NOTE: PySpark
+        # caches is_debugging_enabled() process-wide on first use; the
+        # conf must be set on the FIRST session created in the process.
         .config(
             "spark.python.sql.dataFrameDebugging.enabled",
-            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+            "true"
+            if os.environ.get("SPARK_GRAFT_DF_DEBUG", "").lower()
+            in ("1", "true", "yes")
+            else "false",
         )
     )
     if master is not None:
         builder = builder.master(master)
+    elif os.environ.get("SPARK_GRAFT_MASTER"):
+        # r13 (VERDICT r12 ask #2): the harness exports this but nothing
+        # read it — the local[$SPARK_GRAFT_CPUS] contract held only via
+        # the import-time DEFAULT_CPUS read. Honor it explicitly so the
+        # contract survives late env changes and spark-submit wrappers.
+        builder = builder.master(os.environ["SPARK_GRAFT_MASTER"])
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{DEFAULT_CPUS}]")
     return builder.getOrCreate()

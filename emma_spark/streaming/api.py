@@ -400,24 +400,53 @@ def run_to_memory(
     session default meant for large batch shuffles. For a bounded drain
     with thousands of keys a handful of partitions avoids paying
     per-partition store setup; an unbounded production run with many
-    millions of keys should pass a number sized to the cluster."""
+    millions of keys should pass a number sized to the cluster.
+
+    CHECKPOINT PLACEMENT (r13 optimization, guide §5/§6): the memory
+    sink is non-fault-tolerant by definition and Spark deletes the
+    drain's temporary checkpoint at stop — the checkpoint here is pure
+    scratch. On a LOCAL master (driver and executors share one
+    machine) it goes to a RAM-backed dir when one exists
+    (``/dev/shm``): the HDFS-backed state store writes one delta file
+    per partition per batch plus offset/commit WAL files, and on a
+    disk-backed ``java.io.tmpdir`` that file churn was ~30% of the
+    whole drain (measured sf0.1: 1.47 s → 1.10 s). On a cluster
+    master the default placement is unchanged (executors must reach
+    the checkpoint; node-local RAM would break that), and
+    ``SPARK_GRAFT_STREAM_CKPT`` overrides the base dir everywhere
+    (set it to shared storage for a durable-drain deployment)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    base = os.environ.get("SPARK_GRAFT_STREAM_CKPT")
+    if base is None and spark.sparkContext.master.startswith("local"):
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    ckpt = (
+        os.path.join(base, f"emma_drain_{_uuid.uuid4().hex}") if base else None
+    )
     try:
-        q = (
+        w = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .start()
         )
+        if ckpt is not None:
+            w = w.option("checkpointLocation", ckpt)
+        q = w.start()
         q.awaitTermination()
         return drain_accounting(q)
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def pin_topology(checkpoint: str, **fingerprint) -> None:

@@ -163,7 +163,14 @@ def sum_long_exact(v):
     5-sum aggregate (r12 optimization round). Same exactness bound as
     qsum: requires |v| ≤ 2^53 PER ROW (the floor-div by 2^40 goes
     through exact double division) and < 2^43 rows per group for the
-    Σc term; both ANSI-raise loudly, never silently, if crossed."""
+    Σc term; both ANSI-raise loudly, never silently, if crossed.
+
+    PRECONDITION (r12 ADVICE): the raise-loudly guarantee depends on
+    ``spark.sql.ansi.enabled=true`` (Spark 4's default, and this
+    engine never disables it). Under a session with ANSI explicitly
+    OFF, a long sum near the 2^43-rows-per-group bound would WRAP
+    silently and return a wrong "exact" sum — do not export results
+    from an ANSI-off session."""
     from pyspark.sql import functions as F
 
     m40, m20 = 1 << 40, 1 << 20

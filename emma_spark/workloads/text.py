@@ -385,12 +385,19 @@ def text_bm25_scores(spark, sf_dir):
     two fan-out exchanges; measured 0.65 s vs 0.45 s at sf0.1,
     results bit-identical). At 100 TB the pin holds 5 ints per doc
     (~40 B) where the re-derivation would re-read and re-tokenize the
-    corpus text — the auto-cache used-more-than-once policy."""
+    corpus text — the auto-cache used-more-than-once policy. The
+    pin's blocks ride a ``_ckpt_ids`` release handle on the returned
+    DataFrame (r12 ADVICE: deterministic release instead of
+    wait-for-GC), so a long-lived driver can
+    ``plans.iterate.release(result)`` after materializing."""
     from ..plans.cache import pin
+    from ..plans.iterate import _persistent_ids
 
     docs = io.fan_out(io.read_parquet(spark, f"{sf_dir}/documents.parquet").df)
     tk = X.tokens(F.col("text"))
     t1, t2, t3 = _BM25_TERMS
+    sc = spark.sparkContext
+    _before_ids = _persistent_ids(sc)
     base = pin(docs.select(
         "doc_id",
         F.size(tk).alias("dl"),
@@ -398,6 +405,7 @@ def text_bm25_scores(spark, sf_dir):
         F.size(F.filter(tk, lambda x: x == t2)).alias("tf2"),
         F.size(F.filter(tk, lambda x: x == t3)).alias("tf3"),
     ))
+    _pin_ids = _persistent_ids(sc) - _before_ids
     stats = base.filter(F.col("dl") > 0).agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
@@ -418,7 +426,7 @@ def text_bm25_scores(spark, sf_dir):
     score = (
         contrib("tf1", "df1") + contrib("tf2", "df2") + contrib("tf3", "df3")
     )
-    return (
+    out = (
         base.crossJoin(F.broadcast(stats))
         .filter(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
         .select(
@@ -426,6 +434,9 @@ def text_bm25_scores(spark, sf_dir):
             (F.floor(score * 1000000 + F.lit(0.5)) / 1000000).alias("bm25"),
         )
     )
+    if _pin_ids:
+        out._ckpt_ids = _pin_ids
+    return out
 
 
 @query(

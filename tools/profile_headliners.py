@@ -23,7 +23,6 @@ def main() -> int:
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    os.environ.setdefault("SPARK_GRAFT_MASTER", "local[32]")
 
     from emma_spark.session import get_spark
     from emma_spark.workloads import load_all
