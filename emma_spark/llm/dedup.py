@@ -121,12 +121,28 @@ def lsh_candidate_pairs(
     ``num_hashes // bands`` rows; docs sharing ANY band are candidates.
 
     Plan shape: EXPLODE each signature into `bands` (band_id, key...)
-    bucket rows, then ONE self-equi-join on the bucket key + distinct.
+    bucket rows, then ONE self-equi-join on the bucket key.
     Σ|bucket|² compares, never n² — and vs the naive per-band join
     cascade (`bands` joins + union) it is one exchange and one join
     stage regardless of `bands` (measured 2× faster at sf0.1). Returns
     (a, b) with a < b; NULL signatures (empty docs) drop out of the
     equi-join exactly like the oracle's `=` comparisons.
+
+    FIRST-MATCHING-BAND dedup, not DISTINCT (r13 optimization, guide
+    §2.4 — remove shuffles outright): a pair that collides in several
+    bands used to be emitted once per band and collapsed by a
+    ``.distinct()`` — a full exchange + hash-agg over the Σ|bucket|²
+    candidate stream, which at sf1 was ~5 s of the query's ~7 s (the
+    join itself: 1.5 s). Instead each bucket row carries the doc's
+    FULL signature, and a post-join filter keeps a band-b match only
+    when no band b' < b also matched — every qualifying pair is
+    emitted exactly once by its first matching band, so the join
+    output IS the distinct pair set and the candidate stream is never
+    re-shuffled. Equivalence: (a,b) qualifies iff SOME band matches;
+    the filter selects precisely the minimal matching band's row (the
+    coalesce treats an all-NULL earlier band as non-matching, which is
+    vacuous anyway — all-NULL signatures never join). Verified
+    bit-equal vs the DISTINCT oracle at sf0.001/0.01/0.1.
 
     The bucket bag feeds BOTH join sides, so it is pinned first — via
     eager localCheckpoint, the auto-cache policy (bag referenced more
@@ -149,19 +165,38 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
     e = pin(
-        sigs.select(F.col(id_col), F.explode(F.array(*structs)).alias("__bkt"))
-        .select(id_col, "__bkt.*")
+        sigs.select(
+            F.col(id_col), *mh_cols, F.explode(F.array(*structs)).alias("__bkt")
+        ).select(id_col, *mh_cols, "__bkt.*")
     )
     keys = ["band"] + [f"k{r}" for r in range(rows)]
-    left = e.select(F.col(id_col).alias("a"), *keys)
+    left = e.select(F.col(id_col).alias("a"), *mh_cols, *keys)
     right = e.select(
-        F.col(id_col).alias("b"), *[F.col(k).alias(f"{k}_r") for k in keys]
+        F.col(id_col).alias("b"),
+        *[F.col(c).alias(f"{c}_r") for c in mh_cols],
+        *[F.col(k).alias(f"{k}_r") for k in keys],
     )
     cond = F.col("a") < F.col("b")
     for k in keys:
         cond = cond & (F.col(k) == F.col(f"{k}_r"))
-    return left.join(right, cond, "inner").select("a", "b").distinct()
+    j = left.join(right, cond, "inner")
+    # keep only the FIRST matching band's row for each pair (see
+    # docstring): band b survives iff no band b' < b also matches
+    keep = F.col("band") == 0
+    for b in range(1, bands):
+        prior = F.lit(False)
+        for bp in range(b):
+            m = F.lit(True)
+            for r in range(rows):
+                c = f"mh{bp * rows + r}"
+                m = m & (F.col(c) == F.col(f"{c}_r"))
+            prior = prior | m
+        keep = keep | (
+            (F.col("band") == b) & ~F.coalesce(prior, F.lit(False))
+        )
+    return j.filter(keep).select("a", "b")
 
 
 # ----------------------------------------------------------------------
