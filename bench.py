@@ -98,12 +98,16 @@ def main() -> None:
     # agg), so its low/high core ratio DOES show parallelism. Fixed
     # work, best-of-3; reported as its own JSON key — NOT added to
     # "queries" (it is a harness probe, not a declared query).
+    # Sizing: fitting T(c) = F + W/c to a 2M-row pilot gave fixed job
+    # overhead F ~ 0.17 s and serial work W ~ 0.8 s — overhead-bound,
+    # ratio only ~1.4x. 16M rows puts W ~ 6.5 s so the 8-vs-32-core
+    # ratio lands ~2.5-3x while costing < 0.4 s at 32 cores.
     par = spark.sparkContext.defaultParallelism
     probe = None
     for _ in range(3):
         t0 = time.perf_counter()
         force(
-            spark.range(0, 2_000_000, 1, par)
+            spark.range(0, 16_000_000, 1, par)
             .select(F.md5(F.col("id").cast("string")).alias("h"))
             .agg(F.count(F.lit(1)), F.max("h"))
         )
